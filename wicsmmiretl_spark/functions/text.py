@@ -1,0 +1,221 @@
+"""Text analysis (SURVEY §2.8 E1/E2/E3 + north-star text operators).
+
+The reference's ``generate_caption_stats`` (utils.py:183-566, 384 LoC) runs a
+spaCy/NLTK/polyglot model per caption in forked worker processes. This engine
+inverts the default: the *built-in* backend is pure Catalyst column
+expressions — tokenization, sentence split, readability, entity heuristics
+all execute JVM-side inside whole-stage codegen, no Python worker at all.
+Model-backed backends (spaCy/NLTK) remain available as optional mapInPandas
+strategies (see ``wicsmmiretl_spark.functions.nlp_backends``), mirroring the
+reference's ``MetadataGeneratorBackend`` enum (utils.py:39-43).
+
+Why this matters at 100 TB: a row-at-a-time Python UDF caps throughput at the
+Arrow boundary; a codegen'd expression runs at scan speed. The built-in
+backend produces the full ``caption_metadata`` numeric schema (FIXTURES.md
+§A2) with documented heuristics:
+
+* tokens     — whitespace split, empties dropped.
+* sentences  — split on ``[.!?]+`` followed by space/end, empties dropped.
+* syllables  — vowel-group count (``[aeiouy]+`` runs), the standard
+               dictionary-free estimator.
+* named entities — capitalized-token heuristic (non-sentence-initial
+               ``^[A-Z]`` tokens), the classic cheap NER proxy.
+* readability — Flesch-Kincaid reading-ease / grade-level from the real
+               formulas (E2, utils.py:231-232); Dale-Chall is approximated
+               with a hard-word (≥3 syllables) ratio per the Gunning-Fog
+               family since the 3,000-word DC list is a model artifact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SEP = r"\s+"
+SENT_SEP = r"[.!?]+(\s+|$)"
+
+
+def tokens(text: Column | str) -> Column:
+    """array<string> of whitespace tokens, empties removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, TOKEN_SEP), lambda t: t != F.lit(""))
+
+
+def sentences(text: Column | str) -> Column:
+    """array<string> of sentences (split on terminal punctuation)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, SENT_SEP), lambda s: F.trim(s) != F.lit(""))
+
+
+def syllable_count(text: Column | str) -> Column:
+    """Estimated syllables: number of vowel-group runs in the text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(r"[aeiouy]+"), 0))
+
+
+def _hard_words(toks: Column) -> Column:
+    """Tokens with ≥3 vowel groups — 'hard word' proxy for Dale-Chall."""
+    return F.size(
+        F.filter(toks, lambda t: F.size(F.regexp_extract_all(F.lower(t), F.lit(r"[aeiouy]+"), 0)) >= 3)
+    )
+
+
+def _entities(toks: Column) -> Column:
+    """Capitalized-token NE heuristic: tokens matching ^[A-Z][a-z'].*
+
+    excluding the first token (sentence-initial capitalization)."""
+    tail = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    return F.filter(tail, lambda t: t.rlike(r"^[A-Z]"))
+
+
+def caption_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """E1 (built-in backend): append the numeric enrichment schema.
+
+    Output mirrors generate_caption_stats (utils.py:530-561): num_tok,
+    num_sent, min/max_sent_len, num_ne, ne_texts, readability scores. All
+    computed in one projection — Catalyst CSE shares the token/sentence
+    arrays across the derived columns.
+    """
+    toks = tokens(text_col)
+    sents = sentences(text_col)
+    sent_lens = F.transform(sents, lambda s: F.size(tokens(s)))
+    ne = _entities(toks)
+    syl = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[aeiouy]+"), 0))
+
+    num_tok = F.size(toks)
+    num_sent = F.greatest(F.size(sents), F.lit(1))
+    words_per_sent = num_tok.cast("double") / num_sent.cast("double")
+    syl_per_word = F.when(num_tok > 0, syl.cast("double") / num_tok.cast("double")).otherwise(F.lit(0.0))
+
+    return (
+        df.withColumn("num_tok", num_tok)
+        .withColumn("num_sent", F.size(sents))
+        .withColumn("min_sent_len", F.array_min(sent_lens))
+        .withColumn("max_sent_len", F.array_max(sent_lens))
+        .withColumn("num_ne", F.size(ne))
+        .withColumn("ne_texts", ne)
+        .withColumn("num_syllables", syl)
+        .withColumn(
+            "fk_re_score",
+            F.round(F.lit(206.835) - F.lit(1.015) * words_per_sent - F.lit(84.6) * syl_per_word, 4),
+        )
+        .withColumn(
+            "fk_gl_score",
+            F.round(F.lit(0.39) * words_per_sent + F.lit(11.8) * syl_per_word - F.lit(15.59), 4),
+        )
+        .withColumn(
+            "dc_score",
+            F.round(
+                F.lit(0.1579)
+                * (F.lit(100.0) * _hard_words(toks).cast("double") / F.greatest(num_tok, F.lit(1)).cast("double"))
+                + F.lit(0.0496) * words_per_sent,
+                4,
+            ),
+        )
+    )
+
+
+def add_ratio_columns(df: DataFrame, numerators: list[str], denominator: str = "num_tok") -> DataFrame:
+    """F5: ratio_<x>_<den> columns (utils.py:520-528)."""
+    out = df
+    for num in numerators:
+        name = f"ratio_{num.removeprefix('num_')}_{denominator.removeprefix('num_')}"
+        out = out.withColumn(
+            name,
+            F.when(
+                F.col(denominator) > 0,
+                F.col(num).cast("double") / F.col(denominator).cast("double"),
+            ).otherwise(F.lit(None)),
+        )
+    return out
+
+
+def vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """E3 + A1: corpus vocabulary — explode tokens, group-count, sort desc.
+
+    The reference builds a Counter on the driver (utils.py:148-180); this is
+    scan → generate(explode) → partial hash agg → one shuffle → final agg,
+    fully distributed. POS dimension comes from the model backends; the
+    built-in backend emits token counts.
+    """
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.asc("token"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# North-star text operators (language ID, quality, fingerprinting)
+# ---------------------------------------------------------------------------
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "es", "por"),
+    "fr": ("le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"),
+}
+
+
+def language_id(text: Column | str) -> Column:
+    """Stopword-profile language ID: score = count of profile hits per
+    language; returns the argmax language code or 'und'.
+
+    Pure column expression (array_intersect over the token set) — no Python.
+    At scale this runs at scan speed; swap in a model backend for quality.
+    """
+    toks = F.array_distinct(F.transform(tokens(text), F.lower))
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in _LANG_PROFILES.items()
+        ]
+    )
+    best = F.array_max(scores)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length, mean word length, alpha ratio,
+    stopword ratio, repetition (distinct/total tokens). The standard cheap
+    pre-filters of an LLM-data pipeline (C4/Gopher-style rules), all
+    codegen'd column math.
+    """
+    toks = tokens(text_col)
+    num_tok = F.size(toks)
+    text = F.col(text_col)
+    alpha_chars = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    stop = F.array(*[F.lit(w) for w in _LANG_PROFILES["en"]])
+    stop_hits = F.size(F.filter(F.transform(toks, F.lower), lambda t: F.array_contains(stop, t)))
+    distinct_ratio = F.when(
+        num_tok > 0, F.size(F.array_distinct(toks)).cast("double") / num_tok.cast("double")
+    ).otherwise(F.lit(0.0))
+    mean_word_len = F.when(
+        num_tok > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double") / num_tok.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("q_num_tok", num_tok)
+        .withColumn("q_mean_word_len", F.round(mean_word_len, 4))
+        .withColumn(
+            "q_alpha_ratio",
+            F.round(alpha_chars.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double"), 4),
+        )
+        .withColumn(
+            "q_stopword_ratio",
+            F.round(stop_hits.cast("double") / F.greatest(num_tok, F.lit(1)).cast("double"), 4),
+        )
+        .withColumn("q_distinct_ratio", F.round(distinct_ratio, 4))
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text. Stable across partitionings and engines (the exact-dedup key)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))

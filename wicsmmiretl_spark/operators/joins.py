@@ -1,0 +1,135 @@
+"""Joins (SURVEY §2.3 J1-J3 + engine surface).
+
+The reference has no relational join — alignment is positional via the pandas
+index (wikicaps_etl_pipeline.py:84-91 sorts futures results by id and assigns
+a column; :203-210 filters by a positionally aligned bool mask). Spark has no
+row order to lean on, so each implicit join becomes an explicit equi-join and
+Catalyst picks broadcast-hash / shuffled-hash / sort-merge.
+
+Scale notes baked in:
+* ``attach`` broadcasts the small side when hinted — the J1 shape (attach a
+  per-key result set to a big fact table) is broadcastable whenever the
+  result set came from a bounded fan-out.
+* ``asof_join`` implements the time-series as-of semantics (engine extension;
+  the driver's ``events`` table is stream-shaped) via union + window
+  last-value — a single shuffle on the join key, no per-row Python, instead
+  of a naive theta-join that would be O(n·m) and un-shuffleable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def attach(
+    base: DataFrame,
+    results: DataFrame,
+    key: str | Sequence[str],
+    how: str = "left",
+    broadcast_results: bool = False,
+) -> DataFrame:
+    """J1/J2: attach computed per-key columns to a base table.
+
+    Replaces the reference's sort_index-then-assign positional attach
+    (wikicaps_etl_pipeline.py:84-91) and horizontal concat (utils.py:513-514).
+    """
+    right = F.broadcast(results) if broadcast_results else results
+    return base.join(right, on=key, how=how)
+
+
+def keep_successes(df: DataFrame, ok_keys: DataFrame, key: str = "wikicaps_id") -> DataFrame:
+    """J3/P8: positional success mask → left-semi join on the key set.
+
+    (wikicaps_etl_pipeline.py:203-210.)
+    """
+    return df.join(ok_keys.select(key), on=key, how="left_semi")
+
+
+def drop_failures(df: DataFrame, bad_keys: DataFrame, key: str = "wikicaps_id") -> DataFrame:
+    """Complement of :func:`keep_successes` — left-anti join."""
+    return df.join(bad_keys.select(key), on=key, how="left_anti")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: Column,
+    how: str = "inner",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Theta/range join. Small right sides should be broadcast so the
+    non-equi condition runs as BroadcastNestedLoopJoin instead of a cartesian
+    shuffle; at scale prefer banding the range into an equi-join key first.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=condition, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | Sequence[str],
+    right_cols: Sequence[str] | None = None,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right.on <= left.on`` within the same ``by`` group.
+
+    Implemented as union + window last-value: tag both sides, union them,
+    sort within each ``by`` partition by (on, side) and carry the last seen
+    right values forward. ONE shuffle on ``by`` — this is the scalable plan
+    (a naive inequality join is quadratic per group; DuckDB's ASOF JOIN is
+    the oracle for correctness).
+
+    ``tolerance``: optional max staleness as an INTERVAL string (e.g.
+    ``'1 hour'``) — matches further back are nulled out.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in by_cols and c != on]
+
+    left_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(right.schema[on].dataType).alias("_r_on"),
+    )
+    # Build the right side with left's full schema as nulls so the union lines up.
+    right_tagged = right.select(
+        *[
+            (F.col(c) if c in by_cols or c == on else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in left.columns
+        ],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.col(on).alias("_r_on"),
+    )
+
+    unioned = left_tagged.unionByName(right_tagged)
+    # Right rows sort before left rows at equal timestamps => on <= semantics.
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_r_{c}") for c in right_cols]
+    carried_on = F.last(F.col("_r_on"), ignorenulls=True).over(w).alias("_r_on")
+
+    result = (
+        unioned.select(*unioned.columns[: len(left.columns)], F.col("_side"), *carried, carried_on)
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )
+    if tolerance is not None:
+        stale = F.col("_r_on") < F.col(on) - F.expr(f"INTERVAL {tolerance}")
+        for c in right_cols:
+            result = result.withColumn(f"_r_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"_r_{c}")))
+    result = result.drop("_r_on")
+    return result.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"_r_{c}").alias(c) for c in right_cols],
+    )

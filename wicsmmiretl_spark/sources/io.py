@@ -1,0 +1,122 @@
+"""Sources and sinks (SURVEY §2.1 S1-S6).
+
+Reference parity:
+* S1 multi-char-separator caption scan — pd.read_csv(sep="|||")
+  (wikicaps_etl_pipeline.py:102,110-116) → Spark csv reader with a multi-char
+  ``sep`` (native since Spark 3.0), then explicit column names + types.
+* S3 JSON scan + flatten — pycocotools imgToAnns walk (coco.ipynb cells 3-17)
+  → spark.read.json + explode.
+* S4/S5 columnar read/write — Feather (wikicaps_etl_pipeline.py:136,226-231)
+  → Parquet, the cluster-native columnar format (splittable, predicate
+  pushdown, column pruning; Feather is not a distributed-FS format).
+* S6 projected CSV sink with quoting (wikicaps_etl_pipeline.py:233-240).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from wicsmmiretl_spark.schemas import WIKICAPS_RAW
+
+
+def read_caption_list(spark: SparkSession, path: str) -> DataFrame:
+    """S1: read the ``id|||File:x.jpg|||caption`` caption list.
+
+    Mirrors wikicaps_etl_pipeline.py:110-116 (read + rename + unique-key
+    contract). Uniqueness is *checked* via :func:`assert_unique_key` at call
+    sites, not via a pandas index (Spark has none).
+    """
+    return (
+        spark.read.option("sep", "|||")
+        .option("header", "false")
+        .option("encoding", "UTF-8")
+        .schema(WIKICAPS_RAW)
+        .csv(path)
+    )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    header: bool = True,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """S2: general CSV scan (single- or multi-char sep; f30k uses ``|``)."""
+    reader = spark.read.option("sep", sep).option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json_flat(
+    spark: SparkSession,
+    path: str,
+    explode_field: str,
+    select_map: dict[str, str],
+) -> DataFrame:
+    """S3: JSON scan + 1→N flatten of a nested array field.
+
+    The COCO notebook walks ``imgToAnns`` imperatively (coco.ipynb cells
+    3-17); declaratively this is explode + projection, which keeps the flatten
+    inside whole-stage codegen.
+
+    ``select_map`` maps output column name → field path relative to the
+    exploded element (or a top-level field).
+    """
+    df = spark.read.json(path)
+    exploded = df.select(F.explode(F.col(explode_field)).alias("_elem"), "*")
+    cols = [F.col(path).alias(name) for name, path in select_map.items()]
+    return exploded.select(*cols)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S4: columnar scan (Feather → Parquet)."""
+    return spark.read.parquet(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """S5: columnar sink. ``partition_by`` enables partition pruning at scale."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv_projection(
+    df: DataFrame,
+    path: str,
+    columns: list[str],
+    mode: str = "overwrite",
+    quote: str = '"',
+    header: bool = True,
+) -> None:
+    """S6: CSV sink writing only a projection, quoted.
+
+    Reference writes ``["image_path", "caption"]`` with quotechar='"'
+    (wikicaps_etl_pipeline.py:233-240). The projection is applied before the
+    write so the scan above it is pruned to those columns.
+    """
+    (
+        df.select(*columns)
+        .write.mode(mode)
+        .option("quote", quote)
+        .option("header", str(header).lower())
+        .csv(path)
+    )
+
+
+def assert_unique_key(df: DataFrame, key: str) -> None:
+    """verify_integrity=True equivalent (wikicaps_etl_pipeline.py:116).
+
+    Distributed uniqueness check: one hash aggregation, no collect of data —
+    only the (tiny) violating key set would ever reach the driver.
+    """
+    dupes = df.groupBy(key).count().filter(F.col("count") > 1)
+    if not dupes.isEmpty():
+        sample = [r[key] for r in dupes.limit(5).collect()]
+        raise ValueError(f"duplicate keys in column {key!r}: sample {sample}")

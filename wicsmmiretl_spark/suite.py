@@ -1,0 +1,627 @@
+"""Driver-contract query suite: every SURVEY §2 operator (plus north-star
+extensions) as a named (Spark query, DuckDB oracle SQL) pair.
+
+Cross-engine determinism rules used throughout (so the driver's value-hash
+matches bit-for-bit):
+
+* Money/quantity sums: per-row scale→round→cast-bigint, sum exactly in
+  integer space, divide back once (``_exact_sum``). Double summation order
+  differs between engines; integer summation doesn't.
+* Full-precision double aggregates (events.value, cosines): final
+  ``round(x, k)`` with k chosen so the rounding bucket is ≥10⁶× the worst-case
+  accumulation error.
+* Counts/sizes: cast to BIGINT on both sides (Spark ``size`` is int, DuckDB
+  ``len`` is bigint, DuckDB ``sum`` is hugeint).
+* Timestamps: emitted as ``unix_micros`` ↔ ``epoch_us`` bigints, never raw.
+* Ties: every ORDER BY used under a LIMIT or window rank carries a unique
+  tie-break key.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wicsmmiretl_spark.catalog import load_table
+from wicsmmiretl_spark.functions.text import (
+    TOKEN_SEP,
+    _LANG_PROFILES,
+    caption_stats,
+    fingerprint,
+    quality_score,
+    tokens,
+)
+from wicsmmiretl_spark.operators.aggregates import grouped_stats_matrix
+from wicsmmiretl_spark.operators.filters import RangeFilter, apply_filters
+from wicsmmiretl_spark.operators.joins import asof_join
+from wicsmmiretl_spark.operators.sets import union_tagged
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+def _exact_sum(col, scale: int, alias: str):
+    """Order-independent double sum: scale → round → Σ in int64 → unscale."""
+    return (F.sum(F.round(col * F.lit(10**scale)).cast("long")) / F.lit(float(10**scale))).alias(alias)
+
+
+def _sql_exact_sum(expr: str, scale: int, alias: str) -> str:
+    return f"CAST(sum(CAST(round(({expr}) * {10**scale}) AS BIGINT)) AS BIGINT) / {float(10**scale)} AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# Flagship + text analysis (E1/E2/E3, A1, north-star text ops)
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+_SQL_SENTS = r"list_filter(list_transform(string_split_regex(text, '[.!?]+(\s+|$)'), s -> trim(s)), s -> s <> '')"
+
+
+@query(
+    "vocab_top100",
+    f"""
+    SELECT token, CAST(count(*) AS BIGINT) AS count
+    FROM (SELECT unnest({_SQL_TOKS}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY count DESC, token ASC
+    LIMIT 100
+    """,
+)
+def q_vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/E3/R5/R2: corpus vocabulary, top-k. Scan → explode → partial agg →
+    one shuffle → final agg → TakeOrderedAndProject (no global sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.asc("token"))
+        .limit(100)
+    )
+
+
+@query(
+    "text_stats",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks, {_SQL_SENTS} AS sents,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+      FROM documents
+    ), derived AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS num_tok,
+             CAST(len(sents) AS BIGINT) AS num_sent,
+             CAST(list_min(list_transform(sents, s -> len(list_filter(string_split_regex(s, '\s+'), t -> t <> '')))) AS BIGINT) AS min_sent_len,
+             CAST(list_max(list_transform(sents, s -> len(list_filter(string_split_regex(s, '\s+'), t -> t <> '')))) AS BIGINT) AS max_sent_len,
+             CAST(len(list_filter(list_slice(toks, 2, len(toks)), t -> regexp_matches(t, '^[A-Z]'))) AS BIGINT) AS num_ne,
+             len(toks) AS nt, greatest(len(sents), 1) AS ns, syl,
+             len(list_filter(toks, t -> len(regexp_extract_all(lower(t), '[aeiouy]+')) >= 3)) AS hard
+      FROM base
+    )
+    SELECT doc_id, num_tok, num_sent, min_sent_len, max_sent_len, num_ne,
+           round(206.835 - 1.015 * (CAST(nt AS DOUBLE) / ns) - 84.6 * (CASE WHEN nt > 0 THEN CAST(syl AS DOUBLE) / nt ELSE 0.0 END), 4) AS fk_re_score,
+           round(0.39 * (CAST(nt AS DOUBLE) / ns) + 11.8 * (CASE WHEN nt > 0 THEN CAST(syl AS DOUBLE) / nt ELSE 0.0 END) - 15.59, 4) AS fk_gl_score,
+           round(0.1579 * (100.0 * hard / greatest(nt, 1)) + 0.0496 * (CAST(nt AS DOUBLE) / ns), 4) AS dc_score
+    FROM derived
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E2 built-in backend: full caption-stats enrichment, zero Python.
+
+    Parity target: generate_caption_stats (utils.py:530-561) with the
+    dependency-light heuristics documented in functions/text.py.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    enriched = caption_stats(docs, "text")
+    return enriched.select(
+        "doc_id",
+        F.col("num_tok").cast("long").alias("num_tok"),
+        F.col("num_sent").cast("long").alias("num_sent"),
+        F.col("min_sent_len").cast("long").alias("min_sent_len"),
+        F.col("max_sent_len").cast("long").alias("max_sent_len"),
+        F.col("num_ne").cast("long").alias("num_ne"),
+        "fk_re_score",
+        "fk_gl_score",
+        "dc_score",
+    )
+
+
+@query(
+    "quality_scores",
+    f"""
+    WITH base AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS q_num_tok,
+           round(CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS q_mean_word_len,
+           round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4) AS q_alpha_ratio,
+           round(CAST(len(list_filter(list_transform(toks, t -> lower(t)), t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS DOUBLE) / greatest(len(toks), 1), 4) AS q_stopword_ratio,
+           round(CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS q_distinct_ratio
+    FROM base
+    """,
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star text-quality scoring (C4/Gopher-style heuristics)."""
+    docs = _t(spark, sf_dir, "documents")
+    return quality_score(docs, "text").select(
+        "doc_id",
+        F.col("q_num_tok").cast("long").alias("q_num_tok"),
+        "q_mean_word_len",
+        "q_alpha_ratio",
+        "q_stopword_ratio",
+        "q_distinct_ratio",
+    )
+
+
+_SQL_LANG_SCORES = " UNION ALL ".join(
+    f"""SELECT doc_id, '{lang}' AS lang,
+        CAST(len(list_intersect(list_distinct(list_transform({_SQL_TOKS}, t -> lower(t))), {list(words)})) AS BIGINT) AS score
+        FROM documents"""
+    for lang, words in _LANG_PROFILES.items()
+)
+
+
+@query(
+    "lang_id",
+    f"""
+    WITH scores AS ({_SQL_LANG_SCORES}),
+    ranked AS (
+      SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+      FROM scores
+    )
+    SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star language ID (stopword-profile heuristic), flat argmax shape
+    so the oracle is pure SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.transform(tokens("text"), F.lower))
+    scores = F.array(
+        *[
+            F.struct(
+                F.lit(lang).alias("lang"),
+                F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).cast("long").alias("score"),
+            )
+            for lang, words in _LANG_PROFILES.items()
+        ]
+    )
+    exploded = docs.select("doc_id", F.explode(scores).alias("s")).select(
+        "doc_id", F.col("s.lang").alias("lang"), F.col("s.score").alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    return (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.when(F.col("score") > 0, F.col("lang")).otherwise(F.lit("und")).alias("lang_pred"),
+        )
+    )
+
+
+@query(
+    "dedup_exact",
+    r"""
+    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star exact dedup: hash-groupBy on a normalized fingerprint.
+    One shuffle on the 128-bit key; at 100 TB the map-side partial agg makes
+    this near-free for mostly-unique corpora."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", fingerprint("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+@query(
+    "deterministic_sample_docs",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':1312')
+    LIMIT 50
+    """,
+)
+def q_deterministic_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1/R2/R3: exact-n seeded sample — hash-sort + limit compiles to
+    TakeOrderedAndProject (per-partition top-k, no full sort). md5 keying so
+    the oracle reproduces the permutation bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.orderBy(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":1312"))))
+        .limit(50)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational core (P/J/A/R/U on the TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_sql_exact_sum('l_quantity', 2, 'sum_qty')},
+           {_sql_exact_sum('l_extendedprice', 2, 'sum_base_price')},
+           {_sql_exact_sum('l_extendedprice * (1 - l_discount)', 4, 'sum_disc_price')},
+           {_sql_exact_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 4, 'sum_charge')},
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-A8 composite (TPC-H Q1 shape): predicate pushed to scan, map-side
+    partial agg, single shuffle on the 6-value grouping key."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _exact_sum(F.col("l_quantity"), 2, "sum_qty"),
+        _exact_sum(F.col("l_extendedprice"), 2, "sum_base_price"),
+        _exact_sum(disc_price, 4, "sum_disc_price"),
+        _exact_sum(charge, 4, "sum_charge"),
+        (F.sum(F.round(F.col("l_quantity") * 100).cast("long")) / F.lit(100.0) / F.count("*")).alias("avg_qty"),
+        (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / F.lit(100.0) / F.count("*")).alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "range_filter_chain",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_quantity > 10 AND l_quantity < 40
+      AND l_discount IS NOT NULL AND l_discount > 0.02 AND l_discount < 0.09
+      AND l_extendedprice IS NOT NULL AND l_extendedprice > 1000 AND l_extendedprice < 50000
+    """,
+)
+def q_range_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6: the reference's flagship config-driven filter chain
+    (filters/filter_base.py:14-16 strict bounds) as ONE conjunctive predicate
+    pushed into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    filtered = apply_filters(
+        li,
+        [
+            RangeFilter("l_quantity", 10, 40),
+            RangeFilter("l_discount", 0.02, 0.09),
+            RangeFilter("l_extendedprice", 1000, 50000),
+        ],
+    )
+    return filtered.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+
+
+@query(
+    "top_revenue_orders",
+    """
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+           epoch_us(o.o_orderdate) AS o_orderdate_us,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 generalized (TPC-H Q3 shape): selective dim filter first, then two
+    equi-joins; customer side is small post-filter → AQE broadcasts it."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/P8: the positional success-mask as a left-anti join
+    (wikicaps_etl_pipeline.py:203-210 → SURVEY §2.3)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "customers_with_orders_semi",
+    """
+    SELECT c_custkey, c_nationkey
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 complement: left-semi join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_nationkey")
+
+
+@query(
+    "region_customer_rollup",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(count(*) AS BIGINT) AS num_customers,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_acctbal
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_region_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join chain: region and nation are dims → explicit broadcast
+    hints keep the fact-side scan shuffle-free before the final agg."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("num_customers"),
+            _exact_sum(F.col("c_acctbal"), 2, "total_acctbal"),
+        )
+    )
+
+
+@query(
+    "stats_matrix_documents",
+    """
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_n_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_n_chars,
+           avg(n_chars) AS mean_n_chars,
+           median(n_chars) AS median_n_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q_stats_matrix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: the 36-scan comparison matrix (…v2.ipynb cells 19-21) as ONE
+    grouped aggregation — min/max/mean/exact-median per group in one shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_n_chars"),
+            F.max("n_chars").alias("max_n_chars"),
+            F.avg("n_chars").alias("mean_n_chars"),
+            F.median("n_chars").alias("median_n_chars"),
+        )
+    )
+
+
+@query(
+    "union_balance_stats",
+    """
+    SELECT side,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_bal,
+           min(acctbal) AS min_bal,
+           max(acctbal) AS max_bal,
+           median(acctbal) AS median_bal
+    FROM (
+      SELECT 'customer' AS side, c_acctbal AS acctbal FROM customer
+      UNION ALL
+      SELECT 'supplier' AS side, s_acctbal AS acctbal FROM supplier
+    )
+    GROUP BY side
+    """,
+)
+def q_union_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 + A9: tag-and-union then one grouped agg (SURVEY §3.3 collapse)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_acctbal").alias("acctbal"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_acctbal").alias("acctbal"))
+    unioned = union_tagged({"customer": c, "supplier": s}, tag_col="side")
+    return unioned.groupBy("side").agg(
+        F.count("*").alias("n"),
+        _exact_sum(F.col("acctbal"), 2, "total_bal"),
+        F.min("acctbal").alias("min_bal"),
+        F.max("acctbal").alias("max_bal"),
+        F.median("acctbal").alias("median_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: windows, JSON, time semantics (engine extensions, SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_stats_by_type",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 4) AS avg_value,
+           round(median(value), 4) AS median_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-A5 on full-precision doubles (rounded aggregates, see module doc)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.median("value"), 4).alias("median_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+@query(
+    "window_rank_events",
+    """
+    SELECT user_id, event_id, value, rn FROM (
+      SELECT user_id, event_id, value,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS BIGINT) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def q_window_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking (engine extension §2.9): top-3 events per user.
+    One shuffle on user_id; rank runs inside the sorted partition."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+@query(
+    "window_running_sum",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta_prev
+    FROM events
+    """,
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: running sum + lag delta per user (engine extension)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(wsum), 4).alias("running_value"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
+    )
+
+
+@query(
+    "events_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-series extension: JSON scalar extraction over events.props."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@query(
+    "tumbling_daily",
+    """
+    SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time window (batch view of the streaming op): F.window
+    aligns 1-day windows to the epoch exactly like date_trunc."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("day_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "asof_click_purchase",
+    """
+    SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+           p.value AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (engine extension, §2.3): for each click, the most recent
+    purchase value ≤ ts by the same user. Union + window last-value — one
+    shuffle on user_id, linear per group (vs quadratic theta-join)."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(clicks, purchases, on="ts", by="user_id", right_cols=["value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("value").alias("last_purchase_value"),
+    )
