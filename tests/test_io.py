@@ -1,0 +1,59 @@
+"""Sources/sinks (SURVEY §2.1): multi-char-sep scan, parquet round-trip,
+projected CSV sink, key-uniqueness assertion."""
+
+from __future__ import annotations
+
+import pytest
+
+from wicsmmiretl_spark.sources.io import (
+    assert_unique_key,
+    read_caption_list,
+    write_csv_projection,
+    write_parquet,
+)
+
+CAPTIONS = [
+    (1, "File:Brandenburg Gate.jpg", "The Brandenburg Gate at dusk. It is in Berlin."),
+    (2, "File:Café.png", "A café, with unicode. Nice place!"),
+    (3, "File:Plain.jpg", "plain caption no punctuation"),
+]
+
+
+@pytest.fixture(scope="module")
+def caption_csv(tmp_path_factory):
+    p = tmp_path_factory.mktemp("captions") / "wikicaps.csv"
+    p.write_text("\n".join(f"{i}|||{f}|||{c}" for i, f, c in CAPTIONS), encoding="utf-8")
+    return str(p)
+
+
+def test_caption_list_scan(spark, caption_csv):
+    df = read_caption_list(spark, caption_csv)
+    rows = {r.wikicaps_id: r for r in df.collect()}
+    assert len(rows) == 3
+    assert rows[1].wikimedia_file == "File:Brandenburg Gate.jpg"
+    assert rows[2].caption == "A café, with unicode. Nice place!"
+    assert df.schema["wikicaps_id"].dataType.simpleString() == "bigint"
+
+
+def test_parquet_roundtrip(spark, caption_csv, tmp_path):
+    df = read_caption_list(spark, caption_csv)
+    dst = str(tmp_path / "out.parquet")
+    write_parquet(df, dst)
+    back = spark.read.parquet(dst)
+    assert sorted(r.wikicaps_id for r in back.collect()) == [1, 2, 3]
+
+
+def test_csv_projection_sink(spark, caption_csv, tmp_path):
+    df = read_caption_list(spark, caption_csv)
+    dst = str(tmp_path / "pairs")
+    write_csv_projection(df, dst, ["wikimedia_file", "caption"])
+    back = spark.read.option("header", "true").csv(dst)
+    assert back.columns == ["wikimedia_file", "caption"]
+    assert back.count() == 3
+
+
+def test_assert_unique_key(spark, caption_csv):
+    df = read_caption_list(spark, caption_csv)
+    assert_unique_key(df, "wikicaps_id")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        assert_unique_key(df.unionByName(df), "wikicaps_id")

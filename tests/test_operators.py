@@ -1,0 +1,144 @@
+"""Relational operators: filters (strict bounds), joins (as-of vs naive
+oracle), sampling determinism, set ops, aggregation invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wicsmmiretl_spark.catalog import load_table
+from wicsmmiretl_spark.operators.aggregates import approx_stats, column_stats
+from wicsmmiretl_spark.operators.filters import RangeFilter, apply_filters, clamp_max, filters_from_config
+from wicsmmiretl_spark.operators.joins import asof_join, attach, drop_failures, keep_successes
+from wicsmmiretl_spark.operators.sampling import (
+    deterministic_sample,
+    deterministic_shuffle,
+    top_k,
+    train_test_split,
+)
+from wicsmmiretl_spark.operators.sets import union_checked, union_tagged
+
+
+def test_range_filter_strict_bounds(spark):
+    df = spark.range(0, 10).toDF("x")
+    out = apply_filters(df, [RangeFilter("x", 2, 7)])
+    assert sorted(r.x for r in out.collect()) == [3, 4, 5, 6]  # both-exclusive
+
+
+def test_range_filter_defaults(spark):
+    # min=-1 default keeps 0; max=sys.maxsize default keeps everything above
+    df = spark.range(0, 5).toDF("x")
+    out = apply_filters(df, filters_from_config([{"column": "x"}]))
+    assert out.count() == 5
+
+
+def test_filter_drops_nulls(spark):
+    df = spark.createDataFrame([(1,), (None,), (5,)], "x int")
+    out = apply_filters(df, [RangeFilter("x", 0, 10)])
+    assert sorted(r.x for r in out.collect()) == [1, 5]
+
+
+def test_filter_chain_subset_invariant(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    out = apply_filters(li, [RangeFilter("l_quantity", 10, 40), RangeFilter("l_discount", 0.01, 0.09)])
+    assert out.count() <= li.count()
+    mm = out.agg(F.min("l_quantity"), F.max("l_quantity")).first()
+    assert mm[0] > 10 and mm[1] < 40
+
+
+def test_clamp_max(spark):
+    df = spark.createDataFrame([(0.5,), (1.5,), (None,)], "r double")
+    vals = [r.r for r in clamp_max(df, "r", 1.0).collect()]
+    assert sorted(v for v in vals if v is not None) == [0.5, 1.0]
+    assert None in vals
+
+
+def test_semi_anti_partition(spark, sf_dir):
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).select(F.col("o_custkey").alias("c_custkey"))
+    with_o = keep_successes(c, o, "c_custkey")
+    without_o = drop_failures(c, o, "c_custkey")
+    assert with_o.count() + without_o.count() == c.count()
+
+
+def test_attach_left_join(spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    res = spark.createDataFrame([(1, "ok")], "id int, status string")
+    out = attach(base, res, "id", broadcast_results=True).collect()
+    by_id = {r.id: r.status for r in out}
+    assert by_id == {1: "ok", 2: None}
+
+
+def test_asof_join_matches_naive(spark, sf_dir):
+    e = load_table(spark, "events", sf_dir)
+    left = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts").limit(200)
+    right = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    got = {
+        r.event_id: r.value
+        for r in asof_join(left, right, on="ts", by="user_id", right_cols=["value"]).collect()
+    }
+    # naive oracle: max-ts purchase <= click ts per user, via join + window
+    j = left.alias("l").join(right.alias("r"), (F.col("l.user_id") == F.col("r.user_id")) & (F.col("r.ts") <= F.col("l.ts")), "left")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l.event_id").orderBy(F.col("r.ts").desc_nulls_last())
+    naive = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("l.event_id").alias("event_id"), F.col("r.value").alias("value"))
+    )
+    want = {r.event_id: r.value for r in naive.collect()}
+    assert got == want
+
+
+def test_deterministic_sample_stable(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    a = [r.doc_id for r in deterministic_sample(docs, 20, ["doc_id"], seed=7).collect()]
+    b = [r.doc_id for r in deterministic_sample(docs.repartition(13), 20, ["doc_id"], seed=7).collect()]
+    assert a == b  # stable under repartitioning
+    c = [r.doc_id for r in deterministic_sample(docs, 20, ["doc_id"], seed=8).collect()]
+    assert a != c  # seed-sensitive
+
+
+def test_shuffle_is_permutation(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    out = deterministic_shuffle(docs, ["doc_id"], seed=3)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(r.doc_id for r in docs.collect())
+
+
+def test_train_test_split(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    train, test = train_test_split(docs, 0.25, ["doc_id"], seed=42)
+    n, tr, te = docs.count(), train.count(), test.count()
+    assert tr + te == n
+    assert 0.1 < te / n < 0.4
+    # key-stability: same row never in both
+    assert train.join(test, "doc_id", "inner").count() == 0
+
+
+def test_top_k(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    out = [r.n_chars for r in top_k(docs, "n_chars", 5).collect()]
+    assert out == sorted((r.n_chars for r in docs.collect()), reverse=True)[:5]
+
+
+def test_union_tagged(spark):
+    a = spark.createDataFrame([(1,)], "x int")
+    b = spark.createDataFrame([(2,)], "x int")
+    out = union_tagged({"a": a, "b": b}, "src").collect()
+    assert sorted((r.src, r.x) for r in out) == [("a", 1), ("b", 2)]
+
+
+def test_union_checked_rejects_dupes(spark):
+    a = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(ValueError):
+        union_checked(a, a, key="x")
+
+
+def test_column_stats_and_approx(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    row = column_stats(docs, ["n_chars"]).first()
+    assert row["min_n_chars"] <= row["median_n_chars"] <= row["max_n_chars"]
+    assert row["min_n_chars"] <= row["mean_n_chars"] <= row["max_n_chars"]
+    arow = approx_stats(docs, ["n_chars"]).first()
+    assert arow["approx_distinct_n_chars"] > 0

@@ -1,0 +1,99 @@
+"""Text analysis: enrichment invariants (FIXTURES.md §A2 property tests),
+vocab, language ID, quality, fingerprint."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wicsmmiretl_spark.catalog import load_table
+from wicsmmiretl_spark.functions.strings import add_punct, strip_control_chars
+from wicsmmiretl_spark.functions.text import (
+    add_ratio_columns,
+    caption_stats,
+    fingerprint,
+    language_id,
+    quality_score,
+    vocab,
+)
+
+
+def test_caption_stats_invariants(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    out = caption_stats(docs, "text")
+    bad = out.filter(
+        (F.col("num_tok") <= 0)
+        | (F.col("num_sent") < 1)
+        | (F.col("min_sent_len") > F.col("max_sent_len"))
+        | (F.col("max_sent_len") > F.col("num_tok"))
+        | (F.col("num_ne") > F.col("num_tok"))
+        | (F.col("num_ne") != F.size("ne_texts"))
+    )
+    assert bad.count() == 0
+
+
+def test_caption_stats_known_values(spark):
+    df = spark.createDataFrame([("The cat sat. The dog ran away!",)], "text string")
+    r = caption_stats(df, "text").first()
+    assert r.num_tok == 7
+    assert r.num_sent == 2
+    assert r.min_sent_len == 3
+    assert r.max_sent_len == 4
+
+
+def test_ratio_columns_bounded(spark, sf_dir):
+    docs = caption_stats(load_table(spark, "documents", sf_dir), "text")
+    out = add_ratio_columns(docs, ["num_ne"])
+    bad = out.filter((F.col("ratio_ne_tok") < 0) | (F.col("ratio_ne_tok") > 1))
+    assert bad.count() == 0
+
+
+def test_vocab_counts(spark):
+    df = spark.createDataFrame([("a b a",), ("b a",)], "text string")
+    out = {r.token: r["count"] for r in vocab(df, "text").collect()}
+    assert out == {"a": 3, "b": 2}
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is in the house and it is warm",),
+            ("der Hund ist nicht mit der Katze",),
+            ("el perro es un animal que vive en la casa",),
+            ("zzz qqq xxx",),
+        ],
+        "text string",
+    )
+    out = [r.l for r in df.select(language_id("text").alias("l")).collect()]
+    assert out == ["en", "de", "es", "und"]
+
+
+def test_quality_score_ranges(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    out = quality_score(docs, "text")
+    bad = out.filter(
+        (F.col("q_alpha_ratio") < 0)
+        | (F.col("q_alpha_ratio") > 1)
+        | (F.col("q_stopword_ratio") < 0)
+        | (F.col("q_stopword_ratio") > 1)
+        | (F.col("q_distinct_ratio") < 0)
+        | (F.col("q_distinct_ratio") > 1)
+    )
+    assert bad.count() == 0
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame([("Hello  World",), ("hello world",), ("other",)], "text string")
+    fps = [r.fp for r in df.select(fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_strip_control_chars(spark):
+    df = spark.createDataFrame([("a\x00b\x1fc",)], "text string")
+    assert df.select(strip_control_chars("text").alias("t")).first().t == "abc"
+
+
+def test_add_punct(spark):
+    df = spark.createDataFrame([("caption ends here...",), ("no dots",)], "text string")
+    out = [r.t for r in df.select(add_punct("text").alias("t")).collect()]
+    assert out == ["caption ends here. ", "no dots. "]

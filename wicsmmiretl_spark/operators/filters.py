@@ -85,7 +85,9 @@ def drop_null(df: DataFrame, column: str) -> DataFrame:
 def clamp_max(df: DataFrame, column: str, upper: float) -> DataFrame:
     """P9: conditional value clamp, ``s.where(s <= u, u)``.
 
-    (f30k_vs_coco_vs_wicsmmir_v2.ipynb cells 30-31.) ``least`` keeps it a
-    single codegen'd expression; NULL stays NULL like the pandas original.
+    (f30k_vs_coco_vs_wicsmmir_v2.ipynb cells 30-31.) NULL stays NULL —
+    ``least`` alone would resurrect NULLs as the bound (it skips nulls), so
+    guard explicitly.
     """
-    return df.withColumn(column, F.least(F.col(column), F.lit(upper)))
+    col = F.col(column)
+    return df.withColumn(column, F.when(col.isNull(), F.lit(None)).otherwise(F.least(col, F.lit(upper))))
