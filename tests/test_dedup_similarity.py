@@ -1,0 +1,112 @@
+"""Dedup (exact, MinHash+LSH, SimHash, Jaccard) and similarity search."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wicsmmiretl_spark.catalog import load_table
+from wicsmmiretl_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash32,
+    word_shingles,
+)
+from wicsmmiretl_spark.operators.similarity import (
+    cosine_topk,
+    hyperplane_lsh_topk,
+    hyperplane_signature,
+)
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "Hello World"), (3, "unique")], "id long, text string"
+    )
+    out = exact_dedup(df, "id", "text")
+    assert sorted(r.id for r in out.collect()) == [1, 3]
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([("one two",), ("a b c d",)], "text string")
+    out = [r.sh for r in df.select(word_shingles("text").alias("sh")).collect()]
+    assert out[0] == []
+    assert out[1] == ["a b c", "b c d"]
+
+
+def test_minhash_identical_docs_all_bands_match(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"), (2, "the quick brown fox jumps over the lazy dog"), (3, "completely different words here entirely now")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(df, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sigs, "doc_id").collect()
+    assert (1, 2) in {(r.id_a, r.id_b) for r in pairs}
+    assert all({r.id_a, r.id_b} != {1, 3} for r in pairs)
+
+
+def test_minhash_stable_under_repartition(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    a = sorted((r.id_a, r.id_b) for r in lsh_candidate_pairs(minhash_signatures(docs, "doc_id", "text"), "doc_id").collect())
+    b = sorted(
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(minhash_signatures(docs.repartition(7), "doc_id", "text"), "doc_id").collect()
+    )
+    assert a == b
+
+
+def test_jaccard_bounds_and_identity(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "a b c x y")], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(df, cand, "doc_id", "text", threshold=0.0).collect()}
+    assert out[(1, 2)] == 1.0
+    assert 0.0 < out[(1, 3)] < 1.0
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+            (3, "entirely unrelated vocabulary concerning quantum chromodynamics lattice simulations"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash32(df, "doc_id", "text").collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(sigs[1], sigs[2]) < hamming(sigs[1], sigs[3])
+    assert all(0 <= s < 2**32 for s in sigs.values())
+
+
+def test_cosine_topk_builtin_vs_numpy(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    a = sorted(tuple(r) for r in cosine_topk(emb, q, k=3, method="builtin").collect())
+    b = sorted(tuple(r) for r in cosine_topk(emb, q, k=3, method="numpy").collect())
+    assert a == b
+
+
+def test_cosine_topk_self_is_excluded_and_sorted(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=5).collect()
+    assert len(out) == 5
+    assert all(r.neighbor_id != 0 for r in out)
+    cosines = [r.cosine for r in out]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_hyperplane_lsh_subset_of_bruteforce_space(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 3)
+    sig = hyperplane_signature(emb, bits=8)
+    assert sig.select("bucket").distinct().count() > 1
+    approx = hyperplane_lsh_topk(emb, q, k=3, bits=8)
+    rows = approx.collect()
+    # approximate: every returned neighbor must share the query's bucket
+    buckets = {r.vec_id: r.bucket for r in sig.collect()}
+    for r in rows:
+        assert buckets[r.neighbor_id] == buckets[r.query_id]

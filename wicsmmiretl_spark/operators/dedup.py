@@ -1,0 +1,164 @@
+"""Deduplication operators (north-star: exact, MinHash+LSH, SimHash,
+n-gram Jaccard).
+
+Scale design
+------------
+* Exact dedup: one hash-groupBy on a 128-bit normalized fingerprint — the
+  map-side partial agg collapses uniques before the shuffle.
+* MinHash+LSH: per-doc signature (k md5 minima over word shingles) → band
+  keys → self-join on (band, key). Only docs sharing a band bucket ever meet,
+  so the join is an equi-join on a high-cardinality key — no O(n²) compare.
+  At 100 TB, bucket skew (huge clusters of near-identical docs) is the risk;
+  AQE skew-join handles moderate skew and `max_bucket_size` hard-caps
+  pathological buckets (standard practice: a bucket of 50k identical docs
+  doesn't need pairwise expansion to know it's a dup cluster).
+* SimHash: 32-bit signature from hex-nibble parities of per-token md5 —
+  entirely in one grouped aggregation (explode → 32 conditional sums), no
+  Python. Hamming-near pairs via banded equi-join on signature quarters.
+* All hashing is md5-based, so signatures are identical across engines and
+  partitionings (Spark's xxhash64/murmur aren't reproducible in DuckDB).
+
+Everything here is deterministic: re-running on a differently-partitioned
+input yields byte-identical pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wicsmmiretl_spark.functions.text import fingerprint, tokens
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row (min id) per normalized-text fingerprint."""
+    fp = df.withColumn("_fp", fingerprint(text_col))
+    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, [ "_fp", id_col ], "left_semi").drop("_fp")
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    Guarded for short docs: Spark's sequence(1, 0) produces a DESCENDING
+    [1, 0], so texts with < n tokens must short-circuit to an empty array.
+    """
+    toks = tokens(text_col)
+    count = F.size(toks) - (n - 1)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        )
+    )
+    return F.when(count >= 1, shingles).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: for salt s, min(md5(shingle || ':' || s)).
+
+    Docs with fewer than ``shingle_n`` tokens produce no shingles and are
+    excluded (nothing to compare). Output: id, m0..m{k-1}.
+    """
+    sh = df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle"))
+    mins = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{s}")))).alias(f"m{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become a candidate pair.
+
+    Returns distinct (id_a, id_b) with id_a < id_b. The self-join is an
+    equi-join on (band_idx, band_key) — shuffle-partitioned by bucket, never
+    all-pairs.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws("|", *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(
+                "band_key"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs.
+
+    Joins each side's shingle set (broadcast-friendly: only candidate ids),
+    computes |∩|/|∪| with array intrinsics, filters by threshold. Output:
+    id_a, id_b, jaccard (rounded 6dp, deterministic).
+    """
+    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    out = (
+        candidates.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter").cast("double") / F.greatest(F.col("uni"), F.lit(1)).cast("double"), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash from token md5 nibble parities, as ONE grouped agg.
+
+    Bit j = sign of Σ_tokens (±1 by parity of hex digit j of md5(token)).
+    Output: id, simhash (bigint, bit 0 = most significant nibble's parity).
+    Cross-engine reproducible (md5 + integer sums only).
+    """
+    toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).withColumn(
+        "h", F.md5("tok")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.ascii(F.substring("h", j + 1, 1)) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{j}")
+        for j in range(32)
+    ]
+    agged = toked.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for j in range(32):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = bit * F.lit(2 ** (31 - j)).cast("long")
+        sig = term if sig is None else sig + term
+    return agged.select(F.col(id_col), sig.alias("simhash"))

@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (north-star).
+
+Two paths:
+
+* ``cosine_topk`` (baseline, exact): broadcast the (small) query set, score
+  every (query, candidate) pair, keep top-k per query. The JVM path uses
+  higher-order array functions (codegen'd, no Python); the numpy path moves
+  each Arrow batch through one matrix multiply and keeps only the per-batch
+  top-k, so the shuffle carries k rows per (query, batch) instead of the full
+  n×q score matrix — that's the 100 TB-safe shape.
+* ``hyperplane_lsh_topk`` (scale path, approximate): sign-random-projection
+  buckets; only same-bucket pairs are scored. Deterministic hyperplanes
+  derived from a seed so results are reproducible cluster-wide.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def _cosine_expr(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "builtin",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: for each query vector, the k nearest
+    candidates (self-matches excluded).
+
+    Output: query_id, neighbor_id, cosine (rounded 6dp). ``queries`` must be
+    broadcast-small (the usual ANN-query shape); candidates stream.
+    """
+    if method == "numpy":
+        return _cosine_topk_numpy(embeddings, queries, k, id_col, vec_col)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(_cosine_expr(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def _cosine_topk_numpy(
+    embeddings: DataFrame, queries: DataFrame, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Arrow-batched matrix-multiply scoring with per-batch top-k pruning."""
+    import numpy as np
+
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            scores = q_mat @ mat.T  # (q, batch)
+            out = []
+            for qi in range(len(q_ids)):
+                row = scores[qi]
+                mask = ids != q_ids[qi]
+                cand = np.where(mask)[0]
+                top = cand[np.argsort(-row[cand], kind="stable")[:k]]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": q_ids[qi], "neighbor_id": ids[top], "cosine": np.round(row[top], 6)}
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
+
+    partial = embeddings.select(id_col, vec_col).mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def hyperplane_signature(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", bits: int = 16, seed: int = 42
+) -> DataFrame:
+    """Sign-random-projection LSH signature (approximate cosine buckets).
+
+    Hyperplane components are derived per (bit, dim) from md5 of the seed —
+    deterministic everywhere, no RNG state to ship. Returns id + bucket
+    (bigint).
+    """
+    dim = len(df.select(vec_col).first()[0])
+    # ±1 hyperplanes from a hash of (seed, bit, dim index): cheap and fixed.
+    import hashlib
+
+    planes = []
+    for b in range(bits):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{b}:{d}".encode()).digest()[0]
+            row.append(1.0 if h % 2 else -1.0)
+        planes.append(row)
+
+    sig = None
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for b, row in enumerate(planes):
+        coeffs = F.array(*[F.lit(c) for c in row])
+        dot = F.aggregate(F.zip_with(vec, coeffs, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+        bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long") * F.lit(2**b).cast("long")
+        sig = bit if sig is None else sig + bit
+    return df.select(F.col(id_col), sig.alias("bucket"))
+
+
+def hyperplane_lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing the query's LSH
+    bucket. Equi-join on bucket → shuffle by bucket, never all-pairs."""
+    sig_c = hyperplane_signature(embeddings, id_col, vec_col, bits, seed)
+    sig_q = hyperplane_signature(queries, id_col, vec_col, bits, seed)
+    c = embeddings.join(sig_c, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+        "bucket",
+    )
+    q = queries.join(sig_q, id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+        "bucket",
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(_cosine_expr(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )

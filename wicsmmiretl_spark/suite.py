@@ -625,3 +625,321 @@ def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts")).alias("ts_us"),
         F.col("value").alias("last_purchase_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (batch analog of the streaming session window)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sessionize_events",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                       OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+      FROM g
+    )
+    SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) AS session_end_us,
+           round(sum(value), 4) AS session_value
+    FROM s
+    GROUP BY user_id, sess_no
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) as a batch computation: lag → gap flag →
+    running sum = session id → grouped agg. One shuffle on user_id shared by
+    both window steps and the final agg (same partitioning key).
+
+    The Structured Streaming twin (F.session_window + watermark) lives in
+    wicsmmiretl_spark.streaming; this is its deterministic batch oracle.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessioned = e.withColumn("sess_no", F.sum(new_sess).over(wsum).cast("long"))
+    return sessioned.groupBy("user_id", "sess_no").agg(
+        F.count("*").alias("n_events"),
+        F.min(us).alias("session_start_us"),
+        F.max(us).alias("session_end_us"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational: multi-join, rollup, distinct agg, set ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "supplier_nation_revenue",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join. Dims (region/nation/supplier) broadcast;
+    the fact-side date filter is pushed to the orders scan so the big join
+    only shuffles surviving keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "orders_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets (SURVEY §2.4 note: engine exposes cube/rollup, free in
+    Spark). NULL markers for subtotal rows match ANSI semantics."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        _exact_sum(F.col("o_totalprice"), 2, "total_price"),
+    )
+
+
+@query(
+    "nation_segment_distinct",
+    """
+    SELECT c_nationkey,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def q_nation_segment_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand + two-phase agg under the hood)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count_distinct("c_mktsegment").alias("n_segments"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@query(
+    "nations_without_suppliers",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (engine surface beyond the reference's U1)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s).distinct() if False else c.distinct().exceptAll(s.distinct())
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search + array analytics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_centroids",
+    """
+    SELECT label, pos, round(avg(v), 6) AS mean_v FROM (
+      SELECT label,
+             unnest(range(0, len(embedding))) AS pos,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array analytics: per-label centroid via posexplode + grouped avg.
+    (The flat (label, pos) shape keeps the oracle pure SQL.)"""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(F.col("embedding")).alias("pos", "v"))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"))
+    )
+
+
+@query(
+    "cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             round(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * cv[i]))
+                   / (sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(cv, x -> x*x)))), 6) AS cosine
+      FROM c, q WHERE c.neighbor_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star similarity search: exact brute-force cosine top-5 for the
+    first 10 vectors. Broadcast queries × streamed candidates; JVM-side
+    higher-order functions (no Python)."""
+    from wicsmmiretl_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection: MinHash+LSH, Jaccard, SimHash
+# ---------------------------------------------------------------------------
+
+_SQL_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(range(1, len(toks)-1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) ELSE [] END"
+)
+
+_SQL_MINHASH_BASE = rf"""
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
+    sig AS (
+      SELECT doc_id,
+             {', '.join(f"min(md5(shingle || ':{s}')) AS m{s}" for s in range(8))}
+      FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, band_idx, band_key FROM (
+        SELECT doc_id,
+               unnest([0, 1, 2, 3]) AS band_idx,
+               unnest([{', '.join(f"md5(m{2*b} || '|' || m{2*b+1})" for b in range(4))}]) AS band_key
+        FROM sig
+      )
+    )
+"""
+
+
+@query(
+    "minhash_lsh_pairs",
+    f"""
+    WITH {_SQL_MINHASH_BASE}
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star near-dup dedup: MinHash (8 md5 hashes over word 3-gram
+    shingles) → 4 LSH bands → candidate pairs via bucket equi-join."""
+    from wicsmmiretl_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+    return lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+
+
+@query(
+    "near_dup_jaccard",
+    f"""
+    WITH {_SQL_MINHASH_BASE},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    shs AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks)
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1), 6) AS jaccard
+    FROM cand JOIN shs sa ON cand.id_a = sa.doc_id JOIN shs sb ON cand.id_b = sb.doc_id
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1) >= 0.1
+    """,
+)
+def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification over the LSH candidates (the
+    standard two-stage near-dup pipeline: cheap recall stage, exact
+    precision stage)."""
+    from wicsmmiretl_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+    cand = lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+    return jaccard_pairs(docs, cand, "doc_id", "text", shingle_n=3, threshold=0.1)
+
+
+_SQL_SIMHASH_BITSUMS = ", ".join(
+    f"sum(CASE WHEN ascii(substr(h, {j + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(32)
+)
+_SQL_SIMHASH_SIG = " + ".join(f"(CASE WHEN b{j} > 0 THEN {2 ** (31 - j)} ELSE 0 END)" for j in range(32))
+
+
+@query(
+    "simhash_signatures",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, md5(unnest({_SQL_TOKS})) AS h FROM documents
+    ), sums AS (
+      SELECT doc_id, {_SQL_SIMHASH_BITSUMS} FROM tk GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_SQL_SIMHASH_SIG} AS BIGINT) AS simhash FROM sums
+    """,
+)
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star SimHash dedup: 32-bit signature per doc as one grouped
+    aggregation (explode → 32 conditional sums → bit assembly)."""
+    from wicsmmiretl_spark.operators.dedup import simhash32
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash32(docs, "doc_id", "text")
