@@ -1,0 +1,158 @@
+"""Multimodal image operators + the full checkpointed E/T/L pipeline run on a
+reference-shaped fixture (FIXTURES.md §A1/§A6), with an injected fetcher (no
+network) and the RawGrid codec (no PIL)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from wicsmmiretl_spark.multimodal.images import (
+    CompressTransformation,
+    RawGrid,
+    ResizeTransformation,
+    WebPTransformation,
+    apply_image_transformations,
+    decode_image_metadata,
+    fetch_images,
+    transformations_from_config,
+)
+from wicsmmiretl_spark.plans.config import PipelineConfig
+from wicsmmiretl_spark.plans.pipeline import CaptionPipeline
+
+
+def _img(seed: int, w: int = 96, h: int = 80) -> bytes:
+    rng = np.random.default_rng(seed)
+    return RawGrid.encode(rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8).astype(np.uint8))
+
+
+def _make_fake_fetcher():
+    """Deterministic 'network': bytes derived from the url; urls containing
+    'missing' fail both attempts (exercises the P7 null path). Returned as a
+    closure — module-level test functions can't be unpickled on executors
+    (the tests package isn't on the Python-worker path), closures serialize
+    by value."""
+    import struct as _struct
+
+    import numpy as _np
+
+    def fetch(url: str, fallback: str | None) -> bytes | None:
+        if "missing" in url:
+            return None
+        seed = sum(url.encode()) % 1000
+        rng = _np.random.default_rng(seed)
+        arr = rng.integers(0, 255, size=(80, 96, 3), dtype=_np.uint8).astype(_np.uint8)
+        return b"RG" + _struct.pack(">HHH", 96, 80, 3) + arr.tobytes()
+
+    return fetch
+
+
+fake_fetcher = _make_fake_fetcher()
+
+
+def test_rawgrid_roundtrip():
+    arr = np.arange(96 * 80 * 3, dtype=np.uint8).reshape(80, 96, 3)
+    assert np.array_equal(RawGrid.decode(RawGrid.encode(arr)), arr)
+
+
+def test_transform_chain(spark):
+    df = spark.createDataFrame(
+        [(1, _img(1), "png"), (2, b"garbage-not-an-image", "png")],
+        "wikicaps_id long, content binary, format string",
+    )
+    chain = [ResizeTransformation(32, 32), CompressTransformation(4), WebPTransformation()]
+    out = {r.wikicaps_id: r for r in apply_image_transformations(df, chain).collect()}
+    arr = RawGrid.decode(bytes(out[1].content))
+    assert arr.shape[0] <= 32 and arr.shape[1] <= 32
+    assert out[1].format == "webp"
+    assert (arr & 0x0F == 0).all()  # low bits quantized away
+    assert out[2].content is None  # decode failure -> NULL, not exception
+
+
+def test_decode_metadata(spark):
+    df = spark.createDataFrame(
+        [(1, _img(7, w=50, h=40)), (2, None)], "wikicaps_id long, content binary"
+    )
+    out = {r.wikicaps_id: r for r in decode_image_metadata(df).collect()}
+    assert (out[1].width, out[1].height, out[1].channels) == (50, 40, 3)
+    assert 0 <= out[1].mean_intensity <= 255
+    assert out[2].width is None
+
+
+def test_fetch_with_injected_fetcher(spark):
+    df = spark.createDataFrame(
+        [(1, "http://ok/a", "http://fb/a"), (2, "http://missing/b", "http://fb/b")],
+        "wikicaps_id long, url string, fallback_url string",
+    )
+    out = {r.wikicaps_id: r.content for r in fetch_images(df, fetcher=fake_fetcher).collect()}
+    assert out[1] is not None and out[2] is None
+
+
+def test_transformations_from_config_rejects_unknown():
+    with pytest.raises(ValueError, match="unknown image transformation"):
+        transformations_from_config([{"type": "hologram"}])
+
+
+@pytest.fixture(scope="module")
+def caption_fixture(tmp_path_factory):
+    """~120-row reference-shaped caption list; ~10% URLs fail."""
+    p = tmp_path_factory.mktemp("captions") / "list.csv"
+    rows = []
+    for i in range(120):
+        nwords = 3 + (i % 20)
+        words = " ".join(f"word{j}" for j in range(nwords))
+        fname = f"File:missing{i}.png" if i % 10 == 0 else f"File:img{i}.png"
+        rows.append(f"{i}|||{fname}|||{words}. Second sentence here number {i}.")
+    p.write_text("\n".join(rows), encoding="utf-8")
+    return str(p)
+
+
+def _config(caption_fixture, out_dir) -> PipelineConfig:
+    return PipelineConfig.from_dict(
+        {
+            "input": {"caption_list": caption_fixture},
+            "output": {"dir": str(out_dir)},
+            "seed": 1312,
+            "max_samples": 50,
+            "filters": [{"column": "num_tok", "min": 8, "max": 100}],
+            "transformations": [
+                {"type": "resize", "max_width": 32, "max_height": 32},
+                {"type": "webp"},
+            ],
+        }
+    )
+
+
+def _url_from_file(df):
+    return df.withColumn("url", F.concat(F.lit("http://test/"), F.col("wikimedia_file"))).withColumn(
+        "fallback_url", F.concat(F.lit("http://test-fb/"), F.col("wikimedia_file"))
+    )
+
+
+def test_pipeline_end_to_end(spark, caption_fixture, tmp_path):
+    cfg = _config(caption_fixture, tmp_path / "out")
+    pipe = CaptionPipeline(spark, cfg, fetcher=fake_fetcher, url_builder=_url_from_file)
+    paths = pipe.run()
+
+    meta = spark.read.parquet(paths["metadata"])
+    # filters + sample applied: <= max_samples, all num_tok in bounds, no failures
+    assert 0 < meta.count() <= 50
+    assert meta.filter((F.col("num_tok") <= 8) | (F.col("num_tok") >= 100)).count() == 0
+    assert meta.filter(F.col("format") != "webp").count() == 0
+    csv = spark.read.option("header", "true").csv(paths["dataset"])
+    assert csv.columns == ["wikimedia_file", "caption"]
+    assert csv.count() == meta.count()
+
+
+def test_pipeline_checkpoint_resume(spark, caption_fixture, tmp_path):
+    cfg = _config(caption_fixture, tmp_path / "out2")
+    pipe = CaptionPipeline(spark, cfg, fetcher=fake_fetcher, url_builder=_url_from_file)
+    first = pipe.extract().count()
+
+    def exploding_fetcher(url, fb):
+        raise AssertionError("fetcher must not be called on checkpoint resume")
+
+    pipe2 = CaptionPipeline(spark, cfg, fetcher=exploding_fetcher, url_builder=_url_from_file)
+    second = pipe2.extract().count()
+    assert second == first  # resumed from checkpoint, no re-fetch (O2)

