@@ -219,3 +219,18 @@ def fingerprint(text: Column | str) -> Column:
     text. Stable across partitionings and engines (the exact-dedup key)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))
+
+
+# BPE-ish subword pattern: letter runs, single digits, punctuation runs —
+# the GPT-2-family pre-tokenization shape, restricted to constructs RE2 and
+# Java regex treat identically (no lookahead, so the same count everywhere).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """North-star token counting: whitespace tokens + BPE-ish subword count
+    (the cheap LLM-cost estimator). Both are codegen'd regex counts."""
+    return df.withColumn("ws_tokens", F.size(tokens(text_col)).cast("long")).withColumn(
+        "bpe_tokens",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)).cast("long"),
+    )

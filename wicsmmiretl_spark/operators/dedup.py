@@ -57,17 +57,45 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 3
 ) -> DataFrame:
-    """Per-doc MinHash signature: for salt s, min(md5(shingle || ':' || s)).
+    """Per-doc MinHash signature as a PURE PROJECTION — no explode, no
+    shuffle: ``array_min`` over the per-doc shingle array yields each hash's
+    minimum in place.
 
-    Docs with fewer than ``shingle_n`` tokens produce no shingles and are
-    excluded (nothing to compare). Output: id, m0..m{k-1}.
+    Hash family: md5 digests are split into four 8-hex-char chunks, each an
+    independent 32-bit-equivalent hash (hex strings compare like the integers
+    they encode) — so k hashes cost ceil(k/4) md5 evaluations per shingle,
+    not k. Digest d uses salt ``#d``.
+
+    Docs with fewer than ``shingle_n`` tokens have no shingles → dropped
+    (m0 IS NULL). Output: id, m0..m{k-1}.
+
+    Scale note: the old explode+groupBy shape shuffled |docs|·|shingles| rows
+    per signature build; this shape shuffles nothing — LSH banding afterwards
+    shuffles only bands·|docs| tiny rows.
     """
-    sh = df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle"))
-    mins = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{s}")))).alias(f"m{s}")
-        for s in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*mins)
+    n_digests = (num_hashes + 3) // 4
+    sh = word_shingles(text_col, shingle_n)
+
+    # NB: F.transform inspects lambda arity — a second (even defaulted)
+    # parameter turns it into an (element, index) lambda. Bind loop state
+    # through factories instead.
+    def digest_fn(d: int):
+        if d == 0:
+            return lambda x: F.md5(x)
+        return lambda x: F.md5(F.concat(x, F.lit(f"#{d}")))
+
+    def chunk_fn(c: int):
+        return lambda h: h.substr(1 + 8 * c, 8)
+
+    staged = df.select(
+        F.col(id_col),
+        *[F.transform(sh, digest_fn(d)).alias(f"_hs{d}") for d in range(n_digests)],
+    )
+    mins = []
+    for i in range(num_hashes):
+        d, c = divmod(i, 4)
+        mins.append(F.array_min(F.transform(F.col(f"_hs{d}"), chunk_fn(c))).alias(f"m{i}"))
+    return staged.select(F.col(id_col), *mins).filter(F.col("m0").isNotNull())
 
 
 def lsh_candidate_pairs(

@@ -848,11 +848,16 @@ _SQL_SHINGLES = (
 
 _SQL_MINHASH_BASE = rf"""
     toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-    sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
+    digests AS (
+      SELECT doc_id,
+             list_transform(sh, x -> md5(x)) AS hs0,
+             list_transform(sh, x -> md5(x || '#1')) AS hs1
+      FROM (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks)
+    ),
     sig AS (
       SELECT doc_id,
-             {', '.join(f"min(md5(shingle || ':{s}')) AS m{s}" for s in range(8))}
-      FROM sh GROUP BY doc_id
+             {', '.join(f"list_min(list_transform(hs{i // 4}, h -> substr(h, {1 + 8 * (i % 4)}, 8))) AS m{i}" for i in range(8))}
+      FROM digests WHERE len(hs0) > 0
     ),
     banded AS (
       SELECT doc_id, band_idx, band_key FROM (
@@ -943,3 +948,20 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return simhash32(docs, "doc_id", "text")
+
+
+@query(
+    "token_counts",
+    rf"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKS}) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star token counting (whitespace + BPE-ish regex subwords)."""
+    from wicsmmiretl_spark.functions.text import token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_counts(docs, "text").select("doc_id", "ws_tokens", "bpe_tokens")
