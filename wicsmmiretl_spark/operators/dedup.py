@@ -37,13 +37,17 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return fp.join(keep, [ "_fp", id_col ], "left_semi").drop("_fp")
 
 
-def word_shingles(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (array<string>).
+def _shingles_of(toks: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of a token-array column.
 
     Guarded for short docs: Spark's sequence(1, 0) produces a DESCENDING
     [1, 0], so texts with < n tokens must short-circuit to an empty array.
+
+    ``toks`` should be a plain attribute (a materialized column), not a
+    nested expression: higher-order functions are CodegenFallback
+    (interpreted), so an inlined tokenizer would re-run once per element
+    per lambda reference — quadratic per row.
     """
-    toks = tokens(text_col)
     count = F.size(toks) - (n - 1)
     shingles = F.array_distinct(
         F.transform(
@@ -52,6 +56,29 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
         )
     )
     return F.when(count >= 1, shingles).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Column-expression form of ``_shingles_of`` (tokenizer inlined).
+
+    Convenient for one-off use; operators below use ``staged_shingles``
+    instead, which materializes the token array first (see _shingles_of's
+    interpreted-evaluation caveat).
+    """
+    return _shingles_of(tokens(text_col), n)
+
+
+def staged_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, sh) with the token array materialized in its own projection.
+
+    Two stacked Projects: text → _toks, _toks → sh. Catalyst's
+    CollapseProject keeps the boundary because the non-cheap alias is
+    referenced more than once downstream, so split+filter tokenization runs
+    exactly once per row (measured ~40× faster than the inlined form on the
+    sf0.1 documents table).
+    """
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    return toked.select(F.col(id_col), _shingles_of(F.col("_toks"), n).alias("sh"))
 
 
 def minhash_signatures(
@@ -66,15 +93,17 @@ def minhash_signatures(
     they encode) — so k hashes cost ceil(k/4) md5 evaluations per shingle,
     not k. Digest d uses salt ``#d``.
 
-    Docs with fewer than ``shingle_n`` tokens have no shingles → dropped
-    (m0 IS NULL). Output: id, m0..m{k-1}.
+    Docs with fewer than ``shingle_n`` tokens have no shingles → dropped.
+    The drop is a cheap regex pre-filter on the raw text (≥n non-space
+    runs), NOT a post-filter on m0: a filter on a derived column gets
+    predicate-pushed through the projections, re-inlining the whole
+    interpreted shingle expression at the scan. Output: id, m0..m{k-1}.
 
     Scale note: the old explode+groupBy shape shuffled |docs|·|shingles| rows
     per signature build; this shape shuffles nothing — LSH banding afterwards
     shuffles only bands·|docs| tiny rows.
     """
     n_digests = (num_hashes + 3) // 4
-    sh = word_shingles(text_col, shingle_n)
 
     # NB: F.transform inspects lambda arity — a second (even defaulted)
     # parameter turns it into an (element, index) lambda. Bind loop state
@@ -87,15 +116,18 @@ def minhash_signatures(
     def chunk_fn(c: int):
         return lambda h: h.substr(1 + 8 * c, 8)
 
-    staged = df.select(
+    has_n_tokens = r"\S+" + r"\s+\S+" * (shingle_n - 1)
+    staged = staged_shingles(
+        df.filter(F.col(text_col).rlike(has_n_tokens)), id_col, text_col, shingle_n
+    ).select(
         F.col(id_col),
-        *[F.transform(sh, digest_fn(d)).alias(f"_hs{d}") for d in range(n_digests)],
+        *[F.transform(F.col("sh"), digest_fn(d)).alias(f"_hs{d}") for d in range(n_digests)],
     )
     mins = []
     for i in range(num_hashes):
         d, c = divmod(i, 4)
         mins.append(F.array_min(F.transform(F.col(f"_hs{d}"), chunk_fn(c))).alias(f"m{i}"))
-    return staged.select(F.col(id_col), *mins).filter(F.col("m0").isNotNull())
+    return staged.select(F.col(id_col), *mins)
 
 
 def lsh_candidate_pairs(
@@ -151,7 +183,7 @@ def jaccard_pairs(
     computes |∩|/|∪| with array intrinsics, filters by threshold. Output:
     id_a, id_b, jaccard (rounded 6dp, deterministic).
     """
-    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    sh = staged_shingles(df, id_col, text_col, shingle_n)
     out = (
         candidates.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
