@@ -30,15 +30,32 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
-    """Load one testdata table as a DataFrame (lazy parquet scan)."""
+    """Load one testdata table as a DataFrame (lazy parquet scan).
+
+    Small single-row-group files are repartitioned to the session's
+    parallelism: a parquet row group is the minimum split unit, so a tiny
+    file otherwise pins every map-only expression pipeline to ONE task. The
+    branch is size-gated — at production scale a scan has thousands of
+    splits, the condition is false, and no extra shuffle is introduced.
+    Filters/pruning still push through (Catalyst moves Filter/Project below
+    Repartition).
+    """
     base = sf_dir or DEFAULT_SF_DIR
-    df = spark.read.parquet(os.path.join(base, f"{name}.parquet"))
+    path = os.path.join(base, f"{name}.parquet")
+    df = spark.read.parquet(path)
     # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanosecond timestamp
     # type, so the session reads it as long (spark.sql.legacy.parquet
     # .nanosAsLong) and we rebuild a micros timestamp here. Integer `div`
     # (not /) — nanos since epoch exceed double's 2^53 exact-integer range.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    try:
+        cores = spark.sparkContext.defaultParallelism
+        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+        if os.path.isfile(path) and os.path.getsize(path) < cores * max_split:
+            df = df.repartition(cores)
+    except Exception:  # directory datasets / remote paths: leave the scan alone
+        pass
     return df
 
 

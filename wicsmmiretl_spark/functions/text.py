@@ -50,13 +50,13 @@ def sentences(text: Column | str) -> Column:
 def syllable_count(text: Column | str) -> Column:
     """Estimated syllables: number of vowel-group runs in the text."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.regexp_extract_all(F.lower(c), F.lit(r"[aeiouy]+"), 0))
+    return F.regexp_count(F.lower(c), F.lit(r"[aeiouy]+"))
 
 
 def _hard_words(toks: Column) -> Column:
     """Tokens with ≥3 vowel groups — 'hard word' proxy for Dale-Chall."""
     return F.size(
-        F.filter(toks, lambda t: F.size(F.regexp_extract_all(F.lower(t), F.lit(r"[aeiouy]+"), 0)) >= 3)
+        F.filter(toks, lambda t: F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")) >= 3)
     )
 
 
@@ -76,22 +76,32 @@ def caption_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     computed in one projection — Catalyst CSE shares the token/sentence
     arrays across the derived columns.
     """
-    toks = tokens(text_col)
-    sents = sentences(text_col)
-    sent_lens = F.transform(sents, lambda s: F.size(tokens(s)))
-    ne = _entities(toks)
-    syl = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[aeiouy]+"), 0))
+    # Stage the expensive arrays as real projection columns: higher-order
+    # functions evaluate interpreted (CodegenFallback), so an inlined
+    # tokenizer would re-run once per consuming expression per row.
+    # CollapseProject keeps the boundary because each non-cheap alias is
+    # referenced more than once downstream.
+    staged = df.withColumns(
+        {
+            "_toks": tokens(text_col),
+            "_sents": sentences(text_col),
+            "_syl": F.regexp_count(F.lower(F.col(text_col)), F.lit(r"[aeiouy]+")),
+        }
+    ).withColumn("_sent_lens", F.transform(F.col("_sents"), lambda s: F.size(tokens(s))))
 
+    toks = F.col("_toks")
+    ne = _entities(toks)
+    syl = F.col("_syl")
     num_tok = F.size(toks)
-    num_sent = F.greatest(F.size(sents), F.lit(1))
+    num_sent = F.greatest(F.size(F.col("_sents")), F.lit(1))
     words_per_sent = num_tok.cast("double") / num_sent.cast("double")
     syl_per_word = F.when(num_tok > 0, syl.cast("double") / num_tok.cast("double")).otherwise(F.lit(0.0))
 
     return (
-        df.withColumn("num_tok", num_tok)
-        .withColumn("num_sent", F.size(sents))
-        .withColumn("min_sent_len", F.array_min(sent_lens))
-        .withColumn("max_sent_len", F.array_max(sent_lens))
+        staged.withColumn("num_tok", num_tok)
+        .withColumn("num_sent", F.size(F.col("_sents")))
+        .withColumn("min_sent_len", F.array_min(F.col("_sent_lens")))
+        .withColumn("max_sent_len", F.array_max(F.col("_sent_lens")))
         .withColumn("num_ne", F.size(ne))
         .withColumn("ne_texts", ne)
         .withColumn("num_syllables", syl)
@@ -112,6 +122,7 @@ def caption_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                 4,
             ),
         )
+        .drop("_toks", "_sents", "_syl", "_sent_lens")
     )
 
 
@@ -186,7 +197,8 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     pre-filters of an LLM-data pipeline (C4/Gopher-style rules), all
     codegen'd column math.
     """
-    toks = tokens(text_col)
+    staged = df.withColumn("_toks", tokens(text_col))
+    toks = F.col("_toks")
     num_tok = F.size(toks)
     text = F.col(text_col)
     alpha_chars = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
@@ -200,7 +212,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double") / num_tok.cast("double"),
     ).otherwise(F.lit(0.0))
     return (
-        df.withColumn("q_num_tok", num_tok)
+        staged.withColumn("q_num_tok", num_tok)
         .withColumn("q_mean_word_len", F.round(mean_word_len, 4))
         .withColumn(
             "q_alpha_ratio",
@@ -211,6 +223,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(stop_hits.cast("double") / F.greatest(num_tok, F.lit(1)).cast("double"), 4),
         )
         .withColumn("q_distinct_ratio", F.round(distinct_ratio, 4))
+        .drop("_toks")
     )
 
 
@@ -232,5 +245,5 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     (the cheap LLM-cost estimator). Both are codegen'd regex counts."""
     return df.withColumn("ws_tokens", F.size(tokens(text_col)).cast("long")).withColumn(
         "bpe_tokens",
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)).cast("long"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).cast("long"),
     )

@@ -192,8 +192,10 @@ _SQL_LANG_SCORES = " UNION ALL ".join(
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star language ID (stopword-profile heuristic), flat argmax shape
     so the oracle is pure SQL."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.transform(tokens("text"), F.lower))
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_toks", F.array_distinct(F.transform(tokens("text"), F.lower))
+    )
+    toks = F.col("_toks")
     scores = F.array(
         *[
             F.struct(
@@ -490,7 +492,7 @@ def q_union_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           round(avg(value), 4) AS avg_value,
+           round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 4) AS avg_value,
            round(median(value), 4) AS median_value,
            round(min(value), 4) AS min_value,
            round(max(value), 4) AS max_value
@@ -503,7 +505,7 @@ def q_events_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.sum(F.round(F.col("value") * 1000000).cast("long")).cast("double") / F.lit(1000000.0) / F.count("*"), 4).alias("avg_value"),
         F.round(F.median("value"), 4).alias("median_value"),
         F.round(F.min("value"), 4).alias("min_value"),
         F.round(F.max("value"), 4).alias("max_value"),
@@ -536,8 +538,8 @@ def q_window_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     """
     SELECT event_id, user_id,
-           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+           round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000.0, 4) AS running_value,
            round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta_prev
     FROM events
     """,
@@ -550,7 +552,11 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(wsum), 4).alias("running_value"),
+        F.round(
+            F.sum(F.round(F.col("value") * 1000000).cast("long")).over(wsum).cast("double")
+            / F.lit(1000000.0),
+            4,
+        ).alias("running_value"),
         F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
     )
 
@@ -560,7 +566,7 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
            CAST(count(*) AS BIGINT) AS n,
-           round(avg(value), 4) AS avg_value
+           round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 4) AS avg_value
     FROM events
     GROUP BY 1
     """,
@@ -571,7 +577,10 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
         .groupBy("k")
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.round(F.col("value") * 1000000).cast("long")).cast("double") / F.lit(1000000.0) / F.count("*"), 4).alias("avg_value"),
+        )
     )
 
 
@@ -580,7 +589,7 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 4) AS sum_value
+           round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -591,7 +600,7 @@ def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n"), F.round(F.sum(F.round(F.col("value") * 1000000).cast("long")).cast("double") / F.lit(1000000.0), 4).alias("sum_value"))
         .select(
             F.unix_micros(F.col("w.start")).alias("day_us"),
             "event_type",
@@ -650,7 +659,7 @@ def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_events,
            epoch_us(min(ts)) AS session_start_us,
            epoch_us(max(ts)) AS session_end_us,
-           round(sum(value), 4) AS session_value
+           round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS session_value
     FROM s
     GROUP BY user_id, sess_no
     """,
@@ -674,7 +683,7 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min(us).alias("session_start_us"),
         F.max(us).alias("session_end_us"),
-        F.round(F.sum("value"), 4).alias("session_value"),
+        F.round(F.sum(F.round(F.col("value") * 1000000).cast("long")).cast("double") / F.lit(1000000.0), 4).alias("session_value"),
     )
 
 
@@ -788,7 +797,7 @@ def q_nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_centroids",
     """
-    SELECT label, pos, round(avg(v), 6) AS mean_v FROM (
+    SELECT label, pos, round(CAST(sum(CAST(round(v * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000.0 / count(*), 6) AS mean_v FROM (
       SELECT label,
              unnest(range(0, len(embedding))) AS pos,
              unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
@@ -804,7 +813,14 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select("label", F.posexplode(F.col("embedding")).alias("pos", "v"))
         .groupBy("label", F.col("pos").cast("long").alias("pos"))
-        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("v").cast("double") * 1000000000).cast("long")).cast("double")
+                / F.lit(1000000000.0)
+                / F.count("*"),
+                6,
+            ).alias("mean_v")
+        )
     )
 
 
