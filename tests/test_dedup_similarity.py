@@ -110,3 +110,27 @@ def test_hyperplane_lsh_subset_of_bruteforce_space(spark, sf_dir):
     buckets = {r.vec_id: r.bucket for r in sig.collect()}
     for r in rows:
         assert buckets[r.neighbor_id] == buckets[r.query_id]
+
+
+def test_cosine_pairs_symmetric_threshold(spark, sf_dir):
+    from wicsmmiretl_spark.catalog import load_table
+    from wicsmmiretl_spark.operators.similarity import cosine_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = cosine_pairs(emb, 0.4).collect()
+    assert all(r.id_a < r.id_b for r in pairs)
+    assert all(0.4 <= r.cosine <= 1.0 for r in pairs)
+
+
+def test_hyperplane_pairs_subset_of_exact(spark, sf_dir):
+    """LSH candidates are a SUBSET of all pairs and bucket-consistent."""
+    from wicsmmiretl_spark.catalog import load_table
+    from wicsmmiretl_spark.operators.similarity import hyperplane_pairs, hyperplane_signature
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = hyperplane_pairs(emb, bits=6, seed=42)
+    rows = pairs.collect()
+    assert all(r.id_a < r.id_b for r in rows)
+    sig = {r.vec_id: r.bucket for r in hyperplane_signature(emb, bits=6, seed=42).collect()}
+    for r in rows[:50]:
+        assert sig[r.id_a] == sig[r.id_b]

@@ -156,3 +156,13 @@ def test_pipeline_checkpoint_resume(spark, caption_fixture, tmp_path):
     pipe2 = CaptionPipeline(spark, cfg, fetcher=exploding_fetcher, url_builder=_url_from_file)
     second = pipe2.extract().count()
     assert second == first  # resumed from checkpoint, no re-fetch (O2)
+
+
+def test_synth_images_roundtrip(spark):
+    from wicsmmiretl_spark.multimodal.images import RawGrid, synth_images
+
+    df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    rows = {r.doc_id: r for r in synth_images(df, "doc_id").collect()}
+    arr = RawGrid.decode(bytes(rows[3].content))
+    assert arr.shape == (8 + 21 % 64, 8 + 3 % 64)
+    assert arr[0, 0] == 3 and arr[1, 2] == (3 + 3 + 10) % 256

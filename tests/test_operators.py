@@ -142,3 +142,26 @@ def test_column_stats_and_approx(spark, sf_dir):
     assert row["min_n_chars"] <= row["mean_n_chars"] <= row["max_n_chars"]
     arow = approx_stats(docs, ["n_chars"]).first()
     assert arow["approx_distinct_n_chars"] > 0
+
+
+def test_hash_split_deterministic_and_stable(spark, sf_dir):
+    """Split assignment is a pure key function: repartition-invariant and
+    row-stable under corpus growth."""
+    from wicsmmiretl_spark.catalog import load_table
+    from wicsmmiretl_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    a = {r.doc_id: r.split for r in hash_split(docs, 0.25, ["doc_id"]).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(docs.repartition(7), 0.25, ["doc_id"]).collect()
+    }
+    assert a == b
+    # rows keep their assignment when a subset is used (key-stability)
+    sub = {
+        r.doc_id: r.split
+        for r in hash_split(docs.limit(100), 0.25, ["doc_id"]).collect()
+    }
+    assert all(a[k] == v for k, v in sub.items())
+    frac = sum(1 for v in a.values() if v == "test") / len(a)
+    assert 0.1 < frac < 0.4

@@ -237,6 +237,40 @@ def decode_image_metadata(
     return df.select(id_col, content_col).mapInPandas(run, schema)
 
 
+def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic RawGrid test images derived from an id column.
+
+    Closed-form content so downstream decode/transform results are
+    SQL-predictable (the multimodal oracle): for id k, a (h × w) single-
+    channel grid with ``w = 8 + k % 64``, ``h = 8 + (7k) % 64`` and pixel
+    ``p(i, j) = (k + 3i + 5j) % 256``. This is the stand-in for a real
+    drop-folder of images; the Spark-side plumbing (binary column, Arrow
+    batches, decode errors) is identical.
+    """
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("content", BinaryType()),
+            StructField("format", StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for k in pdf[id_col]:
+                k = int(k)
+                w, h = 8 + k % 64, 8 + (7 * k) % 64
+                i = np.arange(h)[:, None]
+                j = np.arange(w)[None, :]
+                arr = ((k + 3 * i + 5 * j) % 256).astype(np.uint8)
+                ids.append(k)
+                blobs.append(RawGrid.encode(arr))
+            yield pd.DataFrame({id_col: ids, "content": blobs, "format": "rawgrid"})
+
+    return df.select(id_col).mapInPandas(run, schema)
+
+
 def fetch_images(
     df: DataFrame,
     fetcher: Callable[[str, str], bytes | None] | None = None,

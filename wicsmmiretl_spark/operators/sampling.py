@@ -67,6 +67,27 @@ def train_test_split(
     return train, test
 
 
+def hash_split(
+    df: DataFrame, test_fraction: float, key_cols: Sequence[str], seed: int = 1312
+) -> DataFrame:
+    """R7 variant with a cross-engine-reproducible hash: md5 of the
+    ``:``-joined key values + seed; first 32 hash bits under the threshold →
+    'test'. Same stability guarantees as :func:`train_test_split` (row
+    assignment depends only on its key), but the assignment can be recomputed
+    in any engine with an md5 function — the property an audit needs.
+
+    Adds a ``split`` column ('test' | 'train'). Threshold compare happens on
+    the 8-hex-char prefix as a string — fixed-length lowercase hex preserves
+    numeric order.
+    """
+    key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed)))
+    prefix = F.md5(key).substr(1, 8)
+    threshold = format(int(test_fraction * 0x100000000), "08x")
+    return df.withColumn(
+        "split", F.when(prefix < threshold, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
 def top_k(df: DataFrame, order_col: str, k: int, ascending: bool = False) -> DataFrame:
     """R5 + limit: top-k by value → TakeOrderedAndProject, no global sort."""
     order = F.col(order_col).asc() if ascending else F.col(order_col).desc()

@@ -121,6 +121,35 @@ def _cosine_topk_numpy(
     )
 
 
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup: all (id_a < id_b) pairs with cosine ≥
+    threshold. Exact O(n²) BASELINE — norms are staged per vector (one pass)
+    so each pair pays only the dot product. The 100 TB path is
+    :func:`hyperplane_lsh_topk`-style bucketing first (only same-bucket pairs
+    scored); this operator is the precision stage / small-set oracle.
+    """
+    v = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "norm", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def hyperplane_signature(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", bits: int = 16, seed: int = 42
 ) -> DataFrame:
@@ -150,6 +179,44 @@ def hyperplane_signature(
         bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long") * F.lit(2**b).cast("long")
         sig = bit if sig is None else sig + bit
     return df.select(F.col(id_col), sig.alias("bucket"))
+
+
+def hyperplane_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for embedding near-dup: sign-random-projection buckets,
+    then cosine only for same-bucket (id_a < id_b) pairs — the equi-join on
+    ``bucket`` shuffles by bucket and never goes all-pairs. Recall is tuned
+    with ``bits`` (fewer bits → bigger buckets → higher recall, more work).
+
+    Output: id_a, id_b, cosine (rounded 6dp).
+    """
+    sig = hyperplane_signature(embeddings, id_col, vec_col, bits, seed)
+    v = (
+        embeddings.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("norm", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)))
+        .join(sig, id_col)
+    )
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"), "bucket"
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"), "bucket"
+    )
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .select("id_a", "id_b", "cosine")
+    )
 
 
 def hyperplane_lsh_topk(

@@ -981,3 +981,227 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return token_counts(docs, "text").select("doc_id", "ws_tokens", "bpe_tokens")
+
+
+# ---------------------------------------------------------------------------
+# Reference filters/splits/strings (P9, R7, F4) as oracle queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "clamped_ratios",
+    """
+    SELECT doc_id,
+           CASE WHEN n_chars / 250.0 <= 1.0 THEN n_chars / 250.0 ELSE 1.0 END AS char_ratio
+    FROM documents
+    """,
+)
+def q_clamped_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 conditional value clamp (the notebook ratio>1 repair,
+    f30k_vs_coco_vs_wicsmmir_v2.ipynb cells 30-31) via clamp_max."""
+    from wicsmmiretl_spark.operators.filters import clamp_max
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "char_ratio", F.col("n_chars") / F.lit(250.0)
+    )
+    return clamp_max(docs, "char_ratio", 1.0).select("doc_id", "char_ratio")
+
+
+@query(
+    "split_assign",
+    """
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':1312'), 1, 8) < '40000000'
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 train/test split regeneration (the reference ships only split
+    artifacts, SURVEY §1.1) with a cross-engine md5 bucket assignment."""
+    from wicsmmiretl_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, 0.25, ["doc_id"], seed=1312).select("doc_id", "split")
+
+
+@query(
+    "wikimedia_url_build",
+    """
+    WITH n AS (
+      SELECT doc_id, 'Img_' || CAST(doc_id AS VARCHAR) || '.jpg' AS name FROM documents
+    )
+    SELECT doc_id,
+           'https://upload.wikimedia.org/wikipedia/commons/thumb/'
+             || substr(md5(name), 1, 1) || '/' || substr(md5(name), 1, 2) || '/'
+             || name || '/640px-' || name AS direct_url,
+           'https://commons.wikimedia.org/w/thumb.php?f=' || name || '&w=640' AS indirect_url
+    FROM n
+    """,
+)
+def q_wikimedia_url_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 URL building (utils.py:46-61; scripts/wikimgrab.pl:15-28):
+    prefix strip, space→underscore, first-char upper, md5 shard path."""
+    from wicsmmiretl_spark.functions.strings import wikimedia_urls
+
+    docs = _t(spark, sf_dir, "documents")
+    file_id = F.concat(F.lit("File:img "), F.col("doc_id").cast("string"), F.lit(".jpg"))
+    direct, indirect = wikimedia_urls(file_id, width=640)
+    return docs.select(
+        "doc_id", direct.alias("direct_url"), indirect.alias("indirect_url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (north-star dedup via cosine)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_near_dup",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM v),
+    scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+                   / (a.norm * b.norm), 6) AS cosine
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star embedding-cosine near-dup, exact O(n²) baseline (staged
+    norms, one dot product per pair). Scale path: hyperplane_lsh_pairs."""
+    from wicsmmiretl_spark.operators.similarity import cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, 0.4)
+
+
+_SQL_LSH_PLANES = """
+    planes AS (
+      SELECT tb.b AS b, td.d AS d,
+             CASE WHEN substr(md5('42:' || CAST(tb.b AS VARCHAR) || ':' || CAST(td.d AS VARCHAR)), 2, 1)
+                       IN ('1','3','5','7','9','b','d','f')
+                  THEN 1.0 ELSE -1.0 END AS coef
+      FROM range(6) tb(b), range(128) td(d)
+    )
+"""
+
+
+@query(
+    "hyperplane_lsh_pairs",
+    f"""
+    WITH {_SQL_LSH_PLANES},
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    comps AS (
+      SELECT v.vec_id, p.b, sum(v.v[p.d + 1] * p.coef) AS dot
+      FROM v, planes p GROUP BY v.vec_id, p.b
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dot >= 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      FROM comps GROUP BY vec_id
+    ),
+    n AS (SELECT v.vec_id, v.v, sqrt(list_sum(list_transform(v.v, x -> x * x))) AS norm, s.bucket
+          FROM v JOIN sig s ON v.vec_id = s.vec_id)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+                 / (a.norm * b.norm), 6) AS cosine
+    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    """,
+)
+def q_hyperplane_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star similarity scale path: sign-random-projection buckets
+    (6 md5-derived hyperplanes), cosine only for same-bucket pairs."""
+    from wicsmmiretl_spark.operators.similarity import hyperplane_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hyperplane_pairs(emb, bits=6, seed=42)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal pipeline (E4/E5) with a closed-form oracle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "image_pipeline_stats",
+    """
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 64 AS w, 8 + (7 * doc_id) % 64 AS h FROM documents
+    ), steps AS (
+      SELECT doc_id, w, h,
+             CAST(ceil(greatest(w / 32.0, h / 32.0, 1.0)) AS BIGINT) AS step
+      FROM dims
+    ), outdims AS (
+      SELECT doc_id, step, (w + step - 1) // step AS w2, (h + step - 1) // step AS h2
+      FROM steps
+    ), pix AS (
+      SELECT o.doc_id, o.w2, o.h2,
+             ((o.doc_id + 3 * ti.i * o.step + 5 * tj.j * o.step) % 256) & 240 AS p
+      FROM outdims o
+      CROSS JOIN range(32) ti(i)
+      CROSS JOIN range(32) tj(j)
+      WHERE ti.i < o.h2 AND tj.j < o.w2
+    )
+    SELECT doc_id, CAST(w2 AS INT) AS width, CAST(h2 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           round(CAST(sum(p) AS DOUBLE) / (w2 * h2), 6) AS mean_intensity
+    FROM pix GROUP BY doc_id, w2, h2
+    """,
+)
+def q_image_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E5 multimodal chain, oracle-checked end to end: deterministic
+    RawGrid images → resize(32×32) → compress(4 bits) → metadata decode.
+    Three Arrow-batched mapInPandas stages over a binary column; the oracle
+    recomputes the closed-form pixel math in SQL."""
+    from wicsmmiretl_spark.multimodal.images import (
+        CompressTransformation,
+        ResizeTransformation,
+        apply_image_transformations,
+        decode_image_metadata,
+        synth_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    imgs = synth_images(docs, id_col="doc_id")
+    transformed = apply_image_transformations(
+        imgs,
+        [ResizeTransformation(32, 32), CompressTransformation(4)],
+        id_col="doc_id",
+    )
+    return decode_image_metadata(transformed, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (rows-only check: stateful, not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+_STREAM_RUN_COUNTER = iter(range(10**9))
+
+
+@query("streaming_tumbling")
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 streaming slice driven end to end: events rewritten as a
+    micros-timestamp drop-folder (the raw file is TIMESTAMP(NANOS)), consumed
+    via readStream + watermark + tumbling window + availableNow trigger into
+    a memory sink. Rows-only driver check; the batch-equality property is
+    pytest-verified (tests/test_streaming.py)."""
+    import tempfile
+
+    from wicsmmiretl_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory_sink,
+        tumbling_aggregate,
+    )
+
+    d = tempfile.mkdtemp(prefix="wicsmmir_stream_")
+    _t(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    stream = read_event_stream(spark, d)
+    name = f"suite_tumbling_{next(_STREAM_RUN_COUNTER)}"
+    return run_to_memory_sink(tumbling_aggregate(stream), name, spark)
