@@ -134,3 +134,19 @@ def test_hyperplane_pairs_subset_of_exact(spark, sf_dir):
     sig = {r.vec_id: r.bucket for r in hyperplane_signature(emb, bits=6, seed=42).collect()}
     for r in rows[:50]:
         assert sig[r.id_a] == sig[r.id_b]
+
+
+def test_ivf_topk_shape_and_cell_consistency(spark, sf_dir):
+    from wicsmmiretl_spark.catalog import load_table
+    from wicsmmiretl_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = ivf_topk(emb, k=5).collect()
+    per_q = {}
+    for r in out:
+        assert r.query_id != r.neighbor_id
+        assert -1.0 <= r.cosine <= 1.0
+        per_q.setdefault(r.query_id, []).append(r.cosine)
+    for cosines in per_q.values():
+        assert len(cosines) <= 5
+        assert cosines == sorted(cosines, reverse=True)

@@ -166,3 +166,32 @@ def test_synth_images_roundtrip(spark):
     arr = RawGrid.decode(bytes(rows[3].content))
     assert arr.shape == (8 + 21 % 64, 8 + 3 % 64)
     assert arr[0, 0] == 3 and arr[1, 2] == (3 + 3 + 10) % 256
+
+
+def test_persist_images_npy_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from wicsmmiretl_spark.multimodal.images import persist_images, synth_images, RawGrid
+
+    df = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    imgs = synth_images(df, "doc_id")
+    dst = str(tmp_path / "imgs")
+    persist_images(imgs, dst, fmt="npy", id_col="doc_id")
+    rows = {r.doc_id: bytes(r.content) for r in imgs.collect()}
+    for k, blob in rows.items():
+        arr = np.load(f"{dst}/{k}.npy")
+        assert (arr == RawGrid.decode(blob)).all()
+
+
+def test_persist_images_rejects_pil_formats(spark):
+    import pytest as _pytest
+
+    from wicsmmiretl_spark.multimodal.images import HAS_PIL, persist_images, synth_images
+
+    df = spark.range(0, 2).withColumnRenamed("id", "doc_id")
+    imgs = synth_images(df, "doc_id")
+    if not HAS_PIL:
+        with _pytest.raises(NotImplementedError):
+            persist_images(imgs, "/tmp/never", fmt="png", id_col="doc_id")
+    with _pytest.raises(ValueError):
+        persist_images(imgs, "/tmp/never", fmt="bmp", id_col="doc_id")

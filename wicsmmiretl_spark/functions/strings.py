@@ -28,7 +28,7 @@ def add_punct(text: Column | str) -> Column:
 def concat_corpus(df, text_col: str, order_col: str) -> Column:
     """F3: concat-reduce sampled captions into one document — inherently a
     small-set op; collect_list with a deterministic sort inside one agg."""
-    return F.concat_ws("", F.array_sort(F.collect_list(F.struct(order_col, text_col))[text_col]))
+    return F.concat_ws("", F.array_sort(F.collect_list(F.struct(order_col, text_col)))[text_col])
 
 
 def wikimedia_urls(file_col: Column | str, width: int = 640) -> tuple[Column, Column]:

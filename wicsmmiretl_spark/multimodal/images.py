@@ -172,20 +172,23 @@ def apply_image_transformations(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # zip over columns, not .iterrows(): iterrows materializes a Series
+        # per row and dominates the batch cost.
         for pdf in batches:
-            ids, blobs, fmts = [], [], []
-            for _, row in pdf.iterrows():
-                ids.append(row[id_col])
+            blobs, fmts = [], []
+            for content, fmt in zip(pdf[content_col], pdf[format_col]):
                 try:
-                    arr = RawGrid.decode(row[content_col])
+                    arr = RawGrid.decode(content)
                     for t in transforms:
                         arr = t.apply(arr)
                     blobs.append(RawGrid.encode(arr))
-                    fmts.append("webp" if to_webp else row[format_col])
+                    fmts.append("webp" if to_webp else fmt)
                 except Exception:
                     blobs.append(None)
-                    fmts.append(row[format_col])
-            yield pd.DataFrame({id_col: ids, content_col: blobs, format_col: fmts})
+                    fmts.append(fmt)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, content_col: blobs, format_col: fmts}
+            )
 
     return df.select(id_col, content_col, format_col).mapInPandas(run, schema)
 
@@ -208,29 +211,28 @@ def decode_image_metadata(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ("id", "w", "h", "c", "m")}
-            for _, row in pdf.iterrows():
-                out["id"].append(row[id_col])
+            ws, hs, cs, ms = [], [], [], []
+            for content in pdf[content_col]:
                 try:
-                    arr = RawGrid.decode(row[content_col])
+                    arr = RawGrid.decode(content)
                     h, w = arr.shape[:2]
                     c = 1 if arr.ndim == 2 else arr.shape[2]
-                    out["w"].append(w)
-                    out["h"].append(h)
-                    out["c"].append(c)
-                    out["m"].append(round(float(arr.mean()), 6))
+                    ws.append(w)
+                    hs.append(h)
+                    cs.append(c)
+                    ms.append(round(float(arr.mean()), 6))
                 except Exception:
-                    out["w"].append(None)
-                    out["h"].append(None)
-                    out["c"].append(None)
-                    out["m"].append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    cs.append(None)
+                    ms.append(None)
             yield pd.DataFrame(
                 {
-                    id_col: out["id"],
-                    "width": out["w"],
-                    "height": out["h"],
-                    "channels": out["c"],
-                    "mean_intensity": out["m"],
+                    id_col: pdf[id_col].values,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "channels": pd.array(cs, dtype="Int32"),
+                    "mean_intensity": ms,
                 }
             )
 
@@ -294,18 +296,66 @@ def fetch_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, blobs = [], []
-            for _, row in pdf.iterrows():
-                ids.append(row[id_col])
-                fb = row[fallback_url_col] if fallback_url_col else None
+            blobs = []
+            fbs = pdf[fallback_url_col] if fallback_url_col else [None] * len(pdf)
+            for url, fb in zip(pdf[url_col], fbs):
                 try:
-                    blobs.append(real_fetcher(row[url_col], fb))
+                    blobs.append(real_fetcher(url, fb))
                 except Exception:
                     blobs.append(None)
-            yield pd.DataFrame({id_col: ids, "content": blobs})
+            yield pd.DataFrame({id_col: pdf[id_col].values, "content": blobs})
 
     cols = [id_col, url_col] + ([fallback_url_col] if fallback_url_col else [])
     return df.select(*cols).mapInPandas(run, schema)
+
+
+def persist_images(
+    df: DataFrame,
+    dst_dir: str,
+    fmt: str = "npy",
+    id_col: str = "wikicaps_id",
+    content_col: str = "content",
+) -> None:
+    """S8 binary sink (persist_img, utils.py:64-73; ImageOutputFormat enum
+    utils.py:31-36): write each row's image to ``dst_dir/<id>.<fmt>``.
+
+    Executor-side ``foreachPartition`` — each task writes its own partition's
+    files, no driver collect; ``dst_dir`` must be shared storage on a real
+    cluster. npy/npz encode the decoded array via numpy; png/jpg need PIL and
+    raise when it is absent (this container ships no image libs — the stub
+    is the documented contract, the plumbing is real).
+    """
+    if fmt not in ("npy", "npz", "png", "jpg"):
+        raise ValueError(f"unknown image output format {fmt!r}")
+    if fmt in ("png", "jpg") and not HAS_PIL:
+        raise NotImplementedError("png/jpg sink requires PIL, which is not installed")
+
+    def write_partition(rows) -> None:
+        import io
+        import os
+
+        os.makedirs(dst_dir, exist_ok=True)
+        for row in rows:
+            content = row[content_col]
+            if content is None:
+                continue
+            arr = RawGrid.decode(bytes(content))
+            path = os.path.join(dst_dir, f"{row[id_col]}.{fmt}")
+            if fmt == "npy":
+                with open(path, "wb") as f:
+                    np.save(f, arr)
+            elif fmt == "npz":
+                with open(path, "wb") as f:
+                    np.savez_compressed(f, img=arr)
+            else:  # pragma: no cover - requires PIL
+                from PIL import Image
+
+                buf = io.BytesIO()
+                Image.fromarray(arr).save(buf, format="PNG" if fmt == "png" else "JPEG")
+                with open(path, "wb") as f:
+                    f.write(buf.getvalue())
+
+    df.select(id_col, content_col).foreachPartition(write_partition)
 
 
 def _default_fetcher(url: str, fallback: str | None) -> bytes | None:

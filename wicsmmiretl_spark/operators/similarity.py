@@ -219,6 +219,81 @@ def hyperplane_pairs(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_max_id: int = 10,
+    scale: int = 10**9,
+) -> DataFrame:
+    """IVF-style ANN: coarse cells from per-``label`` centroids, every vector
+    assigned to its NEAREST centroid, each query (id < query_max_id) probes
+    one cell (nprobe=1) and ranks candidates by exact cosine.
+
+    Centroid "training" stands in for an offline k-means job — the cells here
+    are the data's label clusters. Centroid components are exact scaled-
+    integer means (order-independent, cross-engine reproducible). At scale:
+    centroids broadcast (tiny), assignment is a map-side broadcast join, and
+    the probe join shuffles by cell — never all-pairs.
+
+    Output: query_id, neighbor_id, cosine (rounded 6dp).
+    """
+    v = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nv", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)))
+
+    flat = embeddings.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    cent_flat = flat.groupBy(label_col, "pos").agg(
+        (
+            F.sum(F.round(F.col("val").cast("double") * scale).cast("long")).cast("double")
+            / F.lit(float(scale))
+            / F.count("*")
+        ).alias("c")
+    )
+    cent = (
+        cent_flat.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))["c"].alias("cv"))
+        .select(
+            F.col(label_col).alias("cell"),
+            "cv",
+            F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x)).alias("nc"),
+        )
+    )
+
+    cdot = F.aggregate(F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    w_assign = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell"))
+    assign = (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", F.round(cdot / (F.col("nv") * F.col("nc")), 6))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), "cell")
+    )
+
+    va = v.join(assign, id_col)
+    q = va.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq"), "cell"
+    )
+    c = va.select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv2"), F.col("nv").alias("nn"), "cell"
+    )
+    dot = F.aggregate(F.zip_with("qv", "cv2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        q.join(c, ["cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(dot / (F.col("nq") * F.col("nn")), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 def hyperplane_lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

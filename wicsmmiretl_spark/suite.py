@@ -1205,3 +1205,111 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, d)
     name = f"suite_tumbling_{next(_STREAM_RUN_COUNTER)}"
     return run_to_memory_sink(tumbling_aggregate(stream), name, spark)
+
+
+# ---------------------------------------------------------------------------
+# String normalization (F1/F2), corpus concat (F3+R3), IVF ANN
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "normalized_captions",
+    r"""
+    SELECT doc_id,
+           regexp_replace(trim(regexp_replace(text, '\p{C}', '', 'g')), '\.+$', '') || '. ' AS norm_text
+    FROM documents
+    """,
+)
+def q_normalized_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 control-char strip (utils.py:431) + F2 punctuation normalize
+    (f30k_vs_coco_vs_wicsmmir_v2.ipynb cell 34), both pure Catalyst regex."""
+    from wicsmmiretl_spark.functions.strings import add_punct, strip_control_chars
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", add_punct(strip_control_chars(F.col("text"))).alias("norm_text")
+    )
+
+
+@query(
+    "corpus_concat",
+    r"""
+    WITH s AS (
+      SELECT text, md5(CAST(doc_id AS VARCHAR) || ':1312') AS k
+      FROM documents ORDER BY k LIMIT 20
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           string_agg(regexp_replace(trim(text), '\.+$', '') || '. ', '' ORDER BY k) AS corpus
+    FROM s
+    """,
+)
+def q_corpus_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 concat-reduce over an R3 seeded sample (the 1M-char readability
+    corpus build, ...v2.ipynb cell 34): deterministic md5-ordered sample →
+    add_punct → ordered string concat in one agg."""
+    from wicsmmiretl_spark.functions.strings import add_punct, concat_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = (
+        docs.withColumn(
+            "k", F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":1312")))
+        )
+        .orderBy("k")
+        .limit(20)
+        .withColumn("punct_text", add_punct(F.col("text")))
+    )
+    return sampled.agg(
+        F.count("*").alias("n_docs"),
+        concat_corpus(sampled, "punct_text", "k").alias("corpus"),
+    )
+
+
+@query(
+    "ivf_topk",
+    """
+    WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    vn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv FROM v),
+    cent_flat AS (
+      SELECT label, pos,
+             CAST(sum(CAST(round(val * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000.0 / count(*) AS c
+      FROM (SELECT label, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM v)
+      GROUP BY label, pos
+    ),
+    cent AS (
+      SELECT label AS cell, list(c ORDER BY pos) AS cv FROM cent_flat GROUP BY label
+    ),
+    cn AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS nc FROM cent),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vn.vec_id, cn.cell,
+               row_number() OVER (
+                 PARTITION BY vn.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * cv[i]))
+                                / (nv * nc), 6) DESC, cn.cell ASC) AS rn
+        FROM vn CROSS JOIN cn
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT qa.vec_id AS query_id, cb.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(qa.v) + 1), i -> qa.v[i] * cb.v[i]))
+                   / (qa.nv * cb.nv), 6) AS cosine
+      FROM vn qa
+      JOIN assign aa ON qa.vec_id = aa.vec_id AND qa.vec_id < 10
+      JOIN assign ab ON ab.cell = aa.cell
+      JOIN vn cb ON cb.vec_id = ab.vec_id AND cb.vec_id <> qa.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star ANN, IVF variant: per-label centroid cells (exact
+    scaled-integer means), nearest-centroid assignment, nprobe=1 probe,
+    exact cosine rank inside the cell."""
+    from wicsmmiretl_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, k=5)
