@@ -52,7 +52,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     try:
         cores = spark.sparkContext.defaultParallelism
         max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
-        if os.path.isfile(path) and os.path.getsize(path) < cores * max_split:
+        # Lower bound: a dimension-sized table (≤512 KB) is broadcast-join
+        # material — forcing 32 partitions on 25 rows only adds scheduling
+        # and an Exchange in front of every BroadcastExchange.
+        if os.path.isfile(path) and 512 * 1024 < os.path.getsize(path) < cores * max_split:
             df = df.repartition(cores)
     except Exception:  # directory datasets / remote paths: leave the scan alone
         pass

@@ -1313,3 +1313,76 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_topk(emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Range join + analytic function breadth (J-theta, §2.9 extensions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_value_bands",
+    """
+    WITH bands AS (
+      SELECT b.b AS band_id, b.b * 100 AS lo, (b.b + 1) * 100 AS hi
+      FROM range(6) b(b)
+    )
+    SELECT band_id, lo, hi,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(round(e.value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS sum_value
+    FROM events e JOIN bands ON e.value >= bands.lo AND e.value < bands.hi
+    GROUP BY band_id, lo, hi
+    """,
+)
+def q_events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join (SURVEY §2.3 engine surface): events banded into
+    broadcast value ranges. The tiny band table broadcasts, so the non-equi
+    join is a BroadcastNestedLoop over 6 rows — the right plan shape; at
+    scale the alternative is a bucketed band key (floor(value/100)) equi-join,
+    which Catalyst would also collapse this to given first-class ranges."""
+    from wicsmmiretl_spark.operators.joins import range_join
+
+    e = _t(spark, sf_dir, "events")
+    bands = spark.range(6).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 100).alias("lo"),
+        ((F.col("id") + 1) * 100).alias("hi"),
+    )
+    joined = range_join(
+        e.select("event_id", "value"),
+        bands,
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return joined.groupBy("band_id", "lo", "hi").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.round(F.col("value") * 1000000).cast("long")).cast("double")
+            / F.lit(1000000.0),
+            4,
+        ).alias("sum_value"),
+    )
+
+
+@query(
+    "user_value_analytics",
+    """
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_val,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_user_value_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function breadth (§2.9): first_value / ntile / percent_rank
+    in one windowed pass, unique tie-break so ranks are total."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_val"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
