@@ -1386,3 +1386,89 @@ def q_user_value_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference ETL composition (S4→E1→P5/P6→R1/R2) and classified vocab (A1+E3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "etl_caption_pipeline",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, n_chars, {_SQL_TOKS} AS toks, {_SQL_SENTS} AS sents,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+      FROM documents
+    ), derived AS (
+      SELECT doc_id, n_chars,
+             CAST(len(toks) AS BIGINT) AS num_tok,
+             len(toks) AS nt, greatest(len(sents), 1) AS ns, syl
+      FROM base
+    ), filtered AS (
+      SELECT * FROM derived
+      WHERE num_tok > 10 AND num_tok < 150 AND n_chars > 200 AND n_chars < 350
+    )
+    SELECT doc_id, num_tok,
+           round(206.835 - 1.015 * (CAST(nt AS DOUBLE) / ns) - 84.6 * (CASE WHEN nt > 0 THEN CAST(syl AS DOUBLE) / nt ELSE 0.0 END), 4) AS fk_re_score
+    FROM filtered
+    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':1312')
+    LIMIT 100
+    """,
+)
+def q_etl_caption_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's extract stage end to end (wikicaps_etl_pipeline.py
+    :255-257 shape): scan → E1 enrichment → P5/P6 config-driven strict-bounds
+    filter chain → R1 deterministic shuffle → R2 limit. One lazy plan;
+    Catalyst pushes the n_chars filter to the scan while the num_tok filter
+    waits for the enrichment projection it depends on."""
+    docs = _t(spark, sf_dir, "documents")
+    enriched = caption_stats(docs, "text")
+    filtered = apply_filters(
+        enriched,
+        [RangeFilter("num_tok", 10, 150), RangeFilter("n_chars", 200, 350)],
+    )
+    return (
+        filtered.orderBy(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":1312"))))
+        .limit(100)
+        .select("doc_id", F.col("num_tok").cast("long").alias("num_tok"), "fk_re_score")
+    )
+
+
+@query(
+    "vocab_token_class",
+    rf"""
+    WITH tok AS (SELECT unnest({_SQL_TOKS}) AS token FROM documents),
+    classed AS (
+      SELECT token,
+             CASE WHEN regexp_matches(token, '^[0-9]+([.,][0-9]+)?$') THEN 'NUM'
+                  WHEN regexp_matches(token, '^[^A-Za-z0-9]+$') THEN 'PUNCT'
+                  WHEN regexp_matches(token, '^[A-Z]') THEN 'PROPN'
+                  ELSE 'WORD' END AS tok_class
+      FROM tok
+    )
+    SELECT token, tok_class, CAST(count(*) AS BIGINT) AS count
+    FROM classed GROUP BY token, tok_class
+    ORDER BY count DESC, token ASC, tok_class ASC
+    LIMIT 100
+    """,
+)
+def q_vocab_token_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's (token, pos) vocabulary (utils.py:148-180) with the
+    built-in backend's heuristic token classes standing in for model POS
+    tags (model backends emit real tags through the same explode→count)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    tok_class = (
+        F.when(F.col("token").rlike(r"^[0-9]+([.,][0-9]+)?$"), F.lit("NUM"))
+        .when(F.col("token").rlike(r"^[^A-Za-z0-9]+$"), F.lit("PUNCT"))
+        .when(F.col("token").rlike(r"^[A-Z]"), F.lit("PROPN"))
+        .otherwise(F.lit("WORD"))
+    )
+    return (
+        tok.withColumn("tok_class", tok_class)
+        .groupBy("token", "tok_class")
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.asc("token"), F.asc("tok_class"))
+        .limit(100)
+    )
