@@ -195,3 +195,27 @@ def test_persist_images_rejects_pil_formats(spark):
             persist_images(imgs, "/tmp/never", fmt="png", id_col="doc_id")
     with _pytest.raises(ValueError):
         persist_images(imgs, "/tmp/never", fmt="bmp", id_col="doc_id")
+
+
+def test_binary_file_source_roundtrip(spark, tmp_path):
+    """persist_images (S8) → read_binary_files → decode: the disk round trip."""
+    import numpy as np
+
+    from wicsmmiretl_spark.multimodal.images import RawGrid, persist_images, synth_images
+    from wicsmmiretl_spark.sources.io import read_binary_files
+
+    df = spark.range(0, 6).withColumnRenamed("id", "doc_id")
+    imgs = synth_images(df, "doc_id")
+    dst = str(tmp_path / "bin")
+    # npy files hold the decoded arrays; write raw RawGrid blobs alongside
+    persist_images(imgs, dst, fmt="npy", id_col="doc_id")
+    files = read_binary_files(spark, dst, glob="*.npy").collect()
+    assert len(files) == 6
+    expect = {r.doc_id: RawGrid.decode(bytes(r.content)) for r in imgs.collect()}
+    import io as _io
+
+    for f in files:
+        k = int(f.path.rsplit("/", 1)[1].split(".")[0])
+        arr = np.load(_io.BytesIO(bytes(f.content)))
+        assert (arr == expect[k]).all()
+        assert f.length == len(bytes(f.content))

@@ -1,0 +1,144 @@
+"""Property-based invariants (SURVEY §5 / FIXTURES §A2): the reference's
+hand-run notebook checks promoted to hypothesis properties.
+
+Each property drives arbitrary generated rows through the real Spark
+operators; examples are kept small (a Spark round-trip per example) with
+max_examples tuned for CI time.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+captions = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    min_size=0,
+    max_size=200,
+)
+
+
+@given(texts=st.lists(captions, min_size=1, max_size=8))
+@SET
+def test_caption_stats_invariants_hold_for_arbitrary_text(spark, texts):
+    from wicsmmiretl_spark.functions.text import caption_stats
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    for r in caption_stats(df, "text").collect():
+        assert r.num_tok >= 0 and r.num_sent >= 0
+        if r.num_sent > 0:
+            assert r.min_sent_len <= r.max_sent_len
+        assert r.num_ne <= max(r.num_tok, 0)
+        assert len(r.ne_texts) == r.num_ne
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=20
+    ),
+    lo=st.integers(min_value=-100, max_value=100),
+    span=st.integers(min_value=1, max_value=200),
+)
+@SET
+def test_filter_chain_is_subset_with_strict_bounds(spark, vals, lo, span):
+    from wicsmmiretl_spark.operators.filters import RangeFilter, apply_filters
+
+    df = spark.createDataFrame([Row(doc_id=i, x=v) for i, v in enumerate(vals)])
+    out = apply_filters(df, [RangeFilter("x", lo, lo + span)]).collect()
+    kept = {r.doc_id for r in out}
+    assert kept <= {i for i in range(len(vals))}
+    for r in out:
+        assert lo < r.x < lo + span  # strict, both-exclusive (filter_base.py:14-16)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(min_value=-5, max_value=5, allow_nan=False)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SET
+def test_clamp_max_bounds_and_preserves_nulls(spark, vals):
+    from wicsmmiretl_spark.operators.filters import clamp_max
+
+    df = spark.createDataFrame([Row(doc_id=i, r=v) for i, v in enumerate(vals)], "doc_id long, r double")
+    out = {r.doc_id: r.r for r in clamp_max(df, "r", 1.0).collect()}
+    for i, v in enumerate(vals):
+        if v is None:
+            assert out[i] is None
+        else:
+            assert out[i] <= 1.0
+            assert out[i] == (v if v <= 1.0 else 1.0)
+
+
+@given(texts=st.lists(st.sampled_from(["a b c", "a  b   c", "A B C", "x y z", ""]), min_size=1, max_size=12))
+@SET
+def test_exact_dedup_idempotent_and_keeps_min_id(spark, texts):
+    from wicsmmiretl_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    once = exact_dedup(df, "doc_id", "text")
+    twice = exact_dedup(once, "doc_id", "text")
+    got_once = sorted(tuple(r) for r in once.collect())
+    got_twice = sorted(tuple(r) for r in twice.collect())
+    assert got_once == got_twice
+    # normalized-equal texts collapse to the smallest id
+    from wicsmmiretl_spark.functions.text import fingerprint
+
+    fps = {
+        r.doc_id: r.fp
+        for r in df.withColumn("fp", fingerprint("text")).collect()
+    }
+    kept = {r.doc_id for r in once.collect()}
+    for fp in set(fps.values()):
+        ids = [i for i, f in fps.items() if f == fp]
+        assert min(ids) in kept and all(i not in kept for i in ids if i != min(ids))
+
+
+@given(
+    n_left=st.integers(min_value=0, max_value=10),
+    n_right=st.integers(min_value=0, max_value=10),
+)
+@SET
+def test_union_checked_additive_for_disjoint_keys(spark, n_left, n_right):
+    from wicsmmiretl_spark.operators.sets import union_checked
+
+    left = spark.createDataFrame([Row(k=i, v="l") for i in range(n_left)], "k long, v string")
+    right = spark.createDataFrame(
+        [Row(k=1000 + i, v="r") for i in range(n_right)], "k long, v string"
+    )
+    assert union_checked(left, right, key="k").count() == n_left + n_right
+
+
+@given(frac=st.floats(min_value=0.05, max_value=0.95))
+@SET
+def test_hash_split_partitions_exactly(spark, frac):
+    from wicsmmiretl_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 60).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, frac, ["doc_id"]).collect()
+    assert len(out) == 60
+    assert {r.split for r in out} <= {"test", "train"}
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@SET
+def test_deterministic_sample_is_reproducible_across_partitionings(spark, seed):
+    from wicsmmiretl_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = [r.doc_id for r in deterministic_sample(df, 17, ["doc_id"], seed).collect()]
+    b = [
+        r.doc_id
+        for r in deterministic_sample(df.repartition(13), 17, ["doc_id"], seed).collect()
+    ]
+    assert a == b and len(a) == 17
