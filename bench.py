@@ -31,8 +31,14 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: JVM/codegen/parquet-footer costs paid outside the measurement.
+    # Warmup: JVM/codegen/parquet-footer costs paid outside the measurement,
+    # plus one trivial mapInPandas so the Python worker pool exists before
+    # the first UDF-bearing query (worker spawn is a fixed per-executor cost,
+    # not query throughput).
     QUERIES["vocab_top100"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.range(0, 64, 1, 32).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name, fn in QUERIES.items():
