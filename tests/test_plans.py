@@ -1,0 +1,75 @@
+"""Physical-plan shape regression tests: the scale properties the engine
+promises (broadcast dim joins, scan-level pushdown, map-side partial
+aggregation, top-k instead of global sort) must survive refactors.
+
+These assert on .explain() output, not timings — stable under CI noise.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from wicsmmiretl_spark.suite import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_joins_broadcast_not_sortmerge(spark):
+    plan = _plan(spark, "supplier_nation_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "range_filter_chain")
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate, not an empty list
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThan" in pushed or "LessThan" in pushed or "IsNotNull" in pushed
+
+
+def test_vocab_uses_partial_agg_and_topk(spark):
+    plan = _plan(spark, "vocab_top100")
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+    assert plan.count("Exchange") == 1  # exactly one shuffle
+
+
+def test_map_only_query_has_no_shuffle(spark):
+    # sf0.001 documents is below the repartition gate: pure scan→project→done
+    plan = _plan(spark, "token_counts")
+    assert "Exchange" not in plan
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    plan = _plan(spark, "events_value_bands")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_and_anti_joins_stay_semi_anti(spark):
+    semi = _plan(spark, "customers_with_orders_semi")
+    anti = _plan(spark, "nations_without_suppliers")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_whole_stage_codegen_covers_relational_core(spark):
+    # AQE prints codegen spans only once the plan is finalized → execute first
+    df = QUERIES["pricing_summary"](spark, SF)
+    df.collect()  # finalize the AQE plan on THIS QueryExecution
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    explained = df._jdf.queryExecution().explainString(mode)
+    assert "WholeStageCodegen subtrees" in explained
+    assert not explained.startswith("Found 0")
+
+
+def test_column_pruned_scan_reads_narrow_schema(spark):
+    plan = _plan(spark, "pricing_summary")
+    scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln][0]
+    # lineitem has 16 columns; the summary needs 7
+    assert "l_orderkey" not in scan or scan.count("l_") <= 8

@@ -783,10 +783,14 @@ def q_nation_segment_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set difference (engine surface beyond the reference's U1)."""
+    """Set difference (engine surface beyond the reference's U1).
+
+    ``subtract`` (EXCEPT DISTINCT) — Catalyst rewrites it to distinct +
+    left-anti broadcast join, the shape that scales (vs exceptAll's
+    replicate-rows union-aggregate, which shuffles both inputs twice)."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.exceptAll(s).distinct() if False else c.distinct().exceptAll(s.distinct())
+    return c.subtract(s)
 
 
 # ---------------------------------------------------------------------------
