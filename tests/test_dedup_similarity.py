@@ -150,3 +150,18 @@ def test_ivf_topk_shape_and_cell_consistency(spark, sf_dir):
     for cosines in per_q.values():
         assert len(cosines) <= 5
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_dup_clusters_resolves_chains(spark):
+    """A chain a-b, b-c must land in ONE cluster labeled by the min id —
+    exactly what naive pair-dedup (keep min of each pair) gets wrong."""
+    from pyspark.sql import Row
+
+    from wicsmmiretl_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=10, id_b=11), Row(id_a=3, id_b=7)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}

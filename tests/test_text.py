@@ -97,3 +97,18 @@ def test_add_punct(spark):
     df = spark.createDataFrame([("caption ends here...",), ("no dots",)], "text string")
     out = [r.t for r in df.select(add_punct("text").alias("t")).collect()]
     assert out == ["caption ends here. ", "no dots. "]
+
+
+def test_ne_types_parallel_to_ne_texts(spark):
+    from pyspark.sql import Row
+
+    from wicsmmiretl_spark.functions.text import caption_stats
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="we saw Paris and IBM today"), Row(doc_id=2, text="plain words only")]
+    )
+    rows = {r.doc_id: r for r in caption_stats(df, "text").collect()}
+    assert len(rows[1].ne_types) == len(rows[1].ne_texts) == rows[1].num_ne
+    by_text = dict(zip(rows[1].ne_texts, rows[1].ne_types))
+    assert by_text["Paris"] == "PROPN" and by_text["IBM"] == "ORG"
+    assert rows[2].ne_types == []

@@ -104,6 +104,17 @@ def caption_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("max_sent_len", F.array_max(F.col("_sent_lens")))
         .withColumn("num_ne", F.size(ne))
         .withColumn("ne_texts", ne)
+        .withColumn(
+            # heuristic entity classes (model backends emit real NER labels);
+            # len(ne_types) == len(ne_texts) == num_ne per FIXTURES §A2
+            "ne_types",
+            F.transform(
+                ne,
+                lambda t: F.when(t.rlike(r"^[A-Z0-9.&-]+$"), F.lit("ORG")).otherwise(
+                    F.lit("PROPN")
+                ),
+            ),
+        )
         .withColumn("num_syllables", syl)
         .withColumn(
             "fk_re_score",

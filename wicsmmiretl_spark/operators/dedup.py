@@ -199,6 +199,55 @@ def jaccard_pairs(
     return out
 
 
+def dup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters: connected components by min-label
+    propagation (each doc's cluster id = smallest doc id in its component).
+
+    The iterative step is pure DataFrame ops — join neighbors, take the min
+    label, repeat until a fixpoint (counted changes == 0). Lineage is
+    truncated per iteration with ``localCheckpoint`` so the plan doesn't grow
+    with the iteration count. LSH candidate graphs are near-cliques, so
+    convergence is O(cluster diameter) ≈ 2-3 rounds; each round is one
+    shuffle on the vertex id. (GraphFrames' connectedComponents is the
+    drop-in for billion-edge graphs.)
+
+    Output: id, cluster_id — one row per doc that appears in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["dst"], "left")
+            .select(
+                labels["id"],
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
+                    "new_comp"
+                ),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(labels, "id")
+            .filter(F.col("new_comp") != F.col("comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.withColumnRenamed("new_comp", "comp")
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("cluster_id"))
+
+
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash from token md5 nibble parities, as ONE grouped agg.
 

@@ -1476,3 +1476,41 @@ def q_vocab_token_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("count"), F.asc("token"), F.asc("tok_class"))
         .limit(100)
     )
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SQL_MINHASH_BASE},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ),
+    vertices AS (SELECT DISTINCT src AS id FROM edges),
+    walk(id, comp) AS (
+      SELECT id, id FROM vertices
+      UNION
+      SELECT e.dst, w.comp FROM walk w JOIN edges e ON w.id = e.src
+    )
+    SELECT id, CAST(min(comp) AS BIGINT) AS cluster_id FROM walk GROUP BY id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: LSH candidate pairs → connected
+    components (min-label propagation to fixpoint). The oracle computes the
+    same components with a recursive reachability CTE."""
+    from wicsmmiretl_spark.operators.dedup import (
+        dup_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+    return dup_clusters(pairs)
