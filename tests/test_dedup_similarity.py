@@ -163,5 +163,9 @@ def test_dup_clusters_resolves_chains(spark):
         [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=10, id_b=11), Row(id_a=3, id_b=7)],
         "id_a long, id_b long",
     )
-    got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+    expect = {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+    got_driver = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    got_dist = {
+        r.id: r.cluster_id for r in dup_clusters(pairs, driver_threshold=0).collect()
+    }
+    assert got_driver == expect and got_dist == expect

@@ -200,21 +200,38 @@ def jaccard_pairs(
 
 
 def dup_clusters(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    driver_threshold: int = 5_000_000,
 ) -> DataFrame:
-    """Resolve near-dup pairs into clusters: connected components by min-label
-    propagation (each doc's cluster id = smallest doc id in its component).
+    """Resolve near-dup pairs into clusters: connected components, cluster
+    id = smallest doc id in the component.
 
-    The iterative step is pure DataFrame ops — join neighbors, take the min
-    label, repeat until a fixpoint (counted changes == 0). Lineage is
-    truncated per iteration with ``localCheckpoint`` so the plan doesn't grow
-    with the iteration count. LSH candidate graphs are near-cliques, so
-    convergence is O(cluster diameter) ≈ 2-3 rounds; each round is one
-    shuffle on the vertex id. (GraphFrames' connectedComponents is the
-    drop-in for billion-edge graphs.)
+    Two paths, same result:
+
+    * **Driver union-find** when the edge count is under
+      ``driver_threshold``. The LSH candidate graph is orders of magnitude
+      smaller than the corpus (only same-bucket pairs survive), so even a
+      100 TB corpus usually yields a graph that fits on the driver — one
+      collect, zero iterative jobs.
+    * **Distributed min-label propagation** above the threshold: join
+      neighbors, take the min label, repeat to a fixpoint. Lineage is
+      truncated per iteration with ``localCheckpoint``; convergence is
+      O(cluster diameter) shuffles (LSH graphs are near-cliques, 2-3
+      rounds). GraphFrames' connectedComponents is the drop-in beyond that.
 
     Output: id, cluster_id — one row per doc that appears in ``pairs``.
     """
+    # Materialize the candidate pairs once: the upstream (signature build +
+    # band join) is the expensive part and both the size probe and the
+    # chosen algorithm consume the same rows.
+    pairs = pairs.localCheckpoint(eager=True)
+    n_edges = pairs.count()
+    if n_edges <= driver_threshold:
+        return _dup_clusters_driver(pairs, id_a, id_b)
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -246,6 +263,36 @@ def dup_clusters(
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("comp").alias("cluster_id"))
+
+
+def _dup_clusters_driver(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Union-find with path compression on the collected edge list, then
+    relabel every component by its minimum member id."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in pairs.select(id_a, id_b).collect():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    comp_min: dict = {}
+    for x in parent:
+        r = find(x)
+        m = comp_min.get(r)
+        comp_min[r] = x if m is None or x < m else m
+    rows = [(x, comp_min[find(x)]) for x in sorted(parent)]
+    return pairs.sparkSession.createDataFrame(rows, "id long, cluster_id long")
 
 
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

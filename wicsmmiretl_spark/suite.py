@@ -1514,3 +1514,125 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
     pairs = lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
     return dup_clusters(pairs)
+
+
+@query(
+    "events_daily_pivot",
+    """
+    SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (the reference's A9 stats matrix is morally this): per-day event
+    counts pivoted by type. Explicit pivot values keep the schema static —
+    REQUIRED at scale, otherwise Spark runs a distinct-values job first."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy(F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+        .select("day_us", *[F.col(t).cast("long").alias(t) for t in types])
+    )
+
+
+@query(
+    "nation_trade_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: six-table join, cross-nation predicate, yearly
+    grouping. Both nation filters push into the broadcast build sides;
+    lineitem is the only shuffled input."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        l.join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("ship_year")
+    ).agg(
+        F.count("*").alias("n_items"),
+        _exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"),
+    )
+
+
+@query(
+    "nation_market_share",
+    """
+    WITH base AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+             n1.n_name AS supp_nation,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT) AS rev_scaled
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    )
+    SELECT order_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev_scaled ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(rev_scaled) AS DOUBLE), 6) AS mkt_share
+    FROM base GROUP BY order_year
+    """,
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: market share of one supplier nation per order year —
+    a ratio of two exact integer sums (deterministic double division)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    base = (
+        l.join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.col("n_name").alias("supp_nation"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+            .cast("long")
+            .alias("rev_scaled"),
+        )
+    )
+    return base.groupBy("order_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("rev_scaled")).otherwise(F.lit(0))).cast("double")
+            / F.sum("rev_scaled").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
