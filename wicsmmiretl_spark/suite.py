@@ -1636,3 +1636,32 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mkt_share")
     )
+
+
+@query(
+    "embedding_vector_stats",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS min_v,
+           list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS max_v,
+           round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def q_embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface (§2.7 extension): per-vector dimension,
+    min/max component, L2 norm — all higher-order array intrinsics, no
+    explode and no shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    staged = emb.select(F.col("vec_id"), v.alias("v"))
+    return staged.select(
+        "vec_id",
+        F.size("v").cast("long").alias("dim"),
+        F.array_min("v").alias("min_v"),
+        F.array_max("v").alias("max_v"),
+        F.round(
+            F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)), 6
+        ).alias("l2_norm"),
+    )
