@@ -169,3 +169,24 @@ def test_dup_clusters_resolves_chains(spark):
         r.id: r.cluster_id for r in dup_clusters(pairs, driver_threshold=0).collect()
     }
     assert got_driver == expect and got_dist == expect
+
+
+def test_simhash_near_pairs_exact_verify(spark, sf_dir):
+    """Every returned pair's hamming distance is exact and within bound;
+    identical docs have distance 0."""
+    from pyspark.sql import Row
+
+    from wicsmmiretl_spark.operators.dedup import simhash32, simhash_near_pairs
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the dog"),
+            Row(doc_id=2, text="the quick brown fox jumps over the dog"),
+            Row(doc_id=3, text="completely different words entirely here"),
+        ]
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash32(df, "doc_id", "text").collect()}
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(simhash32(df, "doc_id", "text"), max_hamming=2).collect()}
+    assert pairs[(1, 2)] == 0
+    for (a, b), h in pairs.items():
+        assert h == bin(sigs[a] ^ sigs[b]).count("1") and h <= 2

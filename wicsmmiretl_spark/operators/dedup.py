@@ -199,6 +199,56 @@ def jaccard_pairs(
     return out
 
 
+def simhash_near_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Hamming-near pairs from 32-bit SimHash signatures.
+
+    Pigeonhole banding: split the signature into 4 bytes; two signatures
+    within Hamming distance ≤ 3 of each other are GUARANTEED to agree on at
+    least one whole byte (pigeonhole), so candidates come
+    from an equi-join on (byte_idx, byte_value) — shuffle by byte bucket,
+    never all-pairs — then the exact distance check is one xor+bit_count.
+
+    Output: id_a, id_b, hamming (distinct pairs, id_a < id_b).
+    """
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col(sig_col), 8 * b).bitwiseAND(F.lit(255)).alias("band_val"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.col(sig_col), F.explode(bands).alias("band")
+    ).select(id_col, sig_col, "band.band_idx", "band.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))).cast("long").alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

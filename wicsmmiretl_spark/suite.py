@@ -1665,3 +1665,32 @@ def q_embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)), 6
         ).alias("l2_norm"),
     )
+
+
+@query(
+    "simhash_near_pairs",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, md5(unnest({_SQL_TOKS})) AS h FROM documents
+    ), sums AS (
+      SELECT doc_id, {_SQL_SIMHASH_BITSUMS} FROM tk GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, CAST({_SQL_SIMHASH_SIG} AS BIGINT) AS simhash FROM sums
+    ), banded AS (
+      SELECT doc_id, simhash, t.b AS band_idx, (simhash >> (8 * t.b)) & 255 AS band_val
+      FROM sig, range(4) t(b)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash retrieval: byte-banded candidate join (pigeonhole: distance
+    ≤ 3 guarantees a shared byte) + exact xor/bit_count verify."""
+    from wicsmmiretl_spark.operators.dedup import simhash32, simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(simhash32(docs, "doc_id", "text"), max_hamming=2)
