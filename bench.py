@@ -36,9 +36,13 @@ def main() -> None:
     # the first UDF-bearing query (worker spawn is a fixed per-executor cost,
     # not query throughput).
     QUERIES["vocab_top100"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    spark.range(0, 64, 1, 32).mapInPandas(
-        lambda it: (pdf for pdf in it), "id long"
-    ).write.format("noop").mode("overwrite").save()
+    # Three chained stages: a pipelined task holds one Python worker PER
+    # mapInPandas stage, so an N-stage chain over P partitions wants N×P
+    # workers — warm the deepest chain the suite uses.
+    warm_df = spark.range(0, 64, 1, 32)
+    for _ in range(3):
+        warm_df = warm_df.mapInPandas(lambda it: (pdf for pdf in it), "id long")
+    warm_df.write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name, fn in QUERIES.items():

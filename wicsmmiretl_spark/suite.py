@@ -1694,3 +1694,33 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_pairs(simhash32(docs, "doc_id", "text"), max_hamming=2)
+
+
+@query(
+    "sliding_hourly",
+    """
+    WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type FROM events),
+    hits AS (
+      SELECT ((ts_us // 900000000) - o.o) * 900000000 AS window_start_us, event_type
+      FROM e, range(4) o(o)
+      WHERE ((ts_us // 900000000) - o.o) * 900000000 <= ts_us
+        AND ts_us < ((ts_us // 900000000) - o.o) * 900000000 + 3600000000
+    )
+    SELECT window_start_us, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM hits GROUP BY 1, 2
+    """,
+)
+def q_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h window, 15 min slide) as a batch computation —
+    F.window assigns each event to window/slide overlapping windows; the
+    oracle regenerates the four 15-min-grid window starts per event."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+        )
+    )
