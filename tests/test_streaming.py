@@ -79,3 +79,33 @@ def test_session_aggregate_matches_suite_gap_semantics(spark, event_dir):
     a = sw.groupBy("user_id").count()
     b = lag_based.groupBy("user_id").count()
     assert _rows(a) == _rows(b)
+
+
+def test_stateful_running_stats_stream_equals_batch(spark, event_dir):
+    """applyInPandasWithState custom operator: the final per-user snapshot
+    after consuming the whole stream equals the batch aggregation."""
+    from pyspark.sql import functions as F
+
+    from wicsmmiretl_spark.streaming.stateful import running_user_stats
+
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=2)
+    got_df = run_to_memory_sink(
+        running_user_stats(stream), "t_stateful", spark, output_mode="update"
+    )
+    # update mode emits one snapshot per user per batch — keep the last
+    # (cumulative) row per user: max n_events is the final state
+    final = (
+        got_df.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .collect()
+    )
+    got = {r.user_id: (r.n_events, round(r.total_value, 4), r.max_value) for r in final}
+    want = {
+        r.user_id: (r.n_events, round(r.total_value, 4), r.max_value)
+        for r in running_user_stats(spark.read.parquet(event_dir)).collect()
+    }
+    assert got == want

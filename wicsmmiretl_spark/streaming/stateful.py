@@ -1,0 +1,88 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(north star: "applyInPandasWithState for custom stateful operators").
+
+The built-in windows (streaming/windows.py) cover tumbling/sliding/session;
+this module is the template for semantics Spark's built-ins can't express —
+arbitrary per-key state machines. The example operator keeps a per-user
+running (count, sum, max) and emits the updated snapshot each micro-batch.
+
+Scale notes: state lives in the state store, partitioned by the grouping
+key — size is O(active keys), not O(events). The update function sees one
+key per call with an iterator of that key's rows for the batch, so executor
+memory is bounded by batch slice, not key history.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("mx", DoubleType()),
+    ]
+)
+
+
+def _update(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in pdfs:
+        vals = pdf["value"].dropna()
+        n += len(vals)
+        total += float(vals.sum()) if len(vals) else 0.0
+        mx = max(mx, float(vals.max())) if len(vals) else mx
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "max_value": [mx if mx != float("-inf") else None],
+        }
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum, max) as an arbitrary-state operator.
+
+    On a stream: state persists across micro-batches, one updated snapshot
+    row per user per batch (output mode 'update'). On a batch DataFrame the
+    same semantics degenerate to a plain groupBy — provided for the unified
+    batch/stream testing pattern used across this engine.
+    """
+    if not events.isStreaming:
+        from pyspark.sql import functions as F
+
+        return events.groupBy("user_id").agg(
+            F.count("value").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1724,3 +1724,22 @@ def q_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query("streaming_user_state")
+def q_streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running count/sum/max across micro-batches. Rows-only driver check; the
+    stream-equals-batch property is pytest-verified
+    (tests/test_streaming.py::test_stateful_running_stats_stream_equals_batch).
+    """
+    import tempfile
+
+    from wicsmmiretl_spark.streaming.stateful import running_user_stats
+    from wicsmmiretl_spark.streaming.windows import read_event_stream, run_to_memory_sink
+
+    d = tempfile.mkdtemp(prefix="wicsmmir_state_")
+    _t(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    stream = read_event_stream(spark, d)
+    name = f"suite_user_state_{next(_STREAM_RUN_COUNTER)}"
+    return run_to_memory_sink(running_user_stats(stream), name, spark, output_mode="update")
