@@ -57,3 +57,57 @@ def test_assert_unique_key(spark, caption_csv):
     assert_unique_key(df, "wikicaps_id")
     with pytest.raises(ValueError, match="duplicate keys"):
         assert_unique_key(df.unionByName(df), "wikicaps_id")
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Both sides bucketed on the join key → the join plan has no Exchange
+    on either input (the whole point of bucketing at scale)."""
+    from wicsmmiretl_spark.sources.io import write_bucketed
+
+    from pyspark.sql import functions as F
+
+    left = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn("a", F.col("k") * 2)
+    right = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn("b", F.col("k") + 1)
+    write_bucketed(left, "t_bleft", ["k"], 8, path=str(tmp_path / "bl"))
+    write_bucketed(right, "t_bright", ["k"], 8, path=str(tmp_path / "br"))
+    try:
+        j = spark.table("t_bleft").join(spark.table("t_bright"), "k")
+        assert j.count() == 1000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "Join" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_pipeline_config_from_yaml(spark, tmp_path):
+    from wicsmmiretl_spark.plans.config import PipelineConfig
+
+    y = tmp_path / "cfg.yml"
+    y.write_text(
+        """
+input:
+  caption_list: /tmp/captions.csv
+output:
+  dir: /tmp/out
+max_samples: 100
+seed: 1312
+filters:
+  - column: num_tok
+    min: 10
+    max: 150
+transformations:
+  - type: resize
+    max_width: 64
+    max_height: 64
+run:
+  extract: true
+  transform: true
+  load: false
+"""
+    )
+    cfg = PipelineConfig.from_yaml(str(y))
+    assert cfg.max_samples == 100 and cfg.seed == 1312
+    assert cfg.filters[0].column == "num_tok"
+    assert cfg.run_extract and cfg.run_transform and not cfg.run_load

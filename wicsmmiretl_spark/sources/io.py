@@ -135,3 +135,26 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path).select("path", "length", "content")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Bucketed managed-table sink: pre-shuffles data into ``num_buckets``
+    files per partition keyed on ``bucket_cols``, so later equi-joins or
+    aggregations on those columns read co-located data and skip the
+    exchange entirely — the standard big-big join strategy at 100 TB
+    (pay the shuffle once at write time, amortize over every join after).
+    """
+    writer = df.write.mode("overwrite").format("parquet")
+    if path is not None:
+        writer = writer.option("path", path)
+    writer = writer.bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
