@@ -1743,3 +1743,20 @@ def q_streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, d)
     name = f"suite_user_state_{next(_STREAM_RUN_COUNTER)}"
     return run_to_memory_sink(running_user_stats(stream), name, spark, output_mode="update")
+
+
+@query(
+    "nations_with_both",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (§2.6 surface): nations with both customers and
+    suppliers. Catalyst rewrites INTERSECT DISTINCT to distinct + left-semi
+    broadcast join."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
