@@ -111,3 +111,32 @@ run:
     assert cfg.max_samples == 100 and cfg.seed == 1312
     assert cfg.filters[0].column == "num_tok"
     assert cfg.run_extract and cfg.run_transform and not cfg.run_load
+
+
+def test_jsonl_and_orc_roundtrip(spark, caption_csv, tmp_path):
+    from wicsmmiretl_spark.sources.io import read_jsonl, read_orc, write_jsonl, write_orc
+
+    df = read_caption_list(spark, caption_csv)
+    write_jsonl(df, str(tmp_path / "j"))
+    write_orc(df, str(tmp_path / "o"))
+    got_j = read_jsonl(spark, str(tmp_path / "j"), schema=df.schema)
+    got_o = read_orc(spark, str(tmp_path / "o"))
+    want = sorted(tuple(r) for r in df.collect())
+    assert sorted(tuple(r) for r in got_j.collect()) == want
+    assert sorted(tuple(r) for r in got_o.collect()) == want
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned parquet + a partition-column filter → the scan's
+    PartitionFilters prune directories (no full-table read)."""
+    from pyspark.sql import functions as F
+
+    from wicsmmiretl_spark.catalog import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    dst = str(tmp_path / "bylang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dst)
+    filtered = spark.read.parquet(dst).filter(F.col("lang") == "en")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert filtered.count() > 0

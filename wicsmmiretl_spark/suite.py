@@ -1759,3 +1759,25 @@ def q_nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.intersect(s)
+
+
+@query(
+    "quantity_quantiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+           round(quantile_cont(l_quantity, 0.5), 4) AS q50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS q75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 generalized: exact interpolated quartiles per return flag.
+    Exact percentile is the oracle-scale path; percentile_approx (t-digest)
+    is the documented 100 TB substitute with identical plan shape."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("q50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q75"),
+    )
