@@ -219,3 +219,22 @@ def test_binary_file_source_roundtrip(spark, tmp_path):
         arr = np.load(_io.BytesIO(bytes(f.content)))
         assert (arr == expect[k]).all()
         assert f.length == len(bytes(f.content))
+
+
+def test_rawvideo_roundtrip_and_frame_sampling(spark):
+    import numpy as np
+
+    from wicsmmiretl_spark.multimodal.images import RawVideo, sample_frames, synth_videos
+
+    frames = [np.full((4, 4), i, dtype=np.uint8) for i in range(5)]
+    assert all((a == b).all() for a, b in zip(RawVideo.decode(RawVideo.encode(frames)), frames))
+
+    df = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    vids = synth_videos(df, "doc_id")
+    out = sample_frames(vids, every_k=2, id_col="doc_id").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    for k, idxs in by_doc.items():
+        n_frames = 1 + k % 7
+        assert sorted(idxs) == list(range(0, n_frames, 2))

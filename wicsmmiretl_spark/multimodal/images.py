@@ -371,3 +371,100 @@ def _default_fetcher(url: str, fallback: str | None) -> bytes | None:
         except requests.RequestException:
             continue
     return None
+
+
+class RawVideo:
+    """Toy video container: 2-byte magic + uint16 frame count, then each
+    frame as a length-prefixed RawGrid payload. Exists for the same reason
+    as RawGrid — the frame-sampling plumbing (binary column in, binary
+    column out, Arrow batches) is real; the codec is swappable for a real
+    one (PyAV/ffmpeg) without touching the plan."""
+
+    MAGIC = b"RV"
+
+    @staticmethod
+    def encode(frames: list[np.ndarray]) -> bytes:
+        out = [RawVideo.MAGIC, struct.pack(">H", len(frames))]
+        for arr in frames:
+            blob = RawGrid.encode(arr)
+            out.append(struct.pack(">I", len(blob)))
+            out.append(blob)
+        return b"".join(out)
+
+    @staticmethod
+    def decode(data: bytes) -> list[np.ndarray]:
+        if data[:2] != RawVideo.MAGIC:
+            raise ValueError("not a RawVideo payload")
+        (n,) = struct.unpack(">H", data[2:4])
+        frames, off = [], 4
+        for _ in range(n):
+            (ln,) = struct.unpack(">I", data[off : off + 4])
+            off += 4
+            frames.append(RawGrid.decode(data[off : off + ln]))
+            off += ln
+        return frames
+
+
+def synth_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic RawVideo per id: ``n_frames = 1 + k % 7`` frames, frame
+    f is the 8×8 grid ``p(i,j) = (k + f + i + j) % 256`` — closed-form so
+    downstream sampling is SQL-predictable."""
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("video", BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for k in pdf[id_col]:
+                k = int(k)
+                n = 1 + k % 7
+                i = np.arange(8)[:, None]
+                j = np.arange(8)[None, :]
+                frames = [((k + f + i + j) % 256).astype(np.uint8) for f in range(n)]
+                blobs.append(RawVideo.encode(frames))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "video": blobs})
+
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+def sample_frames(
+    df: DataFrame, every_k: int = 2, id_col: str = "doc_id", video_col: str = "video"
+) -> DataFrame:
+    """North-star frame sampling: keep every k-th frame (frame 0 always).
+
+    One row per sampled frame: (id, frame_idx, frame, mean_intensity) —
+    decode → stride-sample → re-encode per frame, Arrow-batched. Failures
+    (corrupt container) drop the row, the P8 anti-join shape."""
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame", BinaryType()),
+            StructField("mean_intensity", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, blobs, means = [], [], [], []
+            for k, blob in zip(pdf[id_col], pdf[video_col]):
+                try:
+                    frames = RawVideo.decode(bytes(blob))
+                except Exception:
+                    continue
+                for fi in range(0, len(frames), every_k):
+                    ids.append(int(k))
+                    idxs.append(fi)
+                    blobs.append(RawGrid.encode(frames[fi]))
+                    means.append(round(float(frames[fi].mean()), 6))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "frame": blobs,
+                    "mean_intensity": means,
+                }
+            )
+
+    return df.select(id_col, video_col).mapInPandas(run, schema)

@@ -1781,3 +1781,33 @@ def q_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("q50"),
         F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q75"),
     )
+
+
+@query(
+    "video_frame_sample",
+    """
+    WITH vids AS (SELECT doc_id, 1 + doc_id % 7 AS n_frames FROM documents),
+    sampled AS (
+      SELECT doc_id, t.f * 2 AS frame_idx
+      FROM vids, range(4) t(f)
+      WHERE t.f * 2 < n_frames
+    )
+    SELECT s.doc_id, CAST(s.frame_idx AS INT) AS frame_idx,
+           round((
+             SELECT avg(CAST((s.doc_id + s.frame_idx + ti.i + tj.j) % 256 AS DOUBLE))
+             FROM range(8) ti(i), range(8) tj(j)
+           ), 6) AS mean_intensity
+    FROM sampled s
+    """,
+)
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star multimodal frame sampling: synthesize deterministic
+    RawVideo containers, keep every 2nd frame, emit per-frame metadata —
+    two Arrow-batched binary stages with a closed-form SQL oracle."""
+    from wicsmmiretl_spark.multimodal.images import sample_frames, synth_videos
+
+    docs = _t(spark, sf_dir, "documents")
+    vids = synth_videos(docs, id_col="doc_id")
+    return sample_frames(vids, every_k=2, id_col="doc_id").select(
+        "doc_id", "frame_idx", "mean_intensity"
+    )
