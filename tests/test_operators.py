@@ -165,3 +165,21 @@ def test_hash_split_deterministic_and_stable(spark, sf_dir):
     assert all(a[k] == v for k, v in sub.items())
     frac = sum(1 for v in a.values() if v == "test") / len(a)
     assert 0.1 < frac < 0.4
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change join semantics — same result set, key spread
+    across salt buckets."""
+    from pyspark.sql import functions as F
+
+    from wicsmmiretl_spark.operators.joins import salted_join
+
+    # skewed left: 90% of rows share key 7
+    left = spark.range(0, 1000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(0, 20).select(F.col("id").alias("k"), (F.col("id") * 100).alias("v"))
+    got = sorted(tuple(r) for r in salted_join(left, right, "k").collect())
+    want = sorted(tuple(r) for r in left.join(right, "k").collect())
+    assert got == want and len(got) > 800

@@ -133,3 +133,33 @@ def asof_join(
         *[F.col(c) for c in left.columns],
         *[F.col(f"_r_{c}").alias(c) for c in right_cols],
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: replicate the (small-ish) right side into
+    ``salts`` copies and scatter the left side's hot keys across them, so a
+    single pathological key spreads over ``salts`` tasks instead of one.
+
+    AQE's skew-join split handles moderate skew automatically; manual
+    salting is for the extreme case (one key = 30% of the table) where even
+    a split partition is a straggler, or when AQE is off. The salt is
+    derived from a value hash of the whole left row (deterministic — no
+    rand(), stable under retries and repartitioning).
+    """
+    left_cols = [c for c in left.columns]
+    salted_left = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left_cols]), F.lit(salts))
+    )
+    salted_right = right.crossJoin(
+        F.broadcast(
+            right.sparkSession.range(salts).select(F.col("id").cast("bigint").alias("_salt"))
+        )
+    )
+    out = salted_left.join(salted_right, [key, "_salt"], how)
+    return out.drop("_salt")
