@@ -140,3 +140,21 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in plan
     assert filtered.count() > 0
+
+
+def test_dynamic_partition_overwrite_is_surgical(spark, tmp_path):
+    """Re-writing one partition leaves the others untouched (idempotent
+    backfill), while static overwrite would have dropped them."""
+    from pyspark.sql import Row, functions as F
+
+    from wicsmmiretl_spark.sources.io import overwrite_partitions
+
+    dst = str(tmp_path / "days")
+    full = spark.createDataFrame(
+        [Row(day="d1", v=1), Row(day="d1", v=2), Row(day="d2", v=3)]
+    )
+    overwrite_partitions(full, dst, ["day"])
+    redo = spark.createDataFrame([Row(day="d2", v=99)])
+    overwrite_partitions(redo, dst, ["day"])
+    got = sorted(tuple(r) for r in spark.read.parquet(dst).select("day", "v").collect())
+    assert got == [("d1", 1), ("d1", 2), ("d2", 99)]

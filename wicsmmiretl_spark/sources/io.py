@@ -182,3 +182,18 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """Idempotent partition-level backfill: rewrites ONLY the hive
+    partitions present in ``df`` (dynamic partition overwrite), leaving the
+    rest of the dataset untouched. The pattern that makes daily re-runs of
+    the E/T/L pipeline (O1/O2) safe — re-processing one day never clobbers
+    the other days.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
