@@ -1811,3 +1811,148 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(vids, every_k=2, id_col="doc_id").select(
         "doc_id", "frame_idx", "mean_intensity"
     )
+
+
+@query(
+    "cheapest_supplier_per_part",
+    """
+    WITH ranked AS (
+      SELECT l_partkey, l_suppkey, l_extendedprice,
+             row_number() OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_extendedprice ASC, l_suppkey ASC, l_orderkey ASC, l_linenumber ASC
+             ) AS rn
+      FROM lineitem
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name, r.l_extendedprice AS best_price
+    FROM ranked r
+    JOIN part p ON p.p_partkey = r.l_partkey
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rn = 1
+    """,
+)
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped argmin-per-group (§2.4 window surface): for every part,
+    the supplier that sold it cheapest. One shuffle on l_partkey for the
+    window; WindowGroupLimit pushes rn=1 below the sort so each partition
+    keeps a single row before ranking output; both dims broadcast. Fully
+    tie-broken (price, suppkey, orderkey, linenumber) so the argmin row is
+    unique on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("l_extendedprice"), F.asc("l_suppkey"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    best = (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice", "l_orderkey", "l_linenumber")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", F.col("l_extendedprice").alias("best_price"))
+    )
+
+
+@query(
+    "large_quantity_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) > 30000
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           epoch_us(o.o_orderdate) AS o_orderdate_us,
+           CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN big b ON b.l_orderkey = o.o_orderkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate
+    """,
+)
+def q_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: GROUP BY + HAVING producing a keyset, joined back to
+    the fact and enriched with customer. The HAVING side is a partial-agg →
+    single-shuffle aggregate whose survivor set is tiny (46 keys at sf0.01)
+    → broadcast back onto lineitem, so the fact table is scanned twice but
+    never shuffled for the semi filter. Quantity sums use the scaled-integer
+    exact-sum pattern on both engines (suite module docstring)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("sq"))
+        .filter(F.col("sq") > 30000)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
+        .agg(_exact_sum(F.col("l_quantity"), 2, "total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "idle_rich_customers",
+    """
+    WITH thr AS (
+      SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0
+             / count(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS num_cust,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_bal
+    FROM customer c, thr
+    WHERE c.c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (global avg balance over
+    positive accounts) + anti-join (customers with no urgent orders) + final
+    agg. The 1-row threshold cross-joins in as a broadcast nested loop — no
+    shuffle added; the priority filter pushes into the anti join's build-side
+    scan, and the anti join shuffles once on custkey. The average is
+    computed in scaled-integer space then divided once, so the comparison
+    threshold is bit-identical across engines (a naive double avg would
+    flip boundary rows between Spark and DuckDB)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("long") / 100.0)
+                / F.count("*")
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("num_cust"),
+            _exact_sum(F.col("c_acctbal"), 2, "total_bal"),
+        )
+    )
