@@ -1956,3 +1956,49 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             _exact_sum(F.col("c_acctbal"), 2, "total_bal"),
         )
     )
+
+
+@query(
+    "customer_merge_upsert",
+    """
+    WITH updates AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), inserts AS (
+      SELECT c_custkey + 10000000 AS c_custkey, 'NEW-' || c_custkey AS c_name,
+             c_nationkey, 0.0 AS c_acctbal, 'MACHINERY' AS c_mktsegment
+      FROM customer WHERE c_custkey % 97 = 0
+    ), src AS (
+      SELECT * FROM updates UNION ALL SELECT * FROM inserts
+    )
+    SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+    FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    """,
+)
+def q_customer_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (operators/merge.py): fold an update+insert change-set into
+    the customer snapshot. Updates bump BUILDING balances by 100; inserts
+    synthesize re-keyed rows. One full-outer shuffle on the key; bucketing
+    both sides on c_custkey (sources/io.py) makes it shuffle-free."""
+    from wicsmmiretl_spark.operators.merge import merge_upsert
+
+    c = _t(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    inserts = (
+        c.filter(F.col("c_custkey") % 97 == 0)
+        .select(
+            (F.col("c_custkey") + 10000000).alias("c_custkey"),
+            F.concat(F.lit("NEW-"), F.col("c_custkey").cast("string")).alias("c_name"),
+            "c_nationkey",
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("MACHINERY").alias("c_mktsegment"),
+        )
+    )
+    merged = merge_upsert(c, updates.unionByName(inserts), ["c_custkey"])
+    return merged.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
