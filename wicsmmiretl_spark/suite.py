@@ -2002,3 +2002,31 @@ def q_customer_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = merge_upsert(c, updates.unionByName(inserts), ["c_custkey"])
     return merged.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+
+@query(
+    "lineitem_flag_status_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_lineitem_flag_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 generalized: CUBE over (returnflag, linestatus) — all four grouping
+    sets in ONE pass: Expand multiplies each input row by the grouping sets
+    map-side, then a single partial-agg + shuffle aggregates every set at
+    once (vs four separate scans). grouping_id disambiguates genuine NULL
+    keys from the rollup rows on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            _exact_sum(F.col("l_quantity"), 2, "sum_qty"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
