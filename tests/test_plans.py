@@ -73,3 +73,30 @@ def test_column_pruned_scan_reads_narrow_schema(spark):
     scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln][0]
     # lineitem has 16 columns; the summary needs 7
     assert "l_orderkey" not in scan or scan.count("l_") <= 8
+
+
+def test_argmin_window_uses_partial_group_limit(spark):
+    """cheapest_supplier_per_part: the rn=1 filter must lower to a
+    WindowGroupLimit BEFORE the exchange (map-side top-1 per part), so the
+    shuffle carries ~one row per part per task instead of all of lineitem;
+    both dims broadcast."""
+    plan = _plan(spark, "cheapest_supplier_per_part")
+    assert "WindowGroupLimit" in plan
+    pre_exchange = plan.split("Exchange hashpartitioning", 1)[1]
+    assert "WindowGroupLimit" in pre_exchange  # the Partial one, below the shuffle
+    assert "SortMergeJoin" not in plan
+
+
+def test_cube_expands_once_single_shuffle(spark):
+    """CUBE computes all four grouping sets in one pass: a single Expand
+    node and a single aggregate exchange — not one scan per grouping set."""
+    plan = _plan(spark, "lineitem_flag_status_cube")
+    assert plan.count("Expand") == 1
+    assert "partial_count" in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_merge_keeps_full_outer_single_join(spark):
+    plan = _plan(spark, "customer_merge_upsert")
+    assert "FullOuter" in plan
+    assert plan.count("Join") <= plan.count("FullOuter") + 2  # no extra join blow-up
