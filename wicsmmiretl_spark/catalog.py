@@ -42,6 +42,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     """
     base = sf_dir or DEFAULT_SF_DIR
     path = os.path.join(base, f"{name}.parquet")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS). The conf is set here (it is
+        # runtime-settable, verified) and not only in session.py's builder
+        # defaults, because callers may hand us a session we didn't build —
+        # e.g. the correctness harness constructs a vanilla SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanosecond timestamp
     # type, so the session reads it as long (spark.sql.legacy.parquet
