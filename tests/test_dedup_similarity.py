@@ -190,3 +190,52 @@ def test_simhash_near_pairs_exact_verify(spark, sf_dir):
     assert pairs[(1, 2)] == 0
     for (a, b), h in pairs.items():
         assert h == bin(sigs[a] ^ sigs[b]).count("1") and h <= 2
+
+
+def test_lsh_bucket_cap_star_expands_oversized_buckets(spark):
+    """A bucket over max_bucket_size is star-expanded (every member pairs
+    with the bucket min) instead of pairwise-expanded; connected components
+    are preserved while the row count drops from O(k²) to O(k)."""
+    text = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(i, text) for i in range(1, 41)] + [(100, "totally unrelated caption words here")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(df, "doc_id", "text")
+
+    capped = lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=10).collect()
+    got = {(r.id_a, r.id_b) for r in capped}
+    # Star shape: exactly one pair per non-min member, all anchored at id 1.
+    assert got == {(1, i) for i in range(2, 41)}
+
+    # Under the cap (and with cap disabled) the same input is pairwise.
+    uncapped = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=None).collect()}
+    assert uncapped == {(a, b) for a in range(1, 41) for b in range(a + 1, 41)}
+    default = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "doc_id").collect()}
+    assert default == uncapped
+
+
+def test_dup_clusters_raises_on_unconverged_propagation(spark):
+    """Distributed label propagation must not silently emit non-fixpoint
+    labels: a path graph longer than max_iter allows raises."""
+    import pytest
+    from wicsmmiretl_spark.operators.dedup import dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(chain, driver_threshold=0, max_iter=1).collect()
+    ok = dup_clusters(chain, driver_threshold=0, max_iter=20)
+    assert {r.cluster_id for r in ok.collect()} == {1}
+
+
+def test_salted_join_rejects_right_preserving_how(spark):
+    import pytest
+    from wicsmmiretl_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(1, "a")], "k long, v string")
+    right = spark.createDataFrame([(1, "x")], "k long, w string")
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(left, right, "k", how="full_outer")
+    assert salted_join(left, right, "k", how="left_semi").columns == ["k", "v"]

@@ -53,7 +53,11 @@ def wikimedia_urls(file_col: Column | str, width: int = 640) -> tuple[Column, Co
         shard1, F.lit("/"), shard2, F.lit("/"), encoded,
         F.lit(f"/{width}px-"), encoded,
     )
+    # Fallback form matches the reference's second-stage retry (utils.py:61):
+    # Special:FilePath redirects to the original upload regardless of shard.
     indirect = F.concat(
-        F.lit("https://commons.wikimedia.org/w/thumb.php?f="), encoded, F.lit(f"&w={width}")
+        F.lit("https://commons.wikimedia.org/w/index.php?title=Special:FilePath&file="),
+        encoded,
+        F.lit(f"&width={width}"),
     )
     return direct, indirect

@@ -135,12 +135,22 @@ def lsh_candidate_pairs(
     id_col: str,
     num_hashes: int = 8,
     bands: int = 4,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become a candidate pair.
 
     Returns distinct (id_a, id_b) with id_a < id_b. The self-join is an
     equi-join on (band_idx, band_key) — shuffle-partitioned by bucket, never
     all-pairs.
+
+    ``max_bucket_size`` caps pathological buckets (a corpus with 50k
+    byte-identical docs puts them all in one bucket; pairwise expansion
+    would emit ~1.25B rows from that single bucket). Buckets over the cap
+    are STAR-expanded instead: every member pairs with the bucket's minimum
+    id — O(bucket) rows, and downstream connected-components still sees one
+    component. The trade-off (star pairs skip the per-pair Jaccard verify
+    fan-out) only engages on buckets that are near-clique by construction.
+    ``None`` disables the cap.
     """
     rows_per_band = num_hashes // bands
     band_cols = [
@@ -155,18 +165,34 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
     ).select(id_col, "band.band_idx", "band.band_key")
+
+    star = None
+    if max_bucket_size is not None:
+        # One partial-agg shuffle on the same (band_idx, band_key) the
+        # self-join below uses, so the exchange is co-partitioned with it.
+        stats = banded.groupBy("band_idx", "band_key").agg(
+            F.count("*").alias("_bsz"), F.min(id_col).alias("_bmin")
+        )
+        banded = banded.join(stats, ["band_idx", "band_key"])
+        star = (
+            banded.filter((F.col("_bsz") > max_bucket_size) & (F.col(id_col) > F.col("_bmin")))
+            .select(F.col("_bmin").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+        banded = banded.filter(F.col("_bsz") <= max_bucket_size).select(
+            id_col, "band_idx", "band_key"
+        )
+
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def jaccard_pairs(
@@ -312,6 +338,16 @@ def dup_clusters(
         labels = new_labels.withColumnRenamed("new_comp", "comp")
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter without a fixpoint means some long-path
+        # component still carries a non-minimal label — emitting it as final
+        # would silently mis-cluster. Fail loudly; callers can raise
+        # max_iter (convergence is O(component diameter) rounds).
+        raise RuntimeError(
+            f"dup_clusters: min-label propagation did not converge within "
+            f"max_iter={max_iter} iterations; raise max_iter (diameter of the "
+            "largest candidate component exceeds the iteration budget)."
+        )
     return labels.select(F.col("id"), F.col("comp").alias("cluster_id"))
 
 

@@ -151,7 +151,18 @@ def salted_join(
     a split partition is a straggler, or when AQE is off. The salt is
     derived from a value hash of the whole left row (deterministic — no
     rand(), stable under retries and repartitioning).
+
+    Only left-preserving join types are allowed: the right side is
+    replicated ``salts`` times, so right/full outer would emit every
+    unmatched right row once per salt copy.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — right side is replicated {salts}x, "
+            "so right/full outer joins would duplicate unmatched right rows. "
+            "Use inner/left_outer/left_semi/left_anti."
+        )
     left_cols = [c for c in left.columns]
     salted_left = left.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left_cols]), F.lit(salts))

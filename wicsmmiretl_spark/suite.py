@@ -1038,7 +1038,7 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
            'https://upload.wikimedia.org/wikipedia/commons/thumb/'
              || substr(md5(name), 1, 1) || '/' || substr(md5(name), 1, 2) || '/'
              || name || '/640px-' || name AS direct_url,
-           'https://commons.wikimedia.org/w/thumb.php?f=' || name || '&w=640' AS indirect_url
+           'https://commons.wikimedia.org/w/index.php?title=Special:FilePath&file=' || name || '&width=640' AS indirect_url
     FROM n
     """,
 )
