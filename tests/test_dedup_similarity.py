@@ -205,12 +205,17 @@ def test_lsh_bucket_cap_star_expands_oversized_buckets(spark):
 
     capped = lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=10).collect()
     got = {(r.id_a, r.id_b) for r in capped}
-    # Star shape: exactly one pair per non-min member, all anchored at id 1.
+    # Star shape: exactly one pair per non-min member, all anchored at id 1,
+    # and every pair is flagged for downstream verify exemption.
     assert got == {(1, i) for i in range(2, 41)}
+    assert all(r.is_star for r in capped)
 
-    # Under the cap (and with cap disabled) the same input is pairwise.
-    uncapped = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=None).collect()}
+    # Under the cap (and with cap disabled) the same input is pairwise and
+    # every pair is a normal, verifiable candidate.
+    uncapped_rows = lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=None).collect()
+    uncapped = {(r.id_a, r.id_b) for r in uncapped_rows}
     assert uncapped == {(a, b) for a in range(1, 41) for b in range(a + 1, 41)}
+    assert not any(r.is_star for r in uncapped_rows)
     default = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "doc_id").collect()}
     assert default == uncapped
 

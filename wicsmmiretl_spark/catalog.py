@@ -47,6 +47,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         # runtime-settable, verified) and not only in session.py's builder
         # defaults, because callers may hand us a session we didn't build —
         # e.g. the correctness harness constructs a vanilla SparkSession.
+        # NOTE: this mutates the caller's session for its remaining lifetime —
+        # later parquet reads in the same session will coerce TIMESTAMP(NANOS)
+        # to long instead of erroring. It cannot be save-and-restored around
+        # the read: the scan is lazy, and the conf is consulted at execution
+        # time, not at `spark.read` time.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanosecond timestamp

@@ -139,18 +139,32 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become a candidate pair.
 
-    Returns distinct (id_a, id_b) with id_a < id_b. The self-join is an
-    equi-join on (band_idx, band_key) — shuffle-partitioned by bucket, never
-    all-pairs.
+    Returns distinct (id_a, id_b, is_star) with id_a < id_b. The self-join
+    is an equi-join on (band_idx, band_key) — shuffle-partitioned by bucket,
+    never all-pairs.
 
     ``max_bucket_size`` caps pathological buckets (a corpus with 50k
     byte-identical docs puts them all in one bucket; pairwise expansion
     would emit ~1.25B rows from that single bucket). Buckets over the cap
     are STAR-expanded instead: every member pairs with the bucket's minimum
     id — O(bucket) rows, and downstream connected-components still sees one
-    component. The trade-off (star pairs skip the per-pair Jaccard verify
-    fan-out) only engages on buckets that are near-clique by construction.
-    ``None`` disables the cap.
+    component. Star pairs carry ``is_star = true`` so a downstream per-pair
+    exact-similarity verify can exempt them (dropping an unverified star
+    edge would disconnect genuine near-dups inside the oversized bucket);
+    a pair that ALSO co-occurs in a normal-sized bucket keeps
+    ``is_star = false`` (it can be verified like any other candidate).
+    ``None`` disables the cap (every pair ``is_star = false``).
+
+    Plan shape: the banded projection (id + band cols, ~4 tiny rows/doc) is
+    materialized ONCE with a lazy ``localCheckpoint`` and every consumer —
+    bucket stats, star split, both self-join sides — reads the materialized
+    partitions. Without it each consumer re-plans its own subtree and the
+    signature pipeline (the expensive part: interpreted shingle HOFs + md5)
+    is recomputed 2-3× per query; ReuseExchange cannot collapse them because
+    the stats/broadcast branches end in different exchange types
+    (measured 2-3× wall-clock at sf0.1). The checkpoint truncates lineage
+    (executor loss forces a job retry, same trade as ``dup_clusters``) but
+    is orders of magnitude smaller than the corpus, so it holds at 100 TB.
     """
     rows_per_band = num_hashes // bands
     band_cols = [
@@ -165,20 +179,25 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
     ).select(id_col, "band.band_idx", "band.band_key")
+    banded = banded.repartition("band_idx", "band_key").localCheckpoint(eager=False)
 
     star = None
     if max_bucket_size is not None:
-        # One partial-agg shuffle on the same (band_idx, band_key) the
-        # self-join below uses, so the exchange is co-partitioned with it.
-        stats = banded.groupBy("band_idx", "band_key").agg(
-            F.count("*").alias("_bsz"), F.min(id_col).alias("_bmin")
+        oversized = F.broadcast(
+            banded.groupBy("band_idx", "band_key")
+            .agg(F.count("*").alias("_bsz"), F.min(id_col).alias("_bmin"))
+            .filter(F.col("_bsz") > max_bucket_size)
+            .select("band_idx", "band_key", "_bmin")
         )
-        banded = banded.join(stats, ["band_idx", "band_key"])
-        star = (
-            banded.filter((F.col("_bsz") > max_bucket_size) & (F.col(id_col) > F.col("_bmin")))
-            .select(F.col("_bmin").alias("id_a"), F.col(id_col).alias("id_b"))
+        flagged = banded.join(oversized, ["band_idx", "band_key"], "left")
+        star = flagged.filter(
+            F.col("_bmin").isNotNull() & (F.col(id_col) > F.col("_bmin"))
+        ).select(
+            F.col("_bmin").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(True).alias("is_star"),
         )
-        banded = banded.filter(F.col("_bsz") <= max_bucket_size).select(
+        banded = flagged.filter(F.col("_bmin").isNull()).select(
             id_col, "band_idx", "band_key"
         )
 
@@ -189,10 +208,16 @@ def lsh_candidate_pairs(
         (F.col("a.band_idx") == F.col("b.band_idx"))
         & (F.col("a.band_key") == F.col("b.band_key"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.lit(False).alias("is_star"),
+    )
     if star is not None:
         pairs = pairs.unionByName(star)
-    return pairs.distinct()
+    # min(bool): false < true, so a pair also seen in a normal bucket stays
+    # verifiable (is_star = false) even if an oversized bucket emitted it.
+    return pairs.groupBy("id_a", "id_b").agg(F.min("is_star").alias("is_star"))
 
 
 def jaccard_pairs(
@@ -207,9 +232,22 @@ def jaccard_pairs(
 
     Joins each side's shingle set (broadcast-friendly: only candidate ids),
     computes |∩|/|∪| with array intrinsics, filters by threshold. Output:
-    id_a, id_b, jaccard (rounded 6dp, deterministic).
+    id_a, id_b, jaccard (rounded 6dp, deterministic) — plus is_star when the
+    candidate frame carries it.
+
+    Star-expanded candidates (``is_star = true`` from ``lsh_candidate_pairs``
+    bucket capping) are EXEMPT from the threshold filter: a star edge is the
+    only thing connecting an oversized near-clique bucket, so dropping one
+    below threshold would disconnect genuine near-dups. They are
+    pre-confirmed by construction, not verified per-pair.
     """
     sh = staged_shingles(df, id_col, text_col, shingle_n)
+    keep = F.col("jaccard") >= threshold
+    if "is_star" in candidates.columns:
+        keep = keep | F.col("is_star")
+        out_cols = ["id_a", "id_b", "jaccard", "is_star"]
+    else:
+        out_cols = ["id_a", "id_b", "jaccard"]
     out = (
         candidates.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
@@ -219,8 +257,8 @@ def jaccard_pairs(
             "jaccard",
             F.round(F.col("inter").cast("double") / F.greatest(F.col("uni"), F.lit(1)).cast("double"), 6),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .filter(keep)
+        .select(*out_cols)
     )
     return out
 

@@ -156,7 +156,10 @@ def salted_join(
     replicated ``salts`` times, so right/full outer would emit every
     unmatched right row once per salt copy.
     """
-    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti",
+    }
     if how.lower() not in allowed:
         raise ValueError(
             f"salted_join: how={how!r} unsupported — right side is replicated {salts}x, "

@@ -934,7 +934,9 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
-    return lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+    # is_star is all-false at this scale (no bucket exceeds the cap); drop it
+    # so the oracle schema stays (id_a, id_b).
+    return lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4).select("id_a", "id_b")
 
 
 @query(
@@ -968,7 +970,9 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
     cand = lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
-    return jaccard_pairs(docs, cand, "doc_id", "text", shingle_n=3, threshold=0.1)
+    return jaccard_pairs(docs, cand, "doc_id", "text", shingle_n=3, threshold=0.1).select(
+        "id_a", "id_b", "jaccard"
+    )
 
 
 _SQL_SIMHASH_BITSUMS = ", ".join(
