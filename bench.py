@@ -57,17 +57,43 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
+    out = {
+        "metric": "suite_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    prev = _latest_prior_bench()
+    if prev:
+        # Per-query this-round/prior-round ratios (>1 = slower than last
+        # round) so regressions are visible per query, not only in the total.
+        ratios = {
+            name: round(t / prev[name], 2)
+            for name, t in times.items()
+            if prev.get(name)
+        }
+        out["ratio_vs_prev"] = ratios
+        flagged = {n: r for n, r in ratios.items() if r >= 1.5}
+        if flagged:
+            out["regressions"] = flagged
+    print(json.dumps(out))
+
+
+def _latest_prior_bench() -> dict[str, float] | None:
+    """Per-query times from the highest-numbered BENCH_r{N}.json, if any."""
+    benches = sorted(
+        Path(__file__).resolve().parent.glob("BENCH_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
     )
+    if not benches:
+        return None
+    try:
+        doc = json.loads(benches[-1].read_text())
+    except (OSError, json.JSONDecodeError):
+        return None
+    queries = (doc.get("parsed") or {}).get("queries") or doc.get("queries")
+    return queries if isinstance(queries, dict) else None
 
 
 if __name__ == "__main__":

@@ -192,9 +192,100 @@ def test_persist_images_rejects_pil_formats(spark):
     imgs = synth_images(df, "doc_id")
     if not HAS_PIL:
         with _pytest.raises(NotImplementedError):
-            persist_images(imgs, "/tmp/never", fmt="png", id_col="doc_id")
+            persist_images(imgs, "/tmp/never", fmt="jpg", id_col="doc_id")
     with _pytest.raises(ValueError):
         persist_images(imgs, "/tmp/never", fmt="bmp", id_col="doc_id")
+
+
+def test_png_codec_roundtrip():
+    """Stdlib PNG encoder/decoder: pixel-exact round trip for gray, RGB and
+    RGBA, and the signature/IHDR layout is real PNG (byte-level check)."""
+    import numpy as np
+
+    from wicsmmiretl_spark.multimodal.images import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for shape in ((13, 9), (8, 5, 3), (4, 6, 4)):
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        blob = encode_png(arr)
+        assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+        assert blob[12:16] == b"IHDR"
+        back = decode_png(blob)
+        assert back.shape == arr.shape and (back == arr).all()
+
+
+def test_decode_png_handles_all_scanline_filters():
+    """decode_png must read PNGs from OTHER encoders too — craft a file per
+    filter type (Sub/Up/Average/Paeth) and check pixels survive."""
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    from wicsmmiretl_spark.multimodal.images import decode_png
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8).astype(np.int32)
+    h, w, c = arr.shape
+    for ftype in (1, 2, 3, 4):
+        lines = []
+        prev = np.zeros(w * c, np.int32)
+        for y in range(h):
+            cur = arr[y].reshape(-1)
+            filt = np.zeros(w * c, np.int32)
+            for x in range(w * c):
+                left = cur[x - c] if x >= c else 0
+                up = prev[x]
+                ul = prev[x - c] if x >= c else 0
+                if ftype == 1:
+                    base = left
+                elif ftype == 2:
+                    base = up
+                elif ftype == 3:
+                    base = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    base = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                filt[x] = (cur[x] - base) & 0xFF
+            lines.append(bytes([ftype]) + filt.astype(np.uint8).tobytes())
+            prev = cur
+
+        def chunk(tag, data):
+            return _struct.pack(">I", len(data)) + tag + data + _struct.pack(
+                ">I", zlib.crc32(tag + data) & 0xFFFFFFFF
+            )
+
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b"")
+        )
+        assert (decode_png(blob) == arr.astype(np.uint8)).all(), f"filter {ftype}"
+
+
+def test_persist_images_png_roundtrip(spark, tmp_path):
+    """S8 png sink without PIL: executor-written PNGs decode pixel-exact."""
+    import numpy as np
+
+    from wicsmmiretl_spark.multimodal.images import (
+        RawGrid,
+        decode_png,
+        persist_images,
+        synth_images,
+    )
+
+    df = spark.range(0, 6).withColumnRenamed("id", "doc_id")
+    imgs = synth_images(df, "doc_id")
+    dst = str(tmp_path / "pngs")
+    persist_images(imgs, dst, fmt="png", id_col="doc_id")
+    rows = {r.doc_id: bytes(r.content) for r in imgs.collect()}
+    assert rows
+    for k, blob in rows.items():
+        with open(f"{dst}/{k}.png", "rb") as f:
+            arr = decode_png(f.read())
+        assert (arr == RawGrid.decode(blob)).all()
 
 
 def test_binary_file_source_roundtrip(spark, tmp_path):

@@ -4,38 +4,23 @@ Runs every ``queries()`` entry at sf0.01 and compares against its
 ``oracle_sql()`` via DuckDB: row count, column names, and order-insensitive
 values (sorted rows, floats compared exactly after the suite's own rounding
 discipline — the point is to catch any cross-engine nondeterminism BEFORE the
-driver does).
+driver does). Comparison logic lives in ``wicsmmiretl_spark.oracle`` and is
+shared with ``tests/test_deferred_oracle.py``.
 
 Usage: python tools/verify_local.py [query ...]
 """
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 from pathlib import Path
 
-import duckdb
-
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from wicsmmiretl_spark.oracle import compare_query, duck_connection
+
 SF_DIR = "/root/testdata/sf0.01"
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings".split()
-)
-
-
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.10g}"
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    return str(v)
 
 
 def main() -> int:
@@ -43,9 +28,7 @@ def main() -> int:
     from wicsmmiretl_spark.session import get_spark
 
     spark = get_spark("verify_local")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    con = duck_connection(SF_DIR)
 
     qs = e.queries()
     oracles = e.oracle_sql()
@@ -56,45 +39,18 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(norm(v) for v in row) for row in sdf.collect()]
+            problems = compare_query(spark, con, fn, oracles.get(name), SF_DIR)
         except Exception as ex:
             failures.append(name)
-            print(f"FAIL  {name}: spark error: {ex}")
+            print(f"FAIL  {name}: {type(ex).__name__}: {ex}")
             continue
-        if name not in oracles:
-            print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s) — no oracle")
-            continue
-        try:
-            rel = con.execute(oracles[name])
-            ocols = [d[0] for d in rel.description]
-            orows = [tuple(norm(v) for v in row) for row in rel.fetchall()]
-        except Exception as ex:
-            failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {ex}")
-            continue
-        problems = []
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"columns spark={scols} duck={ocols}")
-        elif len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
-        else:
-            # driver sorts columns by name before hashing values
-            sidx = [scols.index(c) for c in sorted(scols)]
-            oidx = [ocols.index(c) for c in sorted(ocols)]
-            s_sorted = sorted(tuple(r[i] for i in sidx) for r in srows)
-            o_sorted = sorted(tuple(r[i] for i in oidx) for r in orows)
-            if s_sorted != o_sorted:
-                diffs = [
-                    (a, b) for a, b in zip(s_sorted, o_sorted) if a != b
-                ][:3]
-                problems.append(f"values differ; first diffs: {diffs}")
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
+        elif name not in oracles:
+            print(f"ok?   {name}: rows-only ({time.time()-t0:.1f}s) — no oracle")
         else:
-            print(f"PASS  {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            print(f"PASS  {name} ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0

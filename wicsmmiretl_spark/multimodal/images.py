@@ -78,6 +78,116 @@ class RawGrid:
         return arr.reshape((h, w, c)) if c > 1 else arr.reshape((h, w))
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> PNG color type
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return struct.pack(">I", len(data)) + tag + data + struct.pack(
+        ">I", zlib.crc32(tag + data) & 0xFFFFFFFF
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode a uint8 array as PNG with the stdlib only (zlib + struct).
+
+    Supports 8-bit gray / gray+alpha / RGB / RGBA, no interlace, filter 0
+    per scanline — a valid, universally readable PNG (parity target:
+    the reference's PIL ``Image.save(format="PNG")``, utils.py:64-73).
+    Exists because this container ships no PIL; the PIL path is used
+    automatically when available.
+    """
+    import zlib
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w, c = arr.shape[0], arr.shape[1], 1
+    elif arr.ndim == 3 and arr.shape[2] in (1, 2, 3, 4):
+        h, w, c = arr.shape
+    else:
+        raise ValueError(f"encode_png: unsupported array shape {arr.shape}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[c], 0, 0, 0)
+    raw = arr.reshape(h, w * c)
+    # filter byte 0 (None) prepended to every scanline
+    scanlines = np.concatenate([np.zeros((h, 1), np.uint8), raw], axis=1).tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scanlines, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (all 5 scanline filters) to a
+    uint8 array — gray → (h, w), multi-channel → (h, w, c).
+
+    Dependency-free counterpart of ``encode_png`` so binary image columns
+    round-trip without PIL; not a general-purpose decoder (no palette, no
+    16-bit, no interlace).
+    """
+    import zlib
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(_PNG_SIG), None, b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise ValueError("decode_png: only 8-bit non-interlaced PNGs supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"decode_png: unsupported color type {color}")
+    stride = w * channels
+    flat = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    if flat.size != h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    rows = flat.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        ftype, line = rows[y, 0], rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the running left pixel
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                ul = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    base = left
+                elif ftype == 3:
+                    base = (left + up) // 2
+                elif ftype == 4:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    base = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                else:
+                    raise ValueError(f"decode_png: bad filter type {ftype}")
+                cur[x] = (line[x] + base) & 0xFF
+        out[y] = cur.astype(np.uint8)
+    arr = out.reshape(h, w, channels)
+    return arr[:, :, 0] if channels == 1 else arr
+
+
 @dataclass(frozen=True)
 class ImageTransformationBase:
     """Parity with transformations/image_transformation_base.py:6-16."""
@@ -321,14 +431,14 @@ def persist_images(
 
     Executor-side ``foreachPartition`` — each task writes its own partition's
     files, no driver collect; ``dst_dir`` must be shared storage on a real
-    cluster. npy/npz encode the decoded array via numpy; png/jpg need PIL and
-    raise when it is absent (this container ships no image libs — the stub
-    is the documented contract, the plumbing is real).
+    cluster. npy/npz encode the decoded array via numpy; png uses PIL when
+    present and the stdlib ``encode_png`` codec otherwise; jpg (lossy DCT)
+    has no reasonable stdlib encoder and stays PIL-gated.
     """
     if fmt not in ("npy", "npz", "png", "jpg"):
         raise ValueError(f"unknown image output format {fmt!r}")
-    if fmt in ("png", "jpg") and not HAS_PIL:
-        raise NotImplementedError("png/jpg sink requires PIL, which is not installed")
+    if fmt == "jpg" and not HAS_PIL:
+        raise NotImplementedError("jpg sink requires PIL, which is not installed")
 
     def write_partition(rows) -> None:
         import io
@@ -347,6 +457,9 @@ def persist_images(
             elif fmt == "npz":
                 with open(path, "wb") as f:
                     np.savez_compressed(f, img=arr)
+            elif fmt == "png" and not HAS_PIL:
+                with open(path, "wb") as f:
+                    f.write(encode_png(arr))
             else:  # pragma: no cover - requires PIL
                 from PIL import Image
 
