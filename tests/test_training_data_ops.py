@@ -1,0 +1,97 @@
+"""Training-data pipeline operators: PII scrubbing, repetition signals,
+benchmark decontamination (unit-level; the suite queries oracle them at
+corpus scale)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wicsmmiretl_spark.functions.repetition import repetition_stats
+from wicsmmiretl_spark.functions.scrub import scrub_pii
+from wicsmmiretl_spark.operators.decontaminate import ngram_contamination
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call 415-555-0199 or +1 415 555 0123"),
+            (3, "server at 192.168.1.200 went down"),
+            (4, "nothing sensitive here at all"),
+            (5, "a@b.io and 10.0.0.1 and 202-555-0042 together"),
+        ],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in scrub_pii(df, "text").collect()}
+    assert rows[1].scrubbed == "mail <EMAIL> now"
+    assert rows[1].n_email == 1 and rows[1].n_phone == 0 and rows[1].n_ipv4 == 0
+    assert rows[2].scrubbed == "call <PHONE> or +1 <PHONE>"
+    assert rows[2].n_phone == 2
+    assert rows[3].scrubbed == "server at <IP> went down"
+    assert rows[4].scrubbed == rows[4].text  # negatives untouched
+    assert rows[4].n_email == rows[4].n_phone == rows[4].n_ipv4 == 0
+    assert rows[5].scrubbed == "<EMAIL> and <IP> and <PHONE> together"
+
+
+def test_scrub_pii_null_text_stays_null(spark):
+    df = spark.createDataFrame([(1, None)], "id long, text string")
+    r = scrub_pii(df, "text").first()
+    assert r.scrubbed is None and r.n_email is None
+
+
+def test_repetition_stats_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # bigrams: [a b]x3 [b a]x2 — all duplicated
+            (2, "w x y z"),           # all unique
+            (3, "solo"),              # < 2 tokens: no bigrams
+            (4, ""),                  # empty
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+
+    r1 = rows[1]
+    assert r1.n_tokens == 6 and r1.dup_word_frac == round(4 / 6, 6)
+    assert r1.n_bigrams == 5
+    assert r1.top_bigram == "a b" and r1.top_bigram_frac == 0.6
+    assert r1.dup_bigram_frac == 1.0
+
+    r2 = rows[2]
+    assert r2.dup_word_frac == 0.0 and r2.dup_bigram_frac == 0.0
+    assert r2.top_bigram_frac == 0.333333  # 3 unique bigrams, tie → smallest wins
+    assert r2.top_bigram == "w x"
+
+    assert rows[3].n_bigrams == 0 and rows[3].top_bigram is None
+    assert rows[3].top_bigram_frac == 0.0
+    assert rows[4].n_tokens == 0 and rows[4].dup_word_frac == 0.0
+
+
+def test_ngram_contamination_finds_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "xx alpha beta gamma delta yy"),   # shares 1 distinct 4-gram
+            (2, "alpha beta gamma delta epsilon"), # shares 2
+            (3, "no overlap in this one at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.train_id: r for r in ngram_contamination(train, bench, n=4).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_shared_grams == 1 and out[1].n_bench_docs == 1
+    assert out[2].n_shared_grams == 2 and out[2].n_bench_docs == 1
+
+
+def test_ngram_contamination_shuffle_path_matches_broadcast(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} common common common common tail{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    a = sorted(map(tuple, ngram_contamination(train, bench, n=4, broadcast_bench=True).collect()))
+    b = sorted(map(tuple, ngram_contamination(train, bench, n=4, broadcast_bench=False).collect()))
+    assert a == b and len(a) > 0

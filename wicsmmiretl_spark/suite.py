@@ -2076,6 +2076,163 @@ def q_lineitem_flag_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline: PII scrubbing, repetition signals, decontamination
+# ---------------------------------------------------------------------------
+
+# Testdata carries no PII, so the query injects deterministic PII on BOTH
+# engines (every 3rd doc) and scrubs it — negatives stay in the result.
+_SQL_PII_INJECT = """
+    CASE WHEN doc_id % 3 = 0 THEN
+      text || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@example.com or 202-555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           || ' from 10.1.' || CAST(doc_id % 256 AS VARCHAR)
+           || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+    ELSE text END
+"""
+
+
+@query(
+    "pii_scrub",
+    rf"""
+    WITH injected AS (SELECT doc_id, {_SQL_PII_INJECT} AS t FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\+?\d{{3}}[- ]\d{{3}}[- ]\d{{4}}', '<PHONE>', 'g'),
+             '\b(\d{{1,3}}\.){{3}}\d{{1,3}}\b', '<IP>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '\+?\d{{3}}[- ]\d{{3}}[- ]\d{{4}}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t, '\b(\d{{1,3}}\.){{3}}\d{{1,3}}\b')) AS BIGINT) AS n_ipv4
+    FROM injected
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star text op: PII redaction (email/phone/IPv4) as pure Catalyst
+    regexp_replace — per-row projection, no shuffle, no Python."""
+    from wicsmmiretl_spark.functions.scrub import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 202-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" from 10.1."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    out = scrub_pii(injected, text_col="t")
+    return out.select(
+        "doc_id",
+        "scrubbed",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+    )
+
+
+@query(
+    "repetition_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+             ELSE [] END AS grams
+      FROM toks
+    ),
+    counts AS (
+      SELECT doc_id, gram, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM base)
+      GROUP BY doc_id, gram
+    ),
+    perdoc AS (
+      SELECT doc_id, CAST(total AS BIGINT) AS n_bigrams, gram AS top_bigram,
+             round(cnt * 1.0 / total, 6) AS top_bigram_frac,
+             round(dup_occ * 1.0 / total, 6) AS dup_bigram_frac
+      FROM (
+        SELECT doc_id, gram, cnt,
+               sum(cnt) OVER (PARTITION BY doc_id) AS total,
+               sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) OVER (PARTITION BY doc_id) AS dup_occ,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+        FROM counts
+      ) WHERE rn = 1
+    )
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           round(CASE WHEN b.n_tokens > 0
+                 THEN (b.n_tokens - b.n_distinct) * 1.0 / b.n_tokens ELSE 0 END, 6) AS dup_word_frac,
+           coalesce(p.n_bigrams, 0) AS n_bigrams, p.top_bigram,
+           coalesce(p.top_bigram_frac, 0.0) AS top_bigram_frac,
+           coalesce(p.dup_bigram_frac, 0.0) AS dup_bigram_frac
+    FROM base b LEFT JOIN perdoc p USING (doc_id)
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document (dup-word
+    fraction, top-bigram fraction, dup-bigram fraction) — explode + grouped
+    count + per-doc window, deterministic tie-breaks."""
+    from wicsmmiretl_spark.functions.repetition import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_stats(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dup_word_frac",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "top_bigram",
+        "top_bigram_frac",
+        "dup_bigram_frac",
+    )
+
+
+@query(
+    "decontaminate_ngrams",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 4 THEN list_distinct(list_transform(range(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+             ELSE [] END AS sh
+      FROM toks
+    ),
+    tg AS (SELECT doc_id AS train_id, unnest(sh) AS gram FROM sh WHERE doc_id % 97 <> 0),
+    bg AS (SELECT doc_id AS bench_id, unnest(sh) AS gram FROM sh WHERE doc_id % 97 = 0)
+    SELECT train_id,
+           CAST(count(DISTINCT tg.gram) AS BIGINT) AS n_shared_grams,
+           CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+    FROM tg JOIN bg ON tg.gram = bg.gram
+    GROUP BY train_id
+    """,
+)
+def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word 4-gram with
+    the benchmark split (doc_id % 97 = 0 stands in for an eval suite; n=4
+    keeps the overlap non-degenerate on the synthetic vocabulary — real
+    corpora use 8-13). The benchmark gram set is broadcast — the corpus
+    side never shuffles."""
+    from wicsmmiretl_spark.operators.decontaminate import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return ngram_contamination(train, bench, "doc_id", "text", n=4)
+
+
+# ---------------------------------------------------------------------------
 # Registration order = driver check order
 # ---------------------------------------------------------------------------
 
@@ -2098,6 +2255,9 @@ _DEFERRED_QUERIES = (
     "embedding_vector_stats",   # array HOF stats: embedding_centroids, cosine_topk
     "nation_market_share",      # TPC-H Q8 shape: Q7/Q2/Q18/Q22 all in-window
     "window_running_sum",       # frame + lag merged into user_value_analytics
+    "asof_tolerance_purchase",  # as-of tolerance variant: asof_click_purchase in-window
+    "tumbling_daily",           # batch tumbling window: sliding_hourly + events_daily_pivot
+    "nations_with_both",        # INTERSECT (trivial 25 rows): union_balance_stats + sets pytest
 )
 
 
