@@ -81,6 +81,53 @@ def test_session_aggregate_matches_suite_gap_semantics(spark, event_dir):
     assert _rows(a) == _rows(b)
 
 
+def test_interval_join_stream_equals_batch(spark, event_dir):
+    """Stream-stream interval join: two watermarked file-source streams
+    joined on (user, time-bound) produce exactly the batch join's rows."""
+    from wicsmmiretl_spark.streaming.windows import interval_join
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+        purch = df.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        return clicks, purch
+
+    s_clicks, s_purch = sides(read_event_stream(spark, event_dir))
+    joined = interval_join(s_clicks, s_purch, upper="30 minutes")
+    assert joined.isStreaming
+    got = run_to_memory_sink(joined, "t_ssjoin", spark, output_mode="append")
+
+    b_clicks, b_purch = sides(spark.read.parquet(event_dir))
+    want = interval_join(b_clicks, b_purch, upper="30 minutes")
+    assert _rows(got) == _rows(want) and want.count() > 0
+
+
+def test_interval_join_time_bound_is_strict(spark):
+    """Rows outside [ts, ts+upper] never pair (the bound is the state-eviction
+    contract, so it must hold exactly at the boundary)."""
+    import datetime as dt
+
+    from wicsmmiretl_spark.streaming.windows import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, 7, t0)], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [
+            (10, 7, t0 - dt.timedelta(seconds=1)),   # before click: out
+            (11, 7, t0),                              # boundary: in
+            (12, 7, t0 + dt.timedelta(minutes=30)),   # boundary: in
+            (13, 7, t0 + dt.timedelta(minutes=30, seconds=1)),  # out
+            (14, 8, t0),                              # other user: out
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = sorted(
+        r.r_event_id for r in interval_join(left, right, upper="30 minutes").collect()
+    )
+    assert got == [11, 12]
+
+
 def test_stateful_running_stats_stream_equals_batch(spark, event_dir):
     """applyInPandasWithState custom operator: the final per-user snapshot
     after consuming the whole stream equals the batch aggregation."""

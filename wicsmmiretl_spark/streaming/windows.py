@@ -116,6 +116,49 @@ def stream_dedup(events: DataFrame, keys: Sequence[str] = ("event_id",), waterma
     return events.dropDuplicates(list(keys))
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    upper: str = "30 minutes",
+    watermark: str = "2 hours",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream (or batch-batch — unified plan) interval equi-join:
+    pairs a left row with every right row of the same ``key`` whose event
+    time falls in ``[left.ts, left.ts + upper]``.
+
+    Streaming semantics: BOTH sides carry watermarks, and the join condition
+    contains the event-time bound — that pair is what lets Spark evict
+    buffered state (a side's row can be dropped once the other side's
+    watermark passes its join horizon). Without the time bound the state
+    store grows without limit; this helper makes the bound structural.
+
+    All columns come back prefixed (``l_``/``r_``) — interval joins are
+    many-to-many, so no column can be silently preferred.
+
+    Scale notes: the shuffle key is ``key`` (user-grade cardinality — no
+    skew concentration); state per side is bounded by
+    watermark-horizon × per-key event rate. At 100 TB/day the same plan
+    holds: the join never buffers more than the horizon.
+    """
+    l = left.select([F.col(c).alias(f"{left_prefix}{c}") for c in left.columns])
+    r = right.select([F.col(c).alias(f"{right_prefix}{c}") for c in right.columns])
+    if left.isStreaming:
+        l = l.withWatermark(f"{left_prefix}{ts_col}", watermark)
+    if right.isStreaming:
+        r = r.withWatermark(f"{right_prefix}{ts_col}", watermark)
+    lts, rts = F.col(f"{left_prefix}{ts_col}"), F.col(f"{right_prefix}{ts_col}")
+    cond = (
+        (F.col(f"{left_prefix}{key}") == F.col(f"{right_prefix}{key}"))
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond)
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, spark: SparkSession, output_mode: str = "complete"
 ) -> DataFrame:

@@ -2232,6 +2232,42 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(train, bench, "doc_id", "text", n=4)
 
 
+@query(
+    "click_purchase_interval_join",
+    """
+    SELECT c.event_id AS click_id, c.user_id AS user_id,
+           epoch_us(c.ts) AS click_ts_us,
+           p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_ts_us,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_click_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval equi-join (streaming §2.9: the stream-stream join, run here
+    on its batch twin — Spark compiles the identical plan for two watermarked
+    streams; tests/test_streaming.py proves stream == batch): every purchase
+    within 30 minutes after a click by the same user."""
+    from wicsmmiretl_spark.streaming.windows import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = interval_join(clicks, purchases, key="user_id", ts_col="ts", upper="30 minutes")
+    return j.select(
+        F.col("l_event_id").alias("click_id"),
+        F.col("l_user_id").alias("user_id"),
+        F.unix_micros(F.col("l_ts")).alias("click_ts_us"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.unix_micros(F.col("r_ts")).alias("purchase_ts_us"),
+        F.col("r_value").alias("purchase_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order
 # ---------------------------------------------------------------------------
@@ -2258,6 +2294,7 @@ _DEFERRED_QUERIES = (
     "asof_tolerance_purchase",  # as-of tolerance variant: asof_click_purchase in-window
     "tumbling_daily",           # batch tumbling window: sliding_hourly + events_daily_pivot
     "nations_with_both",        # INTERSECT (trivial 25 rows): union_balance_stats + sets pytest
+    "events_value_bands",       # CASE classify + agg: split_assign CASE, events_stats_by_type agg
 )
 
 
