@@ -48,7 +48,12 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         ).alias("_grams"),
     )
 
-    grams = base.select(F.col(id_col), F.explode("_grams").alias("gram"))
+    # explode_outer + post-filter (see decontaminate.py): plain explode's
+    # implicit size>0 filter would be pushed below the projections and
+    # re-inline the interpreted bigram lambda per element_at — ~45x slower.
+    grams = base.select(F.col(id_col), F.explode_outer("_grams").alias("gram")).filter(
+        F.col("gram").isNotNull()
+    )
     counts = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
     per_doc = (
         counts.groupBy(id_col)

@@ -41,14 +41,22 @@ def ngram_contamination(
 
     Callers drop or downweight flagged docs; the operator only measures.
     """
+    # explode_outer + post-filter, NOT explode: plain explode plants an
+    # implicit `size(sh) > 0` filter that predicate-pushdown drags below the
+    # staged projections, re-inlining the interpreted shingle lambda into a
+    # Filter where every element_at re-tokenizes the text (~45x slower,
+    # measured at sf0.1). The null-filter on the GENERATED attribute cannot
+    # be pushed below the Generate.
     t_grams = (
         staged_shingles(train, id_col, text_col, n)
-        .select(F.col(id_col).alias("train_id"), F.explode("sh").alias("gram"))
+        .select(F.col(id_col).alias("train_id"), F.explode_outer("sh").alias("gram"))
+        .filter(F.col("gram").isNotNull())
         .withColumn("gh", F.md5("gram"))
     )
     b_grams = (
         staged_shingles(bench, id_col, text_col, n)
-        .select(F.col(id_col).alias("bench_id"), F.explode("sh").alias("gram"))
+        .select(F.col(id_col).alias("bench_id"), F.explode_outer("sh").alias("gram"))
+        .filter(F.col("gram").isNotNull())
         .select("bench_id", F.md5("gram").alias("gh"))
     )
     if broadcast_bench:
