@@ -92,3 +92,75 @@ def top_k(df: DataFrame, order_col: str, k: int, ascending: bool = False) -> Dat
     """R5 + limit: top-k by value → TakeOrderedAndProject, no global sort."""
     order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
     return df.orderBy(order).limit(k)
+
+
+def _hash_prefix(key_cols: Sequence[str], seed: int):
+    """First 8 hex chars of md5(key₁:…:keyₙ:seed) — fixed-length lowercase
+    hex compares like the 32-bit integer it encodes, and is recomputable in
+    any engine with an md5 (same contract as :func:`hash_split`)."""
+    key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed)))
+    return F.md5(key).substr(1, 8)
+
+
+def _frac_threshold(fraction: float) -> str:
+    return format(min(int(fraction * 0x100000000), 0xFFFFFFFF), "08x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    key_cols: Sequence[str],
+    seed: int = 1312,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample: a row of stratum ``s`` is
+    kept iff its md5 hash prefix < ``fractions[s]``·2³². Unlike
+    ``df.sampleBy`` (partition-index-dependent RNG), membership depends only
+    on the row's key — stable under repartitioning, re-runs, and engine
+    changes, which is what dataset versioning needs.
+
+    Scale: pure filter projection, no shuffle, predicate evaluates per row
+    at the scan."""
+    prefix = _hash_prefix(key_cols, seed)
+    thr = F.lit(_frac_threshold(default_fraction))
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(F.col(stratum_col) == stratum, F.lit(_frac_threshold(frac))).otherwise(thr)
+    return df.filter(prefix < thr)
+
+
+def mix_corpus(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    budget: float,
+    size_col: str,
+    key_cols: Sequence[str],
+    seed: int = 1312,
+) -> DataFrame:
+    """Corpus mixing under a budget: sample each source so its expected
+    share of ``budget`` (in ``size_col`` units — tokens, chars, bytes) is
+    proportional to its weight. The standard knob for re-weighting a
+    pretraining mixture (e.g. upsample wiki, downsample crawl).
+
+    Per source s: target_s = budget·w_s/Σw, fraction_s = min(1,
+    target_s/size_s). Source sizes come from ONE partial-agged groupBy whose
+    output is |sources| rows — collected to the driver (justified: mixture
+    configs are O(10) sources), then applied as a stratified hash-threshold
+    filter, so the corpus itself never shuffles. Sources absent from
+    ``weights`` are dropped (weight 0).
+    """
+    totals = {
+        r["s"]: r["tot"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(size_col).alias("tot"))
+        .collect()
+    }
+    total_w = sum(weights.values())
+    fractions = {}
+    for s, w in weights.items():
+        size_s = totals.get(s)
+        if not size_s:
+            continue
+        fractions[s] = min(1.0, (budget * w / total_w) / float(size_s))
+    return stratified_sample(df, source_col, fractions, key_cols, seed)

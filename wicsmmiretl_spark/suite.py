@@ -2268,6 +2268,45 @@ def q_click_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "corpus_mix",
+    """
+    WITH tot AS (
+      SELECT lang, CAST(sum(n_chars) AS BIGINT) AS tot FROM documents GROUP BY lang
+    ),
+    thr AS (
+      SELECT lang,
+             printf('%08x', least(CAST(floor(least(1.0, (60000.0 * w / 1.0) / tot)
+                                        * 4294967296) AS BIGINT), 4294967295)) AS threshold
+      FROM (
+        SELECT lang, tot,
+               CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.125 WHEN 'de' THEN 0.125
+                         WHEN 'zh' THEN 0.125 WHEN 'es' THEN 0.125 END AS w
+        FROM tot
+      ) WHERE w IS NOT NULL
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN thr ON d.lang = thr.lang
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':1312'), 1, 8) < threshold
+    """,
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing under a char budget: per-language sampling fractions
+    derived from mixture weights (en upsampled) and exact per-source sizes,
+    applied as a deterministic md5-threshold filter — the corpus never
+    shuffles; only the |sources|-row totals aggregate does. Weights are
+    binary-exact doubles and the fraction arithmetic uses the same operation
+    order on both engines, so thresholds agree bit-for-bit."""
+    from wicsmmiretl_spark.operators.sampling import mix_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = {"en": 0.5, "fr": 0.125, "de": 0.125, "zh": 0.125, "es": 0.125}
+    out = mix_corpus(
+        docs, "lang", weights, budget=60000.0, size_col="n_chars", key_cols=["doc_id"]
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order
 # ---------------------------------------------------------------------------
@@ -2295,6 +2334,7 @@ _DEFERRED_QUERIES = (
     "tumbling_daily",           # batch tumbling window: sliding_hourly + events_daily_pivot
     "nations_with_both",        # INTERSECT (trivial 25 rows): union_balance_stats + sets pytest
     "events_value_bands",       # CASE classify + agg: split_assign CASE, events_stats_by_type agg
+    "idle_rich_customers",      # TPC-H Q22 shape: semi/anti + HAVING join-back both in-window
 )
 
 
