@@ -57,43 +57,76 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    out = {
-        "metric": "suite_total_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": times,
-        "sf": sf,
-    }
-    prev = _latest_prior_bench()
+
+    # Round-over-round diagnostics go to STDERR only: the driver keeps just
+    # the last 2000 chars of stdout, and embedding ratios in the metric line
+    # made it unparseable in r3 (BENCH_r03.json parsed: null).
+    prev = _latest_prior_bench(sf)
     if prev:
-        # Per-query this-round/prior-round ratios (>1 = slower than last
-        # round) so regressions are visible per query, not only in the total.
         ratios = {
             name: round(t / prev[name], 2)
             for name, t in times.items()
             if prev.get(name)
         }
-        out["ratio_vs_prev"] = ratios
         flagged = {n: r for n, r in ratios.items() if r >= 1.5}
+        print("ratio_vs_prev: " + json.dumps(ratios), file=sys.stderr)
         if flagged:
-            out["regressions"] = flagged
-    print(json.dumps(out))
+            print("regressions: " + json.dumps(flagged), file=sys.stderr)
+
+    # Contract line: LAST on stdout, compact, and guaranteed to fit in the
+    # driver's 2000-char tail window. Degrade per-query precision (3 -> 2 -> 1
+    # decimals) before ever dropping the queries dict.
+    for decimals in (3, 2, 1, None):
+        q = (
+            {n: round(t, decimals) for n, t in times.items()}
+            if decimals is not None
+            else {}
+        )
+        out = {
+            "metric": "suite_total_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": q,
+            "sf": sf,
+        }
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) < 1900:
+            break
+        print(
+            f"metric line {len(line)} chars at {decimals} decimals; shrinking",
+            file=sys.stderr,
+        )
+    sys.stderr.flush()
+    print(line)
+    sys.stdout.flush()
 
 
-def _latest_prior_bench() -> dict[str, float] | None:
-    """Per-query times from the highest-numbered BENCH_r{N}.json, if any."""
-    benches = sorted(
-        Path(__file__).resolve().parent.glob("BENCH_r*.json"),
-        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
-    )
-    if not benches:
-        return None
-    try:
-        doc = json.loads(benches[-1].read_text())
-    except (OSError, json.JSONDecodeError):
-        return None
-    queries = (doc.get("parsed") or {}).get("queries") or doc.get("queries")
-    return queries if isinstance(queries, dict) else None
+def _latest_prior_bench(sf: float | None) -> dict[str, float] | None:
+    """Per-query times from the highest-numbered BENCH_r{N}.json at this sf.
+
+    Skips filenames whose suffix is not a round number (e.g. BENCH_rfinal)
+    and priors recorded at a different scale factor, so ratio_vs_prev never
+    compares across scales.
+    """
+    candidates = []
+    for p in Path(__file__).resolve().parent.glob("BENCH_r*.json"):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
+        if m:
+            candidates.append((int(m.group(1)), p))
+    for _, p in sorted(candidates, reverse=True):
+        try:
+            doc = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = doc.get("parsed") or {}
+        queries = parsed.get("queries") or doc.get("queries")
+        prior_sf = parsed.get("sf", doc.get("sf"))
+        if not isinstance(queries, dict):
+            continue
+        if sf is not None and prior_sf is not None and prior_sf != sf:
+            continue
+        return queries
+    return None
 
 
 if __name__ == "__main__":

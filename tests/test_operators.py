@@ -8,7 +8,13 @@ from pyspark.sql import functions as F
 
 from wicsmmiretl_spark.catalog import load_table
 from wicsmmiretl_spark.operators.aggregates import approx_stats, column_stats
-from wicsmmiretl_spark.operators.filters import RangeFilter, apply_filters, clamp_max, filters_from_config
+from wicsmmiretl_spark.operators.filters import (
+    RangeFilter,
+    apply_filters,
+    apply_filters_fenced,
+    clamp_max,
+    filters_from_config,
+)
 from wicsmmiretl_spark.operators.joins import asof_join, attach, drop_failures, keep_successes
 from wicsmmiretl_spark.operators.sampling import (
     deterministic_sample,
@@ -44,6 +50,23 @@ def test_filter_chain_subset_invariant(spark, sf_dir):
     assert out.count() <= li.count()
     mm = out.agg(F.min("l_quantity"), F.max("l_quantity")).first()
     assert mm[0] > 10 and mm[1] < 40
+
+
+def test_fenced_filter_same_rows_as_plain(spark):
+    # identical semantics to apply_filters (strict bounds, null-drop),
+    # different plan placement; output columns unchanged (_fence dropped)
+    df = spark.createDataFrame([(1, 9), (None, 5), (4, 2), (8, 7)], "x int, y int")
+    flt = [RangeFilter("x", 0, 8), RangeFilter("y", 1, 9)]
+    plain = apply_filters(df, flt)
+    fenced = apply_filters_fenced(df, flt)
+    assert fenced.columns == df.columns
+    assert sorted(map(tuple, fenced.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_fenced_filter_missing_column_raises(spark):
+    df = spark.range(3).toDF("x")
+    with pytest.raises(ValueError, match="nope"):
+        apply_filters_fenced(df, [RangeFilter("nope", 0, 1)])
 
 
 def test_clamp_max(spark):

@@ -96,6 +96,23 @@ def test_cube_expands_once_single_shuffle(spark):
     assert plan.count("FileScan") == 1
 
 
+def test_fenced_filter_keeps_tokenizer_out_of_scan_filter(spark):
+    """etl_caption_pipeline: the num_tok range filter must NOT be
+    substituted below the enrichment projection — the interpreted tokenizer
+    HOF would run once per conjunct in the scan-side filter plus again in
+    the projection. The Generate fence (apply_filters_fenced) pins the
+    filter above; the raw n_chars bounds still push to the scan."""
+    plan = _plan(spark, "etl_caption_pipeline")
+    # no Filter condition may contain the tokenizer split; it belongs in
+    # exactly one Project
+    for block in plan.split("+-"):
+        if "Filter" in block.split("\n")[0]:
+            assert "split(" not in block
+    assert "Generate explode" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "n_chars" in pushed
+
+
 def test_merge_keeps_full_outer_single_join(spark):
     plan = _plan(spark, "customer_merge_upsert")
     assert "FullOuter" in plan

@@ -34,7 +34,11 @@ from wicsmmiretl_spark.functions.text import (
     tokens,
 )
 from wicsmmiretl_spark.operators.aggregates import grouped_stats_matrix
-from wicsmmiretl_spark.operators.filters import RangeFilter, apply_filters
+from wicsmmiretl_spark.operators.filters import (
+    RangeFilter,
+    apply_filters,
+    apply_filters_fenced,
+)
 from wicsmmiretl_spark.operators.joins import asof_join
 from wicsmmiretl_spark.operators.sets import union_tagged
 
@@ -1466,14 +1470,15 @@ def q_etl_caption_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's extract stage end to end (wikicaps_etl_pipeline.py
     :255-257 shape): scan → E1 enrichment → P5/P6 config-driven strict-bounds
     filter chain → R1 deterministic shuffle → R2 limit. One lazy plan;
-    Catalyst pushes the n_chars filter to the scan while the num_tok filter
-    waits for the enrichment projection it depends on."""
+    Catalyst pushes the n_chars filter to the scan, while the num_tok filter
+    sits behind a Generate fence (apply_filters_fenced) — without it,
+    predicate pushdown substitutes the interpreted tokenizer HOF into the
+    filter condition once per conjunct and re-evaluates it in the projection
+    above (~4 tokenizer runs per row instead of 1)."""
     docs = _t(spark, sf_dir, "documents")
-    enriched = caption_stats(docs, "text")
-    filtered = apply_filters(
-        enriched,
-        [RangeFilter("num_tok", 10, 150), RangeFilter("n_chars", 200, 350)],
-    )
+    pre = apply_filters(docs, [RangeFilter("n_chars", 200, 350)])
+    enriched = caption_stats(pre, "text")
+    filtered = apply_filters_fenced(enriched, [RangeFilter("num_tok", 10, 150)])
     return (
         filtered.orderBy(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":1312"))))
         .limit(100)
