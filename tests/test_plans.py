@@ -19,7 +19,7 @@ def _plan(spark, name: str) -> str:
 
 
 def test_dim_joins_broadcast_not_sortmerge(spark):
-    plan = _plan(spark, "supplier_nation_revenue")
+    plan = _plan(spark, "nation_trade_volume")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
