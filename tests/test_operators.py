@@ -190,6 +190,33 @@ def test_hash_split_deterministic_and_stable(spark, sf_dir):
     assert 0.1 < frac < 0.4
 
 
+def test_stratified_sample_fraction_one_keeps_all(spark):
+    """fraction >= 1.0 must be a keep-all, not a '< ffffffff' compare that
+    drops the ~1-in-2^32 rows hashing to the top prefix."""
+    from wicsmmiretl_spark.operators.sampling import _frac_threshold, stratified_sample
+
+    assert _frac_threshold(1.0) == "g"
+    assert _frac_threshold(2.0) == "g"  # over-asked stays keep-all
+    assert _frac_threshold(0.5) == "80000000"
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.lit("s").alias("src")
+    )
+    out = stratified_sample(df, "src", {"s": 1.0}, ["k"])
+    assert out.count() == 1000
+
+
+def test_hash_split_null_key_propagates_like_sql_concat(spark):
+    """A NULL key column must NULL the hash (SQL || semantics): hash_split
+    assigns 'train', stratified_sample drops the row — on both engines."""
+    from wicsmmiretl_spark.operators.sampling import hash_split, stratified_sample
+
+    df = spark.createDataFrame([(1, "a"), (None, "a"), (3, "a")], "k int, src string")
+    splits = {r.k: r.split for r in hash_split(df, 0.9999, ["k"]).collect()}
+    assert splits[None] == "train"  # NULL < threshold is NULL -> otherwise()
+    kept = stratified_sample(df, "src", {"a": 0.9999}, ["k"]).collect()
+    assert all(r.k is not None for r in kept)
+
+
 def test_salted_join_matches_plain_join(spark):
     """Salting must not change join semantics — same result set, key spread
     across salt buckets."""

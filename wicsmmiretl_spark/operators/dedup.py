@@ -278,6 +278,18 @@ def simhash_near_pairs(
     never all-pairs — then the exact distance check is one xor+bit_count.
 
     Output: id_a, id_b, hamming (distinct pairs, id_a < id_b).
+
+    Plan shape — deliberately NO ``localCheckpoint`` here, unlike
+    ``lsh_candidate_pairs``: the self-join does recompute the signature
+    pipeline once per side, but that pipeline (token explode + md5 + 32
+    branchless bit-sums) is fully whole-stage-codegen'd, and an A/B/C
+    measurement at sf0.1 showed recompute (≈2.3 s) beats both a banded
+    checkpoint (≈2.65 s) and a signature checkpoint + broadcast join-back
+    (≈4.7 s) — materialization overhead exceeds one extra codegen'd pass.
+    The LSH case is different because its recomputed pipeline is
+    interpreted HOFs with THREE consumers. At larger scale the trade moves
+    with data size on both sides equally; revisit only if the signature
+    build gains an interpreted stage.
     """
     bands = F.array(
         *[

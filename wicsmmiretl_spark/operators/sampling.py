@@ -78,10 +78,10 @@ def hash_split(
 
     Adds a ``split`` column ('test' | 'train'). Threshold compare happens on
     the 8-hex-char prefix as a string — fixed-length lowercase hex preserves
-    numeric order.
+    numeric order. A NULL in any key column makes the hash NULL → 'train'
+    (same as a SQL ``||`` concatenation; see :func:`_hash_prefix`).
     """
-    key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed)))
-    prefix = F.md5(key).substr(1, 8)
+    prefix = _hash_prefix(key_cols, seed)
     threshold = format(int(test_fraction * 0x100000000), "08x")
     return df.withColumn(
         "split", F.when(prefix < threshold, F.lit("test")).otherwise(F.lit("train"))
@@ -97,12 +97,26 @@ def top_k(df: DataFrame, order_col: str, k: int, ascending: bool = False) -> Dat
 def _hash_prefix(key_cols: Sequence[str], seed: int):
     """First 8 hex chars of md5(key₁:…:keyₙ:seed) — fixed-length lowercase
     hex compares like the 32-bit integer it encodes, and is recomputable in
-    any engine with an md5 (same contract as :func:`hash_split`)."""
-    key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed)))
-    return F.md5(key).substr(1, 8)
+    any engine with an md5 (same contract as :func:`hash_split`).
+
+    NULL-propagating on purpose (``F.concat``, not ``concat_ws``): a NULL in
+    any key column yields a NULL hash, so threshold compares are NULL and
+    the row is excluded — exactly what a SQL ``key || ':' || seed``
+    concatenation does. ``concat_ws`` would silently skip the NULL column
+    and hash a shorter key, diverging from any SQL re-computation."""
+    parts: list = []
+    for c in key_cols:
+        parts.extend((F.col(c).cast("string"), F.lit(":")))
+    return F.md5(F.concat(*parts, F.lit(str(seed)))).substr(1, 8)
 
 
 def _frac_threshold(fraction: float) -> str:
+    """Hex threshold for ``prefix < threshold``. Fractions ≥ 1.0 return
+    ``'g'`` — lexically above every hex prefix, so the compare is
+    always-true and keep-everything really keeps everything (a 0xFFFFFFFF
+    cap would drop the ~1-in-2³² rows whose prefix is 'ffffffff')."""
+    if fraction >= 1.0:
+        return "g"
     return format(min(int(fraction * 0x100000000), 0xFFFFFFFF), "08x")
 
 

@@ -2202,8 +2202,9 @@ def q_click_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
     ),
     thr AS (
       SELECT lang,
-             printf('%08x', least(CAST(floor(least(1.0, (60000.0 * w / 1.0) / tot)
-                                        * 4294967296) AS BIGINT), 4294967295)) AS threshold
+             CASE WHEN (60000.0 * w / 1.0) / tot >= 1.0 THEN 'g'
+                  ELSE printf('%08x', least(CAST(floor(least(1.0, (60000.0 * w / 1.0) / tot)
+                                           * 4294967296) AS BIGINT), 4294967295)) END AS threshold
       FROM (
         SELECT lang, tot,
                CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.125 WHEN 'de' THEN 0.125
