@@ -152,6 +152,37 @@ def test_ivf_topk_shape_and_cell_consistency(spark, sf_dir):
         assert cosines == sorted(cosines, reverse=True)
 
 
+def test_ivf_topk_recall_monotone_in_nprobe(spark, sf_dir):
+    """Each extra probed cell only ADDS candidates (existing ones keep their
+    exact scores), so recall@k vs brute force is monotone in nprobe, and
+    nprobe = #cells reproduces the exact ranking bit-for-bit."""
+    from wicsmmiretl_spark.catalog import load_table
+    from wicsmmiretl_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    n_cells = emb.select("label").distinct().count()
+    exact = {}
+    for r in cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(nprobe: int) -> float:
+        got = {}
+        for r in ivf_topk(emb, k=5, nprobe=nprobe).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(
+            len(got.get(q, set()) & nbrs) / len(nbrs) for q, nbrs in exact.items()
+        ) / len(exact)
+
+    r1, r3, rall = recall(1), recall(3), recall(n_cells)
+    assert r1 <= r3 <= rall
+    assert rall == 1.0
+    exact_rows = sorted(
+        tuple(r) for r in cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).collect()
+    )
+    all_rows = sorted(tuple(r) for r in ivf_topk(emb, k=5, nprobe=n_cells).collect())
+    assert all_rows == exact_rows
+
+
 def test_dup_clusters_resolves_chains(spark):
     """A chain a-b, b-c must land in ONE cluster labeled by the min id —
     exactly what naive pair-dedup (keep min of each pair) gets wrong."""

@@ -234,7 +234,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(stop_hits.cast("double") / F.greatest(num_tok, F.lit(1)).cast("double"), 4),
         )
         .withColumn("q_distinct_ratio", F.round(distinct_ratio, 4))
-        .drop("_toks")
+        .drop("_toks", "_cls")
     )
 
 
@@ -257,4 +257,78 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("ws_tokens", F.size(tokens(text_col)).cast("long")).withColumn(
         "bpe_tokens",
         F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).cast("long"),
+    )
+
+
+# Closed-class word lists for the heuristic POS counter. Tiny by design:
+# they are inlined into the Catalyst plan as literal arrays.
+_CONJ_WORDS = ("and", "or", "but", "nor", "so", "yet", "because", "although", "while", "if")
+_ADP_WORDS = (
+    "of", "in", "to", "for", "with", "on", "at", "by", "from",
+    "about", "into", "over", "after", "under", "between", "through",
+)
+
+# First-match-wins token classes (order matters; mirrors vocab_token_class's
+# NUM/PUNCT/PROPN precedence, extended with closed-class and suffix rules).
+_POS_RULES: tuple[tuple[str, object], ...] = (
+    ("num_num", lambda t: t.rlike(r"^[0-9]+([.,][0-9]+)?$")),
+    ("num_sym", lambda t: t.rlike(r"^[^A-Za-z0-9]+$")),
+    ("num_propn", lambda t: t.rlike(r"^[A-Z]")),
+    ("num_conj", lambda t: F.lower(t).isin(*_CONJ_WORDS)),
+    ("num_adp", lambda t: F.lower(t).isin(*_ADP_WORDS)),
+    ("num_verb", lambda t: F.lower(t).rlike(r"(ing|ed|ify|ize|ise)$")),
+    ("num_adj", lambda t: F.lower(t).rlike(r"(ous|ful|ive|able|ible|ish|less)$")),
+)
+
+
+def pos_tag_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Dependency-free twin of the reference's optional ``pos_tag_stats``
+    columns (utils.py:543-556): num_nouns/num_propn/num_conj/num_verb/
+    num_sym/num_num/num_adp/num_adj plus the noun/propn token ratios.
+
+    HEURISTIC, not a tagger: first-match-wins token classes (numeric regex,
+    symbol runs, capitalization for proper nouns, closed-class word lists,
+    suffix rules for verbs/adjectives; the remainder counts as noun). The
+    model backends (functions/nlp_backends.py) emit the same schema from
+    real POS tags — this keeps the optional reference surface available when
+    no model library is installed, with honest precision limits.
+
+    All counting is codegen'd-adjacent Catalyst (one staged token array, one
+    classify-per-token), zero Python, zero shuffle — a pure projection.
+    """
+    staged = df.withColumn("_toks", tokens(text_col))
+
+    # Single interpreted pass per token: one when-chain classifies
+    # (first-match-wins, short-circuiting), then each count is a cheap
+    # string-equality filter over the staged class array. An
+    # eight-filters-over-tokens shape would re-evaluate every earlier rule's
+    # regex per filter (~4x the interpreted work, measured at sf0.01).
+    def classify(t):
+        expr = None
+        for name, rule in _POS_RULES:
+            expr = F.when(rule(t), F.lit(name)) if expr is None else expr.when(rule(t), F.lit(name))
+        return expr.otherwise(F.lit("num_nouns"))
+
+    staged = staged.withColumn("_cls", F.transform(F.col("_toks"), classify))
+
+    # NB: bind the name through a factory — F.filter inspects lambda arity,
+    # and even a DEFAULTED extra parameter turns the callback into an
+    # (element, index) form.
+    def eq(name: str):
+        return lambda x: x == F.lit(name)
+
+    out = staged
+    for name in [n for n, _ in _POS_RULES] + ["num_nouns"]:
+        out = out.withColumn(name, F.size(F.filter(F.col("_cls"), eq(name))).cast("long"))
+    nt = F.size(F.col("_toks")).cast("long")
+    ntd = F.greatest(nt, F.lit(1)).cast("double")
+    return (
+        out.withColumn("num_tok", nt)
+        .withColumn("ratio_noun_tok", F.round(F.col("num_nouns").cast("double") / ntd, 6))
+        .withColumn("ratio_propn_tok", F.round(F.col("num_propn").cast("double") / ntd, 6))
+        .withColumn(
+            "ratio_all_noun_tok",
+            F.round((F.col("num_nouns") + F.col("num_propn")).cast("double") / ntd, 6),
+        )
+        .drop("_toks", "_cls")
     )

@@ -227,16 +227,23 @@ def ivf_topk(
     label_col: str = "label",
     query_max_id: int = 10,
     scale: int = 10**9,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: coarse cells from per-``label`` centroids, every vector
     assigned to its NEAREST centroid, each query (id < query_max_id) probes
-    one cell (nprobe=1) and ranks candidates by exact cosine.
+    its ``nprobe`` nearest cells and ranks candidates by exact cosine.
 
     Centroid "training" stands in for an offline k-means job — the cells here
     are the data's label clusters. Centroid components are exact scaled-
     integer means (order-independent, cross-engine reproducible). At scale:
     centroids broadcast (tiny), assignment is a map-side broadcast join, and
-    the probe join shuffles by cell — never all-pairs.
+    the probe join shuffles by cell — never all-pairs. Raising ``nprobe``
+    multiplies only the QUERY side of the probe join (queries × nprobe rows);
+    candidates stay single-cell, so the join stays cell-partitioned and its
+    cost scales with nprobe × cell size, not corpus size. Recall increases
+    monotonically with nprobe (each probe adds a candidate cell; existing
+    candidates keep their exact scores) until nprobe = #cells reproduces the
+    exact brute-force ranking.
 
     Output: query_id, neighbor_id, cosine (rounded 6dp).
     """
@@ -267,20 +274,18 @@ def ivf_topk(
 
     cdot = F.aggregate(F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     w_assign = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell"))
-    assign = (
+    ranked = (
         v.crossJoin(F.broadcast(cent))
         .withColumn("ccos", F.round(cdot / (F.col("nv") * F.col("nc")), 6))
         .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col), "cell")
     )
-
-    va = v.join(assign, id_col)
-    q = va.filter(F.col(id_col) < query_max_id).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq"), "cell"
-    )
-    c = va.select(
+    # candidates live in exactly one cell; queries fan out to nprobe cells
+    c = ranked.filter(F.col("rn") == 1).select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv2"), F.col("nv").alias("nn"), "cell"
+    )
+    q = (
+        ranked.filter((F.col(id_col) < query_max_id) & (F.col("rn") <= nprobe))
+        .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq"), "cell")
     )
     dot = F.aggregate(F.zip_with("qv", "cv2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

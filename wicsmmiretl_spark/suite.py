@@ -146,6 +146,67 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_POS_CASE = """
+      CASE WHEN regexp_matches(t, '^[0-9]+([.,][0-9]+)?$') THEN 'num_num'
+           WHEN regexp_matches(t, '^[^A-Za-z0-9]+$') THEN 'num_sym'
+           WHEN regexp_matches(t, '^[A-Z]') THEN 'num_propn'
+           WHEN list_contains(['and','or','but','nor','so','yet','because','although','while','if'], lower(t)) THEN 'num_conj'
+           WHEN list_contains(['of','in','to','for','with','on','at','by','from','about','into','over','after','under','between','through'], lower(t)) THEN 'num_adp'
+           WHEN regexp_matches(lower(t), '(ing|ed|ify|ize|ise)$') THEN 'num_verb'
+           WHEN regexp_matches(lower(t), '(ous|ful|ive|able|ible|ish|less)$') THEN 'num_adj'
+           ELSE 'num_nouns' END
+"""
+
+
+@query(
+    "pos_tag_stats",
+    f"""
+    WITH base AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    cls AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS num_tok,
+             list_transform(toks, t -> {_SQL_POS_CASE}) AS c
+      FROM base
+    )
+    SELECT doc_id, num_tok,
+           CAST(len(list_filter(c, x -> x = 'num_num')) AS BIGINT) AS num_num,
+           CAST(len(list_filter(c, x -> x = 'num_sym')) AS BIGINT) AS num_sym,
+           CAST(len(list_filter(c, x -> x = 'num_propn')) AS BIGINT) AS num_propn,
+           CAST(len(list_filter(c, x -> x = 'num_conj')) AS BIGINT) AS num_conj,
+           CAST(len(list_filter(c, x -> x = 'num_adp')) AS BIGINT) AS num_adp,
+           CAST(len(list_filter(c, x -> x = 'num_verb')) AS BIGINT) AS num_verb,
+           CAST(len(list_filter(c, x -> x = 'num_adj')) AS BIGINT) AS num_adj,
+           CAST(len(list_filter(c, x -> x = 'num_nouns')) AS BIGINT) AS num_nouns,
+           round(CAST(len(list_filter(c, x -> x = 'num_nouns')) AS DOUBLE) / greatest(num_tok, 1), 6) AS ratio_noun_tok,
+           round(CAST(len(list_filter(c, x -> x = 'num_propn')) AS DOUBLE) / greatest(num_tok, 1), 6) AS ratio_propn_tok,
+           round(CAST(len(list_filter(c, x -> x = 'num_nouns')) + len(list_filter(c, x -> x = 'num_propn')) AS DOUBLE) / greatest(num_tok, 1), 6) AS ratio_all_noun_tok
+    FROM cls
+    """,
+)
+def q_pos_tag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's optional ``pos_tag_stats=True`` column surface
+    (utils.py:543-556) from the dependency-free builtin backend: heuristic
+    first-match token classes (functions/text.py:pos_tag_stats). Model
+    backends emit the same schema from real tags when installed."""
+    from wicsmmiretl_spark.functions.text import pos_tag_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return pos_tag_stats(docs, "text").select(
+        "doc_id",
+        "num_tok",
+        "num_num",
+        "num_sym",
+        "num_propn",
+        "num_conj",
+        "num_adp",
+        "num_verb",
+        "num_adj",
+        "num_nouns",
+        "ratio_noun_tok",
+        "ratio_propn_tok",
+        "ratio_all_noun_tok",
+    )
+
+
 @query(
     "quality_scores",
     f"""
@@ -2265,6 +2326,7 @@ _DEFERRED_QUERIES = (
     "events_stats_by_type",     # grouped stats matrix (A9): stats_matrix_documents is the canonical one
     "window_rank_events",       # rank window: user_value_analytics + cheapest_supplier_per_part cover §2.9
     "embedding_centroids",      # grouped array mean: ivf_topk builds/probes the same centroids in-window
+    "pos_tag_stats",            # optional reference surface (pos_tag_stats=True); text_stats is canonical E1
 )
 
 
