@@ -95,3 +95,46 @@ def test_ngram_contamination_shuffle_path_matches_broadcast(spark):
     a = sorted(map(tuple, ngram_contamination(train, bench, n=4, broadcast_bench=True).collect()))
     b = sorted(map(tuple, ngram_contamination(train, bench, n=4, broadcast_bench=False).collect()))
     assert a == b and len(a) > 0
+
+
+def test_chunk_documents_partitions_and_overlaps(spark):
+    from wicsmmiretl_spark.operators.packing import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, toks), (2, "a b"), (3, ""), (4, None)], "doc_id long, text string")
+    # stride == chunk: chunks partition the token list exactly
+    parts = sorted(
+        (r.chunk_idx, r.chunk_text) for r in chunk_documents(df, chunk=4, stride=4).filter("doc_id = 1").collect()
+    )
+    assert [p[1] for p in parts] == ["t0 t1 t2 t3", "t4 t5 t6 t7", "t8 t9"]
+    # overlapping: window i starts at i*stride, trailing short window kept
+    ov = sorted(
+        (r.chunk_idx, r.chunk_text, r.chunk_n_tok)
+        for r in chunk_documents(df, chunk=4, stride=2).filter("doc_id = 1").collect()
+    )
+    assert ov[0][1] == "t0 t1 t2 t3" and ov[1][1] == "t2 t3 t4 t5"
+    assert ov[-1][1] == "t8 t9" and ov[-1][2] == 2
+    # empty/null docs emit no chunks
+    assert chunk_documents(df, chunk=4, stride=4).filter("doc_id >= 3").count() == 0
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from wicsmmiretl_spark.catalog import load_table
+    from wicsmmiretl_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = pack_sequences(docs, budget=100, num_buckets=8)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(0 <= r.seq_offset < 100 for r in rows)
+    assert all(0 <= r.bucket < 8 for r in rows)
+    # within a bucket, ids in order fill sequences monotonically and every
+    # token is accounted for: first_tok of doc i == cumsum of previous docs
+    by_bucket = {}
+    for r in sorted(rows, key=lambda r: (r.bucket, r.doc_id)):
+        prev = by_bucket.get(r.bucket, 0)
+        assert r.seq_idx * 100 + r.seq_offset == prev
+        by_bucket[r.bucket] = prev + r.n_tok
+    # repartitioning does not change assignments
+    again = sorted(map(tuple, pack_sequences(docs.repartition(13), budget=100, num_buckets=8).collect()))
+    assert again == sorted(map(tuple, rows))

@@ -2295,6 +2295,62 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars")
 
 
+@query(
+    "doc_chunks",
+    f"""
+    WITH base AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    ex AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks), 0) + 1, 48)) AS start
+      FROM base
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 48 AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(toks, start, start + 63), ' ') AS chunk_text,
+           CAST(len(list_slice(toks, start, start + 63)) AS BIGINT) AS chunk_n_tok
+    FROM ex
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (engine extension): 64-token windows every
+    48 tokens (16-token overlap) — the transform between a cleaned corpus
+    and model-input windows. Pure generate, no shuffle."""
+    from wicsmmiretl_spark.operators.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk=64, stride=48)
+
+
+@query(
+    "pack_assign",
+    f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 32 AS bucket, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, bucket, n_tok,
+             sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS first_tok
+      FROM t
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(first_tok // 512 AS BIGINT) AS seq_idx,
+           CAST(first_tok % 512 AS BIGINT) AS seq_offset,
+           n_tok
+    FROM r
+    """,
+)
+def q_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-cut sequence packing (engine extension): each
+    doc's (sequence, offset) under 512-token cuts of 32 bucketed id-ordered
+    streams. Exact integer window sums — deterministic on any layout."""
+    from wicsmmiretl_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text", budget=512, num_buckets=32)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order
 # ---------------------------------------------------------------------------
@@ -2327,6 +2383,8 @@ _DEFERRED_QUERIES = (
     "window_rank_events",       # rank window: user_value_analytics + cheapest_supplier_per_part cover §2.9
     "embedding_centroids",      # grouped array mean: ivf_topk builds/probes the same centroids in-window
     "pos_tag_stats",            # optional reference surface (pos_tag_stats=True); text_stats is canonical E1
+    "doc_chunks",               # generate-per-row shape: vocab_top100 explode + etl pipeline cover it
+    "pack_assign",              # bucketed window cumsum: user_value_analytics runs the same window shape
 )
 
 
