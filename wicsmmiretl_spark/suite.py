@@ -2296,6 +2296,66 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_curation",
+    rf"""
+    WITH filt AS (
+      SELECT doc_id, text,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS q_num_tok,
+             round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4) AS q_alpha_ratio,
+             round(CAST(len(list_filter(list_transform({_SQL_TOKS}, t -> lower(t)), t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS DOUBLE) / greatest(len({_SQL_TOKS}), 1), 4) AS q_stopword_ratio
+      FROM documents WHERE lang = 'en'
+    ),
+    pass AS (
+      SELECT * FROM filt
+      WHERE q_num_tok IS NOT NULL AND q_num_tok > 5 AND q_num_tok < 200
+        AND q_alpha_ratio IS NOT NULL AND q_alpha_ratio > 0.5
+        AND q_stopword_ratio IS NOT NULL AND q_stopword_ratio > 0.02
+    ),
+    fp AS (
+      SELECT *, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+      FROM pass
+    ),
+    keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
+    SELECT p.doc_id,
+           regexp_replace(regexp_replace(regexp_replace(p.text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\+?\d{{3}}[- ]\d{{3}}[- ]\d{{4}}', '<PHONE>', 'g'),
+             '\b(\d{{1,3}}\.){{3}}\d{{1,3}}\b', '<IP>', 'g') AS curated_text,
+           p.q_num_tok, p.q_alpha_ratio
+    FROM fp p JOIN keep k ON p.f = k.f AND p.doc_id = k.doc_id
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship END-TO-END curation pipeline — what a pretraining-data user
+    actually runs: language select (scan-pushed) → quality gates on derived
+    scores (behind the Generate fence so the interpreted token HOFs evaluate
+    once) → exact dedup keeping the min doc id per normalized fingerprint →
+    PII redaction on the survivors. Every stage is an already-oracled
+    operator; this query checks their COMPOSITION end to end."""
+    from wicsmmiretl_spark.functions.scrub import scrub_text
+    from wicsmmiretl_spark.functions.text import quality_score
+    from wicsmmiretl_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    q = quality_score(docs, "text")
+    passed = apply_filters_fenced(
+        q,
+        [
+            RangeFilter("q_num_tok", 5, 200),
+            RangeFilter("q_alpha_ratio", 0.5),
+            RangeFilter("q_stopword_ratio", 0.02),
+        ],
+    )
+    deduped = exact_dedup(passed, "doc_id", "text")
+    return deduped.select(
+        "doc_id",
+        scrub_text(F.col("text")).alias("curated_text"),
+        F.col("q_num_tok").cast("long").alias("q_num_tok"),
+        "q_alpha_ratio",
+    )
+
+
+@query(
     "doc_chunks",
     f"""
     WITH base AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
@@ -2385,6 +2445,7 @@ _DEFERRED_QUERIES = (
     "pos_tag_stats",            # optional reference surface (pos_tag_stats=True); text_stats is canonical E1
     "doc_chunks",               # generate-per-row shape: vocab_top100 explode + etl pipeline cover it
     "pack_assign",              # bucketed window cumsum: user_value_analytics runs the same window shape
+    "corpus_curation",          # composition of already-in-window ops (quality, dedup, scrub, fence)
 )
 
 
