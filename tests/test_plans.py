@@ -8,6 +8,7 @@ These assert on .explain() output, not timings — stable under CI noise.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from wicsmmiretl_spark.suite import QUERIES
 
@@ -117,3 +118,34 @@ def test_merge_keeps_full_outer_single_join(spark):
     plan = _plan(spark, "customer_merge_upsert")
     assert "FullOuter" in plan
     assert plan.count("Join") <= plan.count("FullOuter") + 2  # no extra join blow-up
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):
+    """Bucketing is the co-located-join lever at 100 TB: two tables bucketed
+    by the join key on the same bucket count must sort-merge-join with NO
+    shuffle exchange on either side."""
+    from wicsmmiretl_spark.catalog import load_table
+
+    c = load_table(spark, "customer", SF).select("c_custkey", "c_name", "c_acctbal")
+    o = load_table(spark, "orders", SF).select("o_custkey", "o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS bkt_customer")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    (c.write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("bkt_customer"))
+    (o.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("bkt_orders"))
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bkt_customer").join(
+                spark.table("bkt_orders"),
+                F.col("c_custkey") == F.col("o_custkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # bucket layout satisfies both sides
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_customer")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")

@@ -156,3 +156,25 @@ def test_stateful_running_stats_stream_equals_batch(spark, event_dir):
         for r in running_user_stats(spark.read.parquet(event_dir)).collect()
     }
     assert got == want
+
+
+def test_idempotent_partition_sink_replay_converges(spark, event_dir, tmp_path):
+    """Replaying the whole stream (fresh checkpoint, same input) must land
+    the same rows, not append duplicates — the exactly-once-effect contract
+    of foreachBatch + dynamic partition overwrite."""
+    from wicsmmiretl_spark.streaming.sinks import start_idempotent_partition_sink
+
+    out = str(tmp_path / "sink_out")
+    src = load_table(spark, "events", "/root/testdata/sf0.001")
+    expected = src.count()
+
+    for attempt in range(2):  # second run = full replay with a new checkpoint
+        stream = read_event_stream(spark, event_dir)
+        q = start_idempotent_partition_sink(
+            stream, out, ["event_type"], str(tmp_path / f"ckpt{attempt}")
+        )
+        q.awaitTermination()
+
+    written = spark.read.parquet(out)
+    assert written.count() == expected
+    assert written.select("event_id").distinct().count() == expected
