@@ -240,8 +240,24 @@ def jaccard_pairs(
     only thing connecting an oversized near-clique bucket, so dropping one
     below threshold would disconnect genuine near-dups. They are
     pre-confirmed by construction, not verified per-pair.
+
+    Plan shape: the interpreted shingle pipeline runs ONLY for documents
+    that appear in a candidate pair — the candidate frame (tiny: LSH
+    survivors) is materialized once, its id set semi-joins the corpus, and
+    shingles are computed for that reduced set. Without the reduction both
+    join sides shingle the FULL corpus (verification cost scales with the
+    corpus instead of with |candidates| — the wrong side of the LSH
+    bargain at 100 TB).
     """
-    sh = staged_shingles(df, id_col, text_col, shingle_n)
+    cand = candidates.localCheckpoint(eager=False)
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = staged_shingles(
+        df.join(ids, id_col, "left_semi"), id_col, text_col, shingle_n
+    )
     keep = F.col("jaccard") >= threshold
     if "is_star" in candidates.columns:
         keep = keep | F.col("is_star")
@@ -249,7 +265,7 @@ def jaccard_pairs(
     else:
         out_cols = ["id_a", "id_b", "jaccard"]
     out = (
-        candidates.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        cand.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
