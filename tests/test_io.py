@@ -158,3 +158,32 @@ def test_dynamic_partition_overwrite_is_surgical(spark, tmp_path):
     overwrite_partitions(redo, dst, ["day"])
     got = sorted(tuple(r) for r in spark.read.parquet(dst).select("day", "v").collect())
     assert got == [("d1", 1), ("d1", 2), ("d2", 99)]
+
+
+def test_read_binary_files_glob_and_size_filter(spark, tmp_path):
+    from wicsmmiretl_spark.sources.io import read_binary_files
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNG" + b"x" * 100)
+    (tmp_path / "b.png").write_bytes(b"\x89PNG" + b"y" * 5000)
+    (tmp_path / "c.txt").write_bytes(b"not an image")
+    all_pngs = read_binary_files(spark, str(tmp_path), glob="*.png")
+    assert all_pngs.count() == 2
+    assert set(all_pngs.columns) >= {"path", "length", "content"}
+    small = read_binary_files(spark, str(tmp_path), glob="*.png", max_bytes=1000)
+    rows = small.collect()
+    assert len(rows) == 1 and rows[0].content.startswith(b"\x89PNG")
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from wicsmmiretl_spark.sources.io import compact_parquet
+
+    src = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    # fragment: 40 tiny files
+    spark.range(0, 4000).repartition(40).write.parquet(src)
+    import glob as g
+    assert len(g.glob(src + "/*.parquet")) == 40
+    n = compact_parquet(spark, src, out, target_bytes_per_file=10 * 1024 * 1024)
+    assert n == 1
+    assert len(g.glob(out + "/*.parquet")) == 1
+    assert spark.read.parquet(out).count() == 4000

@@ -197,3 +197,56 @@ def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> N
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None, max_bytes: int | None = None
+) -> DataFrame:
+    """Binary-asset ingestion via the ``binaryFile`` source: one row per
+    file with (path, modificationTime, length, content) — the distributed
+    twin of the reference's local image-directory walk (utils.py:76-97) and
+    the standard way raw images/audio enter the multimodal pipeline
+    (multimodal/images.py) from an object store.
+
+    ``glob`` filters by pathGlobFilter at the SOURCE (files that don't match
+    are never opened); ``max_bytes`` pre-filters on the LENGTH metadata
+    column so oversized assets are dropped before their content influences
+    downstream batch sizing. Partitioning: the source splits by file, so
+    parallelism = file count — compact tiny-file directories first
+    (:func:`compact_parquet` is the same medicine for parquet).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, out_path: str, target_bytes_per_file: int = 128 * 1024 * 1024
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into files of
+    roughly ``target_bytes_per_file`` (HDFS/S3 sweet spot). Small files are
+    the classic silent killer at 100 TB — each one costs a task, a
+    footer-read, and a driver-side listing entry.
+
+    File count is derived from the dataset's on-disk bytes (input_file_
+    metadata aggregation — no data read beyond the listing), floored at 1.
+    Returns the number of files written. Uses ``repartition`` (round-robin)
+    for even output sizes; callers that need a downstream join key should
+    instead repartition by that key and write bucketed tables.
+    """
+    src = spark.read.parquet(path)
+    total_bytes = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(path)
+        .agg(F.sum("length").alias("b"))
+        .first()["b"]
+        or 0
+    )
+    n_files = max(1, int(total_bytes // target_bytes_per_file) + (1 if total_bytes % target_bytes_per_file else 0))
+    src.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
