@@ -145,6 +145,20 @@ def test_pipeline_end_to_end(spark, caption_fixture, tmp_path):
     assert csv.count() == meta.count()
 
 
+def test_pipeline_stage_metrics_observed(spark, caption_fixture, tmp_path):
+    """Stage metrics ride the checkpoint write via df.observe — no extra
+    count() jobs. fetch_failures + surviving rows must reconcile."""
+    cfg = _config(caption_fixture, tmp_path / "out3")
+    pipe = CaptionPipeline(spark, cfg, fetcher=fake_fetcher, url_builder=_url_from_file)
+    extracted = pipe.extract()
+    m = pipe.stage_metrics["extract"]
+    assert m["rows_after_filter"] == extracted.count() + m["fetch_failures"]
+    assert m["fetch_failures"] > 0  # fixture plants ~10% missing files
+    pipe.transform()
+    t = pipe.stage_metrics["transform"]
+    assert t["rows_transformed"] >= t["transform_failures"]
+
+
 def test_pipeline_checkpoint_resume(spark, caption_fixture, tmp_path):
     cfg = _config(caption_fixture, tmp_path / "out2")
     pipe = CaptionPipeline(spark, cfg, fetcher=fake_fetcher, url_builder=_url_from_file)

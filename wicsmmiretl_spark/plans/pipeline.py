@@ -54,6 +54,11 @@ class CaptionPipeline:
         self.fetcher = fetcher
         # default URL builder: wikimedia thumb URLs from wikimedia_file (F4)
         self.url_builder = url_builder or self._default_urls
+        # per-stage row/failure metrics, collected via df.observe on the
+        # checkpoint write itself — the reference logs these with extra
+        # len(df) passes (wikicaps_etl_pipeline.py:171-201); Observation
+        # piggybacks on the action already running, zero extra jobs.
+        self.stage_metrics: dict[str, dict] = {}
 
     # -- checkpoint plumbing (O2) -------------------------------------------
     def _ckpt(self, stage: str) -> str:
@@ -93,10 +98,21 @@ class CaptionPipeline:
         with_urls = self.url_builder(filtered)
         fetched = fetch_images(with_urls, fetcher=self.fetcher)
         attached = with_urls.join(fetched, "wikicaps_id", "left")
+
+        from pyspark.sql import Observation
+
+        obs = Observation("extract")
+        attached = attached.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_after_filter"),
+            F.sum(F.col("content").isNull().cast("long")).alias("fetch_failures"),
+        )
         ok = attached.filter(F.col("content").isNotNull()).withColumn(
             "format", F.lit("png")
         )
-        return self._write_ckpt(ok, "extracted")
+        out = self._write_ckpt(ok, "extracted")
+        self.stage_metrics["extract"] = obs.get
+        return out
 
     def transform(self) -> DataFrame:
         if self._has_ckpt("transformed"):
@@ -107,10 +123,22 @@ class CaptionPipeline:
             return self._write_ckpt(extracted, "transformed")
         images = apply_image_transformations(extracted, self.config.transformations)
         meta = extracted.drop("content", "format")
-        joined = meta.join(images, "wikicaps_id", "inner").filter(
-            F.col("content").isNotNull()
+
+        from pyspark.sql import Observation
+
+        obs = Observation("transform")
+        joined = (
+            meta.join(images, "wikicaps_id", "inner")
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("rows_transformed"),
+                F.sum(F.col("content").isNull().cast("long")).alias("transform_failures"),
+            )
+            .filter(F.col("content").isNotNull())
         )
-        return self._write_ckpt(joined, "transformed")
+        out = self._write_ckpt(joined, "transformed")
+        self.stage_metrics["transform"] = obs.get
+        return out
 
     def load(self) -> dict[str, str]:
         final = self.transform() if self.config.run_transform else self.extract()

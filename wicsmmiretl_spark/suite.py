@@ -2296,6 +2296,35 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_supplier_volume",
+    """
+    SELECT s.s_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1
+    """,
+)
+def q_salted_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join, oracle-checked: salting must be result-invisible —
+    the salted fact/dim join aggregates to exactly what the plain SQL join
+    produces. The salt scatters each hot key over 8 task buckets
+    (operators/joins.py:salted_join); the oracle knows nothing of salt."""
+    from wicsmmiretl_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+    joined = salted_join(li, sup.select("l_suppkey", "s_nationkey"), "l_suppkey", salts=8)
+    return (
+        joined.groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_items"),
+            _exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"),
+        )
+    )
+
+
+@query(
     "corpus_curation",
     rf"""
     WITH filt AS (
@@ -2446,6 +2475,7 @@ _DEFERRED_QUERIES = (
     "doc_chunks",               # generate-per-row shape: vocab_top100 explode + etl pipeline cover it
     "pack_assign",              # bucketed window cumsum: user_value_analytics runs the same window shape
     "corpus_curation",          # composition of already-in-window ops (quality, dedup, scrub, fence)
+    "salted_supplier_volume",   # salting is result-invisible; plain-join agg shape in-window (Q7/Q18)
 )
 
 
