@@ -1,0 +1,81 @@
+"""BM25 ranked retrieval and kNN classification unit tests (edge cases the
+sf0.01 oracle gate can't probe: ties, absent terms, empty inputs)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wicsmmiretl_spark.operators.ranking import bm25_rank
+from wicsmmiretl_spark.operators.similarity import knn_classify
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_empty_query_raises(spark):
+    with pytest.raises(ValueError, match="query_terms"):
+        bm25_rank(_docs(spark, [(1, "a b c")]), [])
+
+
+def test_bm25_orders_by_term_density(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "apple apple apple pear"),  # tf=3, short
+            (2, "apple pear plum grape kiwi lime fig date plum pear"),  # tf=1, long
+            (3, "pear plum grape"),  # no query term at all
+        ],
+    )
+    out = bm25_rank(docs, ["apple"], k=10).collect()
+    assert [r.doc_id for r in out] == [1, 2]  # doc 3 absent, density wins
+    assert out[0].bm25 > out[1].bm25 > 0
+
+
+def test_bm25_absent_term_contributes_nothing(spark):
+    docs = _docs(spark, [(1, "x y z"), (2, "x x y")])
+    only_x = bm25_rank(docs, ["x"], k=10).collect()
+    with_ghost = bm25_rank(docs, ["x", "zzz_not_in_corpus"], k=10).collect()
+    assert sorted((r.doc_id, r.bm25) for r in only_x) == sorted(
+        (r.doc_id, r.bm25) for r in with_ghost
+    )
+
+
+def test_bm25_k_truncates_with_id_tiebreak(spark):
+    # identical docs → identical scores; top-2 must be the 2 smallest ids
+    docs = _docs(spark, [(i, "same text here") for i in range(5)])
+    out = bm25_rank(docs, ["same"], k=2).collect()
+    assert [r.doc_id for r in out] == [0, 1]
+    assert out[0].bm25 == out[1].bm25
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_knn_majority_and_tiebreak(spark):
+    # query 0 at origin-ish; 2 neighbors label 7, 2 neighbors label 3 with
+    # equal cosine structure → 2-2 vote tie breaks to the SMALLER label (3).
+    rows = [
+        (0, [1.0, 0.0], 9),
+        (1, [1.0, 0.1], 3),
+        (2, [1.0, -0.1], 3),
+        (3, [0.1, 1.0], 7),
+        (4, [-0.1, 1.0], 7),
+    ]
+    emb = _emb(spark, rows)
+    out = knn_classify(emb, emb.filter(F.col("vec_id") == 0), k=4).collect()
+    assert len(out) == 1
+    assert out[0].pred_label == 3 and out[0].votes == 2
+
+
+def test_knn_excludes_self_label(spark):
+    # the query's own label 9 must not leak in: k=2 nearest are both label 5
+    rows = [
+        (0, [1.0, 0.0], 9),
+        (1, [0.9, 0.1], 5),
+        (2, [0.9, -0.1], 5),
+        (3, [0.0, 1.0], 9),
+    ]
+    emb = _emb(spark, rows)
+    out = knn_classify(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    assert out[0].pred_label == 5 and out[0].votes == 2

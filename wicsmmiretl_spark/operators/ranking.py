@@ -1,0 +1,91 @@
+"""Ranked retrieval over a document corpus: TF-IDF / BM25 scoring.
+
+A training-data pipeline uses this shape for relevance-weighted corpus
+selection (score documents against a topic query, keep the top slice) and
+for data-quality triage (rank documents by affinity to a seed set).
+
+Scale design (100 TB):
+
+* The per-term filter happens on the GENERATED token attribute immediately
+  after the explode — non-query tokens die map-side, before any shuffle, so
+  the (doc, term) partial aggregate only ever carries terms from the query
+  (|Q| distinct values).
+* Document length ``dl`` rides the explode as a grouping key (it is
+  functionally dependent on doc_id), so no second pass / join against a
+  doc-length table is needed.
+* Document frequency and the corpus-stats row are O(|Q|) and O(1); both are
+  broadcast. The only shuffles are two partial-aggregated groupBys keyed by
+  (doc_id, term) and doc_id.
+* The BM25 sum over query terms uses the suite's exact-sum contract
+  (scale→round→int64) so per-doc scores are summation-order independent.
+
+Reference parity: the reference has no ranked retrieval; this is a
+north-star extension (SURVEY §2 training-data families).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wicsmmiretl_spark.functions.text import tokens
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score against ``query_terms``.
+
+    Output: (``id_col``, ``bm25``) with bm25 rounded at 1e-7 and ties broken
+    by ascending id. Uses the Robertson idf ``ln(1 + (N - df + 0.5)/(df +
+    0.5))`` (non-negative for every df).
+    """
+    if not query_terms:
+        raise ValueError("bm25_rank: query_terms must be non-empty")
+
+    toks_df = docs.select(F.col(id_col), tokens(text_col).alias("toks"))
+    lens = toks_df.select(id_col, F.size("toks").cast("long").alias("dl"))
+    stats = lens.agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl"))
+
+    # explode_outer + filter on the generated attribute: the filter cannot be
+    # predicate-pushed below the Generate, so the token array is built once
+    # per row (see the 45x explode gotcha, functions/repetition.py).
+    tf = (
+        toks_df.select(
+            id_col,
+            F.size("toks").cast("long").alias("dl"),
+            F.explode_outer("toks").alias("token"),
+        )
+        .filter(F.col("token").isin(list(query_terms)))
+        .groupBy(id_col, "dl", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+
+    scored = tf.join(F.broadcast(dfreq), "token").crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n")
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = F.round(
+        idf
+        * F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)),
+        7,
+    )
+
+    ranked = (
+        scored.withColumn("s", term_score)
+        .groupBy(id_col)
+        .agg((F.sum(F.round(F.col("s") * 1e7).cast("long")) / F.lit(1e7)).alias("bm25"))
+    )
+    # orderBy+limit → TakeOrderedAndProject: per-partition top-k heaps, no
+    # global sort, no single-partition window.
+    return ranked.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k).select(id_col, "bm25")

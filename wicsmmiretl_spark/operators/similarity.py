@@ -333,3 +333,44 @@ def hyperplane_lsh_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+def knn_classify(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification: predict each query vector's label
+    from its ``k`` nearest labeled neighbors (cosine, self excluded).
+
+    Output: (query_id, pred_label, votes). Ties (equal vote counts) break to
+    the smallest label, so the prediction is deterministic cluster-wide.
+
+    Scale design: neighbor search is whatever ``cosine_topk`` does (broadcast
+    queries × streamed candidates, per-batch top-k pruning on the numpy
+    path); the label attach joins k·|Q| rows against the embedding table on
+    its key — with |Q| broadcast-small the join output is tiny, and the vote
+    count is a partial-aggregated groupBy over k·|Q| rows. Nothing here is
+    O(n²) in the corpus.
+
+    North-star extension (embedding-quality audits: label purity of
+    neighborhoods, pseudo-labeling unlabeled data); no reference twin.
+    """
+    neigh = cosine_topk(embeddings, queries, k=k, id_col=id_col, vec_col=vec_col)
+    labels = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nb_label")
+    )
+    votes = (
+        neigh.join(labels, "neighbor_id")
+        .groupBy("query_id", "_nb_label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("_nb_label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("_nb_label").alias("pred_label"), "votes")
+    )

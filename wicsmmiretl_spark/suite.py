@@ -2450,6 +2450,169 @@ def q_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deferred past it because each of their operators is redundantly covered by
 # an earlier in-window query (noted per entry). Deferred queries still run in
 # bench.py and tools/verify_local.py — this only orders the driver's gate.
+@query(
+    "bm25_rank",
+    rf"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens),
+    tf AS (
+      SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT t.doc_id, l.dl, unnest(t.toks) AS token
+            FROM toks t JOIN lens l ON t.doc_id = l.doc_id)
+      WHERE token IN ('spark', 'merge', 'scan')
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             round( ln(1 + (n - df + 0.5) / (df + 0.5))
+                    * tf * (1.2 + 1)
+                    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n))), 7) AS s
+      FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(sum(CAST(round(s * 10000000.0) AS BIGINT)) AS BIGINT) / 10000000.0 AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star ranked retrieval: BM25 top-20 for a 3-term query. Query-term
+    filter on the generated token attribute kills non-query tokens map-side;
+    df/corpus-stats broadcast; per-doc score uses the exact-sum contract so
+    term summation order can't flip the hash (operators/ranking.py)."""
+    from wicsmmiretl_spark.operators.ranking import bm25_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_rank(docs, ["spark", "merge", "scan"], k=20)
+
+
+@query(
+    "knn_classify",
+    """
+    WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id, c.label,
+             round(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * cv[i]))
+                   / (sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(cv, x -> x*x)))), 6) AS cosine
+      FROM c, q WHERE c.neighbor_id <> q.query_id
+    ),
+    topk AS (
+      SELECT query_id, label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 10
+    ),
+    votes AS (SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes FROM topk GROUP BY 1, 2)
+    SELECT query_id, label AS pred_label, votes FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn FROM votes
+    ) WHERE rn = 1
+    """,
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star embedding classification: 10-NN cosine majority vote for
+    the first 20 vectors, ties to the smallest label. Label attach is a keyed
+    join of k·|Q| rows — nothing O(n²) in the corpus
+    (operators/similarity.py:knn_classify)."""
+    from wicsmmiretl_spark.operators.similarity import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_classify(emb, emb.filter(F.col("vec_id") < 20), k=10)
+
+
+@query(
+    "dedup_canonical",
+    f"""
+    WITH RECURSIVE {_SQL_MINHASH_BASE},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ),
+    vertices AS (SELECT DISTINCT src AS id FROM edges),
+    walk(id, comp) AS (
+      SELECT id, id FROM vertices
+      UNION
+      SELECT e.dst, w.comp FROM walk w JOIN edges e ON w.id = e.src
+    ),
+    comp AS (SELECT id, CAST(min(comp) AS BIGINT) AS cluster_id FROM walk GROUP BY id),
+    member AS (SELECT c.id, c.cluster_id, d.n_chars FROM comp c JOIN documents d ON c.id = d.doc_id)
+    SELECT cluster_id, id AS canonical_id, n_members FROM (
+      SELECT cluster_id, id,
+             row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, id ASC) AS rn,
+             CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+      FROM member
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection: per near-dup cluster keep the
+    longest document (ties → smallest id). The argmax is one
+    ``min(struct(-n_chars, id))`` grouped agg — no window, no sort
+    (the canonical-pick pattern a 100 TB dedup pass needs after clustering)."""
+    from wicsmmiretl_spark.operators.dedup import (
+        dup_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+    clusters = dup_clusters(pairs)
+    member = clusters.join(docs.select(F.col("doc_id").alias("id"), "n_chars"), "id")
+    best = F.min(F.struct((-F.col("n_chars")).alias("neg_len"), F.col("id").alias("id")))
+    return member.groupBy("cluster_id").agg(
+        best.getField("id").alias("canonical_id"),
+        F.count("*").alias("n_members"),
+    )
+
+
+@query(
+    "event_funnel",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT v.user_id, min(e.ts) AS t1 FROM v JOIN events e
+          ON e.user_id = v.user_id AND e.event_type = 'click' AND e.ts > v.t0 GROUP BY 1),
+    p AS (SELECT c.user_id, min(e.ts) AS t2 FROM c JOIN events e
+          ON e.user_id = c.user_id AND e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY 1)
+    SELECT v.user_id, epoch_us(v.t0) AS view_us, epoch_us(c.t1) AS click_us, epoch_us(p.t2) AS purchase_us
+    FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user first-touch funnel (view → later click → later purchase).
+    Spark plan: ONE exchange on user_id, then three chained window mins over
+    the same partitioning (each step's threshold is the previous window's
+    result) — the oracle's 3-join cascade collapsed into a single shuffle."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    stage1 = e.withColumn("t0", F.min(F.when(is_("view"), F.col("ts"))).over(w))
+    stage2 = stage1.withColumn(
+        "t1", F.min(F.when(is_("click") & (F.col("ts") > F.col("t0")), F.col("ts"))).over(w)
+    )
+    stage3 = stage2.withColumn(
+        "t2", F.min(F.when(is_("purchase") & (F.col("ts") > F.col("t1")), F.col("ts"))).over(w)
+    )
+    return (
+        stage3.filter(F.col("t0").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.unix_micros(F.min("t0")).alias("view_us"),
+            F.unix_micros(F.min("t1")).alias("click_us"),
+            F.unix_micros(F.min("t2")).alias("purchase_us"),
+        )
+    )
+
+
 _DEFERRED_QUERIES = (
     # r4: top_revenue_orders / supplier_nation_revenue / nation_market_share
     # (TPC-H Q3/Q5/Q8 shapes) deleted outright — every operator they touched
@@ -2476,6 +2639,10 @@ _DEFERRED_QUERIES = (
     "pack_assign",              # bucketed window cumsum: user_value_analytics runs the same window shape
     "corpus_curation",          # composition of already-in-window ops (quality, dedup, scrub, fence)
     "salted_supplier_volume",   # salting is result-invisible; plain-join agg shape in-window (Q7/Q18)
+    "bm25_rank",                # ranked retrieval: explode+agg shape of vocab_top100 + broadcast stats
+    "knn_classify",             # cosine_topk (in-window) + keyed label join + vote argmax
+    "dedup_canonical",          # dedup_clusters (in-window) + grouped struct-argmax survivor pick
+    "event_funnel",             # chained window mins over one user_id exchange; asof/interval in-window
 )
 
 
