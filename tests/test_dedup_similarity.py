@@ -122,6 +122,19 @@ def test_cosine_pairs_symmetric_threshold(spark, sf_dir):
     assert all(0.4 <= r.cosine <= 1.0 for r in pairs)
 
 
+def test_cosine_pairs_size_gate_trips(spark, sf_dir):
+    """The O(n²) baseline must fail loudly past max_rows, naming the scale
+    path — same contract as dup_clusters' driver_threshold."""
+    import pytest
+
+    from wicsmmiretl_spark.catalog import load_table
+    from wicsmmiretl_spark.operators.similarity import cosine_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    with pytest.raises(RuntimeError, match="hyperplane_pairs"):
+        cosine_pairs(emb, 0.4, max_rows=10)
+
+
 def test_hyperplane_pairs_subset_of_exact(spark, sf_dir):
     """LSH candidates are a SUBSET of all pairs and bucket-consistent."""
     from wicsmmiretl_spark.catalog import load_table

@@ -126,13 +126,29 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup: all (id_a < id_b) pairs with cosine ≥
     threshold. Exact O(n²) BASELINE — norms are staged per vector (one pass)
     so each pair pays only the dot product. The 100 TB path is
-    :func:`hyperplane_lsh_topk`-style bucketing first (only same-bucket pairs
+    :func:`hyperplane_pairs` bucketing first (only same-bucket pairs
     scored); this operator is the precision stage / small-set oracle.
+
+    Guarded the same way as ``dup_clusters``' driver path: the all-pairs
+    self-join is quadratic, so anything past ``max_rows`` (default 100k →
+    ~5·10⁹ pairs) fails LOUDLY instead of launching a cartesian job that can
+    never finish on a big table. The count is one column-pruned scan job —
+    cheap relative to the O(n²) work it fences.
     """
+    n = embeddings.select(id_col).count()
+    if n > max_rows:
+        raise RuntimeError(
+            f"cosine_pairs: input has {n:,} rows (> max_rows={max_rows:,}); the "
+            "exact all-pairs baseline is O(n²) and will not finish at this size. "
+            "Use hyperplane_pairs (sign-projection LSH buckets) as the scale path, "
+            "optionally feeding its candidate pairs back through an exact verify, "
+            "or raise max_rows explicitly if you really mean it."
+        )
     v = embeddings.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
