@@ -47,14 +47,23 @@ def main() -> None:
     # Two runs per query, keep the fastest: run 1 pays one-time plan/codegen
     # compilation and is exposed to shared-host scheduling noise; the min is
     # the steady-state number a long-running cluster job actually sees.
+    # Per-query fault isolation: one broken query must degrade the artifact,
+    # not vanish it (r5: a single AnalysisException in tumbling_daily aborted
+    # the run -> BENCH_r05.json rc=1, zero timings for 66 healthy queries).
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            times[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — record and keep benching
+            msg = f"{type(exc).__name__}: {exc}"
+            errors[name] = msg[:200]
+            print(f"bench error in {name}: {msg}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
 
@@ -89,6 +98,9 @@ def main() -> None:
             "queries": q,
             "sf": sf,
         }
+        if errors:
+            # Truncated per-query error strings; full text already on stderr.
+            out["errors"] = {n: e[:60] for n, e in errors.items()}
         line = json.dumps(out, separators=(",", ":"))
         if len(line) < 1900:
             break

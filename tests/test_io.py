@@ -187,3 +187,25 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     assert n == 1
     assert len(g.glob(out + "/*.parquet")) == 1
     assert spark.read.parquet(out).count() == 4000
+
+
+def test_events_ts_loads_as_session_timestamp(spark):
+    """events.ts must normalize to TIMESTAMP whatever the parquet physical type.
+
+    The driver's testdata generator has shipped events.ts as TIMESTAMP(NANOS)
+    (read as bigint under nanosAsLong) and as timestamp[us] without
+    isAdjustedToUTC (read as TIMESTAMP_NTZ). catalog.load_table must hand the
+    engine a plain TIMESTAMP either way -- every downstream unix_micros()
+    call, as-of join, and event-time window depends on it (r5 regression:
+    7 CORRECTNESS failures from one unnormalized dtype).
+    """
+    from pyspark.sql import functions as F
+
+    from wicsmmiretl_spark.catalog import load_table
+
+    for sf in ("sf0.001", "sf0.01"):
+        ev = load_table(spark, "events", f"/root/testdata/{sf}")
+        assert dict(ev.dtypes)["ts"] == "timestamp", dict(ev.dtypes)
+        # unix_micros is the canonical downstream consumer; it must resolve.
+        n = ev.select(F.unix_micros("ts").alias("us")).where(F.col("us").isNotNull()).count()
+        assert n > 0
