@@ -288,3 +288,53 @@ def test_salted_join_rejects_right_preserving_how(spark):
     with pytest.raises(ValueError, match="salted_join"):
         salted_join(left, right, "k", how="full_outer")
     assert salted_join(left, right, "k", how="left_semi").columns == ["k", "v"]
+
+
+def test_kmeans_train_deterministic_and_labelfree(spark, sf_dir):
+    """kmeans_train consults no label column, is deterministic across
+    invocations (seeded init + exact integer means), and partitions the
+    input: every vector lands in exactly one of <= k cells."""
+    from wicsmmiretl_spark.catalog import load_table
+    from wicsmmiretl_spark.operators.similarity import kmeans_train
+
+    emb = load_table(spark, "embeddings", sf_dir).drop("label")
+    a = kmeans_train(emb, k=4, iters=2, seed=7)
+    b = kmeans_train(emb, k=4, iters=2, seed=7)
+    ra = sorted((r.cell, tuple(r.cv)) for r in a.collect())
+    rb = sorted((r.cell, tuple(r.cv)) for r in b.collect())
+    assert ra == rb
+    assert 1 <= len(ra) <= 4
+    dim = len(emb.select("embedding").first()[0])
+    assert all(len(cv) == dim for _, cv in ra)
+    # a different seed picks different init vectors -> (almost surely)
+    # different centroids; equality would mean the seed is ignored
+    c = kmeans_train(emb, k=4, iters=2, seed=8)
+    rc = sorted((r.cell, tuple(r.cv)) for r in c.collect())
+    assert rc != ra
+
+
+def test_ivf_topk_trained_recall_monotone_in_nprobe(spark, sf_dir):
+    """The nprobe-recall contract must survive the switch from label cells
+    to trained k-means cells (label_col=None)."""
+    from wicsmmiretl_spark.catalog import load_table
+    from wicsmmiretl_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter("vec_id < 10")
+    exact = {}
+    for r in cosine_topk(emb, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(nprobe: int) -> float:
+        got = {}
+        for r in ivf_topk(
+            emb, k=5, label_col=None, nprobe=nprobe, train_k=4, train_iters=2
+        ).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    r1, r4 = recall(1), recall(4)
+    assert r1 <= r4
+    # nprobe = #cells probes everything -> exact brute-force ranking
+    assert r4 == 1.0

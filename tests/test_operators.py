@@ -219,7 +219,8 @@ def test_hash_split_null_key_propagates_like_sql_concat(spark):
 
 def test_salted_join_matches_plain_join(spark):
     """Salting must not change join semantics — same result set, key spread
-    across salt buckets."""
+    across salt buckets. hot_threshold=100 makes only key 7 (900 rows) hot;
+    the 100 singleton keys take the cold branch."""
     from pyspark.sql import functions as F
 
     from wicsmmiretl_spark.operators.joins import salted_join
@@ -230,6 +231,64 @@ def test_salted_join_matches_plain_join(spark):
         F.col("id").alias("payload"),
     )
     right = spark.range(0, 20).select(F.col("id").alias("k"), (F.col("id") * 100).alias("v"))
-    got = sorted(tuple(r) for r in salted_join(left, right, "k").collect())
+    got = sorted(tuple(r) for r in salted_join(left, right, "k", hot_threshold=100).collect())
     want = sorted(tuple(r) for r in left.join(right, "k").collect())
     assert got == want and len(got) > 800
+
+    # auto threshold on unskewed data: no hot keys -> the plain join comes
+    # back untouched (no Union, no salt machinery in the plan).
+    uniform = spark.range(0, 500).select(F.col("id").alias("k"), F.col("id").alias("payload"))
+    plan = uniform.transform(lambda d: salted_join(d, right, "k"))._jdf.queryExecution().toString()
+    assert "_salt" not in plan and "Union" not in plan
+
+
+def test_salted_join_replicates_only_hot_branch(spark):
+    """Plan-shape pin: the x`salts` right-side replication (Range crossJoin)
+    must appear under the hot branch ONLY; the cold branch is a plain
+    equi-join on the key with no salt column."""
+    from pyspark.sql import functions as F
+
+    from wicsmmiretl_spark.operators.joins import salted_join
+
+    left = spark.range(0, 2000).select(
+        F.when(F.col("id") % 4 != 0, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(0, 50).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    out = salted_join(left, right, "k", salts=8, hot_threshold=500)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # two join branches unioned; exactly ONE Range(0..8) salt generator
+    assert plan.count("Range (0, 8") == 1
+    assert "Union" in plan
+    # correctness of the split result
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(r) for r in left.join(right, "k").collect())
+    assert got == want
+
+
+def test_salted_join_null_keys_survive_left_outer(spark):
+    """NULL join keys match nothing but must survive a left outer join —
+    they route down the cold branch (isin(NULL) is NULL, not False)."""
+    from wicsmmiretl_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "hot")] * 50 + [(2, "cold"), (None, "nullkey")], "k long, v string"
+    )
+    right = spark.createDataFrame([(1, "x"), (2, "y")], "k long, w string")
+    rows = salted_join(left, right, "k", how="left", hot_threshold=10).collect()
+    assert len(rows) == 52
+    by_v = {r.v for r in rows if r.w is None}
+    assert "nullkey" in by_v
+
+
+def test_salted_join_hot_key_cap(spark):
+    """More hot keys than max_hot_keys is general load, not skew — loud error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from wicsmmiretl_spark.operators.joins import salted_join
+
+    left = spark.range(0, 40).select(F.col("id").alias("k"), F.col("id").alias("p"))
+    right = spark.range(0, 40).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="max_hot_keys|raise hot_threshold"):
+        salted_join(left, right, "k", hot_threshold=1, max_hot_keys=5)

@@ -141,20 +141,39 @@ def salted_join(
     key: str,
     salts: int = 8,
     how: str = "inner",
+    hot_threshold: int | None = None,
+    max_hot_keys: int = 10_000,
 ) -> DataFrame:
-    """Skew-mitigated equi-join: replicate the (small-ish) right side into
-    ``salts`` copies and scatter the left side's hot keys across them, so a
-    single pathological key spreads over ``salts`` tasks instead of one.
+    """Skew-mitigated equi-join, hot-key targeted (two-phase).
 
-    AQE's skew-join split handles moderate skew automatically; manual
-    salting is for the extreme case (one key = 30% of the table) where even
-    a split partition is a straggler, or when AQE is off. The salt is
-    derived from a value hash of the whole left row (deterministic — no
-    rand(), stable under retries and repartitioning).
+    Phase 1 detects hot keys with ONE partial-agg count over the left side
+    (map-side combine: the shuffle carries one row per distinct key, not per
+    input row) and collects only keys whose row count >= ``hot_threshold``.
+    The hot set is bounded by construction — at most
+    ``left_rows / hot_threshold`` keys — and additionally capped at
+    ``max_hot_keys`` with a loud error, so the collect and the resulting
+    IN-list literal stay driver-safe at any input scale.
 
-    Only left-preserving join types are allowed: the right side is
-    replicated ``salts`` times, so right/full outer would emit every
-    unmatched right row once per salt copy.
+    Phase 2 splits the plan: hot left rows are scattered across ``salts``
+    buckets (deterministic value hash — no rand(), stable under task
+    retries) and joined against the right rows *for those keys only*,
+    replicated ``salts`` times; all remaining rows take a plain equi-join
+    with ZERO right-side replication. The union of both branches is
+    result-identical to a plain join (oracle-checked by
+    ``salted_supplier_volume``).
+
+    With no hot keys the plain join is returned untouched. AQE's skew-join
+    split handles moderate skew automatically; this operator is for the
+    extreme case (one key = 30% of the table) where even a split partition
+    straggles, or when AQE is off.
+
+    ``hot_threshold`` default (None): ``max(1000, 2 * left_rows /
+    shuffle_partitions)`` — a key that overfills ~two ideal shuffle
+    partitions is a straggler candidate; anything smaller is AQE's job.
+
+    Only left-preserving join types are allowed: the right side's hot slice
+    is replicated ``salts`` times, so right/full outer would emit every
+    unmatched hot right row once per salt copy.
     """
     allowed = {
         "inner", "left", "left_outer", "leftouter",
@@ -166,14 +185,47 @@ def salted_join(
             "so right/full outer joins would duplicate unmatched right rows. "
             "Use inner/left_outer/left_semi/left_anti."
         )
-    left_cols = [c for c in left.columns]
-    salted_left = left.withColumn(
+    # Phase 1: hot-key detection. One eager aggregate job at plan-build time;
+    # collected ONCE into a literal so both branches below see the same hot
+    # set (no lazy re-evaluation / TOCTOU between branches).
+    counts = left.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+    if hot_threshold is None:
+        shuffle_parts = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        total = left.count()
+        hot_threshold = max(1000, (2 * total) // max(shuffle_parts, 1))
+    if hot_threshold < 1:
+        raise ValueError(f"salted_join: hot_threshold must be >= 1, got {hot_threshold}")
+    hot_rows = (
+        counts.filter(F.col("_n") >= hot_threshold)
+        .select(key)
+        .limit(max_hot_keys + 1)
+        .collect()
+    )
+    if len(hot_rows) > max_hot_keys:
+        raise ValueError(
+            f"salted_join: more than {max_hot_keys} keys exceed hot_threshold="
+            f"{hot_threshold}; that is general load, not skew — raise hot_threshold "
+            "(salting helps a few pathological keys, not a uniformly large join)."
+        )
+    hot_keys = [r[0] for r in hot_rows]
+    if not hot_keys:
+        return left.join(right, key, how)
+
+    # Phase 2: disjoint hot/cold split. NULL keys never match in an equi-join
+    # but must survive left-preserving joins -> route them down the cold
+    # (unsalted) branch explicitly, since `isin` on NULL yields NULL.
+    is_hot = F.coalesce(F.col(key).isin(hot_keys), F.lit(False))
+    left_cols = list(left.columns)
+
+    cold = left.filter(~is_hot).join(right, key, how)
+
+    salted_left = left.filter(is_hot).withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left_cols]), F.lit(salts))
     )
-    salted_right = right.crossJoin(
+    salted_right = right.filter(F.col(key).isin(hot_keys)).crossJoin(
         F.broadcast(
             right.sparkSession.range(salts).select(F.col("id").cast("bigint").alias("_salt"))
         )
     )
-    out = salted_left.join(salted_right, [key, "_salt"], how)
-    return out.drop("_salt")
+    hot = salted_left.join(salted_right, [key, "_salt"], how).drop("_salt")
+    return cold.unionByName(hot)

@@ -137,10 +137,14 @@ def cosine_pairs(
     Guarded the same way as ``dup_clusters``' driver path: the all-pairs
     self-join is quadratic, so anything past ``max_rows`` (default 100k →
     ~5·10⁹ pairs) fails LOUDLY instead of launching a cartesian job that can
-    never finish on a big table. The count is one column-pruned scan job —
-    cheap relative to the O(n²) work it fences.
+    never finish on a big table. The input is pinned with a lazy
+    ``localCheckpoint`` before counting so the gate and the join read the
+    SAME materialization — a derived/non-deterministic upstream cannot grow
+    between the count and the join, and the upstream pipeline is not
+    recomputed twice.
     """
-    n = embeddings.select(id_col).count()
+    embeddings = embeddings.select(id_col, vec_col).localCheckpoint(eager=False)
+    n = embeddings.count()
     if n > max_rows:
         raise RuntimeError(
             f"cosine_pairs: input has {n:,} rows (> max_rows={max_rows:,}); the "
@@ -235,28 +239,114 @@ def hyperplane_pairs(
     )
 
 
+def kmeans_train(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Broadcast-Lloyd k-means over an embedding column (cosine assignment).
+
+    The realistic 100 TB IVF setup has no label column — cells must be
+    TRAINED. Every step is deterministic and cross-engine reproducible so a
+    SQL oracle can replay it exactly:
+
+    * init: the first ``k`` vectors ranked by ``md5(seed:id)`` (seeded,
+      data-independent of physical row order);
+    * assignment: argmax cosine (rounded 6dp, ties to the lowest cell id);
+    * update: exact scaled-integer means per (cell, dimension) — sums of
+      ``round(val*scale)`` bigints are order-independent, so the new
+      centroid is bit-identical regardless of partitioning.
+
+    Each Lloyd iteration is one Spark job: centroids (k × dim, tiny) are
+    collected to the driver and re-broadcast as a literal table, so the
+    big side is only ever scanned map-side against a broadcast — the
+    MLlib-style pattern. Cells that lose all members drop out (k shrinks).
+
+    Returns (cell int, cv array<double>, nc double) — ``nc`` is the L2 norm.
+    """
+    spark = embeddings.sparkSession
+    v = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nv", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)))
+
+    init = (
+        v.withColumn(
+            "_r", F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+        )
+        .orderBy("_r")
+        .limit(k)
+        .select("v")
+    )
+    # orderBy + limit is a TakeOrdered: rows come back in md5 rank order.
+    cents = [(i + 1, list(r["v"])) for i, r in enumerate(init.collect())]
+
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(cents, "cell int, cv array<double>").withColumn(
+            "nc", F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x))
+        )
+        cdot = F.aggregate(
+            F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        wa = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell"))
+        assigned = (
+            v.crossJoin(F.broadcast(cent_df))
+            .withColumn("ccos", F.round(cdot / (F.col("nv") * F.col("nc")), 6))
+            .withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("cell", "v")
+        )
+        new_flat = assigned.select("cell", F.posexplode("v").alias("pos", "val")).groupBy(
+            "cell", "pos"
+        ).agg(
+            (
+                F.sum(F.round(F.col("val") * scale).cast("long")).cast("double")
+                / F.lit(float(scale))
+                / F.count("*")
+            ).alias("c")
+        )
+        new_cent = new_flat.groupBy("cell").agg(
+            F.array_sort(F.collect_list(F.struct("pos", "c")))["c"].alias("cv")
+        )
+        cents = sorted((r["cell"], list(r["cv"])) for r in new_cent.collect())
+
+    return spark.createDataFrame(cents, "cell int, cv array<double>").select(
+        "cell",
+        "cv",
+        F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x)).alias("nc"),
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    label_col: str = "label",
+    label_col: str | None = "label",
     query_max_id: int = 10,
     scale: int = 10**9,
     nprobe: int = 1,
+    train_k: int = 8,
+    train_iters: int = 3,
+    seed: int = 42,
 ) -> DataFrame:
-    """IVF-style ANN: coarse cells from per-``label`` centroids, every vector
-    assigned to its NEAREST centroid, each query (id < query_max_id) probes
-    its ``nprobe`` nearest cells and ranks candidates by exact cosine.
+    """IVF-style ANN: coarse centroid cells, every vector assigned to its
+    NEAREST centroid, each query (id < query_max_id) probes its ``nprobe``
+    nearest cells and ranks candidates by exact cosine.
 
-    Centroid "training" stands in for an offline k-means job — the cells here
-    are the data's label clusters. Centroid components are exact scaled-
-    integer means (order-independent, cross-engine reproducible). At scale:
-    centroids broadcast (tiny), assignment is a map-side broadcast join, and
-    the probe join shuffles by cell — never all-pairs. Raising ``nprobe``
-    multiplies only the QUERY side of the probe join (queries × nprobe rows);
-    candidates stay single-cell, so the join stays cell-partitioned and its
-    cost scales with nprobe × cell size, not corpus size. Recall increases
+    Cells come from :func:`kmeans_train` (``label_col=None`` — the realistic
+    setup, no label column needed) or, when a label column exists, from
+    per-``label`` exact scaled-integer means (order-independent,
+    cross-engine reproducible). At scale: centroids broadcast (tiny),
+    assignment is a map-side broadcast join, and the probe join shuffles by
+    cell — never all-pairs. Raising ``nprobe`` multiplies only the QUERY
+    side of the probe join (queries × nprobe rows); candidates stay
+    single-cell, so the join stays cell-partitioned and its cost scales
+    with nprobe × cell size, not corpus size. Recall increases
     monotonically with nprobe (each probe adds a candidate cell; existing
     candidates keep their exact scores) until nprobe = #cells reproduces the
     exact brute-force ranking.
@@ -268,25 +358,36 @@ def ivf_topk(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn("nv", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)))
 
-    flat = embeddings.select(
-        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
-    )
-    cent_flat = flat.groupBy(label_col, "pos").agg(
-        (
-            F.sum(F.round(F.col("val").cast("double") * scale).cast("long")).cast("double")
-            / F.lit(float(scale))
-            / F.count("*")
-        ).alias("c")
-    )
-    cent = (
-        cent_flat.groupBy(label_col)
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))["c"].alias("cv"))
-        .select(
-            F.col(label_col).alias("cell"),
-            "cv",
-            F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x)).alias("nc"),
+    if label_col is None:
+        cent = kmeans_train(
+            embeddings,
+            k=train_k,
+            iters=train_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+            scale=scale,
         )
-    )
+    else:
+        flat = embeddings.select(
+            F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        cent_flat = flat.groupBy(label_col, "pos").agg(
+            (
+                F.sum(F.round(F.col("val").cast("double") * scale).cast("long")).cast("double")
+                / F.lit(float(scale))
+                / F.count("*")
+            ).alias("c")
+        )
+        cent = (
+            cent_flat.groupBy(label_col)
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))["c"].alias("cv"))
+            .select(
+                F.col(label_col).alias("cell"),
+                "cv",
+                F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x)).alias("nc"),
+            )
+        )
 
     cdot = F.aggregate(F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     w_assign = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell"))

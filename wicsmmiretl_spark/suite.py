@@ -1094,11 +1094,19 @@ def q_wikimedia_url_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star embedding-cosine near-dup, exact O(n²) baseline (staged
-    norms, one dot product per pair). Scale path: hyperplane_lsh_pairs."""
+    norms, one dot product per pair). Scale path: hyperplane_lsh_pairs.
+
+    max_rows is plumbed from SPARK_GRAFT_NEAR_DUP_MAX_ROWS so the query
+    stays runnable on >100k-row embedding tables by explicit operator
+    choice, not by silently launching an O(n²) job: the guard still fires
+    unless the caller raises the cap on purpose."""
+    import os
+
     from wicsmmiretl_spark.operators.similarity import cosine_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb, 0.4)
+    max_rows = int(os.environ.get("SPARK_GRAFT_NEAR_DUP_MAX_ROWS", "100000"))
+    return cosine_pairs(emb, 0.4, max_rows=max_rows)
 
 
 _SQL_LSH_PLANES = """
@@ -1354,6 +1362,105 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_topk(emb, k=5)
+
+
+def _kmeans_sql_cte(k: int = 8, iters: int = 3, seed: int = 42) -> str:
+    """CTE chain replaying operators/similarity.py:kmeans_train verbatim in
+    DuckDB: md5-ranked seeded init (k0), then per iteration a cosine-argmax
+    assignment (ka{i}) and an exact scaled-integer mean update (kf{i} ->
+    k{i}). Every step is deterministic, so an unrolled chain of `iters`
+    CTE groups reproduces the trained centroids bit-for-bit."""
+    sql = f"""
+    v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    vn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv FROM v0),
+    k0 AS (
+      SELECT row_number() OVER (ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR))) AS cell, v AS cv
+      FROM v0 ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR)) LIMIT {k}
+    )"""
+    prev = "k0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    kn{i} AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS nc FROM {prev}),
+    ka{i} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT a.vec_id, a.v, c.cell,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, len(a.v) + 1), j -> a.v[j] * c.cv[j]))
+                               / (a.nv * c.nc), 6) DESC, c.cell ASC) AS rn
+        FROM vn a CROSS JOIN kn{i} c
+      ) WHERE rn = 1
+    ),
+    kf{i} AS (
+      SELECT cell, pos,
+             CAST(sum(CAST(round(val * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000.0 / count(*) AS c
+      FROM (SELECT cell, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM ka{i})
+      GROUP BY cell, pos
+    ),
+    k{i} AS (SELECT cell, list(c ORDER BY pos) AS cv FROM kf{i} GROUP BY cell)"""
+        prev = f"k{i}"
+    return sql
+
+
+@query(
+    "kmeans_centroids",
+    f"""
+    WITH {_kmeans_sql_cte(k=8, iters=3, seed=42)}
+    SELECT CAST(cell AS BIGINT) AS cell, pos, round(c, 6) AS c FROM kf3
+    """,
+)
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF coarse quantizer: 3 broadcast Lloyd iterations, seeded
+    md5-ranked init, exact scaled-integer means — no label column consulted.
+    The flat (cell, pos) shape keeps the oracle pure SQL; rounding is
+    display-only (training carries full precision)."""
+    from wicsmmiretl_spark.operators.similarity import kmeans_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = kmeans_train(emb, k=8, iters=3, seed=42)
+    return cent.select(
+        F.col("cell").cast("long").alias("cell"),
+        F.posexplode("cv").alias("pos", "c"),
+    ).select("cell", F.col("pos").cast("long").alias("pos"), F.round("c", 6).alias("c"))
+
+
+@query(
+    "ivf_topk_trained",
+    f"""
+    WITH {_kmeans_sql_cte(k=8, iters=3, seed=42)},
+    cn AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS nc FROM k3),
+    ranked AS (
+      SELECT vn.vec_id, cn.cell,
+             row_number() OVER (
+               PARTITION BY vn.vec_id
+               ORDER BY round(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * cv[i]))
+                              / (nv * nc), 6) DESC, cn.cell ASC) AS rn
+      FROM vn CROSS JOIN cn
+    ),
+    scored AS (
+      SELECT qa.vec_id AS query_id, cb.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(qa.v) + 1), i -> qa.v[i] * cb.v[i]))
+                   / (qa.nv * cb.nv), 6) AS cosine
+      FROM vn qa
+      JOIN ranked aa ON qa.vec_id = aa.vec_id AND qa.vec_id < 10 AND aa.rn <= 2
+      JOIN ranked ab ON ab.cell = aa.cell AND ab.rn = 1
+      JOIN vn cb ON cb.vec_id = ab.vec_id AND cb.vec_id <> qa.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star ANN with a TRAINED coarse quantizer (label_col=None):
+    k-means cells from kmeans_train, nprobe=2 probing — the realistic
+    100 TB setup where no label column exists. The oracle replays the
+    whole deterministic Lloyd chain in SQL."""
+    from wicsmmiretl_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, k=5, label_col=None, nprobe=2, train_k=8, train_iters=3, seed=42)
 
 
 # ---------------------------------------------------------------------------
@@ -2307,14 +2414,18 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_salted_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted join, oracle-checked: salting must be result-invisible —
-    the salted fact/dim join aggregates to exactly what the plain SQL join
-    produces. The salt scatters each hot key over 8 task buckets
-    (operators/joins.py:salted_join); the oracle knows nothing of salt."""
+    the hot/cold two-phase salted join aggregates to exactly what the plain
+    SQL join produces. hot_threshold=100 makes every supplier key hot at the
+    testdata SFs (~600 lineitems per supplier), so the driver row exercises
+    the salted branch AND the hot/cold union; the oracle knows nothing of
+    salt (operators/joins.py:salted_join)."""
     from wicsmmiretl_spark.operators.joins import salted_join
 
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
-    joined = salted_join(li, sup.select("l_suppkey", "s_nationkey"), "l_suppkey", salts=8)
+    joined = salted_join(
+        li, sup.select("l_suppkey", "s_nationkey"), "l_suppkey", salts=8, hot_threshold=100
+    )
     return (
         joined.groupBy(F.col("s_nationkey").alias("nationkey"))
         .agg(
@@ -2644,6 +2755,12 @@ _DEFERRED_QUERIES = (
     "pii_scrub",                # regexp_replace chain: corpus_curation's scrub stage is identical
     "split_assign",             # R7 md5 split: corpus_mix uses the same cross-engine md5 threshold
     "nations_with_both",        # INTERSECT: trivial 25-row shape, green r1-r4; set ops via anti in-window
+    # r6: two more deferred to hold the window at 50 with kmeans_centroids +
+    # ivf_topk_trained added (both NEW, so they must be in-window for their
+    # first driver row). Both deferrals passed the driver in r5 and keep
+    # in-window family coverage:
+    "simhash_signatures",       # simhash_near_pairs (in-window) computes the same signatures + verify
+    "token_counts",             # text_stats + vocab_top100 (in-window) run the same tokenizer
 )
 
 
