@@ -338,3 +338,37 @@ def test_ivf_topk_trained_recall_monotone_in_nprobe(spark, sf_dir):
     assert r1 <= r4
     # nprobe = #cells probes everything -> exact brute-force ranking
     assert r4 == 1.0
+
+
+def test_minhash_production_params_plan_invariant(spark, sf_dir):
+    """Production MinHash parameterization (128 hashes / 16 bands, the
+    common large-corpus setting) must not change the PLAN SHAPE vs the 8/4
+    suite default: the signature build stays a pure projection (zero
+    exchanges — parameter growth widens rows, it never adds shuffles) and
+    the LSH banding pipeline has the same fixed exchange count. This pins
+    the scale contract: tuning recall/precision is free of new shuffles."""
+    from wicsmmiretl_spark.catalog import load_table
+    from wicsmmiretl_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = load_table(spark, "documents", sf_dir)
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+
+    sig_small = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+    sig_big = minhash_signatures(docs, "doc_id", "text", num_hashes=128, shingle_n=5)
+    assert n_exchanges(sig_small) == 0
+    assert n_exchanges(sig_big) == 0
+    assert len(sig_big.columns) == 1 + 128  # id + m0..m127
+
+    pairs_small = lsh_candidate_pairs(sig_small, "doc_id", num_hashes=8, bands=4)
+    pairs_big = lsh_candidate_pairs(sig_big, "doc_id", num_hashes=128, bands=16)
+    assert n_exchanges(pairs_small) == n_exchanges(pairs_big)
+
+    # and the production parameterization actually executes end-to-end:
+    # 16 bands of 8 rows are far more selective than 4 bands of 2, so the
+    # candidate set can only shrink
+    n_small = pairs_small.count()
+    n_big = pairs_big.count()
+    assert n_big <= n_small

@@ -292,3 +292,15 @@ def test_salted_join_hot_key_cap(spark):
     right = spark.range(0, 40).select(F.col("id").alias("k"), F.col("id").alias("v"))
     with pytest.raises(ValueError, match="max_hot_keys|raise hot_threshold"):
         salted_join(left, right, "k", hot_threshold=1, max_hot_keys=5)
+
+
+def test_public_api_facade_exports():
+    """Every name in wicsmmiretl_spark.__all__ resolves and is callable or a
+    constant — the documented public surface must not drift from the
+    modules behind it."""
+    import wicsmmiretl_spark as w
+
+    for name in w.__all__:
+        obj = getattr(w, name)
+        assert obj is not None
+    assert len(w.__all__) >= 45

@@ -14,17 +14,149 @@ Design notes
 * All operators are designed for multi-executor clusters (broadcast hints for
   dims, salting hooks for skew, AQE-friendly plans) even though tests run on
   local[*].
+
+Public API
+----------
+The operators below are the supported surface; everything else is an
+implementation detail. Quickstart::
+
+    from wicsmmiretl_spark import get_spark, load_table, exact_dedup
+
+    spark = spark_session = get_spark("app")
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    exact_dedup(docs, key_cols=["text"], id_col="doc_id").show()
 """
 
+from wicsmmiretl_spark.catalog import TESTDATA_TABLES, load_table, load_tables
+from wicsmmiretl_spark.functions.repetition import repetition_stats
+from wicsmmiretl_spark.functions.scrub import scrub_pii
+from wicsmmiretl_spark.functions.strings import (
+    add_punct,
+    concat_corpus,
+    strip_control_chars,
+    wikimedia_urls,
+)
+from wicsmmiretl_spark.functions.text import (
+    caption_stats,
+    fingerprint,
+    language_id,
+    pos_tag_stats,
+    quality_score,
+    token_counts,
+    vocab,
+)
+from wicsmmiretl_spark.operators.aggregates import (
+    column_stats,
+    grouped_stats_matrix,
+    null_count,
+)
+from wicsmmiretl_spark.operators.decontaminate import ngram_contamination
+from wicsmmiretl_spark.operators.dedup import (
+    dup_clusters,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_near_pairs,
+)
+from wicsmmiretl_spark.operators.filters import apply_filters, drop_null
+from wicsmmiretl_spark.operators.joins import (
+    asof_join,
+    attach,
+    drop_failures,
+    keep_successes,
+    range_join,
+    salted_join,
+)
+from wicsmmiretl_spark.operators.merge import merge_upsert
+from wicsmmiretl_spark.operators.packing import chunk_documents, pack_sequences
+from wicsmmiretl_spark.operators.ranking import bm25_rank
+from wicsmmiretl_spark.operators.sampling import (
+    deterministic_sample,
+    deterministic_shuffle,
+    hash_split,
+    mix_corpus,
+    stratified_sample,
+    top_k,
+    train_test_split,
+)
+from wicsmmiretl_spark.operators.sets import union_checked
+from wicsmmiretl_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    hyperplane_lsh_topk,
+    hyperplane_pairs,
+    ivf_topk,
+    kmeans_train,
+    knn_classify,
+)
 from wicsmmiretl_spark.session import get_spark, stop_spark
-from wicsmmiretl_spark.catalog import load_table, load_tables, TESTDATA_TABLES
 
 __all__ = [
+    # session / catalog
     "get_spark",
     "stop_spark",
     "load_table",
     "load_tables",
     "TESTDATA_TABLES",
+    # filters / joins / sets
+    "apply_filters",
+    "drop_null",
+    "attach",
+    "keep_successes",
+    "drop_failures",
+    "range_join",
+    "asof_join",
+    "salted_join",
+    "merge_upsert",
+    "union_checked",
+    # aggregates
+    "column_stats",
+    "grouped_stats_matrix",
+    "null_count",
+    # sampling / splits
+    "deterministic_shuffle",
+    "deterministic_sample",
+    "train_test_split",
+    "hash_split",
+    "top_k",
+    "stratified_sample",
+    "mix_corpus",
+    # dedup
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_pairs",
+    "simhash_near_pairs",
+    "dup_clusters",
+    # similarity / ANN
+    "cosine_topk",
+    "cosine_pairs",
+    "hyperplane_pairs",
+    "hyperplane_lsh_topk",
+    "kmeans_train",
+    "ivf_topk",
+    "knn_classify",
+    # ranking / packing / decontamination
+    "bm25_rank",
+    "chunk_documents",
+    "pack_sequences",
+    "ngram_contamination",
+    # text analysis
+    "caption_stats",
+    "vocab",
+    "language_id",
+    "quality_score",
+    "fingerprint",
+    "token_counts",
+    "pos_tag_stats",
+    "repetition_stats",
+    "scrub_pii",
+    # strings
+    "strip_control_chars",
+    "add_punct",
+    "concat_corpus",
+    "wikimedia_urls",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
