@@ -84,13 +84,11 @@ def main() -> None:
 
     # Contract line: LAST on stdout, compact, and guaranteed to fit in the
     # driver's 2000-char tail window. Degrade per-query precision (3 -> 2 -> 1
-    # decimals) before ever dropping the queries dict.
-    for decimals in (3, 2, 1, None):
-        q = (
-            {n: round(t, decimals) for n, t in times.items()}
-            if decimals is not None
-            else {}
-        )
+    # decimals), then keep only the SLOWEST queries that fit (with a
+    # queries_omitted count) — never drop the whole dict: at 75+ queries the
+    # 1-decimal line can cross the cap and an empty dict loses every
+    # per-query number the round records.
+    def _line(q: dict, omitted: int) -> str:
         out = {
             "metric": "suite_total_seconds",
             "value": total,
@@ -101,11 +99,31 @@ def main() -> None:
         if errors:
             # Truncated per-query error strings; full text already on stderr.
             out["errors"] = {n: e[:60] for n, e in errors.items()}
-        line = json.dumps(out, separators=(",", ":"))
-        if len(line) < 1900:
+        if omitted:
+            out["queries_omitted"] = omitted
+        return json.dumps(out, separators=(",", ":"))
+
+    line = _line({}, 0)
+    for decimals in (3, 2, 1):
+        cand = _line({n: round(t, decimals) for n, t in times.items()}, 0)
+        if len(cand) < 1900:
+            line = cand
             break
         print(
-            f"metric line {len(line)} chars at {decimals} decimals; shrinking",
+            f"metric line {len(cand)} chars at {decimals} decimals; shrinking",
+            file=sys.stderr,
+        )
+    else:
+        kept: dict[str, float] = {}
+        for n, t in sorted(times.items(), key=lambda kv: -kv[1]):
+            trial = dict(kept)
+            trial[n] = round(t, 1)
+            if len(_line(trial, len(times) - len(trial))) >= 1850:
+                break
+            kept = trial
+        line = _line(kept, len(times) - len(kept))
+        print(
+            f"kept slowest {len(kept)}/{len(times)} queries in metric line",
             file=sys.stderr,
         )
     sys.stderr.flush()

@@ -304,3 +304,66 @@ def test_public_api_facade_exports():
         obj = getattr(w, name)
         assert obj is not None
     assert len(w.__all__) >= 45
+
+
+def test_asof_join_forward_matches_naive(spark, sf_dir):
+    """direction='forward' must pick the EARLIEST right row with
+    right.on >= left.on per group (pandas merge_asof forward semantics);
+    oracle is the naive inequality join + window min."""
+    e = load_table(spark, "events", sf_dir)
+    left = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts").limit(200)
+    right = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    got = {
+        r.event_id: r.value
+        for r in asof_join(
+            left, right, on="ts", by="user_id", right_cols=["value"], direction="forward"
+        ).collect()
+    }
+    j = left.alias("l").join(
+        right.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id")) & (F.col("r.ts") >= F.col("l.ts")),
+        "left",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l.event_id").orderBy(F.col("r.ts").asc_nulls_last())
+    naive = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("l.event_id").alias("event_id"), F.col("r.value").alias("value"))
+    )
+    want = {r.event_id: r.value for r in naive.collect()}
+    assert got == want
+
+
+def test_asof_join_forward_tolerance_and_equal_ts(spark):
+    """Forward tolerance nulls matches beyond on + tolerance; a right row at
+    the EXACT left timestamp matches in both directions (<=/>= inclusive)."""
+    left = spark.createDataFrame(
+        [(1, 100, "2024-01-01 10:00:00"), (2, 100, "2024-01-01 12:00:00")],
+        "id long, g long, ts_s string",
+    ).select("id", "g", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(100, "2024-01-01 10:00:00", 1.0), (100, "2024-01-01 14:30:00", 2.0)],
+        "g long, ts_s string, v double",
+    ).select("g", F.col("ts_s").cast("timestamp").alias("ts"), F.col("v"))
+
+    fwd = {
+        r.id: r.v
+        for r in asof_join(
+            left, right, on="ts", by="g", right_cols=["v"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {1: 1.0, 2: 2.0}  # id 1 matches the equal-ts row
+    tol = {
+        r.id: r.v
+        for r in asof_join(
+            left, right, on="ts", by="g", right_cols=["v"],
+            direction="forward", tolerance="1 hour",
+        ).collect()
+    }
+    assert tol == {1: 1.0, 2: None}  # 14:30 is >1h after 12:00 -> nulled
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="ts", by="g", direction="nearest")

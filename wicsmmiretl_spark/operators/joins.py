@@ -75,19 +75,25 @@ def asof_join(
     by: str | Sequence[str],
     right_cols: Sequence[str] | None = None,
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: for each left row, the most recent right row with
-    ``right.on <= left.on`` within the same ``by`` group.
+    """As-of join: for each left row, the nearest right row within the same
+    ``by`` group — ``direction='backward'`` (default) takes the most recent
+    right row with ``right.on <= left.on``; ``direction='forward'`` takes
+    the earliest right row with ``right.on >= left.on`` (pandas
+    ``merge_asof`` directions).
 
-    Implemented as union + window last-value: tag both sides, union them,
-    sort within each ``by`` partition by (on, side) and carry the last seen
-    right values forward. ONE shuffle on ``by`` — this is the scalable plan
-    (a naive inequality join is quadratic per group; DuckDB's ASOF JOIN is
-    the oracle for correctness).
+    Implemented as union + window carry: tag both sides, union them, sort
+    within each ``by`` partition by (on, side) and carry the last seen
+    (backward) or first upcoming (forward) right values. ONE shuffle on
+    ``by`` — this is the scalable plan (a naive inequality join is
+    quadratic per group; DuckDB is the oracle for correctness).
 
-    ``tolerance``: optional max staleness as an INTERVAL string (e.g.
-    ``'1 hour'``) — matches further back are nulled out.
+    ``tolerance``: optional max distance as an INTERVAL string (e.g.
+    ``'1 hour'``) — matches further away are nulled out.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: direction must be backward|forward, got {direction!r}")
     by_cols = [by] if isinstance(by, str) else list(by)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in by_cols and c != on]
@@ -110,14 +116,25 @@ def asof_join(
     )
 
     unioned = left_tagged.unionByName(right_tagged)
-    # Right rows sort before left rows at equal timestamps => on <= semantics.
-    w = (
-        Window.partitionBy(*by_cols)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = [F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_r_{c}") for c in right_cols]
-    carried_on = F.last(F.col("_r_on"), ignorenulls=True).over(w).alias("_r_on")
+    if direction == "backward":
+        # Right rows sort before left rows at equal timestamps => on <= semantics.
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(F.col(on).asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        # Left rows sort before right rows at equal timestamps, and the frame
+        # looks ahead => on >= semantics.
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(F.col(on).asc(), F.col("_side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+    carried = [pick(F.col(f"_r_{c}")).over(w).alias(f"_r_{c}") for c in right_cols]
+    carried_on = pick(F.col("_r_on")).over(w).alias("_r_on")
 
     result = (
         unioned.select(*unioned.columns[: len(left.columns)], F.col("_side"), *carried, carried_on)
@@ -125,7 +142,10 @@ def asof_join(
         .drop("_side")
     )
     if tolerance is not None:
-        stale = F.col("_r_on") < F.col(on) - F.expr(f"INTERVAL {tolerance}")
+        if direction == "backward":
+            stale = F.col("_r_on") < F.col(on) - F.expr(f"INTERVAL {tolerance}")
+        else:
+            stale = F.col("_r_on") > F.col(on) + F.expr(f"INTERVAL {tolerance}")
         for c in right_cols:
             result = result.withColumn(f"_r_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"_r_{c}")))
     result = result.drop("_r_on")

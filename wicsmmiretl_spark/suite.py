@@ -692,6 +692,35 @@ def q_asof_tolerance_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "asof_next_purchase",
+    """
+    SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+           p.value AS next_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (pandas merge_asof direction='forward'): for each
+    click, the EARLIEST purchase value at-or-after ts by the same user.
+    Same union + window plan as backward, frame flipped to look ahead —
+    still one shuffle on user_id."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(
+        clicks, purchases, on="ts", by="user_id", right_cols=["value"], direction="forward"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("value").alias("next_purchase_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sessionization (batch analog of the streaming session window)
 # ---------------------------------------------------------------------------
@@ -2761,6 +2790,7 @@ _DEFERRED_QUERIES = (
     # in-window family coverage:
     "simhash_signatures",       # simhash_near_pairs (in-window) computes the same signatures + verify
     "token_counts",             # text_stats + vocab_top100 (in-window) run the same tokenizer
+    "embedding_vector_stats",   # array stats: embedding_centroids + stats_matrix_documents in-window
 )
 
 
