@@ -366,4 +366,57 @@ def test_asof_join_forward_tolerance_and_equal_ts(spark):
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="direction"):
-        asof_join(left, right, on="ts", by="g", direction="nearest")
+        asof_join(left, right, on="ts", by="g", direction="sideways")
+
+
+def test_asof_join_nearest_matches_naive(spark, sf_dir):
+    """direction='nearest' picks the closer of backward/forward per row,
+    ties backward (pandas semantics); oracle is the naive join + window
+    over absolute distance."""
+    e = load_table(spark, "events", sf_dir)
+    left = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts").limit(200)
+    right = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    got = {
+        r.event_id: r.value
+        for r in asof_join(
+            left, right, on="ts", by="user_id", right_cols=["value"], direction="nearest"
+        ).collect()
+    }
+    j = left.alias("l").join(right.alias("r"), F.col("l.user_id") == F.col("r.user_id"), "left")
+    from pyspark.sql import Window
+
+    dist = F.abs(F.unix_micros(F.col("r.ts")) - F.unix_micros(F.col("l.ts")))
+    back_first = F.when(F.col("r.ts") <= F.col("l.ts"), 0).otherwise(1)
+    w = Window.partitionBy("l.event_id").orderBy(dist.asc_nulls_last(), back_first.asc())
+    naive = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("l.event_id").alias("event_id"), F.col("r.value").alias("value"))
+    )
+    want = {r.event_id: r.value for r in naive.collect()}
+    assert got == want
+
+
+def test_asof_join_nearest_tolerance_sides(spark):
+    """Nearest with tolerance: each side is nulled past the tolerance BEFORE
+    the pick, so a closer-but-stale match loses to a farther valid one."""
+    left = spark.createDataFrame(
+        [(1, 9, "2024-01-01 12:00:00")], "id long, g long, ts_s string"
+    ).select("id", "g", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(9, "2024-01-01 09:00:00", 1.0), (9, "2024-01-01 12:30:00", 2.0)],
+        "g long, ts_s string, v double",
+    ).select("g", F.col("ts_s").cast("timestamp").alias("ts"), F.col("v"))
+    # backward match (09:00) is 3h away, forward (12:30) is 30min: nearest=2.0
+    near = asof_join(left, right, on="ts", by="g", right_cols=["v"], direction="nearest")
+    assert near.collect()[0].v == 2.0
+    # 1h tolerance kills the backward side only; forward survives
+    tol = asof_join(
+        left, right, on="ts", by="g", right_cols=["v"], direction="nearest", tolerance="1 hour"
+    )
+    assert tol.collect()[0].v == 2.0
+    # 10-minute tolerance kills both
+    tol2 = asof_join(
+        left, right, on="ts", by="g", right_cols=["v"], direction="nearest", tolerance="10 minutes"
+    )
+    assert tol2.collect()[0].v is None

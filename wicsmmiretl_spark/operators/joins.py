@@ -78,22 +78,28 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the nearest right row within the same
-    ``by`` group — ``direction='backward'`` (default) takes the most recent
-    right row with ``right.on <= left.on``; ``direction='forward'`` takes
-    the earliest right row with ``right.on >= left.on`` (pandas
-    ``merge_asof`` directions).
+    ``by`` group — all three pandas ``merge_asof`` directions:
+    ``'backward'`` (default) takes the most recent right row with
+    ``right.on <= left.on``; ``'forward'`` the earliest right row with
+    ``right.on >= left.on``; ``'nearest'`` whichever of the two is closer
+    in absolute distance (ties break backward, as in pandas).
 
     Implemented as union + window carry: tag both sides, union them, sort
     within each ``by`` partition by (on, side) and carry the last seen
-    (backward) or first upcoming (forward) right values. ONE shuffle on
-    ``by`` — this is the scalable plan (a naive inequality join is
-    quadratic per group; DuckDB is the oracle for correctness).
+    (backward) or first upcoming (forward) right values; ``nearest``
+    computes both carries over the SAME partitioning and picks per row.
+    ONE shuffle on ``by`` in every direction (nearest adds a second sort,
+    not a second exchange) — this is the scalable plan (a naive inequality
+    join is quadratic per group; DuckDB is the oracle for correctness).
 
     ``tolerance``: optional max distance as an INTERVAL string (e.g.
-    ``'1 hour'``) — matches further away are nulled out.
+    ``'1 hour'``) — matches further away are nulled out (applied per side
+    BEFORE the nearest pick, matching pandas).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"asof_join: direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"asof_join: direction must be backward|forward|nearest, got {direction!r}"
+        )
     by_cols = [by] if isinstance(by, str) else list(by)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in by_cols and c != on]
@@ -116,43 +122,84 @@ def asof_join(
     )
 
     unioned = left_tagged.unionByName(right_tagged)
-    if direction == "backward":
-        # Right rows sort before left rows at equal timestamps => on <= semantics.
-        w = (
-            Window.partitionBy(*by_cols)
-            .orderBy(F.col(on).asc(), F.col("_side").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
-    else:
-        # Left rows sort before right rows at equal timestamps, and the frame
-        # looks ahead => on >= semantics.
-        w = (
-            Window.partitionBy(*by_cols)
-            .orderBy(F.col(on).asc(), F.col("_side").desc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        )
-        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
-    carried = [pick(F.col(f"_r_{c}")).over(w).alias(f"_r_{c}") for c in right_cols]
-    carried_on = pick(F.col("_r_on")).over(w).alias("_r_on")
 
+    def _carried(dirn: str, sfx: str):
+        """Window-carried right values for one direction, suffixed."""
+        if dirn == "backward":
+            # Right rows sort before left rows at equal timestamps => on <=.
+            w = (
+                Window.partitionBy(*by_cols)
+                .orderBy(F.col(on).asc(), F.col("_side").asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+        else:
+            # Left rows sort before right rows at equal timestamps, and the
+            # frame looks ahead => on >= semantics.
+            w = (
+                Window.partitionBy(*by_cols)
+                .orderBy(F.col(on).asc(), F.col("_side").desc())
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+            pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+        cols = [pick(F.col(f"_r_{c}")).over(w).alias(f"_r_{c}{sfx}") for c in right_cols]
+        cols.append(pick(F.col("_r_on")).over(w).alias(f"_r_on{sfx}"))
+        return cols
+
+    def _stale(dirn: str, sfx: str):
+        if dirn == "backward":
+            return F.col(f"_r_on{sfx}") < F.col(on) - F.expr(f"INTERVAL {tolerance}")
+        return F.col(f"_r_on{sfx}") > F.col(on) + F.expr(f"INTERVAL {tolerance}")
+
+    if direction in ("backward", "forward"):
+        carried = _carried(direction, "")
+        result = (
+            unioned.select(*unioned.columns[: len(left.columns)], F.col("_side"), *carried)
+            .filter(F.col("_side") == 1)
+            .drop("_side")
+        )
+        if tolerance is not None:
+            stale = _stale(direction, "")
+            for c in right_cols:
+                result = result.withColumn(
+                    f"_r_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"_r_{c}"))
+                )
+        result = result.drop("_r_on")
+        return result.select(
+            *[F.col(c) for c in left.columns],
+            *[F.col(f"_r_{c}").alias(c) for c in right_cols],
+        )
+
+    # nearest: both carries over the same hash partitioning (one exchange,
+    # two sorts), then a per-row pick of the closer side; equal distance
+    # breaks backward like pandas.
     result = (
-        unioned.select(*unioned.columns[: len(left.columns)], F.col("_side"), *carried, carried_on)
+        unioned.select(
+            *unioned.columns[: len(left.columns)],
+            F.col("_side"),
+            *_carried("backward", "_b"),
+            *_carried("forward", "_f"),
+        )
         .filter(F.col("_side") == 1)
         .drop("_side")
     )
     if tolerance is not None:
-        if direction == "backward":
-            stale = F.col("_r_on") < F.col(on) - F.expr(f"INTERVAL {tolerance}")
-        else:
-            stale = F.col("_r_on") > F.col(on) + F.expr(f"INTERVAL {tolerance}")
-        for c in right_cols:
-            result = result.withColumn(f"_r_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"_r_{c}")))
-    result = result.drop("_r_on")
-    return result.select(
-        *[F.col(c) for c in left.columns],
-        *[F.col(f"_r_{c}").alias(c) for c in right_cols],
+        for sfx, dirn in (("_b", "backward"), ("_f", "forward")):
+            stale = _stale(dirn, sfx)
+            for c in [*right_cols, "on"]:
+                col = f"_r_{c}{sfx}" if c != "on" else f"_r_on{sfx}"
+                result = result.withColumn(col, F.when(stale, F.lit(None)).otherwise(F.col(col)))
+    use_backward = F.when(
+        F.col("_r_on_b").isNull(), F.lit(False)
+    ).otherwise(
+        F.col("_r_on_f").isNull()
+        | (F.col(on) - F.col("_r_on_b") <= F.col("_r_on_f") - F.col(on))
     )
+    picked = [
+        F.when(use_backward, F.col(f"_r_{c}_b")).otherwise(F.col(f"_r_{c}_f")).alias(c)
+        for c in right_cols
+    ]
+    return result.select(*[F.col(c) for c in left.columns], *picked)
 
 
 def salted_join(

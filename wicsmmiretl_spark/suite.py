@@ -721,6 +721,42 @@ def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "asof_nearest_purchase",
+    """
+    SELECT event_id, user_id, ts_us, nearest_purchase_value FROM (
+      SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+             p.value AS nearest_purchase_value,
+             row_number() OVER (
+               PARTITION BY c.event_id
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)) ASC,
+                        CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END ASC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+    ) WHERE rn = 1
+    """,
+)
+def q_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (pandas merge_asof direction='nearest'): for each
+    click, the purchase value closest in absolute time by the same user,
+    ties backward. Spark plan: both direction carries over ONE hash
+    exchange (two sorts) + per-row pick; the oracle ranks the naive join by
+    absolute distance."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(
+        clicks, purchases, on="ts", by="user_id", right_cols=["value"], direction="nearest"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("value").alias("nearest_purchase_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sessionization (batch analog of the streaming session window)
 # ---------------------------------------------------------------------------
@@ -2392,6 +2428,54 @@ def q_click_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "streaming_interval_join",
+    """
+    SELECT c.event_id AS click_id, c.user_id AS user_id,
+           epoch_us(c.ts) AS click_ts_us,
+           p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_ts_us,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL stream-stream interval join, driven end to end: two
+    watermarked file-source streams (clicks, purchases) joined on user_id
+    with the 30-minute event-time bound that lets Spark evict buffered
+    state, append-mode memory sink, availableNow trigger. Oracle: the
+    identical batch-twin SQL as click_purchase_interval_join — stream and
+    batch compile the same join semantics."""
+    import tempfile
+
+    from wicsmmiretl_spark.streaming.windows import (
+        interval_join,
+        read_event_stream,
+        run_to_memory_sink,
+    )
+
+    d = tempfile.mkdtemp(prefix="wicsmmir_ssjoin_")
+    _t(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    stream = read_event_stream(spark, d)
+    clicks = stream.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = interval_join(clicks, purchases, key="user_id", ts_col="ts", upper="30 minutes")
+    out = j.select(
+        F.col("l_event_id").alias("click_id"),
+        F.col("l_user_id").alias("user_id"),
+        F.unix_micros(F.col("l_ts")).alias("click_ts_us"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.unix_micros(F.col("r_ts")).alias("purchase_ts_us"),
+        F.col("r_value").alias("purchase_value"),
+    )
+    name = f"suite_ssjoin_{next(_STREAM_RUN_COUNTER)}"
+    return run_to_memory_sink(out, name, spark, output_mode="append")
+
+
+@query(
     "corpus_mix",
     """
     WITH tot AS (
@@ -2791,6 +2875,8 @@ _DEFERRED_QUERIES = (
     "simhash_signatures",       # simhash_near_pairs (in-window) computes the same signatures + verify
     "token_counts",             # text_stats + vocab_top100 (in-window) run the same tokenizer
     "embedding_vector_stats",   # array stats: embedding_centroids + stats_matrix_documents in-window
+    "orders_rollup",            # J1 rollup: region_customer_rollup + nation_trade_volume in-window
+    "window_running_sum",       # §2.9 frames: window_rank_events + event_funnel (in-window) cover rank + framed windows
 )
 
 
