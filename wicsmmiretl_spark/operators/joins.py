@@ -252,6 +252,8 @@ def salted_join(
             "so right/full outer joins would duplicate unmatched right rows. "
             "Use inner/left_outer/left_semi/left_anti."
         )
+    if "_salt" in left.columns or "_salt" in right.columns:
+        raise ValueError("salted_join: input must not already have a '_salt' column")
     # Phase 1: hot-key detection. One eager aggregate job at plan-build time;
     # collected ONCE into a literal so both branches below see the same hot
     # set (no lazy re-evaluation / TOCTOU between branches).

@@ -1278,6 +1278,24 @@ def q_image_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _STREAM_RUN_COUNTER = iter(range(10**9))
+_STREAM_DROPDIRS: dict[str, str] = {}
+
+
+def _events_dropdir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the events table once per sf_dir as a parquet drop-folder
+    for file-source streams. Memoized: every streaming suite query reads the
+    same folder, so a bench/correctness run pays the rewrite once instead of
+    once per streaming query per iteration (it was the dominant cost of each
+    streaming query at sf0.1). The folder holds the RAW events rows —
+    per-query scaling happens on the stream."""
+    d = _STREAM_DROPDIRS.get(sf_dir)
+    if d is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="wicsmmir_stream_")
+        _t(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+        _STREAM_DROPDIRS[sf_dir] = d
+    return d
 
 
 @query(
@@ -1298,16 +1316,13 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete output mode makes the final memory table the full aggregation
     regardless of micro-batching, and value is pre-scaled to micro-unit
     longs so the windowed sum is exact on both engines."""
-    import tempfile
-
     from wicsmmiretl_spark.streaming.windows import (
         read_event_stream,
         run_to_memory_sink,
         tumbling_aggregate,
     )
 
-    d = tempfile.mkdtemp(prefix="wicsmmir_stream_")
-    _t(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    d = _events_dropdir(spark, sf_dir)
     stream = read_event_stream(spark, d).withColumn(
         "value", F.round(F.col("value") * 1000000).cast("long")
     )
@@ -1922,13 +1937,10 @@ def q_streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-equals-batch property is also pytest-verified
     (tests/test_streaming.py::test_stateful_running_stats_stream_equals_batch).
     """
-    import tempfile
-
     from wicsmmiretl_spark.streaming.stateful import running_user_stats
     from wicsmmiretl_spark.streaming.windows import read_event_stream, run_to_memory_sink
 
-    d = tempfile.mkdtemp(prefix="wicsmmir_state_")
-    _t(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    d = _events_dropdir(spark, sf_dir)
     stream = read_event_stream(spark, d).withColumn(
         "value", F.round(F.col("value") * 1000000).cast("long")
     )
@@ -2447,16 +2459,13 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, append-mode memory sink, availableNow trigger. Oracle: the
     identical batch-twin SQL as click_purchase_interval_join — stream and
     batch compile the same join semantics."""
-    import tempfile
-
     from wicsmmiretl_spark.streaming.windows import (
         interval_join,
         read_event_stream,
         run_to_memory_sink,
     )
 
-    d = tempfile.mkdtemp(prefix="wicsmmir_ssjoin_")
-    _t(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    d = _events_dropdir(spark, sf_dir)
     stream = read_event_stream(spark, d)
     clicks = stream.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     purchases = stream.filter(F.col("event_type") == "purchase").select(
