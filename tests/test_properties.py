@@ -142,3 +142,52 @@ def test_deterministic_sample_is_reproducible_across_partitionings(spark, seed):
         for r in deterministic_sample(df.repartition(13), 17, ["doc_id"], seed).collect()
     ]
     assert a == b and len(a) == 17
+
+
+@given(
+    left_ts=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=6),
+    right_ts=st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=6),
+    data=st.data(),
+)
+@SET
+def test_asof_directions_match_python_reference(spark, left_ts, right_ts, data):
+    """All three merge_asof directions agree with a brute-force Python
+    reference on arbitrary integer-second timestamps in one group.
+    Right timestamps are deduplicated (ties between right rows are
+    tie-broken arbitrarily by both engines, so they are out of contract)."""
+    from wicsmmiretl_spark.operators.joins import asof_join
+
+    direction = data.draw(st.sampled_from(["backward", "forward", "nearest"]))
+    right_ts = sorted(set(right_ts))
+    left = spark.createDataFrame(
+        [Row(id=i, g=1, ts_s=t) for i, t in enumerate(left_ts)]
+    ).select("id", "g", F.timestamp_seconds(F.col("ts_s")).alias("ts"))
+    right = spark.createDataFrame(
+        [Row(g=1, ts_s=t, v=float(t)) for t in right_ts],
+        "g long, ts_s long, v double",
+    ).select("g", F.timestamp_seconds(F.col("ts_s")).alias("ts"), "v")
+
+    got = {
+        r.id: r.v
+        for r in asof_join(
+            left, right, on="ts", by="g", right_cols=["v"], direction=direction
+        ).collect()
+    }
+
+    def ref(lt: int):
+        back = max((t for t in right_ts if t <= lt), default=None)
+        fwd = min((t for t in right_ts if t >= lt), default=None)
+        if direction == "backward":
+            pick = back
+        elif direction == "forward":
+            pick = fwd
+        elif back is None:
+            pick = fwd
+        elif fwd is None:
+            pick = back
+        else:
+            pick = back if (lt - back) <= (fwd - lt) else fwd
+        return float(pick) if pick is not None else None
+
+    want = {i: ref(t) for i, t in enumerate(left_ts)}
+    assert got == want
