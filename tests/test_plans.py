@@ -149,3 +149,18 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_customer")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_ivf_trained_plan_broadcasts_and_no_cartesian(spark):
+    """Trained-IVF ANN: centroid assignment must be a broadcast join (the
+    k x dim centroid table is tiny) and nothing in the plan may fall back
+    to an unpartitioned CartesianProduct — the probe join stays
+    cell-partitioned."""
+    from wicsmmiretl_spark.catalog import load_table
+    from wicsmmiretl_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    df = ivf_topk(emb, k=5, label_col=None, nprobe=2, train_k=4, train_iters=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
