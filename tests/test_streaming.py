@@ -178,3 +178,69 @@ def test_idempotent_partition_sink_replay_converges(spark, event_dir, tmp_path):
     written = spark.read.parquet(out)
     assert written.count() == expected
     assert written.select("event_id").distinct().count() == expected
+
+
+def test_watermark_drops_late_rows_across_restart(spark, tmp_path):
+    """The documented completeness/latency trade must actually hold: a row
+    whose event time is behind the checkpoint-persisted watermark when the
+    query resumes is DROPPED from the aggregation.
+
+    Within a single fresh run Spark 4 does not retro-filter earlier
+    micro-batches (the run starts at watermark 0), so the pin uses the
+    production shape: run 1 commits a watermark past window A's end, the
+    late window-A row arrives, and the restarted run emits ONLY the fresh
+    window-B update -- no n=4 for A, no resurrected A row.
+    """
+    from pyspark.sql import Row
+
+    d = str(tmp_path / "late_events")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _write(rows, start):
+        spark.createDataFrame(
+            [
+                Row(event_id=start + i, ts=ts, user_id=1, event_type="click",
+                    value=1.0, props="{}")
+                for i, ts in enumerate(rows)
+            ]
+        ).select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    emitted = []
+
+    def _sink(df, epoch):
+        emitted.append(sorted((r.window_start_us, r.n) for r in df.collect()))
+
+    def _run():
+        stream = read_event_stream(spark, d)
+        agg = tumbling_aggregate(stream, window_duration="1 day", watermark="1 hour")
+        q = (
+            agg.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    day_a = 1704067200000000  # 2024-01-01 00:00:00 UTC
+    day_b = 1704153600000000  # 2024-01-02
+
+    # run 1: 3 rows in window A + one at 01-02 12:00 -> committed watermark
+    # 11:00, past A's end.
+    _write(["2024-01-01 10:00:00", "2024-01-01 10:10:00", "2024-01-01 10:20:00",
+            "2024-01-02 12:00:00"], 0)
+    _run()
+    assert [e for e in emitted if e] == [[(day_a, 3), (day_b, 1)]]
+
+    # run 2 (resumed): one LATE window-A row + one fresh window-B row.
+    emitted.clear()
+    _write(["2024-01-01 15:00:00", "2024-01-02 13:00:00"], 100)
+    _run()
+    assert [e for e in emitted if e] == [[(day_b, 2)]]  # late A row dropped

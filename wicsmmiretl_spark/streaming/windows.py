@@ -50,8 +50,12 @@ def tumbling_aggregate(
     """Tumbling-window count/sum with late-data handling.
 
     Watermark bounds state: windows older than max(event time) - watermark
-    are finalized and evicted. Late rows beyond it are dropped (documented
-    completeness/latency trade)."""
+    are finalized and evicted, and rows arriving behind the committed
+    watermark are dropped (documented completeness/latency trade). NB the
+    drop applies against the watermark persisted at the last commit — a
+    fresh query's FIRST run starts at watermark 0 and does not retro-filter
+    its own earlier micro-batches; the restart path is pinned by
+    tests/test_streaming.py::test_watermark_drops_late_rows_across_restart."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window("ts", window_duration).alias("w"), *keys)
