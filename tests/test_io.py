@@ -209,3 +209,35 @@ def test_events_ts_loads_as_session_timestamp(spark):
         # unix_micros is the canonical downstream consumer; it must resolve.
         n = ev.select(F.unix_micros("ts").alias("us")).where(F.col("us").isNotNull()).count()
         assert n > 0
+
+
+def test_catalog_load_contract_dtypes(spark):
+    """The engine's load contract for every load-bearing column: numeric
+    measure columns must stay double (the exact-sum determinism discipline
+    in suite.py scales doubles to micro-unit longs — a silent double ->
+    decimal drift would change every hash), keys integral, event-time
+    columns plain TIMESTAMP (never NTZ — the r5/r6 drift lesson,
+    generalized past events.ts). If the driver regenerates testdata with
+    different physical types, this test names the drift in one place."""
+    from wicsmmiretl_spark.catalog import load_tables
+
+    integral = {"int", "bigint"}
+    expected = {
+        "customer": {"c_custkey": integral, "c_acctbal": {"double"}},
+        "orders": {"o_orderkey": integral, "o_totalprice": {"double"},
+                   "o_orderdate": {"timestamp"}},
+        "lineitem": {"l_quantity": {"double"}, "l_extendedprice": {"double"},
+                     "l_discount": {"double"}, "l_shipdate": {"timestamp"}},
+        "events": {"event_id": integral, "ts": {"timestamp"}, "value": {"double"}},
+        "documents": {"doc_id": integral, "text": {"string"}, "n_chars": integral},
+        "embeddings": {"vec_id": integral,
+                       "embedding": {"array<float>", "array<double>"}},
+    }
+    tables = load_tables(spark, "/root/testdata/sf0.001", names=tuple(expected))
+    drift = {}
+    for tname, cols in expected.items():
+        dtypes = dict(tables[tname].dtypes)
+        for col, allowed in cols.items():
+            if dtypes.get(col) not in allowed:
+                drift[f"{tname}.{col}"] = dtypes.get(col)
+    assert not drift, f"testdata dtype drift (extend catalog.load_table): {drift}"

@@ -54,22 +54,23 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         # time, not at `spark.read` time.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    # Normalize events.ts to TIMESTAMP regardless of the parquet physical
-    # type the generator chose — this has drifted across testdata versions:
-    #   * TIMESTAMP(NANOS): Spark has no nanosecond timestamp type, so the
-    #     session reads it as long (nanosAsLong above) and we rebuild a
-    #     micros timestamp. Integer `div` (not /) — nanos since epoch exceed
-    #     double's 2^53 exact-integer range.
-    #   * timestamp[us] without isAdjustedToUTC: arrives as TIMESTAMP_NTZ,
-    #     where every unix_micros() downstream throws DATATYPE_MISMATCH.
-    #     The session timezone is pinned UTC (session.py), so the cast to
-    #     TIMESTAMP is value-preserving and matches DuckDB's naive-epoch math.
-    if name == "events":
-        ts_dtype = dict(df.dtypes).get("ts")
-        if ts_dtype == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_dtype == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Normalize every event-time column to plain TIMESTAMP regardless of the
+    # parquet physical type the generator chose — this has drifted across
+    # testdata versions (r5 broke 7 queries on exactly this):
+    #   * TIMESTAMP(NANOS) on events.ts: Spark has no nanosecond timestamp
+    #     type, so the session reads it as long (nanosAsLong above) and we
+    #     rebuild a micros timestamp. Integer `div` (not /) — nanos since
+    #     epoch exceed double's 2^53 exact-integer range.
+    #   * timestamp[us] without isAdjustedToUTC (events.ts, o_orderdate,
+    #     l_shipdate, ...): arrives as TIMESTAMP_NTZ, where every
+    #     unix_micros() downstream throws DATATYPE_MISMATCH. The session
+    #     timezone is pinned UTC (session.py), so the cast to TIMESTAMP is
+    #     value-preserving and matches DuckDB's naive-epoch math.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     try:
         cores = spark.sparkContext.defaultParallelism
         max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
