@@ -1,0 +1,105 @@
+"""Z-order layout: Morton-code correctness against a Python reference and
+the actual data-skipping payoff measured from parquet row-group footers."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from wicsmmiretl_spark.operators.layout import cluster_by_zorder, zorder_value
+
+
+def _py_morton(xr: int, yr: int, bits: int) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((xr >> b) & 1) << (2 * b)
+        z |= ((yr >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def test_zorder_value_matches_python_reference(spark):
+    """Ranks are min/max scaled to [0, 2^bits) and bit-interleaved exactly
+    like the classic Morton code; NULLs rank 0."""
+    rows = [Row(x=x, y=y) for x in (0, 85, 170, 255) for y in (0, 85, 170, 255)]
+    rows.append(Row(x=None, y=0))
+    df = spark.createDataFrame(rows, "x int, y int")
+    zdf, _ = zorder_value(df, ["x", "y"], bits=8)
+    for r in zdf.collect():
+        xr = 0 if r.x is None else round(r.x / 255 * 255)
+        yr = round(r.y / 255 * 255)
+        assert r._zorder == _py_morton(xr, yr, 8), (r.x, r.y)
+
+
+def test_zorder_rejects_overflow_and_empty(spark):
+    import pytest
+
+    df = spark.range(4).select(F.col("id").alias("x"))
+    with pytest.raises(ValueError, match="63-bit"):
+        zorder_value(df, ["x"] * 8, bits=8)
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_value(df, [])
+
+
+def test_zorder_layout_tightens_per_file_bounding_boxes(spark, tmp_path):
+    """The point of the operator: written with Z-order clustering, every
+    parquet file covers a small rectangle of (x, y), so min/max footer
+    stats prune scans on EITHER column. Measured: the mean per-file
+    bounding-box area must shrink by >5x vs the unclustered write, and a
+    point-filter on each single column must be prunable to a minority of
+    files."""
+    n, files = 4096, 8
+    base = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        F.floor(F.col("id") / 64).alias("y"),
+    )
+    naive_dir, z_dir = str(tmp_path / "naive"), str(tmp_path / "zorder")
+    # shuffle the natural order so the naive layout is genuinely unclustered
+    base.orderBy(F.md5(F.col("id").cast("string"))).repartition(files).write.parquet(naive_dir)
+    cluster_by_zorder(base, ["x", "y"], num_partitions=files).write.parquet(z_dir)
+
+    def boxes(d):
+        out = []
+        for f in glob.glob(d + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            xmin = ymin = 1 << 62
+            xmax = ymax = -(1 << 62)
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    name = col.path_in_schema
+                    if name not in ("x", "y") or col.statistics is None:
+                        continue
+                    st = col.statistics
+                    if name == "x":
+                        xmin, xmax = min(xmin, st.min), max(xmax, st.max)
+                    else:
+                        ymin, ymax = min(ymin, st.min), max(ymax, st.max)
+            out.append((xmin, xmax, ymin, ymax))
+        return out
+
+    def mean_area(bs):
+        return sum((x2 - x1 + 1) * (y2 - y1 + 1) for x1, x2, y1, y2 in bs) / len(bs)
+
+    nb, zb = boxes(naive_dir), boxes(z_dir)
+    assert len(zb) == files
+    assert mean_area(nb) / mean_area(zb) > 5, (mean_area(nb), mean_area(zb))
+
+    # single-column point filters: summed across sample points and both
+    # axes, the Z layout must touch at least 1.5x fewer files than the
+    # unclustered one (mid-curve points legitimately straddle quadrant
+    # boundaries — Z-order's known worst case — and repartitionByRange
+    # SAMPLES its boundaries, so per-run box edges wobble: the bound is
+    # aggregate and conservative, the mean-area shrink above is the
+    # primary claim)
+    def hits(bs):
+        total = 0
+        for point in (0, 16, 31, 47, 63):
+            total += sum(1 for x1, x2, _, _ in bs if x1 <= point <= x2)
+            total += sum(1 for _, _, y1, y2 in bs if y1 <= point <= y2)
+        return total
+
+    assert hits(zb) * 3 <= hits(nb) * 2, (hits(zb), hits(nb))

@@ -60,6 +60,7 @@ from wicsmmiretl_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from wicsmmiretl_spark.operators.filters import apply_filters, drop_null
+from wicsmmiretl_spark.operators.layout import cluster_by_zorder, zorder_value
 from wicsmmiretl_spark.operators.joins import (
     asof_join,
     attach,
@@ -137,11 +138,13 @@ __all__ = [
     "kmeans_train",
     "ivf_topk",
     "knn_classify",
-    # ranking / packing / decontamination
+    # ranking / packing / decontamination / layout
     "bm25_rank",
     "chunk_documents",
     "pack_sequences",
     "ngram_contamination",
+    "zorder_value",
+    "cluster_by_zorder",
     # text analysis
     "caption_stats",
     "vocab",
