@@ -65,7 +65,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     #     l_shipdate, ...): arrives as TIMESTAMP_NTZ, where every
     #     unix_micros() downstream throws DATATYPE_MISMATCH. The session
     #     timezone is pinned UTC (session.py), so the cast to TIMESTAMP is
-    #     value-preserving and matches DuckDB's naive-epoch math.
+    #     value-preserving and matches DuckDB's naive-epoch math. Pushdown
+    #     verified: Catalyst inverts the UTC ntz->ltz cast, so range filters
+    #     on ts still reach PushedFilters at the parquet scan.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     for col, dtype in df.dtypes:
