@@ -292,13 +292,19 @@ def kmeans_train(
         cdot = F.aggregate(
             F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
         )
-        wa = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell"))
+        # argmax cosine as grouped min(struct) — partial-aggregated map-side,
+        # so the shuffle carries n rows, not the n×k expanded join a window
+        # would shuffle. (-ccos, cell) ascending == ccos desc, ties to the
+        # lowest cell; (id, cell) is unique so the comparison never reaches v.
+        pick = F.struct(
+            (-F.col("ccos")).alias("_negc"), F.col("cell").alias("cell"), F.col("v").alias("v")
+        )
         assigned = (
             v.crossJoin(F.broadcast(cent_df))
             .withColumn("ccos", F.round(cdot / (F.col("nv") * F.col("nc")), 6))
-            .withColumn("rn", F.row_number().over(wa))
-            .filter(F.col("rn") == 1)
-            .select("cell", "v")
+            .groupBy(id_col)
+            .agg(F.min(pick).alias("_s"))
+            .select(F.col("_s.cell").alias("cell"), F.col("_s.v").alias("v"))
         )
         new_flat = assigned.select("cell", F.posexplode("v").alias("pos", "val")).groupBy(
             "cell", "pos"
@@ -390,18 +396,38 @@ def ivf_topk(
         )
 
     cdot = F.aggregate(F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    scored_cells = v.crossJoin(F.broadcast(cent)).withColumn(
+        "ccos", F.round(cdot / (F.col("nv") * F.col("nc")), 6)
+    )
+    # Candidates live in exactly ONE cell: argmax as grouped min(struct) —
+    # partial-aggregated map-side, so the shuffle carries n rows instead of
+    # the n×#cells expanded join a window would shuffle. (-ccos, cell)
+    # ascending == ccos desc with ties to the lowest cell — the same pick a
+    # rank-1 window makes; (id, cell) is unique so the comparison never
+    # reaches the payload fields.
+    pick = F.struct(
+        (-F.col("ccos")).alias("_negc"),
+        F.col("cell").alias("cell"),
+        F.col("v").alias("v"),
+        F.col("nv").alias("nv"),
+    )
+    c = (
+        scored_cells.groupBy(id_col)
+        .agg(F.min(pick).alias("_s"))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("_s.v").alias("cv2"),
+            F.col("_s.nv").alias("nn"),
+            F.col("_s.cell").alias("cell"),
+        )
+    )
+    # Queries fan out to nprobe cells — a top-n, so a window; but only over
+    # the broadcast-small query slice, never the full corpus.
     w_assign = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell"))
-    ranked = (
-        v.crossJoin(F.broadcast(cent))
-        .withColumn("ccos", F.round(cdot / (F.col("nv") * F.col("nc")), 6))
-        .withColumn("rn", F.row_number().over(w_assign))
-    )
-    # candidates live in exactly one cell; queries fan out to nprobe cells
-    c = ranked.filter(F.col("rn") == 1).select(
-        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv2"), F.col("nv").alias("nn"), "cell"
-    )
     q = (
-        ranked.filter((F.col(id_col) < query_max_id) & (F.col("rn") <= nprobe))
+        scored_cells.filter(F.col(id_col) < query_max_id)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= nprobe)
         .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq"), "cell")
     )
     dot = F.aggregate(F.zip_with("qv", "cv2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
