@@ -420,3 +420,36 @@ def test_asof_join_nearest_tolerance_sides(spark):
         left, right, on="ts", by="g", right_cols=["v"], direction="nearest", tolerance="10 minutes"
     )
     assert tol2.collect()[0].v is None
+
+
+def test_trailing_aggregate_matches_naive_join(spark, sf_dir):
+    """RANGE-frame trailing aggregates must equal the naive interval
+    self-join oracle; values pre-scaled to exact integers so float order
+    cannot flap the comparison."""
+    from wicsmmiretl_spark.operators.aggregates import trailing_aggregate
+
+    e = (
+        load_table(spark, "events", sf_dir)
+        .select("event_id", "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("v"))
+    )
+    got = {
+        r.event_id: (r.trailing_sum, r.trailing_n)
+        for r in trailing_aggregate(e, "ts", ["user_id"], "v", window="2 hours").collect()
+    }
+    a, b = e.alias("a"), e.alias("b")
+    naive = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") <= F.col("a.ts"))
+            & (F.col("b.ts") >= F.col("a.ts") - F.expr("INTERVAL 2 HOURS")),
+        )
+        .groupBy(F.col("a.event_id").alias("event_id"))
+        .agg(F.sum("b.v").alias("s"), F.count("b.v").alias("n"))
+    )
+    want = {r.event_id: (r.s, r.n) for r in naive.collect()}
+    assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        trailing_aggregate(e, "ts", ["user_id"], "v", window="2 fortnights")

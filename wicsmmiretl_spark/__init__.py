@@ -49,6 +49,7 @@ from wicsmmiretl_spark.operators.aggregates import (
     column_stats,
     grouped_stats_matrix,
     null_count,
+    trailing_aggregate,
 )
 from wicsmmiretl_spark.operators.decontaminate import ngram_contamination
 from wicsmmiretl_spark.operators.dedup import (
@@ -115,6 +116,7 @@ __all__ = [
     "column_stats",
     "grouped_stats_matrix",
     "null_count",
+    "trailing_aggregate",
     # sampling / splits
     "deterministic_shuffle",
     "deterministic_sample",
