@@ -241,3 +241,26 @@ def test_catalog_load_contract_dtypes(spark):
             if dtypes.get(col) not in allowed:
                 drift[f"{tname}.{col}"] = dtypes.get(col)
     assert not drift, f"testdata dtype drift (extend catalog.load_table): {drift}"
+
+
+def test_events_epoch_is_utc_even_from_non_utc_session(spark):
+    """The ntz->timestamp cast must not inherit a caller session's
+    non-UTC timezone (the correctness harness hands load_table a vanilla
+    session): epochs must match DuckDB's naive-as-UTC epoch_us exactly."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from wicsmmiretl_spark.catalog import load_table
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ev = load_table(spark, "events", "/root/testdata/sf0.001")
+        got = ev.agg(F.min(F.unix_micros("ts"))).first()[0]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    want = duckdb.sql(
+        "SELECT min(epoch_us(ts)) FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchone()[0]
+    assert got == want

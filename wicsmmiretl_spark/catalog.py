@@ -70,9 +70,19 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     #     on ts still reach PushedFilters at the parquet scan.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    for col, dtype in df.dtypes:
-        if dtype == "timestamp_ntz":
-            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    if any(dtype == "timestamp_ntz" for _, dtype in df.dtypes):
+        # The ntz->ltz cast interprets the naive wall-clock in the SESSION
+        # timezone — correct only under UTC (which is what DuckDB's
+        # epoch_us over the same naive values computes). Our own sessions
+        # pin UTC in session.py, but callers may hand us a vanilla session
+        # (the correctness harness does), so pin it here too — same
+        # documented session mutation as nanosAsLong above. The conf is set
+        # BEFORE the cast expression is built, so analysis resolves the
+        # cast's timezone to UTC regardless of the caller's setting.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        for col, dtype in df.dtypes:
+            if dtype == "timestamp_ntz":
+                df = df.withColumn(col, F.col(col).cast("timestamp"))
     try:
         cores = spark.sparkContext.defaultParallelism
         max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
