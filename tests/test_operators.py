@@ -453,3 +453,15 @@ def test_trailing_aggregate_matches_naive_join(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="window"):
         trailing_aggregate(e, "ts", ["user_id"], "v", window="2 fortnights")
+
+
+def test_skew_report_identifies_hot_key(spark):
+    from wicsmmiretl_spark.operators.aggregates import skew_report
+
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k")
+    )
+    rows = skew_report(df, ["k"], top_n=3).collect()
+    assert rows[0].k == 7 and rows[0].n_rows == 900
+    assert abs(rows[0].share - 0.9) < 1e-9
+    assert len(rows) == 3 and rows[1].n_rows == 1

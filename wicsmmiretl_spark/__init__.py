@@ -49,6 +49,7 @@ from wicsmmiretl_spark.operators.aggregates import (
     column_stats,
     grouped_stats_matrix,
     null_count,
+    skew_report,
     trailing_aggregate,
 )
 from wicsmmiretl_spark.operators.decontaminate import ngram_contamination
@@ -117,6 +118,7 @@ __all__ = [
     "grouped_stats_matrix",
     "null_count",
     "trailing_aggregate",
+    "skew_report",
     # sampling / splits
     "deterministic_shuffle",
     "deterministic_sample",

@@ -119,3 +119,21 @@ def trailing_aggregate(
         .withColumn("trailing_n", F.count(value_col).over(w))
         .withColumn("trailing_mean", F.col("trailing_sum") / F.col("trailing_n"))
     )
+
+
+def skew_report(df: DataFrame, key_cols: Sequence[str], top_n: int = 10) -> DataFrame:
+    """Key-skew diagnostic: exact per-key counts for the ``top_n`` heaviest
+    keys plus each key's share of the table — the number you need to decide
+    whether a join wants ``salted_join`` (operators/joins.py) or AQE alone.
+
+    One partial-agg count (shuffle carries one row per distinct key) + a
+    broadcast-scalar total + TakeOrdered top-n. Safe at any scale; output
+    is at most ``top_n`` rows.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = df.count()
+    return (
+        counts.orderBy(F.desc("n_rows"), *[F.asc(c) for c in key_cols])
+        .limit(top_n)
+        .withColumn("share", F.round(F.col("n_rows") / F.lit(float(total)), 6))
+    )
