@@ -65,10 +65,26 @@ def cosine_topk(
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", F.round(_cosine_expr(F.col("qv"), F.col("cv")), 6))
+        .select("query_id", "neighbor_id", "cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    # Two-stage top-k: stage 1 prunes to k per (query, input partition) —
+    # the global top-k is necessarily a subset of the per-partition top-ks,
+    # so the result is partitioning-INVARIANT even though the pruned set
+    # isn't. Without it the single window hashes all n×q scored rows into
+    # only |q| reducers (a parallelism ceiling and a straggler at scale);
+    # with it the first shuffle spreads over |q|×P keys and the final
+    # window sees ≤ |q|×P×k rows.
+    order = (F.desc("cosine"), F.asc("neighbor_id"))
+    w1 = Window.partitionBy("query_id", "_pid").orderBy(*order)
+    pruned = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_pid", "_rn")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        pruned.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine")
     )
