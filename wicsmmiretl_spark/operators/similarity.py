@@ -485,10 +485,22 @@ def hyperplane_lsh_topk(
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", F.round(_cosine_expr(F.col("qv"), F.col("cv")), 6))
+        .select("query_id", "neighbor_id", "cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    # Same two-stage top-k as cosine_topk: per-(query, partition) prune
+    # first, so the final window ranks <= |q| x P x k rows instead of
+    # hashing the whole bucket-joined score set into |q| reducers.
+    order = (F.desc("cosine"), F.asc("neighbor_id"))
+    w1 = Window.partitionBy("query_id", "_pid").orderBy(*order)
+    pruned = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_pid", "_rn")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        pruned.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine")
     )
