@@ -2847,45 +2847,48 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEFERRED_QUERIES = (
-    # r5 rotation: ALL 23 formerly-deferred queries move IN-window so every
-    # one of the 73 registered queries has a driver-side CORRECTNESS row by
-    # end of r5 (the 9 r4 additions + window_running_sum had none; the other
-    # 13 last appeared r1-r3). Deferred in their place: 23 shapes that passed
-    # the driver in ALL of r1-r4 and whose operator families remain covered
-    # by an in-window query (noted per line). All 23 stay oracle-checked
-    # every pytest run via tests/test_deferred_oracle.py.
-    "pricing_summary",          # A2-A6 grouped stats: stats_matrix_documents is the canonical A9
-    "range_filter_chain",       # P5/P6 filters: etl_caption_pipeline + corpus_curation push the same chains
-    "customers_with_orders_semi",  # P8 semi join: idle_rich_customers (semi+anti), near_dup_jaccard semi
-    "nation_segment_distinct",  # distinct: dedup_exact is the canonical hash-distinct
-    "nations_without_suppliers",   # EXCEPT (0 rows): customers_without_orders anti-join in-window
-    "clamped_ratios",           # P9 clamp: corpus_curation quality gates run the same when/otherwise
-    "wikimedia_url_build",      # F4 md5-shard concat: split_assign exercises the same md5 path
-    "quantity_quantiles",       # A5 exact median: stats_matrix_documents computes the same percentiles
-    "large_quantity_orders",    # J1+HAVING: nation_trade_volume + idle_rich_customers cover it
-    "normalized_captions",      # F1/F2 normalize: etl_caption_pipeline applies the same chain
-    "corpus_concat",            # F3 concat-reduce: single-row agg shape, green r1-r4
-    "deterministic_sample_docs",   # R1-R3: corpus_mix + split_assign cover deterministic md5 sampling
-    "events_json_extract",      # JSON path extract: green r1-r4; io pytest covers S3 scan+flatten
-    "union_balance_stats",      # U1 union: salted_supplier_volume unions hot/cold branches in-window
-    "events_daily_pivot",       # pivot: events_stats_by_type (in-window) covers grouped wide stats
-    "user_value_analytics",     # §2.9 frames: window_running_sum + window_rank_events + event_funnel in-window
-    "cheapest_supplier_per_part",  # rank window: window_rank_events is the canonical rank shape
-    "quality_scores",           # quality gates: corpus_curation applies the same fenced gates
-    "lang_id",                  # lang-ID filter: corpus_curation's first stage is the same classifier
-    "dedup_exact",              # exact dedup: corpus_curation + dedup_canonical run the same fingerprint
-    "pii_scrub",                # regexp_replace chain: corpus_curation's scrub stage is identical
-    "split_assign",             # R7 md5 split: corpus_mix uses the same cross-engine md5 threshold
-    "nations_with_both",        # INTERSECT: trivial 25-row shape, green r1-r4; set ops via anti in-window
-    # r6: two more deferred to hold the window at 50 with kmeans_centroids +
-    # ivf_topk_trained added (both NEW, so they must be in-window for their
-    # first driver row). Both deferrals passed the driver in r5 and keep
-    # in-window family coverage:
-    "simhash_signatures",       # simhash_near_pairs (in-window) computes the same signatures + verify
-    "token_counts",             # text_stats + vocab_top100 (in-window) run the same tokenizer
-    "embedding_vector_stats",   # array stats: embedding_centroids + stats_matrix_documents in-window
-    "orders_rollup",            # J1 rollup: region_customer_rollup + nation_trade_volume in-window
-    "window_running_sum",       # §2.9 frames: window_rank_events + event_funnel (in-window) cover rank + framed windows
+    # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
+    # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
+    # refreshed against the *current* testdata generation (their last driver
+    # rows predate two physical-dtype drifts: r5's events.ts and the r6 NTZ
+    # date columns). Deferred in their place: 28 queries that passed the
+    # driver in r6 (CORRECTNESS_r06 = 50/50) and whose operator families
+    # remain covered by an in-window query (noted per line). The 22 retained
+    # in-window queries are the ones touched this round (salted_join fusion,
+    # asof_nearest tiebreak, hyperplane dim param, streaming micro-batch
+    # tuning) plus one canonical query per family with no incoming twin
+    # (ranking, packing, CDC merge, theta join, union-find, multimodal,
+    # LSH dedup, trained IVF, stateful streaming, curation, flagship vocab).
+    # All 28 deferred stay oracle-checked every pytest run via
+    # tests/test_deferred_oracle.py.
+    "pos_tag_stats",            # E1 enrichment: text_stats (in-window) runs the same Catalyst token classes
+    "customers_without_orders", # J3 anti: nations_without_suppliers (in-window) is the same anti/EXCEPT shape
+    "region_customer_rollup",   # rollup: orders_rollup (in-window) is the same grouped rollup
+    "stats_matrix_documents",   # A9 stats matrix: pricing_summary + quantity_quantiles (in-window) cover A2-A6/A5
+    "events_stats_by_type",     # grouped wide stats: pricing_summary + events_daily_pivot in-window
+    "window_rank_events",       # rank window: cheapest_supplier_per_part (in-window) is the canonical rank
+    "tumbling_daily",           # event-time windows: sessionize_events (in-window) covers the family
+    "asof_click_purchase",      # as-of backward: asof_nearest_purchase (in-window) evaluates backward as a component; direction-parity pytest
+    "asof_tolerance_purchase",  # as-of tolerance: asof_nearest_purchase (in-window) exercises the tolerance path
+    "embedding_centroids",      # array aggs: embedding_vector_stats (in-window) + ivf_topk_trained's Lloyd means
+    "streaming_tumbling",       # streaming: streaming_interval_join + streaming_user_state in-window
+    "ivf_topk",                 # IVF probe: ivf_topk_trained (in-window) runs the same probe on trained centroids
+    "kmeans_centroids",         # Lloyd training: ivf_topk_trained (in-window) trains the same k-means internally
+    "etl_caption_pipeline",     # E/T/L chain: normalized_captions + range_filter_chain + corpus_curation in-window
+    "vocab_token_class",        # UDTF explode: vocab_top100 + token_counts (in-window) run the same tokenizer
+    "nation_trade_volume",      # J1 equi-join agg: large_quantity_orders (in-window) is the same J1+HAVING
+    "simhash_near_pairs",       # SimHash: simhash_signatures (in-window) computes the same signatures
+    "sliding_hourly",           # sliding windows: sessionize_events (in-window) covers event-time windows
+    "video_frame_sample",       # multimodal mapInPandas: image_pipeline_stats (in-window) is the same Arrow-batched path
+    "idle_rich_customers",      # semi+anti: customers_with_orders_semi + nations_without_suppliers in-window
+    "lineitem_flag_status_cube",  # cube/grouping sets: events_daily_pivot + orders_rollup in-window
+    "repetition_stats",         # text-quality signals: quality_scores (in-window) runs the same fenced gates
+    "click_purchase_interval_join",  # interval join: streaming_interval_join (in-window) hash-matches the identical oracle
+    "corpus_mix",               # stratified mix: split_assign + deterministic_sample_docs (in-window) cover md5 sampling
+    "doc_chunks",               # chunking: pack_assign (in-window) covers the packing family
+    "knn_classify",             # k-NN: cosine_topk (in-window) is the underlying top-k retrieval
+    "dedup_canonical",          # survivor pick: dedup_exact + dedup_clusters (in-window) cover the fingerprint + clusters
+    "event_funnel",             # chained windows: user_value_analytics + window_running_sum (in-window) cover frames
 )
 
 
