@@ -64,6 +64,11 @@ def main() -> None:
             msg = f"{type(exc).__name__}: {exc}"
             errors[name] = msg[:200]
             print(f"bench error in {name}: {msg}", file=sys.stderr)
+            # A transient failure on run 2 (flaky host, spilled executor)
+            # must not discard run 1's valid measurement: keep the finite
+            # best alongside the error record.
+            if best != float("inf"):
+                times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
 
@@ -88,7 +93,7 @@ def main() -> None:
     # queries_omitted count) — never drop the whole dict: at 75+ queries the
     # 1-decimal line can cross the cap and an empty dict loses every
     # per-query number the round records.
-    def _line(q: dict, omitted: int) -> str:
+    def _line(q: dict, omitted: int, err_n: int) -> str:
         out = {
             "metric": "suite_total_seconds",
             "value": total,
@@ -97,15 +102,28 @@ def main() -> None:
             "sf": sf,
         }
         if errors:
-            # Truncated per-query error strings; full text already on stderr.
-            out["errors"] = {n: e[:60] for n, e in errors.items()}
+            # Truncated per-query error strings, capped at err_n entries so a
+            # mass failure (every query broken) can't push the contract line
+            # past the driver's tail window; full text already on stderr.
+            shown = dict(sorted(errors.items())[:err_n])
+            out["errors"] = {n: e[:60] for n, e in shown.items()}
+            if len(errors) > err_n:
+                out["errors_omitted"] = len(errors) - err_n
         if omitted:
             out["queries_omitted"] = omitted
         return json.dumps(out, separators=(",", ":"))
 
-    line = _line({}, 0)
+    # Shrink errors FIRST until the zero-query skeleton is guaranteed to fit:
+    # the fallback loop below only drops queries, so an unbounded errors dict
+    # would lose the line in exactly the catastrophic scenario fault isolation
+    # exists for.
+    err_n = len(errors)
+    while err_n > 0 and len(_line({}, len(times), err_n)) >= 1500:
+        err_n -= 1
+
+    line = _line({}, len(times), err_n)
     for decimals in (3, 2, 1):
-        cand = _line({n: round(t, decimals) for n, t in times.items()}, 0)
+        cand = _line({n: round(t, decimals) for n, t in times.items()}, 0, err_n)
         if len(cand) < 1900:
             line = cand
             break
@@ -118,10 +136,10 @@ def main() -> None:
         for n, t in sorted(times.items(), key=lambda kv: -kv[1]):
             trial = dict(kept)
             trial[n] = round(t, 1)
-            if len(_line(trial, len(times) - len(trial))) >= 1850:
+            if len(_line(trial, len(times) - len(trial), err_n)) >= 1850:
                 break
             kept = trial
-        line = _line(kept, len(times) - len(kept))
+        line = _line(kept, len(times) - len(kept), err_n)
         print(
             f"kept slowest {len(kept)}/{len(times)} queries in metric line",
             file=sys.stderr,

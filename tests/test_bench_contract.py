@@ -27,3 +27,58 @@ def test_bench_survives_broken_query(spark, monkeypatch, capsys):
     assert "broken" in doc["errors"]
     assert "RuntimeError" in doc["errors"]["broken"]
     assert doc["value"] >= doc["queries"]["vocab_top100"]
+
+
+def test_bench_mass_failure_keeps_line_parseable(spark, monkeypatch, capsys):
+    """Every query broken (testdata drift scenario): the errors dict must be
+    capped inside the contract line, with the overflow counted, so the line
+    still fits the driver's 2000-char stdout tail window."""
+    import bench
+
+    ok = bench.QUERIES["vocab_top100"]
+
+    def make_broken(i):
+        def broken(spark, sf_dir):
+            raise RuntimeError(
+                f"deliberately broken query number {i} with a long message "
+                "mimicking an AnalysisException traceback summary line"
+            )
+
+        return broken
+
+    patched = {"vocab_top100": ok}
+    patched.update({f"broken_{i:02d}": make_broken(i) for i in range(40)})
+    monkeypatch.setattr(bench, "QUERIES", patched)
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line) < 2000
+    doc = json.loads(line)
+    assert doc["metric"] == "suite_total_seconds"
+    assert "vocab_top100" in doc["queries"]
+    shown = len(doc["errors"])
+    assert shown + doc.get("errors_omitted", 0) == 40
+
+
+def test_bench_flaky_second_run_keeps_first_timing(spark, monkeypatch, capsys):
+    """A query that succeeds on run 1 and throws on run 2 (transient host
+    fault) must still report run 1's timing alongside the error record."""
+    import bench
+
+    ok = bench.QUERIES["vocab_top100"]
+    calls = {"n": 0}
+
+    def flaky(spark, sf_dir):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("transient fault on second run")
+        return ok(spark, sf_dir)
+
+    monkeypatch.setattr(bench, "QUERIES", {"vocab_top100": ok, "flaky": flaky})
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    doc = json.loads(line)
+    assert "flaky" in doc["queries"]
+    assert doc["queries"]["flaky"] > 0
+    assert "RuntimeError" in doc["errors"]["flaky"]

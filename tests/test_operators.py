@@ -422,6 +422,52 @@ def test_asof_join_nearest_tolerance_sides(spark):
     assert tol2.collect()[0].v is None
 
 
+def test_asof_join_tiebreak_and_row_consistency(spark):
+    """Two right rows at the SAME timestamp: tiebreak picks the smallest in
+    every direction; and the carried values are row-consistent — a matched
+    row with a NULL value yields NULL, never an older row's non-null value
+    (the struct carry, not a per-column last/first)."""
+    left = spark.createDataFrame(
+        [(1, 7, "2024-01-01 12:00:00")], "id long, g long, ts_s string"
+    ).select("id", "g", F.col("ts_s").cast("timestamp").alias("ts"))
+    # Equal-ts pair at 11:00 with v=5.0 and v=2.0; tiebreak must pick 2.0.
+    right = spark.createDataFrame(
+        [(7, "2024-01-01 11:00:00", 5.0, "a"), (7, "2024-01-01 11:00:00", 2.0, "b")],
+        "g long, ts_s string, v double, tag string",
+    ).select("g", F.col("ts_s").cast("timestamp").alias("ts"), "v", "tag")
+    for direction in ("backward", "nearest"):
+        row = asof_join(
+            left, right, on="ts", by="g", right_cols=["v", "tag"],
+            direction=direction, tiebreak="v",
+        ).collect()[0]
+        assert (row.v, row.tag) == (2.0, "b"), direction
+    fwd_right = right.select("g", (F.col("ts") + F.expr("INTERVAL 2 hours")).alias("ts"), "v", "tag")
+    row = asof_join(
+        left, fwd_right, on="ts", by="g", right_cols=["v", "tag"],
+        direction="forward", tiebreak="v",
+    ).collect()[0]
+    assert (row.v, row.tag) == (2.0, "b")
+
+    # Row consistency: nearest match (10:00, v NULL) must yield NULL, not
+    # leak 9:00's non-null v.
+    right2 = spark.createDataFrame(
+        [(7, "2024-01-01 09:00:00", 1.0, "old"), (7, "2024-01-01 10:00:00", None, "new")],
+        "g long, ts_s string, v double, tag string",
+    ).select("g", F.col("ts_s").cast("timestamp").alias("ts"), "v", "tag")
+    row = asof_join(left, right2, on="ts", by="g", right_cols=["v", "tag"]).collect()[0]
+    assert (row.v, row.tag) == (None, "new")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tiebreak"):
+        asof_join(left, right, on="ts", by="g", right_cols=["v"], tiebreak="tag")
+    with _pytest.raises(ValueError, match="_on"):
+        asof_join(
+            left, right.withColumnRenamed("tag", "_on"),
+            on="ts", by="g", right_cols=["v", "_on"],
+        )
+
+
 def test_trailing_aggregate_matches_naive_join(spark, sf_dir):
     """RANGE-frame trailing aggregates must equal the naive interval
     self-join oracle; values pre-scaled to exact integers so float order

@@ -32,6 +32,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy parquet scan).
 
+    **Session side effects** (both permanent for the session's lifetime,
+    both required for cross-engine timestamp determinism):
+
+    * reading ``events`` sets ``spark.sql.legacy.parquet.nanosAsLong=true``;
+    * any table carrying ``timestamp_ntz`` columns repins
+      ``spark.sql.session.timeZone`` to ``UTC``. If the caller's session had
+      a different timezone, a ``UserWarning`` is emitted, because the repin
+      changes how *other* timestamp literals/casts in that session parse and
+      format from then on. Build sessions via
+      :func:`wicsmmiretl_spark.session.get_spark` (already UTC-pinned) to
+      avoid the warning.
+
     Small single-row-group files are repartitioned to the session's
     parallelism: a parquet row group is the minimum split unit, so a tiny
     file otherwise pins every map-only expression pipeline to ONE task. The
@@ -78,7 +90,21 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         # (the correctness harness does), so pin it here too — same
         # documented session mutation as nanosAsLong above. The conf is set
         # BEFORE the cast expression is built, so analysis resolves the
-        # cast's timezone to UTC regardless of the caller's setting.
+        # cast's timezone to UTC regardless of the caller's setting. Warn
+        # when actually CHANGING a non-UTC session: the repin is permanent
+        # and alters timestamp parsing for everything else in that session
+        # (documented in the public docstring above).
+        prior_tz = spark.conf.get("spark.sql.session.timeZone", "")
+        if prior_tz not in ("", "UTC", "Etc/UTC", "GMT"):
+            import warnings
+
+            warnings.warn(
+                f"load_table({name!r}): repinning session timezone "
+                f"{prior_tz!r} -> 'UTC' for timestamp_ntz normalization; "
+                "this persists for the session's lifetime",
+                UserWarning,
+                stacklevel=2,
+            )
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         for col, dtype in df.dtypes:
             if dtype == "timestamp_ntz":

@@ -76,6 +76,7 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     tolerance: str | None = None,
     direction: str = "backward",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the nearest right row within the same
     ``by`` group — all three pandas ``merge_asof`` directions:
@@ -86,15 +87,25 @@ def asof_join(
 
     Implemented as union + window carry: tag both sides, union them, sort
     within each ``by`` partition by (on, side) and carry the last seen
-    (backward) or first upcoming (forward) right values; ``nearest``
-    computes both carries over the SAME partitioning and picks per row.
-    ONE shuffle on ``by`` in every direction (nearest adds a second sort,
-    not a second exchange) — this is the scalable plan (a naive inequality
-    join is quadratic per group; DuckDB is the oracle for correctness).
+    (backward) or first upcoming (forward) right ROW — a single struct of
+    ``(on, *right_cols)``, so the matched values are always row-consistent
+    even when some right values are NULL (a per-column carry would leak a
+    non-null value from an older row). ``nearest`` computes both carries
+    over the SAME partitioning and picks per row. ONE shuffle on ``by`` in
+    every direction (nearest adds a second sort, not a second exchange) —
+    this is the scalable plan (a naive inequality join is quadratic per
+    group; DuckDB is the oracle for correctness).
 
     ``tolerance``: optional max distance as an INTERVAL string (e.g.
     ``'1 hour'``) — matches further away are nulled out (applied per side
     BEFORE the nearest pick, matching pandas).
+
+    ``tiebreak``: optional right column (must be in ``right_cols``) that
+    makes the match deterministic when several right rows in one ``by``
+    group share the same ``on`` value: the row with the SMALLEST tiebreak
+    wins, in every direction. Without it the choice among equal-``on``
+    right rows is whatever the sort produced (pandas has the same caveat —
+    it takes input order, which a distributed engine doesn't have).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -103,12 +114,27 @@ def asof_join(
     by_cols = [by] if isinstance(by, str) else list(by)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in by_cols and c != on]
+    if "_on" in right_cols:
+        raise ValueError(
+            "asof_join: right_cols may not contain '_on' — it is the carried "
+            "struct's field name for the right-side on column; rename the column."
+        )
+    if tiebreak is not None and tiebreak not in right_cols:
+        raise ValueError(
+            f"asof_join: tiebreak {tiebreak!r} must be one of right_cols so it is "
+            "carried with the matched row"
+        )
 
+    from pyspark.sql.types import StructField, StructType
+
+    r_struct_type = StructType(
+        [StructField("_on", right.schema[on].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
     left_tagged = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
-        F.lit(None).cast(right.schema[on].dataType).alias("_r_on"),
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     # Build the right side with left's full schema as nulls so the union lines up.
     right_tagged = right.select(
@@ -117,57 +143,67 @@ def asof_join(
             for c in left.columns
         ],
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
-        F.col(on).alias("_r_on"),
+        F.struct(
+            F.col(on).alias("_on"), *[F.col(c).alias(c) for c in right_cols]
+        ).alias("_r"),
     )
 
     unioned = left_tagged.unionByName(right_tagged)
 
     def _carried(dirn: str, sfx: str):
-        """Window-carried right values for one direction, suffixed."""
+        """Window-carried right row (one struct) for one direction, suffixed.
+
+        The tiebreak key only discriminates among right rows at equal
+        ``on`` (left rows always sort apart via ``_side``): ordered so the
+        row the carry lands on — LAST in frame for backward, FIRST for
+        forward — is the minimum-tiebreak row in both directions.
+        """
         if dirn == "backward":
             # Right rows sort before left rows at equal timestamps => on <=.
+            order = [F.col(on).asc(), F.col("_side").asc()]
+            if tiebreak is not None:
+                order.append(F.col("_r")[tiebreak].desc())
             w = (
                 Window.partitionBy(*by_cols)
-                .orderBy(F.col(on).asc(), F.col("_side").asc())
+                .orderBy(*order)
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
-            pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
-        else:
-            # Left rows sort before right rows at equal timestamps, and the
-            # frame looks ahead => on >= semantics.
-            w = (
-                Window.partitionBy(*by_cols)
-                .orderBy(F.col(on).asc(), F.col("_side").desc())
-                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-            )
-            pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
-        cols = [pick(F.col(f"_r_{c}")).over(w).alias(f"_r_{c}{sfx}") for c in right_cols]
-        cols.append(pick(F.col("_r_on")).over(w).alias(f"_r_on{sfx}"))
-        return cols
+            return F.last("_r", ignorenulls=True).over(w).alias(f"_r{sfx}")
+        # Left rows sort before right rows at equal timestamps, and the
+        # frame looks ahead => on >= semantics.
+        order = [F.col(on).asc(), F.col("_side").desc()]
+        if tiebreak is not None:
+            order.append(F.col("_r")[tiebreak].asc())
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(*order)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        return F.first("_r", ignorenulls=True).over(w).alias(f"_r{sfx}")
 
     def _stale(dirn: str, sfx: str):
         if dirn == "backward":
-            return F.col(f"_r_on{sfx}") < F.col(on) - F.expr(f"INTERVAL {tolerance}")
-        return F.col(f"_r_on{sfx}") > F.col(on) + F.expr(f"INTERVAL {tolerance}")
+            return F.col(f"_r{sfx}")["_on"] < F.col(on) - F.expr(f"INTERVAL {tolerance}")
+        return F.col(f"_r{sfx}")["_on"] > F.col(on) + F.expr(f"INTERVAL {tolerance}")
+
+    def _detolerated(dirn: str, sfx: str) -> Column:
+        """The carried struct, nulled out entirely when beyond tolerance."""
+        carried = F.col(f"_r{sfx}")
+        if tolerance is None:
+            return carried
+        return F.when(_stale(dirn, sfx), F.lit(None).cast(r_struct_type)).otherwise(carried)
 
     if direction in ("backward", "forward"):
-        carried = _carried(direction, "")
         result = (
-            unioned.select(*unioned.columns[: len(left.columns)], F.col("_side"), *carried)
+            unioned.select(
+                *unioned.columns[: len(left.columns)], F.col("_side"), _carried(direction, "")
+            )
             .filter(F.col("_side") == 1)
-            .drop("_side")
+            .withColumn("_r", _detolerated(direction, ""))
         )
-        if tolerance is not None:
-            stale = _stale(direction, "")
-            for c in right_cols:
-                result = result.withColumn(
-                    f"_r_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"_r_{c}"))
-                )
-        result = result.drop("_r_on")
         return result.select(
             *[F.col(c) for c in left.columns],
-            *[F.col(f"_r_{c}").alias(c) for c in right_cols],
+            *[F.col("_r")[c].alias(c) for c in right_cols],
         )
 
     # nearest: both carries over the same hash partitioning (one exchange,
@@ -177,26 +213,20 @@ def asof_join(
         unioned.select(
             *unioned.columns[: len(left.columns)],
             F.col("_side"),
-            *_carried("backward", "_b"),
-            *_carried("forward", "_f"),
+            _carried("backward", "_b"),
+            _carried("forward", "_f"),
         )
         .filter(F.col("_side") == 1)
-        .drop("_side")
+        .withColumn("_r_b", _detolerated("backward", "_b"))
+        .withColumn("_r_f", _detolerated("forward", "_f"))
     )
-    if tolerance is not None:
-        for sfx, dirn in (("_b", "backward"), ("_f", "forward")):
-            stale = _stale(dirn, sfx)
-            for c in [*right_cols, "on"]:
-                col = f"_r_{c}{sfx}" if c != "on" else f"_r_on{sfx}"
-                result = result.withColumn(col, F.when(stale, F.lit(None)).otherwise(F.col(col)))
-    use_backward = F.when(
-        F.col("_r_on_b").isNull(), F.lit(False)
-    ).otherwise(
-        F.col("_r_on_f").isNull()
-        | (F.col(on) - F.col("_r_on_b") <= F.col("_r_on_f") - F.col(on))
+    on_b = F.col("_r_b")["_on"]
+    on_f = F.col("_r_f")["_on"]
+    use_backward = F.when(on_b.isNull(), F.lit(False)).otherwise(
+        on_f.isNull() | (F.col(on) - on_b <= on_f - F.col(on))
     )
     picked = [
-        F.when(use_backward, F.col(f"_r_{c}_b")).otherwise(F.col(f"_r_{c}_f")).alias(c)
+        F.when(use_backward, F.col("_r_b")[c]).otherwise(F.col("_r_f")[c]).alias(c)
         for c in right_cols
     ]
     return result.select(*[F.col(c) for c in left.columns], *picked)

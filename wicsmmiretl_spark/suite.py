@@ -730,7 +730,8 @@ def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (
                PARTITION BY c.event_id
                ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)) ASC,
-                        CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END ASC) AS rn
+                        CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END ASC,
+                        p.value ASC NULLS FIRST) AS rn
       FROM (SELECT * FROM events WHERE event_type = 'click') c
       LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         ON c.user_id = p.user_id
@@ -742,12 +743,15 @@ def q_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     click, the purchase value closest in absolute time by the same user,
     ties backward. Spark plan: both direction carries over ONE hash
     exchange (two sorts) + per-row pick; the oracle ranks the naive join by
-    absolute distance."""
+    absolute distance. ``tiebreak='value'`` (mirrored by the oracle's final
+    ``p.value ASC NULLS FIRST`` sort key) keeps both engines deterministic
+    if a user ever has two purchases at the same timestamp."""
     e = _t(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
     joined = asof_join(
-        clicks, purchases, on="ts", by="user_id", right_cols=["value"], direction="nearest"
+        clicks, purchases, on="ts", by="user_id", right_cols=["value"],
+        direction="nearest", tiebreak="value",
     )
     return joined.select(
         "event_id",
