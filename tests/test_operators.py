@@ -242,10 +242,11 @@ def test_salted_join_matches_plain_join(spark):
     assert "_salt" not in plan and "Union" not in plan
 
 
-def test_salted_join_replicates_only_hot_branch(spark):
-    """Plan-shape pin: the x`salts` right-side replication (Range crossJoin)
-    must appear under the hot branch ONLY; the cold branch is a plain
-    equi-join on the key with no salt column."""
+def test_salted_join_replicates_only_hot_keys(spark):
+    """Plan + data pin for the single conditional-salt join: left is scanned
+    ONCE (no hot/cold branch Union), the right side is replicated via ONE
+    explode, and only hot-key right rows are actually multiplied — cold
+    right rows carry exactly one salt."""
     from pyspark.sql import functions as F
 
     from wicsmmiretl_spark.operators.joins import salted_join
@@ -257,10 +258,21 @@ def test_salted_join_replicates_only_hot_branch(spark):
     right = spark.range(0, 50).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
     out = salted_join(left, right, "k", salts=8, hot_threshold=500)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    # two join branches unioned; exactly ONE Range(0..8) salt generator
-    assert plan.count("Range (0, 8") == 1
-    assert "Union" in plan
-    # correctness of the split result
+    assert "Union" not in plan  # one join, one left scan
+    assert plan.lower().count("explode") == 1
+    # replication factor check on the right side as the operator builds it:
+    # hot key 1 -> 8 salted copies, each cold key -> exactly 1
+    salted_right = right.withColumn(
+        "_salt",
+        F.explode(
+            F.when(F.col("k").isin([1]), F.sequence(F.lit(0), F.lit(7))).otherwise(
+                F.array(F.lit(0))
+            )
+        ),
+    )
+    per_key = {r.k: r.n for r in salted_right.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert per_key[1] == 8 and all(n == 1 for k, n in per_key.items() if k != 1)
+    # correctness of the salted result
     got = sorted(tuple(r) for r in out.collect())
     want = sorted(tuple(r) for r in left.join(right, "k").collect())
     assert got == want

@@ -251,12 +251,13 @@ def salted_join(
     ``max_hot_keys`` with a loud error, so the collect and the resulting
     IN-list literal stay driver-safe at any input scale.
 
-    Phase 2 splits the plan: hot left rows are scattered across ``salts``
-    buckets (deterministic value hash — no rand(), stable under task
-    retries) and joined against the right rows *for those keys only*,
-    replicated ``salts`` times; all remaining rows take a plain equi-join
-    with ZERO right-side replication. The union of both branches is
-    result-identical to a plain join (oracle-checked by
+    Phase 2 is ONE conditional-salt equi-join on ``(key, _salt)`` — the
+    left side is scanned once (a hot/cold branch union would scan it
+    twice): hot left rows scatter across ``salts`` buckets (deterministic
+    value hash — no rand(), stable under task retries) while cold rows
+    keep salt 0; on the right, ONLY hot-key rows are replicated ``salts``
+    times (explode), cold rows carry the single salt 0 — zero replication
+    off the hot path. Result-identical to a plain join (oracle-checked by
     ``salted_supplier_volume``).
 
     With no hot keys the plain join is returned untouched. AQE's skew-join
@@ -284,22 +285,40 @@ def salted_join(
         )
     if "_salt" in left.columns or "_salt" in right.columns:
         raise ValueError("salted_join: input must not already have a '_salt' column")
-    # Phase 1: hot-key detection. One eager aggregate job at plan-build time;
-    # collected ONCE into a literal so both branches below see the same hot
-    # set (no lazy re-evaluation / TOCTOU between branches).
+    # Phase 1: hot-key detection. Eager at plan-build time; collected ONCE
+    # into a literal so both join sides below see the same hot set (no lazy
+    # re-evaluation / TOCTOU between the two sides).
     counts = left.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+
+    def _collect_hot(c: DataFrame) -> list:
+        return (
+            c.filter(F.col("_n") >= hot_threshold)
+            .select(key)
+            .limit(max_hot_keys + 1)
+            .collect()
+        )
+
     if hot_threshold is None:
+        # Fused default-threshold path: the total row count needed for the
+        # threshold already lives in the per-key aggregate, so materialize
+        # the counts ONCE and read both the total and the hot set from the
+        # cache — the second job is a partition-local filter over one row
+        # per distinct key, not a second full scan of `left` (previously a
+        # separate left.count() job re-scanned the input).
+        from pyspark.storagelevel import StorageLevel
+
         shuffle_parts = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-        total = left.count()
-        hot_threshold = max(1000, (2 * total) // max(shuffle_parts, 1))
-    if hot_threshold < 1:
-        raise ValueError(f"salted_join: hot_threshold must be >= 1, got {hot_threshold}")
-    hot_rows = (
-        counts.filter(F.col("_n") >= hot_threshold)
-        .select(key)
-        .limit(max_hot_keys + 1)
-        .collect()
-    )
+        counts.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            total = counts.agg(F.sum("_n")).first()[0] or 0
+            hot_threshold = max(1000, (2 * total) // max(shuffle_parts, 1))
+            hot_rows = _collect_hot(counts)
+        finally:
+            counts.unpersist()
+    else:
+        if hot_threshold < 1:
+            raise ValueError(f"salted_join: hot_threshold must be >= 1, got {hot_threshold}")
+        hot_rows = _collect_hot(counts)
     if len(hot_rows) > max_hot_keys:
         raise ValueError(
             f"salted_join: more than {max_hot_keys} keys exceed hot_threshold="
@@ -310,21 +329,25 @@ def salted_join(
     if not hot_keys:
         return left.join(right, key, how)
 
-    # Phase 2: disjoint hot/cold split. NULL keys never match in an equi-join
-    # but must survive left-preserving joins -> route them down the cold
-    # (unsalted) branch explicitly, since `isin` on NULL yields NULL.
+    # Phase 2: one conditional-salt join. NULL keys never match in an
+    # equi-join but must survive left-preserving joins -> coalesce routes
+    # them to salt 0 (`isin` on NULL yields NULL, not False) and the join
+    # type preserves them.
     is_hot = F.coalesce(F.col(key).isin(hot_keys), F.lit(False))
-    left_cols = list(left.columns)
 
-    cold = left.filter(~is_hot).join(right, key, how)
-
-    salted_left = left.filter(is_hot).withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left_cols]), F.lit(salts))
+    salted_left = left.withColumn(
+        "_salt",
+        F.when(
+            is_hot,
+            F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts)).cast("int"),
+        ).otherwise(F.lit(0)),
     )
-    salted_right = right.filter(F.col(key).isin(hot_keys)).crossJoin(
-        F.broadcast(
-            right.sparkSession.range(salts).select(F.col("id").cast("bigint").alias("_salt"))
-        )
+    salted_right = right.withColumn(
+        "_salt",
+        F.explode(
+            F.when(is_hot, F.sequence(F.lit(0), F.lit(salts - 1))).otherwise(
+                F.array(F.lit(0))
+            )
+        ),
     )
-    hot = salted_left.join(salted_right, [key, "_salt"], how).drop("_salt")
-    return cold.unionByName(hot)
+    return salted_left.join(salted_right, [key, "_salt"], how).drop("_salt")
