@@ -112,6 +112,21 @@ def test_hyperplane_lsh_subset_of_bruteforce_space(spark, sf_dir):
         assert buckets[r.neighbor_id] == buckets[r.query_id]
 
 
+def test_hyperplane_dim_overprovision_matches_probe(spark, sf_dir):
+    """An over-provisioned dim (128 planes over 64-wide vectors) must yield
+    the SAME buckets as the probed exact width: the padded dot-product slots
+    are skipped, mirroring the oracle's range(128) planes table. This is
+    what lets callers pass a schema-known dim and skip the plan-build
+    first() probe job."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    probed = {r.vec_id: r.bucket for r in hyperplane_signature(emb, bits=6, seed=42).collect()}
+    wide = {
+        r.vec_id: r.bucket
+        for r in hyperplane_signature(emb, bits=6, seed=42, dim=128).collect()
+    }
+    assert probed == wide and len(probed) > 0
+
+
 def test_cosine_pairs_symmetric_threshold(spark, sf_dir):
     from wicsmmiretl_spark.catalog import load_table
     from wicsmmiretl_spark.operators.similarity import cosine_pairs

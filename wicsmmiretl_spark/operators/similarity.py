@@ -187,15 +187,29 @@ def cosine_pairs(
 
 
 def hyperplane_signature(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", bits: int = 16, seed: int = 42
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Sign-random-projection LSH signature (approximate cosine buckets).
 
     Hyperplane components are derived per (bit, dim) from md5 of the seed —
     deterministic everywhere, no RNG state to ship. Returns id + bucket
     (bigint).
+
+    ``dim``: hyperplane dimensionality. Pass it when the caller knows the
+    vector length (it usually does, from its schema contract) — the dot
+    product skips the padded slots of whichever array is shorter, so an
+    over-provisioned ``dim`` (e.g. 128 for 64-wide vectors) yields the same
+    buckets as the exact value and survives a testdata width drift. With
+    ``dim=None`` the width is probed from the first row — an eager Spark
+    job at plan-build time, the explicit fallback, not the default path.
     """
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     # ±1 hyperplanes from a hash of (seed, bit, dim index): cheap and fixed.
     import hashlib
 
@@ -211,7 +225,14 @@ def hyperplane_signature(
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     for b, row in enumerate(planes):
         coeffs = F.array(*[F.lit(c) for c in row])
-        dot = F.aggregate(F.zip_with(vec, coeffs, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+        # coalesce: zip_with pads the shorter array with NULL — skip those
+        # slots (mirrors DuckDB list semantics in the oracles) so dim may
+        # over-provision the true vector width.
+        dot = F.aggregate(
+            F.zip_with(vec, coeffs, lambda x, y: F.coalesce(x * y, F.lit(0.0))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
         bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long") * F.lit(2**b).cast("long")
         sig = bit if sig is None else sig + bit
     return df.select(F.col(id_col), sig.alias("bucket"))
@@ -223,6 +244,7 @@ def hyperplane_pairs(
     vec_col: str = "embedding",
     bits: int = 6,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: sign-random-projection buckets,
     then cosine only for same-bucket (id_a < id_b) pairs — the equi-join on
@@ -231,7 +253,7 @@ def hyperplane_pairs(
 
     Output: id_a, id_b, cosine (rounded 6dp).
     """
-    sig = hyperplane_signature(embeddings, id_col, vec_col, bits, seed)
+    sig = hyperplane_signature(embeddings, id_col, vec_col, bits, seed, dim=dim)
     v = (
         embeddings.select(
             F.col(id_col),
@@ -466,11 +488,12 @@ def hyperplane_lsh_topk(
     vec_col: str = "embedding",
     bits: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing the query's LSH
     bucket. Equi-join on bucket → shuffle by bucket, never all-pairs."""
-    sig_c = hyperplane_signature(embeddings, id_col, vec_col, bits, seed)
-    sig_q = hyperplane_signature(queries, id_col, vec_col, bits, seed)
+    sig_c = hyperplane_signature(embeddings, id_col, vec_col, bits, seed, dim=dim)
+    sig_q = hyperplane_signature(queries, id_col, vec_col, bits, seed, dim=dim)
     c = embeddings.join(sig_c, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),

@@ -1214,11 +1214,14 @@ _SQL_LSH_PLANES = """
 )
 def q_hyperplane_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star similarity scale path: sign-random-projection buckets
-    (6 md5-derived hyperplanes), cosine only for same-bucket pairs."""
+    (6 md5-derived hyperplanes), cosine only for same-bucket pairs.
+    dim=128 over-provisions the true vector width exactly like the oracle's
+    ``range(128)`` planes table (both sides skip the padded slots), so no
+    plan-build probe job runs and a testdata width drift ≤128 is harmless."""
     from wicsmmiretl_spark.operators.similarity import hyperplane_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return hyperplane_pairs(emb, bits=6, seed=42)
+    return hyperplane_pairs(emb, bits=6, seed=42, dim=128)
 
 
 # ---------------------------------------------------------------------------
