@@ -1334,7 +1334,7 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", F.round(F.col("value") * 1000000).cast("long")
     )
     name = f"suite_tumbling_{next(_STREAM_RUN_COUNTER)}"
-    agg = run_to_memory_sink(tumbling_aggregate(stream), name, spark)
+    agg = run_to_memory_sink(tumbling_aggregate(stream), name, spark, shuffle_partitions=8)
     return agg.select(
         "window_start_us",
         "event_type",
@@ -1952,7 +1952,9 @@ def q_streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", F.round(F.col("value") * 1000000).cast("long")
     )
     name = f"suite_user_state_{next(_STREAM_RUN_COUNTER)}"
-    snap = run_to_memory_sink(running_user_stats(stream), name, spark, output_mode="update")
+    snap = run_to_memory_sink(
+        running_user_stats(stream), name, spark, output_mode="update", shuffle_partitions=8
+    )
     return (
         snap.groupBy("user_id")
         .agg(F.max(F.struct("n_events", "total_value", "max_value")).alias("s"))
@@ -2488,7 +2490,7 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_value").alias("purchase_value"),
     )
     name = f"suite_ssjoin_{next(_STREAM_RUN_COUNTER)}"
-    return run_to_memory_sink(out, name, spark, output_mode="append")
+    return run_to_memory_sink(out, name, spark, output_mode="append", shuffle_partitions=8)
 
 
 @query(
