@@ -197,18 +197,82 @@ def test_persist_images_npy_roundtrip(spark, tmp_path):
         assert (arr == RawGrid.decode(blob)).all()
 
 
-def test_persist_images_rejects_pil_formats(spark):
+def test_persist_images_rejects_unknown_format(spark):
     import pytest as _pytest
 
-    from wicsmmiretl_spark.multimodal.images import HAS_PIL, persist_images, synth_images
+    from wicsmmiretl_spark.multimodal.images import persist_images, synth_images
 
     df = spark.range(0, 2).withColumnRenamed("id", "doc_id")
     imgs = synth_images(df, "doc_id")
-    if not HAS_PIL:
-        with _pytest.raises(NotImplementedError):
-            persist_images(imgs, "/tmp/never", fmt="jpg", id_col="doc_id")
     with _pytest.raises(ValueError):
         persist_images(imgs, "/tmp/never", fmt="bmp", id_col="doc_id")
+
+
+def test_persist_images_jpg_sink(spark, tmp_path):
+    """S8 jpg sink without PIL: every written file is a decodable baseline
+    JPEG whose pixels are close to the source (lossy — PSNR-gated)."""
+    import numpy as np
+
+    from wicsmmiretl_spark.multimodal.images import RawGrid, persist_images, synth_images
+    from wicsmmiretl_spark.multimodal.jpeg import decode_jpeg
+
+    df = spark.range(0, 4).withColumnRenamed("id", "doc_id")
+    imgs = synth_images(df, "doc_id")
+    dst = str(tmp_path / "jpgs")
+    persist_images(imgs, dst, fmt="jpg", id_col="doc_id")
+    rows = {r.doc_id: bytes(r.content) for r in imgs.collect()}
+    for k, blob in rows.items():
+        data = open(f"{dst}/{k}.jpg", "rb").read()
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        src = RawGrid.decode(blob)
+        back = decode_jpeg(data)
+        assert back.shape == src.shape
+        mse = float(np.mean((back.astype(float) - src.astype(float)) ** 2))
+        psnr = 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+        assert psnr > 25.0, psnr
+
+
+def test_jpeg_codec_roundtrip_and_structure():
+    """Stdlib baseline-JPEG codec: valid marker structure, deterministic
+    bytes, and round-trip PSNR sane for gray + RGB, including dimensions
+    that are not multiples of 8 (edge-padded blocks)."""
+    import numpy as np
+
+    from wicsmmiretl_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    def psnr(a, b):
+        mse = float(np.mean((a.astype(float) - b.astype(float)) ** 2))
+        return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+    h, w = 37, 53  # deliberately not multiples of 8
+    gray = np.outer(np.linspace(0, 255, h), np.ones(w)).astype(np.uint8)
+    blob = encode_jpeg(gray, quality=85)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    assert b"JFIF\x00" in blob[:24]
+    assert encode_jpeg(gray, quality=85) == blob  # deterministic
+    back = decode_jpeg(blob)
+    assert back.shape == (h, w) and psnr(gray, back) > 40
+
+    rgb = np.stack(
+        [
+            np.tile(np.linspace(0, 255, 64), (48, 1)),
+            np.tile(np.linspace(255, 0, 48)[:, None], (1, 64)),
+            np.full((48, 64), 96.0),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    back3 = decode_jpeg(encode_jpeg(rgb, quality=85))
+    assert back3.shape == rgb.shape and psnr(rgb, back3) > 35
+
+    # quality knob monotonicity: lower quality -> smaller payload
+    assert len(encode_jpeg(rgb, quality=30)) < len(encode_jpeg(rgb, quality=95))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
 
 
 def test_png_codec_roundtrip():

@@ -1,0 +1,176 @@
+"""Scale rehearsal: measure how the most expensive suite queries scale from
+1x (sf0.1) to a synthesized 10x slice.
+
+The 10x slice is a union of 10 re-keyed copies of the sf0.1 tables —
+no new testdata needed:
+
+* ``events``: event_id / user_id offset per copy — rows AND key cardinality
+  scale 10x (per-user density constant, the realistic growth mode).
+* ``documents``: doc_id offset; the text of copy i>0 is Caesar-rotated by i
+  (``translate`` over a-z/A-Z) so cross-copy texts share no shingles — the
+  near-duplicate RATE stays constant instead of every doc gaining 9 exact
+  twins, which would change the semantics being measured, not just the
+  scale.
+* ``embeddings``: vec_id offset; each copy's vectors perturbed by +i*1e-3
+  per component (cost-neutral, avoids degenerate exact-duplicate geometry).
+* ``lineitem`` / ``supplier``: l_suppkey / s_suppkey offset per copy — join
+  key cardinality scales with rows, per-key fan-in constant.
+
+Other tables are byte-copied unchanged. Everything is a deterministic
+Catalyst expression — rerunning yields the identical slice.
+
+Protocol (BENCH_NOTES): quiet host, warm run discarded, min of two timed
+runs per query per scale. The scaling exponent is
+``log(t10 / t1) / log(10)`` — 1.0 is linear, <1 is sublinear (fixed costs
+amortizing), >1.1 flags a superlinear cliff to investigate.
+
+Usage: SPARK_GRAFT_CPUS=32 python tools/scale_rehearsal.py
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from wicsmmiretl_spark.catalog import TESTDATA_TABLES, load_table  # noqa: E402
+from wicsmmiretl_spark.session import get_spark  # noqa: E402
+from wicsmmiretl_spark.suite import QUERIES  # noqa: E402
+
+COPIES = 10
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+REHEARSAL_QUERIES = (
+    "streaming_interval_join",
+    "streaming_user_state",
+    "ivf_topk_trained",
+    "salted_supplier_volume",
+    "dedup_canonical",
+    "simhash_near_pairs",
+    "dedup_clusters",
+    "near_dup_jaccard",
+)
+
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_UPPER = _LOWER.upper()
+
+
+def _caesar(col, i: int):
+    if i == 0:
+        return col
+    rot = _LOWER[i:] + _LOWER[:i]
+    return F.translate(col, _LOWER + _UPPER, rot + rot.upper())
+
+
+def _scale_copies(df: DataFrame, build_copy) -> DataFrame:
+    out = None
+    for i in range(COPIES):
+        c = build_copy(df, i)
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def synthesize(spark: SparkSession, out_dir: str) -> None:
+    ev = load_table(spark, "events", BASE_SF)
+    ev_off = 10**9
+
+    def ev_copy(df, i):
+        return df.withColumn("event_id", F.col("event_id") + F.lit(i * ev_off)).withColumn(
+            "user_id", F.col("user_id") + F.lit(i * ev_off)
+        )
+
+    _scale_copies(ev, ev_copy).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    docs = load_table(spark, "documents", BASE_SF)
+    d_off = 10**9
+
+    def doc_copy(df, i):
+        return df.withColumn("doc_id", F.col("doc_id") + F.lit(i * d_off)).withColumn(
+            "text", _caesar(F.col("text"), i)
+        )
+
+    _scale_copies(docs, doc_copy).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    emb = load_table(spark, "embeddings", BASE_SF)
+
+    def emb_copy(df, i):
+        out = df.withColumn("vec_id", F.col("vec_id") + F.lit(i * d_off))
+        if i:
+            out = out.withColumn(
+                "embedding",
+                F.transform(F.col("embedding"), lambda x: (x + F.lit(i * 1e-3)).cast("float")),
+            )
+        return out
+
+    _scale_copies(emb, emb_copy).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+
+    li = load_table(spark, "lineitem", BASE_SF)
+    sup = load_table(spark, "supplier", BASE_SF)
+    s_off = 10**7
+    _scale_copies(
+        li, lambda df, i: df.withColumn("l_suppkey", F.col("l_suppkey") + F.lit(i * s_off))
+    ).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+    _scale_copies(
+        sup, lambda df, i: df.withColumn("s_suppkey", F.col("s_suppkey") + F.lit(i * s_off))
+    ).write.mode("overwrite").parquet(f"{out_dir}/supplier.parquet")
+
+    for name in TESTDATA_TABLES:
+        src = f"{BASE_SF}/{name}.parquet"
+        dst = f"{out_dir}/{name}.parquet"
+        if not os.path.exists(dst) and os.path.isfile(src):
+            shutil.copyfile(src, dst)
+
+
+def time_query(spark: SparkSession, name: str, sf_dir: str) -> float:
+    fn = QUERIES[name]
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    spark = get_spark("scale_rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = tempfile.mkdtemp(prefix="wicsmmir_scale10x_")
+    print(f"synthesizing 10x slice in {out_dir} ...", file=sys.stderr)
+    t0 = time.perf_counter()
+    synthesize(spark, out_dir)
+    print(f"synthesized in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    rows = []
+    for name in REHEARSAL_QUERIES:
+        t1 = time_query(spark, name, BASE_SF)
+        t10 = time_query(spark, name, out_dir)
+        exp = math.log(t10 / t1) / math.log(COPIES)
+        rows.append((name, t1, t10, t10 / t1, exp))
+        print(
+            f"{name:28s} 1x={t1:6.2f}s 10x={t10:6.2f}s ratio={t10 / t1:5.2f} exp={exp:5.2f}",
+            flush=True,
+        )
+
+    print("\n| query | t(1x) s | t(10x) s | ratio | exponent |")
+    print("|---|---|---|---|---|")
+    for name, t1, t10, ratio, exp in rows:
+        print(f"| {name} | {t1:.2f} | {t10:.2f} | {ratio:.2f} | {exp:.2f} |")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -431,14 +431,12 @@ def persist_images(
 
     Executor-side ``foreachPartition`` — each task writes its own partition's
     files, no driver collect; ``dst_dir`` must be shared storage on a real
-    cluster. npy/npz encode the decoded array via numpy; png uses PIL when
-    present and the stdlib ``encode_png`` codec otherwise; jpg (lossy DCT)
-    has no reasonable stdlib encoder and stays PIL-gated.
+    cluster. npy/npz encode the decoded array via numpy; png and jpg use PIL
+    when present and the in-repo stdlib codecs otherwise (``encode_png``;
+    baseline-DCT ``jpeg.encode_jpeg``, quality 85).
     """
     if fmt not in ("npy", "npz", "png", "jpg"):
         raise ValueError(f"unknown image output format {fmt!r}")
-    if fmt == "jpg" and not HAS_PIL:
-        raise NotImplementedError("jpg sink requires PIL, which is not installed")
 
     def write_partition(rows) -> None:
         import io
@@ -460,6 +458,11 @@ def persist_images(
             elif fmt == "png" and not HAS_PIL:
                 with open(path, "wb") as f:
                     f.write(encode_png(arr))
+            elif fmt == "jpg" and not HAS_PIL:
+                from wicsmmiretl_spark.multimodal.jpeg import encode_jpeg
+
+                with open(path, "wb") as f:
+                    f.write(encode_jpeg(arr, quality=85))
             else:  # pragma: no cover - requires PIL
                 from PIL import Image
 
