@@ -280,15 +280,15 @@ def test_lsh_bucket_cap_star_expands_oversized_buckets(spark):
 
 
 def test_dup_clusters_raises_on_unconverged_propagation(spark):
-    """Distributed label propagation must not silently emit non-fixpoint
-    labels: a path graph longer than max_iter allows raises."""
+    """Distributed contraction must not silently emit non-fixpoint labels:
+    a path graph needing more star rounds than max_iter allows raises."""
     import pytest
     from wicsmmiretl_spark.operators.dedup import dup_clusters
 
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(1, 9)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(1, 40)], "id_a long, id_b long"
     )
-    with pytest.raises(RuntimeError, match="did not converge"):
+    with pytest.raises(RuntimeError, match="fixpoint"):
         dup_clusters(chain, driver_threshold=0, max_iter=1).collect()
     ok = dup_clusters(chain, driver_threshold=0, max_iter=20)
     assert {r.cluster_id for r in ok.collect()} == {1}

@@ -1,0 +1,81 @@
+"""Alternating-star connected components (operators/graph.py) vs a local
+union-find ground truth, across the graph shapes that matter:
+
+* path graphs — the O(diameter) killer for min-label propagation; the
+  star algorithm must finish a 100-node path well inside the default
+  round cap (log₂ 100 ≈ 7),
+* random sparse graphs — many components, mixed sizes,
+* near-cliques — the shape LSH actually produces,
+* singleton/self-loop nodes — must come back labeled as themselves.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from wicsmmiretl_spark.operators.graph import connected_components
+
+
+def _union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[find(n)] for n in nodes}
+
+
+def _check(spark, edges):
+    nodes = sorted({x for e in edges for x in e})
+    expect = _union_find(edges, nodes)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.cluster_id for r in connected_components(df).collect()}
+    assert got == expect
+
+
+def test_long_path_converges_in_log_rounds(spark):
+    edges = [(i, i + 1) for i in range(1, 100)]
+    # max_iter=10 > log2(100): a diameter-bound algorithm would need ~99.
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.cluster_id for r in connected_components(df, max_iter=10).collect()}
+    assert got == {1}
+
+
+def test_random_sparse_graph_matches_union_find(spark):
+    rng = random.Random(1312)
+    edges = [
+        (rng.randrange(0, 300), rng.randrange(0, 300)) for _ in range(250)
+    ]
+    edges = [e for e in edges if e[0] != e[1]] + [(500, 500), (501, 502)]
+    _check(spark, edges)
+
+
+def test_near_clique_components(spark):
+    edges = [(a, b) for a in range(10, 20) for b in range(a + 1, 20)]
+    edges += [(30, 31), (31, 32), (32, 30)]
+    _check(spark, edges)
+
+
+def test_self_loops_and_reversed_duplicates(spark):
+    _check(spark, [(5, 5), (1, 2), (2, 1), (2, 3)])
+
+
+def test_unconverged_raises(spark):
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(df, max_iter=1).collect()

@@ -358,14 +358,16 @@ def dup_clusters(
       smaller than the corpus (only same-bucket pairs survive), so even a
       100 TB corpus usually yields a graph that fits on the driver — one
       collect, zero iterative jobs.
-    * **Distributed min-label propagation** above the threshold: join
-      neighbors, take the min label, repeat to a fixpoint. Lineage is
-      truncated per iteration with ``localCheckpoint``; convergence is
-      O(cluster diameter) shuffles (LSH graphs are near-cliques, 2-3
-      rounds). GraphFrames' connectedComponents is the drop-in beyond that.
+    * **Distributed alternating-star contraction** above the threshold
+      (``operators/graph.py:connected_components``): large-star/small-star
+      rounds, each one groupBy-min + one equi-join, converging in O(log n)
+      shuffle rounds for ANY component shape — including the chained-
+      duplicate path graphs that defeat O(diameter) min-label propagation.
 
     Output: id, cluster_id — one row per doc that appears in ``pairs``.
     """
+    from wicsmmiretl_spark.operators.graph import connected_components
+
     # Materialize the candidate pairs once: the upstream (signature build +
     # band join) is the expensive part and both the size probe and the
     # chosen algorithm consume the same rows.
@@ -373,48 +375,7 @@ def dup_clusters(
     n_edges = pairs.count()
     if n_edges <= driver_threshold:
         return _dup_clusters_driver(pairs, id_a, id_b)
-
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-    )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
-    for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges["src"] == labels["id"])
-            .groupBy("dst")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        new_labels = (
-            labels.join(nbr, labels["id"] == nbr["dst"], "left")
-            .select(
-                labels["id"],
-                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
-                    "new_comp"
-                ),
-            )
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.join(labels, "id")
-            .filter(F.col("new_comp") != F.col("comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.withColumnRenamed("new_comp", "comp")
-        if changed == 0:
-            break
-    else:
-        # Exhausting max_iter without a fixpoint means some long-path
-        # component still carries a non-minimal label — emitting it as final
-        # would silently mis-cluster. Fail loudly; callers can raise
-        # max_iter (convergence is O(component diameter) rounds).
-        raise RuntimeError(
-            f"dup_clusters: min-label propagation did not converge within "
-            f"max_iter={max_iter} iterations; raise max_iter (diameter of the "
-            "largest candidate component exceeds the iteration budget)."
-        )
-    return labels.select(F.col("id"), F.col("comp").alias("cluster_id"))
+    return connected_components(pairs, id_a, id_b, max_iter=max_iter)
 
 
 def _dup_clusters_driver(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:

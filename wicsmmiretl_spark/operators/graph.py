@@ -1,0 +1,156 @@
+"""Distributed graph connectivity: alternating large-star / small-star
+connected components.
+
+Why this exists
+---------------
+``dedup.dup_clusters`` resolves near-duplicate candidate pairs into
+clusters. Its distributed fallback used min-label propagation, which
+converges in O(component diameter) shuffle rounds — fine for the
+near-clique graphs LSH produces, but a corpus with chained duplicates
+(A≈B≈C≈…, each adjacent pair a candidate but not the ends) degrades to a
+path graph, and a path of 10k docs would need 10k rounds. The
+alternating-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC 2014 — public literature) converges in
+O(log n) rounds on ANY graph shape by repeatedly re-rooting every node at
+its neighborhood minimum:
+
+* **large-star**: every node points its strictly-larger neighbors at the
+  minimum of its neighborhood (including itself).
+* **small-star**: every node points its smaller-or-equal neighbors (and
+  itself) at that minimum.
+
+Each round is one groupBy-min plus one equi-join — pure Catalyst, no
+Python. A fixpoint (both stars produce the edge set they consumed) leaves
+exactly the star forest (node → component minimum).
+
+Scale design
+------------
+* Each iteration shuffles the current edge set twice (groupBy + join) on
+  the node id — high-cardinality keys, no skew amplification beyond the
+  input graph's own degree skew (a node's neighborhood is one group).
+* Lineage is truncated per round with ``localCheckpoint`` so the plan
+  doesn't grow with iterations.
+* The convergence probe compares (row count, order-independent xxhash64
+  checksum) of consecutive edge sets — two scalars per round, no
+  ``subtract`` anti-join.
+* Rounds are capped (default 50 ≈ log₂ of anything); exhausting the cap
+  raises loudly rather than emitting a partially-contracted labeling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) edges → for every node, point strictly-larger neighbors at the
+    neighborhood minimum. Emits (larger_neighbor, min)."""
+    nbrs = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient every edge larger→smaller, then point each node and all its
+    smaller neighbors at the neighborhood minimum."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    joined = oriented.join(mins, "u")
+    return (
+        joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(joined.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    # Order-independent fingerprint; decimal(38,0) so the sum can't hit the
+    # ANSI long-overflow guard.
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).first()
+    return row["n"], int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components of the undirected graph given as an edge list.
+
+    Output: (id, cluster_id) for every node appearing in ``pairs``, where
+    cluster_id is the minimum node id of the component. Deterministic for
+    any input partitioning. Converges in O(log n) alternating-star rounds
+    regardless of component diameter (path graphs included — the case that
+    defeats min-label propagation).
+    """
+    edges0 = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = edges0
+    # Every node that appears at all, including isolated self-pair nodes:
+    # they must come back out labeled as their own singleton component.
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .union(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    prev = _checksum(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components: alternating-star did not reach a fixpoint "
+            f"within max_iter={max_iter} rounds; raise max_iter (expected "
+            "rounds ~ log2 of the largest component size)."
+        )
+
+    # Fixpoint edge set is the star forest: (node, component_min) for every
+    # non-root node. Roots (and isolated nodes) label themselves.
+    labels = edges.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    out = (
+        nodes.join(labels, "id", "left")
+        .select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    # Checksum equality proves the composite map repeated itself, not that
+    # the result is a star forest. Certify the labeling directly: every
+    # ORIGINAL edge's endpoints must share a cluster_id (one bounded probe
+    # job — the cost of one extra round, run once).
+    bad = (
+        edges0.join(out.withColumnRenamed("id", "u"), "u")
+        .withColumnRenamed("cluster_id", "ca")
+        .join(out.withColumnRenamed("id", "v"), "v")
+        .filter(F.col("ca") != F.col("cluster_id"))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise RuntimeError(
+            "connected_components: fixpoint labeling is inconsistent with the "
+            "input edges (an edge spans two clusters) — raise max_iter."
+        )
+    return out

@@ -2855,6 +2855,38 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_chain_components",
+    """
+    WITH multi AS (
+      SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT event_id AS id, min(event_id) OVER (PARTITION BY user_id) AS cluster_id
+    FROM multi WHERE n >= 2
+    """,
+)
+def q_event_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed connected components on the worst-case graph shape for
+    label propagation: per-user consecutive-event chains are PATH graphs
+    (diameter = events-per-user, up to ~86 at sf0.01), so an O(diameter)
+    algorithm would need ~86 shuffle rounds. The alternating-star
+    contraction (operators/graph.py) finishes in ~log2(diameter) rounds.
+    The oracle exploits the known chain structure (component = all of a
+    user's events → min event_id per user); the Spark side must DISCOVER
+    that via star rounds — which is exactly the check."""
+    from wicsmmiretl_spark.operators.graph import connected_components
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select("event_id", F.lag("event_id").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id_a"), F.col("event_id").alias("id_b"))
+    )
+    return connected_components(edges)
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -2898,6 +2930,10 @@ _DEFERRED_QUERIES = (
     "knn_classify",             # k-NN: cosine_topk (in-window) is the underlying top-k retrieval
     "dedup_canonical",          # survivor pick: dedup_exact + dedup_clusters (in-window) cover the fingerprint + clusters
     "event_funnel",             # chained windows: user_value_analytics + window_running_sum (in-window) cover frames
+    # -- r7 additions: born post-window (the 50 in-window slots hold the
+    # rotated evidence-refresh set); oracle-checked every pytest run like
+    # the rest of this tuple.
+    "event_chain_components",   # alternating-star CC: dedup_clusters (in-window) covers cluster resolution
 )
 
 
