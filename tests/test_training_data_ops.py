@@ -138,3 +138,34 @@ def test_pack_sequences_invariants(spark, sf_dir):
     # repartitioning does not change assignments
     again = sorted(map(tuple, pack_sequences(docs.repartition(13), budget=100, num_buckets=8).collect()))
     assert again == sorted(map(tuple, rows))
+
+
+def test_cap_per_group_partitioning_invariant(spark):
+    """cap_per_group keeps exactly min(cap, group size) rows per group,
+    picks them by the declared order, and returns the SAME rows no matter
+    how the input is partitioned (the two-stage prune must be a pure
+    optimization)."""
+    from pyspark.sql import functions as F
+
+    from wicsmmiretl_spark.operators.sampling import cap_per_group
+
+    rows = [(i, f"g{i % 3}", (i * 37) % 100) for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, grp string, score long")
+    order = [F.desc("score"), F.asc("id")]
+
+    got1 = sorted(tuple(r) for r in cap_per_group(df, "grp", 7, order).collect())
+    got2 = sorted(
+        tuple(r)
+        for r in cap_per_group(df.repartition(13, "id"), "grp", 7, order).collect()
+    )
+    assert got1 == got2
+    # Local ground truth.
+    expect = []
+    for g in ("g0", "g1", "g2"):
+        members = sorted(
+            (r for r in rows if r[1] == g), key=lambda r: (-r[2], r[0])
+        )[:7]
+        expect.extend(members)
+    assert got1 == sorted(expect)
+    # Cap above group size keeps everything.
+    assert cap_per_group(df, "grp", 1000, order).count() == 90

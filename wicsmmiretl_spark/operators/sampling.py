@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -178,3 +178,42 @@ def mix_corpus(
             continue
         fractions[s] = min(1.0, (budget * w / total_w) / float(size_s))
     return stratified_sample(df, source_col, fractions, key_cols, seed)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    order_by: Sequence,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by ``order_by`` — the
+    per-domain/per-source document cap every large-scale pretraining
+    pipeline applies so one domain can't dominate the mixture (crawl
+    pipelines cap docs-per-registered-domain; the same shape caps
+    images-per-site, rows-per-user, etc.).
+
+    ``order_by`` must reach a UNIQUE total order inside each group (end it
+    with the row id) or the kept set is nondeterministic.
+
+    Scale: the naive single window hashes every row of a group into one
+    reducer — a hot domain with 100M rows becomes one straggling task. Same
+    cure as the top-k prune in ``operators/similarity.py``: stage 1 takes
+    the per-(input-partition, group) top-``cap`` (the global top-cap is a
+    subset of the per-partition top-caps, so the result is
+    partitioning-invariant), spreading the first shuffle over P×|groups|
+    keys; the final window sees ≤ P×cap rows per group.
+    """
+    order = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    w1 = Window.partitionBy("_pid", group_col).orderBy(*order)
+    pruned = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= cap)
+        .drop("_pid", "_rn")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        pruned.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

@@ -2887,6 +2887,28 @@ def q_event_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+@query(
+    "source_capped_docs",
+    """
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn <= 15
+    """,
+)
+def q_source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the anti-domination knob in every crawl
+    mixture): keep the 15 longest docs per source, doc_id as the unique
+    tiebreak. Runs through cap_per_group's two-stage prune so a hot domain
+    never lands on a single reducer (operators/sampling.py)."""
+    from wicsmmiretl_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    capped = cap_per_group(docs, "source", 15, [F.desc("n_chars"), F.asc("doc_id")])
+    return capped.select("doc_id", "source", "n_chars")
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -2934,6 +2956,7 @@ _DEFERRED_QUERIES = (
     # rotated evidence-refresh set); oracle-checked every pytest run like
     # the rest of this tuple.
     "event_chain_components",   # alternating-star CC: dedup_clusters (in-window) covers cluster resolution
+    "source_capped_docs",       # per-group cap: window-rank family covered by cheapest_supplier_per_part (in-window)
 )
 
 
