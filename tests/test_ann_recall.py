@@ -82,3 +82,27 @@ def test_hyperplane_lsh_recall_at_production_params(planted, bits, floor):
     emb, q, exact = planted
     out = hyperplane_lsh_topk(emb, q, k=K, bits=bits, dim=DIM)
     assert _recall(out, exact) >= floor
+
+
+def test_pq_adc_recall_with_rerank(planted):
+    """PQ ADC with an exact re-rank shortlist recovers near-perfect recall:
+    quantization error only costs recall past the shortlist boundary.
+    Measured 1.00 at m=4/k=16/rerank=40 on the planted fixture."""
+    from wicsmmiretl_spark.operators.similarity import pq_topk
+
+    emb, _q, exact = planted
+    out = pq_topk(emb, k=K, dim=DIM, m=4, train_k=16, iters=2, rerank=40)
+    assert _recall(out, exact) >= 0.95
+
+
+def test_pq_pure_adc_recall_floor(planted):
+    """Pure ADC (no re-rank) on tight clusters: every member of a cluster
+    shares the same codes, so same-cluster candidates TIE at the top and
+    the id tiebreak picks an arbitrary subset — recall lands near
+    k/cluster_size by construction (measured 0.56), not near 1. The gate
+    pins it above collapse (a broken LUT or codebook would land ~0)."""
+    from wicsmmiretl_spark.operators.similarity import pq_topk
+
+    emb, _q, exact = planted
+    out = pq_topk(emb, k=K, dim=DIM, m=4, train_k=16, iters=2)
+    assert _recall(out, exact) >= 0.5

@@ -387,3 +387,46 @@ def test_minhash_production_params_plan_invariant(spark, sf_dir):
     n_small = pairs_small.count()
     n_big = pairs_big.count()
     assert n_big <= n_small
+
+
+def test_pq_train_equals_per_slice_kmeans(spark, sf_dir):
+    """The grouped PQ trainer must be bit-identical to running kmeans_train
+    on each subspace slice independently — this equivalence is what lets
+    the SQL oracle replay PQ as per-subspace k-means chains."""
+    from wicsmmiretl_spark.operators.similarity import kmeans_train, pq_train
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cb = pq_train(emb, dim=64, m=4, k=8, iters=2, seed=42)
+    for s in (0, 3):
+        sliced = emb.select(
+            "vec_id", F.slice("embedding", s * 16 + 1, 16).alias("embedding")
+        )
+        solo = kmeans_train(sliced, k=8, iters=2, seed=42)
+        a = sorted(
+            (r.cell, tuple(r.cv))
+            for r in cb.filter(F.col("subspace") == s).select("cell", "cv").collect()
+        )
+        b = sorted((r.cell, tuple(r.cv)) for r in solo.select("cell", "cv").collect())
+        assert a == b
+
+
+def test_pq_encode_partitioning_invariant(spark, sf_dir):
+    """Codes and ADC ranking must not depend on input partitioning (the
+    scaled-integer LUT sums are the guard)."""
+    from wicsmmiretl_spark.operators.similarity import pq_encode, pq_train, pq_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cb = pq_train(emb, dim=64, m=4, k=8, iters=1, seed=42)
+    c1 = sorted((r.vec_id, tuple(r.codes)) for r in pq_encode(emb, cb, dim=64, m=4).collect())
+    c2 = sorted(
+        (r.vec_id, tuple(r.codes))
+        for r in pq_encode(emb.repartition(17), cb, dim=64, m=4).collect()
+    )
+    assert c1 == c2
+    assert all(len(codes) == 4 for _vid, codes in c1)
+    t1 = sorted(tuple(r) for r in pq_topk(emb, k=5, dim=64, m=4, train_k=8, iters=1).collect())
+    t2 = sorted(
+        tuple(r)
+        for r in pq_topk(emb.repartition(13), k=5, dim=64, m=4, train_k=8, iters=1).collect()
+    )
+    assert t1 == t2

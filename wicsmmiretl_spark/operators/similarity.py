@@ -578,3 +578,286 @@ def knn_classify(
         .filter(F.col("rn") == 1)
         .select("query_id", F.col("_nb_label").alias("pred_label"), "votes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+def pq_train(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Train per-subspace PQ codebooks: split every vector into ``m``
+    contiguous subvectors of ``dim/m`` dims and run Lloyd k-means in each
+    subspace (the classic Jégou/Douze/Schmid PQ construction — public
+    literature). A vector is then representable as ``m`` small cell ids
+    (codes) instead of ``dim`` floats: at 100 TB that is the difference
+    between holding 4-16 bytes/vector vs 256+ in the scan.
+
+    All ``m`` subspaces train TOGETHER: vectors explode into (id, subspace,
+    subvector) rows once, each Lloyd iteration is ONE pass over that data
+    against the broadcast (m x k) codebook — the per-iteration driver
+    traffic is m*k*(dim/m) = k*dim doubles, same as plain k-means. The
+    result is bit-identical to running ``kmeans_train`` on each slice
+    independently (same seeded md5 init — rank is id-only, so every
+    subspace picks the same rows — same rounded-cosine argmax assignment,
+    same exact scaled-integer means), which is what lets a SQL oracle
+    replay it per subspace.
+
+    Returns (subspace int, cell int, cv array<double>, nc double).
+    """
+    if dim % m:
+        raise ValueError(f"pq_train: dim={dim} not divisible by m={m}")
+    sub = dim // m
+    spark = embeddings.sparkSession
+    v = _pq_subspace_rows(embeddings, id_col, vec_col, dim, m)
+
+    init = (
+        embeddings.withColumn(
+            "_r", F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+        )
+        .orderBy("_r")
+        .limit(k)
+        .select(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+    )
+    cents = [
+        (s, i + 1, list(r["v"])[s * sub : (s + 1) * sub])
+        for i, r in enumerate(init.collect())
+        for s in range(m)
+    ]
+
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            cents, "subspace int, cell int, cv array<double>"
+        ).withColumn(
+            "nc", F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x))
+        )
+        cdot = F.aggregate(
+            F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        pick = F.struct(
+            (-F.col("ccos")).alias("_negc"), F.col("cell").alias("cell"), F.col("v").alias("v")
+        )
+        assigned = (
+            v.join(F.broadcast(cent_df), "subspace")
+            .withColumn("ccos", F.round(cdot / (F.col("nv") * F.col("nc")), 6))
+            .groupBy(id_col, "subspace")
+            .agg(F.min(pick).alias("_s"))
+            .select("subspace", F.col("_s.cell").alias("cell"), F.col("_s.v").alias("v"))
+        )
+        new_flat = (
+            assigned.select("subspace", "cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("subspace", "cell", "pos")
+            .agg(
+                (
+                    F.sum(F.round(F.col("val") * scale).cast("long")).cast("double")
+                    / F.lit(float(scale))
+                    / F.count("*")
+                ).alias("c")
+            )
+        )
+        new_cent = new_flat.groupBy("subspace", "cell").agg(
+            F.array_sort(F.collect_list(F.struct("pos", "c")))["c"].alias("cv")
+        )
+        cents = sorted((r["subspace"], r["cell"], list(r["cv"])) for r in new_cent.collect())
+
+    return spark.createDataFrame(cents, "subspace int, cell int, cv array<double>").select(
+        "subspace",
+        "cell",
+        "cv",
+        F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x)).alias("nc"),
+    )
+
+
+def _pq_subspace_rows(df: DataFrame, id_col: str, vec_col: str, dim: int, m: int) -> DataFrame:
+    sub = dim // m
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("subspace"),
+                F.transform(
+                    F.slice(F.col(vec_col), s * sub + 1, sub), lambda x: x.cast("double")
+                ).alias("v"),
+            )
+            for s in range(m)
+        ]
+    )
+    return (
+        df.select(F.col(id_col), F.explode(slices).alias("x"))
+        .select(F.col(id_col), F.col("x.subspace").alias("subspace"), F.col("x.v").alias("v"))
+        .withColumn(
+            "nv", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+        )
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize every vector to its m-code PQ representation: per subspace,
+    the codebook cell with the highest rounded cosine (ties to the lowest
+    cell — the same deterministic rule the trainer uses). Codebook is
+    broadcast (m x k rows); the big side is scanned once, map-side.
+
+    Returns (id_col, codes array<int>) with codes[s] = cell of subspace s.
+    """
+    v = _pq_subspace_rows(embeddings, id_col, vec_col, dim, m)
+    cdot = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pick = F.struct((-F.col("ccos")).alias("_negc"), F.col("cell").alias("cell"))
+    return (
+        v.join(F.broadcast(codebook), "subspace")
+        .withColumn("ccos", F.round(cdot / (F.col("nv") * F.col("nc")), 6))
+        .groupBy(id_col, "subspace")
+        .agg(F.min(pick).alias("_s"))
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("subspace", F.col("_s.cell").alias("cell"))))[
+                "cell"
+            ].alias("codes")
+        )
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    m: int = 4,
+    train_k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_max_id: int = 10,
+    seed: int = 42,
+    scale: int = 10**9,
+    rerank: int | None = None,
+) -> DataFrame:
+    """PQ ANN with asymmetric-distance (ADC) scoring: candidates are ranked
+    by the cosine between the EXACT query vector and each candidate's
+    RECONSTRUCTION (its per-subspace codebook centroids):
+
+        score(q, x) = sum_s <q_s, c_{s,code_s(x)}> / (|q| * |x_hat|)
+
+    Per (query, subspace, cell) the dot is precomputed into a lookup table
+    of |q| x m x k rows — broadcast-tiny — so scoring a candidate is m LUT
+    hits on its codes, never a touch of its floats: the 100 TB scan reads
+    m bytes/vector instead of 4*dim. Cross-partition sums of LUT entries
+    use the scaled-integer contract so the score is partition- and
+    engine-independent.
+
+    With ``rerank=r`` the ADC ranking produces an r-size shortlist per
+    query and the final top-k re-scores ONLY the shortlist with exact
+    cosines (one semi-join back to the float column) — the standard
+    two-stage PQ serving layout; quantization error then costs recall only
+    past the shortlist boundary.
+
+    Output: query_id, neighbor_id, adc_cosine (or exact ``cosine`` when
+    reranking).
+    """
+    codebook = pq_train(
+        embeddings, dim=dim, m=m, k=train_k, iters=iters, id_col=id_col,
+        vec_col=vec_col, seed=seed, scale=scale,
+    )
+    queries = embeddings.filter(F.col(id_col) < query_max_id)
+    codes = pq_encode(embeddings, codebook, dim=dim, m=m, id_col=id_col, vec_col=vec_col)
+
+    qn = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    qsub = _pq_subspace_rows(queries, id_col, vec_col, dim, m).join(
+        queries.select(F.col(id_col), qn.alias("qn")), id_col
+    ).withColumnRenamed(id_col, "query_id")
+    qdot = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    csq = F.aggregate(F.transform("cv", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    lut = (
+        qsub.join(F.broadcast(codebook), "subspace")
+        .select(
+            "query_id",
+            "subspace",
+            "cell",
+            F.round(qdot * scale).cast("long").alias("dot_i"),
+            F.round(csq * scale).cast("long").alias("csq_i"),
+            "qn",
+        )
+    )
+
+    cand = codes.select(
+        F.col(id_col).alias("neighbor_id"), F.posexplode("codes").alias("subspace", "cell")
+    )
+    scored = (
+        cand.join(F.broadcast(lut), ["subspace", "cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dot_i").alias("sd"), F.sum("csq_i").alias("sq"), F.min("qn").alias("qn"))
+        .withColumn(
+            "adc_cosine",
+            F.round(
+                (F.col("sd") / F.lit(float(scale)))
+                / (F.col("qn") * F.sqrt(F.col("sq") / F.lit(float(scale)))),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "adc_cosine")
+    )
+
+    shortlist = rerank if rerank is not None else k
+    order = (F.desc("adc_cosine"), F.asc("neighbor_id"))
+    w1 = Window.partitionBy("query_id", "_pid").orderBy(*order)
+    pruned = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= shortlist)
+        .drop("_pid", "_rn")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    top = (
+        pruned.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= shortlist)
+        .drop("_rn")
+    )
+    if rerank is None:
+        return top
+
+    # Exact re-rank: fetch floats ONLY for shortlisted candidates.
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv_full"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv_full"),
+    )
+    exact = (
+        top.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", F.round(_cosine_expr(F.col("qv_full"), F.col("cv_full")), 6))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    order2 = (F.desc("cosine"), F.asc("neighbor_id"))
+    w3 = Window.partitionBy("query_id").orderBy(*order2)
+    return (
+        exact.withColumn("_rn", F.row_number().over(w3))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

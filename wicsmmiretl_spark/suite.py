@@ -1451,41 +1451,53 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, k=5)
 
 
-def _kmeans_sql_cte(k: int = 8, iters: int = 3, seed: int = 42) -> str:
+def _kmeans_sql_cte(
+    k: int = 8,
+    iters: int = 3,
+    seed: int = 42,
+    vexpr: str = "list_transform(embedding, x -> CAST(x AS DOUBLE))",
+    prefix: str = "",
+) -> str:
     """CTE chain replaying operators/similarity.py:kmeans_train verbatim in
     DuckDB: md5-ranked seeded init (k0), then per iteration a cosine-argmax
     assignment (ka{i}) and an exact scaled-integer mean update (kf{i} ->
     k{i}). Every step is deterministic, so an unrolled chain of `iters`
-    CTE groups reproduces the trained centroids bit-for-bit."""
+    CTE groups reproduces the trained centroids bit-for-bit.
+
+    ``vexpr`` is the SQL expression yielding the training vector from an
+    ``embeddings`` row (default: the full embedding; a slice expression
+    replays one PQ subspace). ``prefix`` namespaces every CTE so several
+    chains (one per subspace) can coexist in one WITH clause."""
+    p = prefix
     sql = f"""
-    v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-    vn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv FROM v0),
-    k0 AS (
+    {p}v0 AS (SELECT vec_id, {vexpr} AS v FROM embeddings),
+    {p}vn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv FROM {p}v0),
+    {p}k0 AS (
       SELECT row_number() OVER (ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR))) AS cell, v AS cv
-      FROM v0 ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR)) LIMIT {k}
+      FROM {p}v0 ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR)) LIMIT {k}
     )"""
-    prev = "k0"
+    prev = f"{p}k0"
     for i in range(1, iters + 1):
         sql += f""",
-    kn{i} AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS nc FROM {prev}),
-    ka{i} AS (
+    {p}kn{i} AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS nc FROM {prev}),
+    {p}ka{i} AS (
       SELECT vec_id, v, cell FROM (
         SELECT a.vec_id, a.v, c.cell,
                row_number() OVER (
                  PARTITION BY a.vec_id
                  ORDER BY round(list_sum(list_transform(range(1, len(a.v) + 1), j -> a.v[j] * c.cv[j]))
                                / (a.nv * c.nc), 6) DESC, c.cell ASC) AS rn
-        FROM vn a CROSS JOIN kn{i} c
+        FROM {p}vn a CROSS JOIN {p}kn{i} c
       ) WHERE rn = 1
     ),
-    kf{i} AS (
+    {p}kf{i} AS (
       SELECT cell, pos,
              CAST(sum(CAST(round(val * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000.0 / count(*) AS c
-      FROM (SELECT cell, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM ka{i})
+      FROM (SELECT cell, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM {p}ka{i})
       GROUP BY cell, pos
     ),
-    k{i} AS (SELECT cell, list(c ORDER BY pos) AS cv FROM kf{i} GROUP BY cell)"""
-        prev = f"k{i}"
+    {p}k{i} AS (SELECT cell, list(c ORDER BY pos) AS cv FROM {p}kf{i} GROUP BY cell)"""
+        prev = f"{p}k{i}"
     return sql
 
 
@@ -2887,6 +2899,85 @@ def q_event_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def _pq_sql(dim: int, m: int, k: int, iters: int, seed: int, topk: int, qmax: int) -> str:
+    """Replay operators/similarity.py pq_train/pq_encode/pq_topk (pure ADC)
+    in DuckDB: one prefixed k-means CTE chain per subspace over a slice of
+    the embedding (grouped training == per-slice training — pinned by
+    pytest), then the deterministic code assignment, the scaled-integer
+    LUT, and the ADC ranking."""
+    sub = dim // m
+    chains = ",".join(
+        _kmeans_sql_cte(
+            k=k,
+            iters=iters,
+            seed=seed,
+            vexpr=f"list_transform(embedding[{s * sub + 1}:{(s + 1) * sub}], x -> CAST(x AS DOUBLE))",
+            prefix=f"s{s}_",
+        )
+        for s in range(m)
+    )
+    cb_union = " UNION ALL ".join(
+        f"SELECT {s} AS subspace, cell, cv FROM s{s}_k{iters}" for s in range(m)
+    )
+    vsub_union = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS subspace, v, nv FROM s{s}_vn" for s in range(m)
+    )
+    return f"""
+    WITH {chains},
+    cb AS ({cb_union}),
+    cbn AS (SELECT subspace, cell, cv,
+                   sqrt(list_sum(list_transform(cv, x -> x * x))) AS nc,
+                   CAST(round(list_sum(list_transform(cv, x -> x * x)) * 1000000000) AS BIGINT) AS csq_i
+            FROM cb),
+    vsub AS ({vsub_union}),
+    codes AS (
+      SELECT vec_id, subspace, cell FROM (
+        SELECT a.vec_id, a.subspace, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id, a.subspace
+                 ORDER BY round(list_sum(list_transform(range(1, len(a.v) + 1), j -> a.v[j] * c.cv[j]))
+                               / (a.nv * c.nc), 6) DESC, c.cell ASC) AS rn
+        FROM vsub a JOIN cbn c ON a.subspace = c.subspace
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id,
+                 sqrt(list_sum(list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x))) AS qn
+          FROM embeddings WHERE vec_id < {qmax}),
+    lut AS (
+      SELECT q.query_id, s.subspace, c.cell,
+             CAST(round(list_sum(list_transform(range(1, len(s.v) + 1), j -> s.v[j] * c.cv[j])) * 1000000000) AS BIGINT) AS dot_i,
+             c.csq_i, q.qn
+      FROM vsub s
+      JOIN q ON q.query_id = s.vec_id
+      JOIN cbn c ON s.subspace = c.subspace
+    ),
+    scored AS (
+      SELECT l.query_id, co.vec_id AS neighbor_id,
+             round((CAST(sum(l.dot_i) AS DOUBLE) / 1000000000.0)
+                   / (min(l.qn) * sqrt(CAST(sum(l.csq_i) AS DOUBLE) / 1000000000.0)), 6) AS adc_cosine
+      FROM codes co
+      JOIN lut l ON co.subspace = l.subspace AND co.cell = l.cell
+      WHERE co.vec_id <> l.query_id
+      GROUP BY l.query_id, co.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id ASC) AS rn
+      FROM scored) WHERE rn <= {topk}
+    """
+
+
+@query("pq_adc_topk", _pq_sql(dim=64, m=4, k=16, iters=2, seed=42, topk=5, qmax=10))
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star ANN, product-quantization variant: 4 subspaces x 16
+    trained cells, every candidate scored against the broadcast LUT of its
+    codes only — the compressed-domain scan that holds m bytes/vector at
+    100 TB instead of 4*dim. Scaled-integer LUT sums keep the score
+    partition- and engine-exact (operators/similarity.py:pq_topk)."""
+    from wicsmmiretl_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(emb, k=5, dim=64, m=4, train_k=16, iters=2, query_max_id=10, seed=42)
+
+
 @query(
     "source_capped_docs",
     """
@@ -2957,6 +3048,7 @@ _DEFERRED_QUERIES = (
     # the rest of this tuple.
     "event_chain_components",   # alternating-star CC: dedup_clusters (in-window) covers cluster resolution
     "source_capped_docs",       # per-group cap: window-rank family covered by cheapest_supplier_per_part (in-window)
+    "pq_adc_topk",              # PQ ANN: ivf_topk_trained (in-window) covers trained-quantizer retrieval
 )
 
 
