@@ -74,7 +74,9 @@ from wicsmmiretl_spark.operators.joins import (
 from wicsmmiretl_spark.operators.merge import merge_upsert
 from wicsmmiretl_spark.operators.packing import chunk_documents, pack_sequences
 from wicsmmiretl_spark.operators.ranking import bm25_rank
+from wicsmmiretl_spark.operators.graph import connected_components
 from wicsmmiretl_spark.operators.sampling import (
+    cap_per_group,
     deterministic_sample,
     deterministic_shuffle,
     hash_split,
@@ -92,6 +94,9 @@ from wicsmmiretl_spark.operators.similarity import (
     ivf_topk,
     kmeans_train,
     knn_classify,
+    pq_encode,
+    pq_topk,
+    pq_train,
 )
 from wicsmmiretl_spark.session import get_spark, stop_spark
 
@@ -127,6 +132,7 @@ __all__ = [
     "top_k",
     "stratified_sample",
     "mix_corpus",
+    "cap_per_group",
     # dedup
     "exact_dedup",
     "minhash_signatures",
@@ -134,6 +140,7 @@ __all__ = [
     "jaccard_pairs",
     "simhash_near_pairs",
     "dup_clusters",
+    "connected_components",
     # similarity / ANN
     "cosine_topk",
     "cosine_pairs",
@@ -142,6 +149,9 @@ __all__ = [
     "kmeans_train",
     "ivf_topk",
     "knn_classify",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
     # ranking / packing / decontamination / layout
     "bm25_rank",
     "chunk_documents",

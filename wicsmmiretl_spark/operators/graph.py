@@ -39,34 +39,40 @@ Scale design
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """(u,v) edges → for every node, point strictly-larger neighbors at the
-    neighborhood minimum. Emits (larger_neighbor, min)."""
+    neighborhood minimum. Emits (larger_neighbor, min).
+
+    The neighborhood min rides a partition-only window instead of a
+    groupBy+join: one full shuffle of the neighbor list by ``u`` rather
+    than two (the join would redistribute the same rows by ``u`` anyway,
+    so the skew exposure is identical and the volume strictly lower).
+    Duplicate emissions are tolerated — the small-star at the end of the
+    round deduplicates, so multiplicity never compounds across rounds."""
     nbrs = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     return (
-        nbrs.join(mins, "u")
+        nbrs.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Orient every edge larger→smaller, then point each node and all its
-    smaller neighbors at the neighborhood minimum."""
+    smaller neighbors at the neighborhood minimum. Same window-min shape
+    as the large-star; both branches of the emit union reuse one exchange."""
     oriented = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
-    joined = oriented.join(mins, "u")
+    j = oriented.withColumn("m", F.min("v").over(Window.partitionBy("u")))
     return (
-        joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .union(joined.select(F.col("u"), F.col("m").alias("v")))
+        j.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(j.select(F.col("u"), F.col("m").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
@@ -115,18 +121,32 @@ def connected_components(
     )
 
     prev = _checksum(edges)
-    for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        cur = _checksum(edges)
-        if cur == prev:
-            break
-        prev = cur
-    else:
-        raise RuntimeError(
-            f"connected_components: alternating-star did not reach a fixpoint "
-            f"within max_iter={max_iter} rounds; raise max_iter (expected "
-            "rounds ~ log2 of the largest component size)."
-        )
+    # Size the per-round shuffles to the edge count: the loop runs
+    # O(log n) sequential rounds, so at small-to-medium edge counts the
+    # session's full shuffle-partition count is pure per-task overhead ×
+    # rounds. ~64k edges per partition keeps tasks fat; a 100 TB candidate
+    # graph rides the session setting untouched. Scoped + restored, same
+    # pattern as the streaming state-store sizing.
+    spark = pairs.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    session_parts = spark.conf.get(conf_key)
+    loop_parts = min(int(session_parts), max(1, prev[0] // 65_536 + 1))
+    try:
+        spark.conf.set(conf_key, str(loop_parts))
+        for _ in range(max_iter):
+            edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+            cur = _checksum(edges)
+            if cur == prev:
+                break
+            prev = cur
+        else:
+            raise RuntimeError(
+                f"connected_components: alternating-star did not reach a fixpoint "
+                f"within max_iter={max_iter} rounds; raise max_iter (expected "
+                "rounds ~ log2 of the largest component size)."
+            )
+    finally:
+        spark.conf.set(conf_key, session_parts)
 
     # Fixpoint edge set is the star forest: (node, component_min) for every
     # non-root node. Roots (and isolated nodes) label themselves.

@@ -1757,7 +1757,8 @@ def q_vocab_token_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster resolution: LSH candidate pairs → connected
-    components (min-label propagation to fixpoint). The oracle computes the
+    components (driver union-find under the edge threshold, alternating-star
+    contraction above it — operators/graph.py). The oracle computes the
     same components with a recursive reachability CTE."""
     from wicsmmiretl_spark.operators.dedup import (
         dup_clusters,
