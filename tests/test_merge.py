@@ -49,3 +49,68 @@ def test_merge_rejects_schema_mismatch_and_bad_key(spark):
         merge_upsert(snap, snap.drop("bal"), ["k"])
     with pytest.raises(ValueError, match="key columns"):
         merge_upsert(snap, snap, ["nope"])
+
+
+def test_merge_scd2_close_insert_noop_and_history(spark):
+    from wicsmmiretl_spark.operators.merge import merge_scd2
+
+    dim = spark.createDataFrame(
+        [
+            (1, "a", 10.0, "2020-01-01", None),      # will change -> close + reopen
+            (2, "b", 20.0, "2020-01-01", None),      # no-op update
+            (3, "c", 30.0, "2020-01-01", None),      # untouched
+            (1, "a", 5.0, "2019-01-01", "2020-01-01"),  # closed history passes through
+        ],
+        "k long, name string, bal double, valid_from string, valid_to string",
+    )
+    upd = spark.createDataFrame(
+        [(1, "a", 11.0, "2021-06-01"), (2, "b", 20.0, "2021-06-01"), (9, "z", 99.0, "2021-06-01")],
+        "k long, name string, bal double, eff string",
+    )
+    out = merge_scd2(dim, upd, ["k"], ["bal"], "eff")
+    rows = {(r.k, r.valid_from): (r.bal, r.valid_to) for r in out.collect()}
+    assert rows[(1, "2019-01-01")] == (5.0, "2020-01-01")   # history untouched
+    assert rows[(1, "2020-01-01")] == (10.0, "2021-06-01")  # closed at effective
+    assert rows[(1, "2021-06-01")] == (11.0, None)          # reopened current
+    assert rows[(2, "2020-01-01")] == (20.0, None)          # no-op stays current
+    assert rows[(3, "2020-01-01")] == (30.0, None)          # untouched
+    assert rows[(9, "2021-06-01")] == (99.0, None)          # brand-new key
+    assert len(rows) == 6
+    # exactly one current version per key
+    cur = out.filter("valid_to is null").groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_merge_scd2_rejects_duplicate_update_keys(spark):
+    import pytest
+    from wicsmmiretl_spark.operators.merge import merge_scd2
+
+    dim = spark.createDataFrame(
+        [(1, 1.0, "2020-01-01", None)], "k long, bal double, valid_from string, valid_to string"
+    )
+    upd = spark.createDataFrame(
+        [(1, 2.0, "2021-01-01"), (1, 3.0, "2021-01-01")], "k long, bal double, eff string"
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        merge_scd2(dim, upd, ["k"], ["bal"], "eff")
+
+
+def test_merge_scd2_null_safe_tracking(spark):
+    """NULL -> value and value -> NULL on a tracked column both count as a
+    change; NULL -> NULL does not."""
+    from wicsmmiretl_spark.operators.merge import merge_scd2
+
+    dim = spark.createDataFrame(
+        [(1, None, "2020-01-01", None), (2, 5.0, "2020-01-01", None), (3, None, "2020-01-01", None)],
+        "k long, bal double, valid_from string, valid_to string",
+    )
+    upd = spark.createDataFrame(
+        [(1, 7.0, "2021-01-01"), (2, None, "2021-01-01"), (3, None, "2021-01-01")],
+        "k long, bal double, eff string",
+    )
+    out = merge_scd2(dim, upd, ["k"], ["bal"], "eff").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append((r.bal, r.valid_from, r.valid_to))
+    assert len(by_key[1]) == 2 and len(by_key[2]) == 2
+    assert by_key[3] == [(None, "2020-01-01", None)]

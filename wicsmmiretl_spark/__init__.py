@@ -71,7 +71,7 @@ from wicsmmiretl_spark.operators.joins import (
     range_join,
     salted_join,
 )
-from wicsmmiretl_spark.operators.merge import merge_upsert
+from wicsmmiretl_spark.operators.merge import merge_scd2, merge_upsert
 from wicsmmiretl_spark.operators.packing import chunk_documents, pack_sequences
 from wicsmmiretl_spark.operators.ranking import bm25_rank
 from wicsmmiretl_spark.operators.graph import connected_components
@@ -117,6 +117,7 @@ __all__ = [
     "asof_join",
     "salted_join",
     "merge_upsert",
+    "merge_scd2",
     "union_checked",
     # aggregates
     "column_stats",

@@ -53,3 +53,86 @@ def merge_upsert(target: DataFrame, source: DataFrame, key_cols: list[str]) -> D
         else:
             out.append(F.when(F.col(f"__ms__.{_MARK}").isNotNull(), s).otherwise(t).alias(c))
     return joined.select(*out)
+
+
+def merge_scd2(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    effective_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """SCD Type-2 MERGE: fold a change-set into a versioned dimension,
+    preserving history. ``dim`` carries ``valid_from``/``valid_to``
+    (NULL valid_to = current version); ``updates`` carries the key, the
+    tracked attributes, and ``effective_col`` (when the change takes
+    effect).
+
+    Per update row:
+
+    * key matches a current version and any ``tracked_cols`` value differs
+      (null-safe) → the current version CLOSES (valid_to = effective) and a
+      new current version opens (valid_from = effective, valid_to = NULL);
+    * key matches and nothing tracked changed → no-op;
+    * key unmatched → brand-new current version.
+
+    Closed historical versions always pass through untouched.
+
+    Scale shape: historical rows are filtered out BEFORE the join (they can
+    never match), so the merge is one full-outer shuffle join between the
+    current slice and the (typically small) change-set, then ONE generate
+    that emits 1 or 2 versions per key — no second scan of the join, no
+    window. ``updates`` must be unique on the key (one change per key per
+    batch — the standard CDC micro-batch contract); violations raise via a
+    bounded probe, mirroring ``union_checked``.
+    """
+    attr_cols = [c for c in dim.columns if c not in (valid_from_col, valid_to_col)]
+    missing = [c for c in (*key_cols, *tracked_cols) if c not in attr_cols]
+    if missing:
+        raise ValueError(f"merge_scd2: columns {missing} not in dimension attributes")
+    need = set(attr_cols) | {effective_col}
+    if not need <= set(updates.columns):
+        raise ValueError(
+            f"merge_scd2: updates missing columns {sorted(need - set(updates.columns))}"
+        )
+    dup = updates.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError(f"merge_scd2: updates are not unique on key {key_cols}")
+
+    vt_type = dim.schema[valid_to_col].dataType
+    cur = dim.filter(F.col(valid_to_col).isNull()).withColumn(_MARK + "t", F.lit(True)).alias("__t__")
+    hist = dim.filter(F.col(valid_to_col).isNotNull())
+    src = updates.withColumn(_MARK + "s", F.lit(True)).alias("__s__")
+    cond = [F.col(f"__t__.{k}").eqNullSafe(F.col(f"__s__.{k}")) for k in key_cols]
+    j = cur.join(src, cond, "full_outer")
+
+    t_here = F.col(f"__t__.{_MARK}t").isNotNull()
+    s_here = F.col(f"__s__.{_MARK}s").isNotNull()
+    differs = None
+    for c in tracked_cols:
+        d = ~F.col(f"__t__.{c}").eqNullSafe(F.col(f"__s__.{c}"))
+        differs = d if differs is None else (differs | d)
+    changed = t_here & s_here & differs
+
+    def _t_version(vt):
+        return F.struct(
+            *[F.col(f"__t__.{c}").alias(c) for c in attr_cols],
+            F.col(f"__t__.{valid_from_col}").alias(valid_from_col),
+            vt.alias(valid_to_col),
+        )
+
+    s_new = F.struct(
+        *[F.col(f"__s__.{c}").alias(c) for c in attr_cols],
+        F.col(f"__s__.{effective_col}").alias(valid_from_col),
+        F.lit(None).cast(vt_type).alias(valid_to_col),
+    )
+    eff = F.col(f"__s__.{effective_col}")
+    versions = (
+        F.when(changed, F.array(_t_version(eff), s_new))
+        .when(s_here & ~t_here, F.array(s_new))
+        .otherwise(F.array(_t_version(F.lit(None).cast(vt_type))))
+    )
+    merged = j.select(F.explode(versions).alias("__v__")).select("__v__.*")
+    return merged.unionByName(hist.select(*merged.columns))

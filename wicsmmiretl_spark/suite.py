@@ -2900,6 +2900,105 @@ def q_event_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+@query(
+    "customer_scd2_merge",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+             '1992-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+      FROM customer
+    ),
+    hist AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal - 50 AS c_acctbal, c_mktsegment,
+             '1990-01-01' AS valid_from, '1992-01-01' AS valid_to
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    upd AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 1
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name || '#new', c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 20 = 0
+    ),
+    closed AS (
+      SELECT b.c_custkey, b.c_name, b.c_nationkey, b.c_acctbal, b.c_mktsegment,
+             b.valid_from, '1995-06-01' AS valid_to
+      FROM base b JOIN upd u USING (c_custkey)
+      WHERE u.c_acctbal IS DISTINCT FROM b.c_acctbal
+         OR u.c_mktsegment IS DISTINCT FROM b.c_mktsegment
+    ),
+    new_rows AS (
+      SELECT u.c_custkey, u.c_name, u.c_nationkey, u.c_acctbal, u.c_mktsegment,
+             '1995-06-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+      FROM upd u LEFT JOIN base b USING (c_custkey)
+      WHERE b.c_custkey IS NULL
+         OR u.c_acctbal IS DISTINCT FROM b.c_acctbal
+         OR u.c_mktsegment IS DISTINCT FROM b.c_mktsegment
+    ),
+    unchanged AS (
+      SELECT b.* FROM base b LEFT JOIN upd u USING (c_custkey)
+      WHERE u.c_custkey IS NULL
+         OR (u.c_acctbal IS NOT DISTINCT FROM b.c_acctbal
+             AND u.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment)
+    )
+    SELECT * FROM closed UNION ALL SELECT * FROM new_rows
+    UNION ALL SELECT * FROM unchanged UNION ALL SELECT * FROM hist
+    """,
+)
+def q_customer_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 versioned merge: a change-set with modified balances
+    (close + reopen), no-op updates (pass through), and unseen keys
+    (insert) folds into a customer dimension that already carries one
+    closed historical version per tenth key. One full-outer join on the
+    current slice + one generate (operators/merge.py:merge_scd2)."""
+    from wicsmmiretl_spark.operators.merge import merge_scd2
+
+    cust = _t(spark, sf_dir, "customer")
+    attrs = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    base = cust.select(
+        *attrs,
+        F.lit("1992-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    hist = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") - 50).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit("1990-01-01").alias("valid_from"),
+        F.lit("1992-01-01").alias("valid_to"),
+    )
+    dim = base.unionByName(hist)
+    upd = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            (F.col("c_acctbal") + 100).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionByName(cust.filter(F.col("c_custkey") % 7 == 1).select(*attrs))
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 20 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.concat(F.col("c_name"), F.lit("#new")).alias("c_name"),
+                "c_nationkey",
+                "c_acctbal",
+                "c_mktsegment",
+            )
+        )
+        .withColumn("eff", F.lit("1995-06-01"))
+    )
+    return merge_scd2(
+        dim, upd, ["c_custkey"], ["c_acctbal", "c_mktsegment"], "eff"
+    )
+
+
 def _pq_sql(dim: int, m: int, k: int, iters: int, seed: int, topk: int, qmax: int) -> str:
     """Replay operators/similarity.py pq_train/pq_encode/pq_topk (pure ADC)
     in DuckDB: one prefixed k-means CTE chain per subspace over a slice of
@@ -3050,6 +3149,7 @@ _DEFERRED_QUERIES = (
     "event_chain_components",   # alternating-star CC: dedup_clusters (in-window) covers cluster resolution
     "source_capped_docs",       # per-group cap: window-rank family covered by cheapest_supplier_per_part (in-window)
     "pq_adc_topk",              # PQ ANN: ivf_topk_trained (in-window) covers trained-quantizer retrieval
+    "customer_scd2_merge",      # SCD2 merge: customer_merge_upsert (in-window) covers the CDC family
 )
 
 
