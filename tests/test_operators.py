@@ -523,3 +523,29 @@ def test_skew_report_identifies_hot_key(spark):
     assert rows[0].k == 7 and rows[0].n_rows == 900
     assert abs(rows[0].share - 0.9) < 1e-9
     assert len(rows) == 3 and rows[1].n_rows == 1
+
+
+def test_incremental_agg_merge_equals_full_rebuild(spark):
+    """Chained merges over any batch split must equal the one-shot
+    aggregation (associativity of the mergeable states)."""
+    import pytest
+    from wicsmmiretl_spark.operators.aggregates import (
+        incremental_agg_build,
+        incremental_agg_merge,
+    )
+
+    rows = [(i % 5, i, float(i * 7 % 13)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, n long, x double")
+    specs = {"cnt": ("count", None), "s": ("sum", "n"), "lo": ("min", "x"), "hi": ("max", "x")}
+    full = incremental_agg_build(df, ["k"], specs)
+
+    a = incremental_agg_build(df.filter("n < 60"), ["k"], specs)
+    b = incremental_agg_build(df.filter("n >= 60 and n < 140"), ["k"], specs)
+    c = incremental_agg_build(df.filter("n >= 140"), ["k"], specs)
+    merged = incremental_agg_merge(incremental_agg_merge(a, b, ["k"], specs), c, ["k"], specs)
+
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in full.collect()
+    )
+    with pytest.raises(ValueError, match="not mergeable"):
+        incremental_agg_build(df, ["k"], {"m": ("median", "x")})

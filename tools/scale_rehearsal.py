@@ -58,6 +58,11 @@ REHEARSAL_QUERIES = (
     "simhash_near_pairs",
     "dedup_clusters",
     "near_dup_jaccard",
+    # r7 additions. event_chain_components is the interesting one: the 10x
+    # events slice adds copies (more components), NOT longer chains, so the
+    # star-round count stays ~log(diameter) — expect strongly sublinear.
+    "event_chain_components",
+    "pq_adc_topk",
 )
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"

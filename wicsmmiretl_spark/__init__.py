@@ -47,6 +47,8 @@ from wicsmmiretl_spark.functions.text import (
 )
 from wicsmmiretl_spark.operators.aggregates import (
     column_stats,
+    incremental_agg_build,
+    incremental_agg_merge,
     grouped_stats_matrix,
     null_count,
     skew_report,
@@ -125,6 +127,8 @@ __all__ = [
     "null_count",
     "trailing_aggregate",
     "skew_report",
+    "incremental_agg_build",
+    "incremental_agg_merge",
     # sampling / splits
     "deterministic_shuffle",
     "deterministic_sample",

@@ -137,3 +137,56 @@ def skew_report(df: DataFrame, key_cols: Sequence[str], top_n: int = 10) -> Data
         .limit(top_n)
         .withColumn("share", F.round(F.col("n_rows") / F.lit(float(total)), 6))
     )
+
+
+_MERGEABLE = {"count", "sum", "min", "max"}
+
+
+def incremental_agg_build(
+    df: DataFrame, key_cols: Sequence[str], specs: dict[str, tuple[str, str | None]]
+) -> DataFrame:
+    """Build a mergeable aggregate snapshot: one row per key, one state
+    column per spec. ``specs`` maps output column → (agg, input column),
+    agg ∈ {count, sum, min, max} — the algebraic aggregates whose partial
+    states merge associatively (mean = sum/count at read time; median and
+    other holistic aggregates are intentionally NOT supported — they can't
+    be maintained incrementally without sketches).
+
+    The point at 100 TB: a metrics table over an append-only fact stream is
+    maintained by aggregating ONLY each new delta batch and merging states
+    (``incremental_agg_merge``) — the base data is never rescanned. For
+    exact double sums across engines, pre-scale to integers (the suite's
+    exact-sum contract); ``sum`` is computed on the column as passed.
+    """
+    aggs = []
+    for out, (agg, col) in specs.items():
+        if agg not in _MERGEABLE:
+            raise ValueError(
+                f"incremental_agg: '{agg}' is not mergeable (supported: {sorted(_MERGEABLE)})"
+            )
+        if agg == "count":
+            aggs.append(F.count(F.lit(1)).alias(out))
+        else:
+            aggs.append(getattr(F, agg)(col).alias(out))
+    return df.groupBy(*key_cols).agg(*aggs)
+
+
+def incremental_agg_merge(
+    snapshot: DataFrame,
+    delta_state: DataFrame,
+    key_cols: Sequence[str],
+    specs: dict[str, tuple[str, str | None]],
+) -> DataFrame:
+    """Merge two aggregate states (snapshot ⊎ delta) into the next
+    snapshot: counts and sums add, mins take min, maxes take max. Both
+    inputs must be outputs of ``incremental_agg_build`` with the same
+    ``specs``. One groupBy over pre-aggregated state rows — |keys|-sized,
+    not |facts|-sized. Insert-only deltas (no retractions): deletions
+    require re-aggregating the affected partitions upstream.
+    """
+    merged = snapshot.unionByName(delta_state)
+    aggs = []
+    for out, (agg, _col) in specs.items():
+        merge_fn = F.sum if agg in ("count", "sum") else getattr(F, agg)
+        aggs.append(merge_fn(out).alias(out))
+    return merged.groupBy(*key_cols).agg(*aggs)

@@ -2901,6 +2901,59 @@ def q_event_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_incremental_rollup",
+    """
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_price,
+           CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS min_price,
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS max_price,
+           round((CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0)
+                 / count(*), 6) AS avg_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_orders_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the fact table splits at a date
+    cutoff into a 'historical base' and a 'new delta'; each side aggregates
+    INDEPENDENTLY into mergeable state (count/sum/min/max on cent-scaled
+    longs) and the states merge into the next snapshot
+    (operators/aggregates.py:incremental_agg_*). The oracle recomputes the
+    rollup over ALL rows in one pass — equality IS the guarantee that the
+    merge path never needs to rescan the base."""
+    from wicsmmiretl_spark.operators.aggregates import (
+        incremental_agg_build,
+        incremental_agg_merge,
+    )
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "price_c", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    specs = {
+        "n_orders": ("count", None),
+        "sum_c": ("sum", "price_c"),
+        "min_c": ("min", "price_c"),
+        "max_c": ("max", "price_c"),
+    }
+    base = incremental_agg_build(
+        orders.filter(F.col("o_orderdate") < cutoff), ["o_custkey"], specs
+    )
+    delta = incremental_agg_build(
+        orders.filter(F.col("o_orderdate") >= cutoff), ["o_custkey"], specs
+    )
+    merged = incremental_agg_merge(base, delta, ["o_custkey"], specs)
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        (F.col("sum_c") / F.lit(100.0)).alias("total_price"),
+        (F.col("min_c") / F.lit(100.0)).alias("min_price"),
+        (F.col("max_c") / F.lit(100.0)).alias("max_price"),
+        F.round((F.col("sum_c") / F.lit(100.0)) / F.col("n_orders"), 6).alias("avg_price"),
+    )
+
+
+@query(
     "customer_scd2_merge",
     """
     WITH base AS (
@@ -3150,6 +3203,7 @@ _DEFERRED_QUERIES = (
     "source_capped_docs",       # per-group cap: window-rank family covered by cheapest_supplier_per_part (in-window)
     "pq_adc_topk",              # PQ ANN: ivf_topk_trained (in-window) covers trained-quantizer retrieval
     "customer_scd2_merge",      # SCD2 merge: customer_merge_upsert (in-window) covers the CDC family
+    "orders_incremental_rollup",  # mergeable-state agg: pricing_summary (in-window) covers grouped aggs
 )
 
 
