@@ -1343,6 +1343,60 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_session_window",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                       OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+      FROM g
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + 1800000000 AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS session_value
+    FROM s
+    GROUP BY user_id, sess_no
+    """,
+)
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 streaming session windows driven end to end: the events
+    drop-folder consumed via readStream + watermark + F.session_window
+    (30-min gap) + availableNow into a memory sink. The oracle is the
+    deterministic batch sessionization (lag → gap flag → running sum), with
+    session_end = last event + gap matching session_window's half-open
+    [start, last+gap) contract; value pre-scaled to micro-unit longs so the
+    per-session sum is exact on both engines."""
+    from wicsmmiretl_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory_sink,
+        session_aggregate,
+    )
+
+    d = _events_dropdir(spark, sf_dir)
+    stream = read_event_stream(spark, d).withColumn(
+        "value", F.round(F.col("value") * 1000000).cast("long")
+    )
+    name = f"suite_session_{next(_STREAM_RUN_COUNTER)}"
+    agg = run_to_memory_sink(session_aggregate(stream), name, spark, shuffle_partitions=8)
+    return agg.select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        F.round(F.col("session_value").cast("double") / F.lit(1000000.0), 4).alias(
+            "session_value"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # String normalization (F1/F2), corpus concat (F3+R3), IVF ANN
 # ---------------------------------------------------------------------------
@@ -3204,6 +3258,7 @@ _DEFERRED_QUERIES = (
     "pq_adc_topk",              # PQ ANN: ivf_topk_trained (in-window) covers trained-quantizer retrieval
     "customer_scd2_merge",      # SCD2 merge: customer_merge_upsert (in-window) covers the CDC family
     "orders_incremental_rollup",  # mergeable-state agg: pricing_summary (in-window) covers grouped aggs
+    "streaming_session_window", # streaming sessions: streaming_user_state + sessionize_events (in-window) cover the pieces
 )
 
 
