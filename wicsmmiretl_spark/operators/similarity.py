@@ -848,8 +848,11 @@ def pq_topk(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv_full"),
     )
+    # Shortlist is |q|*rerank rows — broadcast it against the full vector
+    # table so the fetch is a map-side semi-probe, not a shuffle of the
+    # corpus.
     exact = (
-        top.join(c, "neighbor_id")
+        c.join(F.broadcast(top), "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .withColumn("cosine", F.round(_cosine_expr(F.col("qv_full"), F.col("cv_full")), 6))
         .select("query_id", "neighbor_id", "cosine")
