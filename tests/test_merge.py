@@ -114,3 +114,19 @@ def test_merge_scd2_null_safe_tracking(spark):
         by_key.setdefault(r.k, []).append((r.bal, r.valid_from, r.valid_to))
     assert len(by_key[1]) == 2 and len(by_key[2]) == 2
     assert by_key[3] == [(None, "2020-01-01", None)]
+
+
+def test_merge_scd2_rejects_retro_effective_change(spark):
+    """An effective timestamp before the current version's valid_from would
+    invert the closed interval and overlap history — it must error, not
+    silently corrupt."""
+    import pytest
+    from wicsmmiretl_spark.operators.merge import merge_scd2
+
+    dim = spark.createDataFrame(
+        [(1, 10.0, "2020-01-01", None)],
+        "k long, bal double, valid_from string, valid_to string",
+    )
+    upd = spark.createDataFrame([(1, 11.0, "2019-06-01")], "k long, bal double, eff string")
+    with pytest.raises(Exception, match="precedes the current version"):
+        merge_scd2(dim, upd, ["k"], ["bal"], "eff").collect()

@@ -103,6 +103,13 @@ def connected_components(
     any input partitioning. Converges in O(log n) alternating-star rounds
     regardless of component diameter (path graphs included — the case that
     defeats min-label propagation).
+
+    Concurrency caveat: the loop scopes the SESSION-level
+    ``spark.sql.shuffle.partitions`` down to the edge count for its rounds
+    (restored after, same pattern as the streaming memory-sink harness).
+    Other queries launched on the same session DURING the loop would plan
+    with the reduced value — run this in its own pipeline stage, not
+    concurrently with unrelated heavy queries.
     """
     edges0 = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))

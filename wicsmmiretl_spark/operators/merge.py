@@ -123,14 +123,32 @@ def merge_scd2(
             vt.alias(valid_to_col),
         )
 
+    # A retro-effective change (effective < the current version's
+    # valid_from) would close the current version with an INVERTED interval
+    # and open a new one overlapping closed history — silent corruption.
+    # Fail in-plan at execution (no extra job); late-arriving corrections
+    # belong in an upstream reprocessing path, not a forward-only SCD2 fold.
+    vf_cur = F.col(f"__t__.{valid_from_col}")
+    checked_eff = F.when(
+        F.col(f"__s__.{effective_col}") >= vf_cur, F.col(f"__s__.{effective_col}")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("merge_scd2: effective timestamp "),
+                F.col(f"__s__.{effective_col}").cast("string"),
+                F.lit(" precedes the current version's valid_from "),
+                vf_cur.cast("string"),
+            )
+        ).cast(dim.schema[valid_from_col].dataType)
+    )
+
     s_new = F.struct(
         *[F.col(f"__s__.{c}").alias(c) for c in attr_cols],
         F.col(f"__s__.{effective_col}").alias(valid_from_col),
         F.lit(None).cast(vt_type).alias(valid_to_col),
     )
-    eff = F.col(f"__s__.{effective_col}")
     versions = (
-        F.when(changed, F.array(_t_version(eff), s_new))
+        F.when(changed, F.array(_t_version(checked_eff), s_new))
         .when(s_here & ~t_here, F.array(s_new))
         .otherwise(F.array(_t_version(F.lit(None).cast(vt_type))))
     )

@@ -203,6 +203,16 @@ def cap_per_group(
     partitioning-invariant), spreading the first shuffle over P×|groups|
     keys; the final window sees ≤ P×cap rows per group.
     """
+    if not order_by:
+        raise ValueError("cap_per_group: order_by must name a deterministic order")
+    if cap < 1:
+        raise ValueError(f"cap_per_group: cap must be >= 1, got {cap}")
+    clash = {"_pid", "_rn"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"cap_per_group: input columns {sorted(clash)} collide with the "
+            "prune's working columns; rename them."
+        )
     order = [F.col(c) if isinstance(c, str) else c for c in order_by]
     w1 = Window.partitionBy("_pid", group_col).orderBy(*order)
     pruned = (

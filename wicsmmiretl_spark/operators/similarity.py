@@ -245,7 +245,18 @@ def hyperplane_signature(
         )
         bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long") * F.lit(2**b).cast("long")
         sig = bit if sig is None else sig + bit
-    return df.select(F.col(id_col), sig.alias("bucket"))
+    # Over-provision is safe (padded slots skipped), under-provision is NOT:
+    # it would silently project only the first `dim` components and collapse
+    # recall while the oracles (which replay the same truncation) stay
+    # green. Fail per-row inside the same scan — no extra plan-build job.
+    guard = F.assert_true(
+        F.size(F.col(vec_col)) <= F.lit(dim),
+        F.concat(
+            F.lit(f"hyperplane_signature: dim={dim} under-provisions vector width "),
+            F.size(F.col(vec_col)).cast("string"),
+        ),
+    )
+    return df.select(F.col(id_col), F.when(guard.isNull(), sig).alias("bucket"))
 
 
 def hyperplane_pairs(
@@ -821,20 +832,11 @@ def pq_topk(
         .select("query_id", "neighbor_id", "adc_cosine")
     )
 
+    from wicsmmiretl_spark.operators.sampling import cap_per_group
+
     shortlist = rerank if rerank is not None else k
-    order = (F.desc("adc_cosine"), F.asc("neighbor_id"))
-    w1 = Window.partitionBy("query_id", "_pid").orderBy(*order)
-    pruned = (
-        scored.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_rn", F.row_number().over(w1))
-        .filter(F.col("_rn") <= shortlist)
-        .drop("_pid", "_rn")
-    )
-    w2 = Window.partitionBy("query_id").orderBy(*order)
-    top = (
-        pruned.withColumn("_rn", F.row_number().over(w2))
-        .filter(F.col("_rn") <= shortlist)
-        .drop("_rn")
+    top = cap_per_group(
+        scored, "query_id", shortlist, [F.desc("adc_cosine"), F.asc("neighbor_id")]
     )
     if rerank is None:
         return top
