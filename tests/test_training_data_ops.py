@@ -169,3 +169,32 @@ def test_cap_per_group_partitioning_invariant(spark):
     assert got1 == sorted(expect)
     # Cap above group size keeps everything.
     assert cap_per_group(df, "grp", 1000, order).count() == 90
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    """Priority sample: partitioning-invariant, excludes non-positive
+    weights, matches a local replay of the identical algorithm, and a
+    heavily-upweighted row is always selected."""
+    import hashlib
+
+    from wicsmmiretl_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10 if i != 42 else 10_000_000) for i in range(300)]
+    rows += [(900, 0), (901, -5)]
+    df = spark.createDataFrame(rows, "id long, w long")
+
+    got = [(r.id, r.priority) for r in weighted_sample(df, "w", 20, "id", seed=7).collect()]
+    got_re = [
+        (r.id, r.priority)
+        for r in weighted_sample(df.repartition(11), "w", 20, "id", seed=7).collect()
+    ]
+    assert sorted(got) == sorted(got_re)
+    ids = {i for i, _ in got}
+    assert 42 in ids and 900 not in ids and 901 not in ids
+
+    def pri(i, w):
+        h = int(hashlib.md5(f"7:{i}".encode()).hexdigest()[:8], 16)
+        return float(w) * 4294967296.0 / float(h + 1)
+
+    local = sorted(((pri(i, w), -i) for i, w in rows if w > 0), reverse=True)[:20]
+    assert sorted(ids) == sorted(-ni for _p, ni in local)

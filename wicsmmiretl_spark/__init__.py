@@ -86,6 +86,7 @@ from wicsmmiretl_spark.operators.sampling import (
     stratified_sample,
     top_k,
     train_test_split,
+    weighted_sample,
 )
 from wicsmmiretl_spark.operators.sets import union_checked
 from wicsmmiretl_spark.operators.similarity import (
@@ -138,6 +139,7 @@ __all__ = [
     "stratified_sample",
     "mix_corpus",
     "cap_per_group",
+    "weighted_sample",
     # dedup
     "exact_dedup",
     "minhash_signatures",

@@ -227,3 +227,48 @@ def cap_per_group(
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement via priority
+    sampling (Duffield/Lund/Thorup, JACM 2007 — public literature): each row
+    gets priority q = w / u with u a seeded md5-derived uniform in (0, 1];
+    the sample is the top-k priorities. Inclusion probability rises with
+    weight; the scheme supports unbiased subset-sum estimation via the
+    (k+1)-th priority as threshold.
+
+    Cross-engine determinism: u = (first 32 md5 bits + 1) / 2^32 and
+    q = w * 2^32 / (h + 1) — one IEEE division, no ln/pow (correctly
+    rounded basic ops are bit-identical everywhere, libm transcendentals
+    are not). Rows with weight <= 0 or NULL are excluded.
+
+    Scale: top-k by priority is TakeOrdered — per-partition partial top-k,
+    no global sort, no shuffle of the full table. The md5 key also makes
+    the sample partitioning- and retry-invariant.
+    """
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    q = (F.col(weight_col).cast("double") * F.lit(4294967296.0)) / (h + F.lit(1)).cast(
+        "double"
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("priority", q)
+        .orderBy(F.desc("priority"), F.asc(id_col))
+        .limit(k)
+    )

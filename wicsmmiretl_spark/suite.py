@@ -2955,6 +2955,34 @@ def q_event_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weighted_sample_docs",
+    """
+    SELECT doc_id, source, n_chars, round(priority, 4) AS priority FROM (
+      SELECT doc_id, source, n_chars,
+             (CAST(n_chars AS DOUBLE) * 4294967296.0)
+             / CAST((('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1) AS DOUBLE)
+               AS priority
+      FROM documents WHERE n_chars > 0
+    ) ORDER BY priority DESC, doc_id ASC LIMIT 60
+    """,
+)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (priority sampling): 60 docs drawn
+    with inclusion probability rising in n_chars — the importance-sampling
+    knob for up-weighting long documents in a mixture. Priorities use only
+    md5 + one IEEE division (no ln/pow), so both engines compute identical
+    doubles; top-k compiles to TakeOrdered, no global sort
+    (operators/sampling.py:weighted_sample)."""
+    from wicsmmiretl_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, "n_chars", 60, "doc_id", seed=7)
+    return out.select(
+        "doc_id", "source", "n_chars", F.round("priority", 4).alias("priority")
+    )
+
+
+@query(
     "orders_incremental_rollup",
     """
     SELECT o_custkey,
@@ -3259,6 +3287,7 @@ _DEFERRED_QUERIES = (
     "customer_scd2_merge",      # SCD2 merge: customer_merge_upsert (in-window) covers the CDC family
     "orders_incremental_rollup",  # mergeable-state agg: pricing_summary (in-window) covers grouped aggs
     "streaming_session_window", # streaming sessions: streaming_user_state + sessionize_events (in-window) cover the pieces
+    "weighted_sample_docs",     # priority sampling: deterministic_sample_docs + corpus_mix (in-window) cover seeded sampling
 )
 
 
