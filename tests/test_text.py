@@ -112,3 +112,20 @@ def test_ne_types_parallel_to_ne_texts(spark):
     by_text = dict(zip(rows[1].ne_texts, rows[1].ne_types))
     assert by_text["Paris"] == "PROPN" and by_text["IBM"] == "ORG"
     assert rows[2].ne_types == []
+
+
+def test_bigram_surprisal_orders_quality(spark):
+    """A doc repeating one bigram scores LOWER mean surprisal than a doc of
+    corpus-unique bigrams; docs with <2 tokens are excluded."""
+    from wicsmmiretl_spark.functions.text import bigram_surprisal
+
+    rows = [
+        (1, "the cat " * 30),             # one dominant bigram, high count
+        (2, "zq wv xr yk pm jn tb ld"),   # every bigram unique
+        (3, "single"),                    # no bigrams -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_bigrams, r.avg_surprisal) for r in bigram_surprisal(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1][0] == 59 and out[2][0] == 7
+    assert out[1][1] < out[2][1]

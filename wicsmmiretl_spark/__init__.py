@@ -37,6 +37,7 @@ from wicsmmiretl_spark.functions.strings import (
     wikimedia_urls,
 )
 from wicsmmiretl_spark.functions.text import (
+    bigram_surprisal,
     caption_stats,
     fingerprint,
     language_id,
@@ -175,6 +176,7 @@ __all__ = [
     "token_counts",
     "pos_tag_stats",
     "repetition_stats",
+    "bigram_surprisal",
     "scrub_pii",
     # strings
     "strip_control_chars",

@@ -332,3 +332,69 @@ def pos_tag_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("_toks", "_cls")
     )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 10**7,
+) -> DataFrame:
+    """Corpus-trained language-model quality signal: per-document mean
+    bigram surprisal, -log2 P(w2|w1), under add-1-smoothed bigram counts
+    trained on the corpus itself. The self-trained analogue of the
+    perplexity filtering used by CCNet-style pipelines — no external model,
+    no Python: low surprisal ≈ repetitive/templated text, high surprisal ≈
+    token soup; both tails are the usual cut candidates.
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), V = distinct corpus tokens.
+
+    Determinism contract: per-bigram surprisal is rounded to ``scale``
+    precision and summed as integers (the bm25 pattern — double summation
+    order differs across partitions/engines, integer summation doesn't);
+    counts and V are exact.
+
+    Scale: two partial-agged count aggregations (unigram, bigram), two
+    shuffle equi-joins keyed on token/bigram (high-cardinality — no skew
+    concentration beyond Zipf, which AQE handles), one per-doc agg. Docs
+    with fewer than two tokens are excluded (no bigrams).
+
+    Output: id_col, n_bigrams (bigint), avg_surprisal (double, 4dp).
+    """
+    toked = df.select(F.col(id_col), tokens(text_col).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    n = F.size("toks")
+    bi = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, n - 1),
+                F.slice("toks", 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("b"),
+    ).select(F.col(id_col), F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+
+    uni = (
+        toked.select(F.explode("toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    big = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    vocab_size = uni.agg(F.count("*").alias("v"))
+
+    s = -F.log2((F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double"))
+    return (
+        bi.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .withColumn("s_i", F.round(s * scale).cast("long"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                (F.sum("s_i").cast("double") / F.lit(float(scale))) / F.count("*"), 4
+            ).alias("avg_surprisal"),
+        )
+    )

@@ -2955,6 +2955,41 @@ def q_event_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bigram_surprisal_docs",
+    f"""
+    WITH t0 AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    t2 AS (SELECT doc_id, toks FROM t0 WHERE len(toks) >= 2),
+    bi AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t2)
+    ),
+    uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+            FROM (SELECT unnest(toks) AS w1 FROM t2) GROUP BY 1),
+    big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY 1, 2),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+    scored AS (
+      SELECT bi.doc_id,
+             CAST(round(-log2(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) * 10000000) AS BIGINT) AS s_i
+      FROM bi JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round((CAST(sum(s_i) AS DOUBLE) / 10000000.0) / count(*), 4) AS avg_surprisal
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bigram_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained LM quality signal: mean add-1-smoothed bigram surprisal
+    per doc, trained on the corpus itself (the CCNet-perplexity shape with
+    no external model). Per-bigram surprisal rides the scaled-int sum
+    contract so partition order can't flip the hash
+    (functions/text.py:bigram_surprisal)."""
+    from wicsmmiretl_spark.functions.text import bigram_surprisal
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_surprisal(docs, "doc_id", "text")
+
+
+@query(
     "weighted_sample_docs",
     """
     SELECT doc_id, source, n_chars, round(priority, 4) AS priority FROM (
@@ -3288,6 +3323,7 @@ _DEFERRED_QUERIES = (
     "orders_incremental_rollup",  # mergeable-state agg: pricing_summary (in-window) covers grouped aggs
     "streaming_session_window", # streaming sessions: streaming_user_state + sessionize_events (in-window) cover the pieces
     "weighted_sample_docs",     # priority sampling: deterministic_sample_docs + corpus_mix (in-window) cover seeded sampling
+    "bigram_surprisal_docs",    # LM quality signal: quality_scores + repetition_stats (in-window) cover the family
 )
 
 
