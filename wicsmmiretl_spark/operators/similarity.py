@@ -77,27 +77,16 @@ def cosine_topk(
         .withColumn("cosine", F.round(_cosine_expr(F.col("qv"), F.col("cv")), 6))
         .select("query_id", "neighbor_id", "cosine")
     )
-    # Two-stage top-k: stage 1 prunes to k per (query, input partition) —
-    # the global top-k is necessarily a subset of the per-partition top-ks,
-    # so the result is partitioning-INVARIANT even though the pruned set
-    # isn't. Without it the single window hashes all n×q scored rows into
-    # only |q| reducers (a parallelism ceiling and a straggler at scale);
-    # with it the first shuffle spreads over |q|×P keys and the final
-    # window sees ≤ |q|×P×k rows.
-    order = (F.desc("cosine"), F.asc("neighbor_id"))
-    w1 = Window.partitionBy("query_id", "_pid").orderBy(*order)
-    pruned = (
-        scored.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_rn", F.row_number().over(w1))
-        .filter(F.col("_rn") <= k)
-        .drop("_pid", "_rn")
-    )
-    w = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        pruned.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "cosine")
-    )
+    # Two-stage top-k (sampling.cap_per_group): stage 1 prunes to k per
+    # (query, input partition) — the global top-k is necessarily a subset of
+    # the per-partition top-ks, so the result is partitioning-INVARIANT.
+    # Without it the single window hashes all n×q scored rows into only |q|
+    # reducers (a parallelism ceiling and a straggler at scale).
+    from wicsmmiretl_spark.operators.sampling import cap_per_group
+
+    return cap_per_group(
+        scored, "query_id", k, [F.desc("cosine"), F.asc("neighbor_id")]
+    ).select("query_id", "neighbor_id", "cosine")
 
 
 def _cosine_topk_numpy(
@@ -531,23 +520,15 @@ def hyperplane_lsh_topk(
         .withColumn("cosine", F.round(_cosine_expr(F.col("qv"), F.col("cv")), 6))
         .select("query_id", "neighbor_id", "cosine")
     )
-    # Same two-stage top-k as cosine_topk: per-(query, partition) prune
-    # first, so the final window ranks <= |q| x P x k rows instead of
-    # hashing the whole bucket-joined score set into |q| reducers.
-    order = (F.desc("cosine"), F.asc("neighbor_id"))
-    w1 = Window.partitionBy("query_id", "_pid").orderBy(*order)
-    pruned = (
-        scored.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_rn", F.row_number().over(w1))
-        .filter(F.col("_rn") <= k)
-        .drop("_pid", "_rn")
-    )
-    w = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        pruned.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "cosine")
-    )
+    # Same two-stage top-k as cosine_topk (sampling.cap_per_group): prune
+    # per (query, partition) first, so the final window ranks <= |q|xPxk
+    # rows instead of hashing the whole bucket-joined score set into |q|
+    # reducers.
+    from wicsmmiretl_spark.operators.sampling import cap_per_group
+
+    return cap_per_group(
+        scored, "query_id", k, [F.desc("cosine"), F.asc("neighbor_id")]
+    ).select("query_id", "neighbor_id", "cosine")
 
 
 def knn_classify(
