@@ -549,3 +549,22 @@ def test_incremental_agg_merge_equals_full_rebuild(spark):
     )
     with pytest.raises(ValueError, match="not mergeable"):
         incremental_agg_build(df, ["k"], {"m": ("median", "x")})
+
+
+def test_histogram_buckets_and_overflow(spark):
+    import pytest
+    from wicsmmiretl_spark.operators.aggregates import histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.99,), (10.0,), (55.0,), (100.0,), (250.0,), (None,)],
+        "x double",
+    )
+    out = {r.bucket: (r.lo, r.hi, r.n) for r in histogram(df, "x", 0.0, 100.0, 10).collect()}
+    assert out[-1][2] == 1            # underflow
+    assert out[0] == (0.0, 10.0, 2)   # 0.0 and 9.99
+    assert out[1] == (10.0, 20.0, 1)  # 10.0 lands in [10,20)
+    assert out[5] == (50.0, 60.0, 1)
+    assert out[10][2] == 2            # 100.0 (== hi) and 250.0 overflow
+    assert sum(n for _lo, _hi, n in out.values()) == 7  # NULL dropped
+    with pytest.raises(ValueError, match="hi > lo"):
+        histogram(df, "x", 5.0, 5.0, 4)

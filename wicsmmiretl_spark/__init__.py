@@ -48,6 +48,7 @@ from wicsmmiretl_spark.functions.text import (
 )
 from wicsmmiretl_spark.operators.aggregates import (
     column_stats,
+    histogram,
     incremental_agg_build,
     incremental_agg_merge,
     grouped_stats_matrix,
@@ -131,6 +132,7 @@ __all__ = [
     "skew_report",
     "incremental_agg_build",
     "incremental_agg_merge",
+    "histogram",
     # sampling / splits
     "deterministic_shuffle",
     "deterministic_sample",

@@ -190,3 +190,44 @@ def incremental_agg_merge(
         merge_fn = F.sum if agg in ("count", "sum") else getattr(F, agg)
         aggs.append(merge_fn(out).alias(out))
     return merged.groupBy(*key_cols).agg(*aggs)
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    buckets: int,
+) -> DataFrame:
+    """Fixed-width histogram over ``[lo, hi)``: one partial-aggregated
+    groupBy on the bucket index — the profiling primitive that stays a
+    single map-side-combined pass at any scale (no sort, no per-bucket
+    subqueries). Values below ``lo`` land in bucket -1, values at or above
+    ``hi`` in bucket ``buckets``; NULLs are dropped. Bucket edges are
+    derived from the index so the output is reproducible from (lo, hi,
+    buckets) alone.
+
+    Output: bucket (int), lo (double), hi (double), n (bigint).
+    """
+    if not hi > lo:
+        raise ValueError(f"histogram: need hi > lo, got [{lo}, {hi})")
+    if buckets < 1:
+        raise ValueError(f"histogram: buckets must be >= 1, got {buckets}")
+    width = (hi - lo) / buckets
+    v = F.col(value_col).cast("double")
+    idx = (
+        F.when(v < lo, F.lit(-1))
+        .when(v >= hi, F.lit(buckets))
+        .otherwise(F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"))
+    )
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(idx.cast("int").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("lo"),
+            (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("hi"),
+            "n",
+        )
+    )

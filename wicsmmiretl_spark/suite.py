@@ -2955,6 +2955,32 @@ def q_event_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_value_histogram",
+    """
+    WITH b AS (
+      SELECT CASE WHEN v < 0.0 THEN -1 WHEN v >= 500.0 THEN 25
+                  ELSE CAST(floor(v / 20.0) AS INT) END AS bucket
+      FROM (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL)
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(bucket * 20.0 AS DOUBLE) AS lo,
+           CAST((bucket + 1) * 20.0 AS DOUBLE) AS hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling primitive: fixed-width 25-bucket histogram of events.value
+    over [0, 500) with explicit under/overflow buckets — ONE
+    map-side-combined groupBy on the computed bucket index, no sort
+    (operators/aggregates.py:histogram)."""
+    from wicsmmiretl_spark.operators.aggregates import histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram(ev, "value", 0.0, 500.0, 25)
+
+
+@query(
     "bigram_surprisal_docs",
     f"""
     WITH t0 AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
@@ -3324,6 +3350,7 @@ _DEFERRED_QUERIES = (
     "streaming_session_window", # streaming sessions: streaming_user_state + sessionize_events (in-window) cover the pieces
     "weighted_sample_docs",     # priority sampling: deterministic_sample_docs + corpus_mix (in-window) cover seeded sampling
     "bigram_surprisal_docs",    # LM quality signal: quality_scores + repetition_stats (in-window) cover the family
+    "events_value_histogram",   # fixed-width histogram: events_stats_by_type + pricing_summary (in-window) cover aggs
 )
 
 
