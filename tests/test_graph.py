@@ -79,3 +79,48 @@ def test_unconverged_raises(spark):
     )
     with pytest.raises(RuntimeError, match="fixpoint"):
         connected_components(df, max_iter=1).collect()
+
+
+def test_pagerank_matches_local_power_iteration(spark):
+    """Distributed PageRank equals a local reference implementation on a
+    graph with a cycle, a dangling node, and a hub; mass sums to 1."""
+    import collections
+
+    from wicsmmiretl_spark.operators.graph import pagerank
+
+    edge_list = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (5, 3)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(edges, iters=15).collect()}
+
+    nodes = {x for e in edge_list for x in e}
+    out = collections.defaultdict(list)
+    for s, d in edge_list:
+        out[s].append(d)
+    n = len(nodes)
+    pr = {v: 1 / n for v in nodes}
+    for _ in range(15):
+        dang = sum(pr[v] for v in nodes if v not in out)
+        inb = collections.defaultdict(float)
+        for s, ds in out.items():
+            for d in ds:
+                inb[d] += pr[s] / len(ds)
+        pr = {v: 0.15 / n + 0.85 * (inb[v] + dang / n) for v in nodes}
+
+    assert set(got) == nodes
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in nodes:
+        assert abs(got[v] - pr[v]) < 1e-9, (v, got[v], pr[v])
+
+
+def test_pagerank_partitioning_invariant(spark):
+    from wicsmmiretl_spark.operators.graph import pagerank
+
+    import random
+
+    rng = random.Random(9)
+    edge_list = [(rng.randrange(50), rng.randrange(50)) for _ in range(120)]
+    edge_list = [e for e in edge_list if e[0] != e[1]]
+    e1 = spark.createDataFrame(edge_list, "src long, dst long")
+    a = sorted((r.id, r.rank) for r in pagerank(e1, iters=5).collect())
+    b = sorted((r.id, r.rank) for r in pagerank(e1.repartition(7), iters=5).collect())
+    assert a == b

@@ -78,7 +78,7 @@ from wicsmmiretl_spark.operators.joins import (
 from wicsmmiretl_spark.operators.merge import merge_scd2, merge_upsert
 from wicsmmiretl_spark.operators.packing import chunk_documents, pack_sequences
 from wicsmmiretl_spark.operators.ranking import bm25_rank
-from wicsmmiretl_spark.operators.graph import connected_components
+from wicsmmiretl_spark.operators.graph import connected_components, pagerank
 from wicsmmiretl_spark.operators.sampling import (
     cap_per_group,
     deterministic_sample,
@@ -151,6 +151,7 @@ __all__ = [
     "simhash_near_pairs",
     "dup_clusters",
     "connected_components",
+    "pagerank",
     # similarity / ANN
     "cosine_topk",
     "cosine_pairs",

@@ -1,5 +1,6 @@
-"""Distributed graph connectivity: alternating large-star / small-star
-connected components.
+"""Distributed graph analytics: alternating large-star / small-star
+connected components, and fixed-iteration PageRank with scaled-integer
+mass sums.
 
 Why this exists
 ---------------
@@ -181,3 +182,110 @@ def connected_components(
             "input edges (an edge spans two clusters) — raise max_iter."
         )
     return out
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank over a directed edge list (Brin/Page — public literature),
+    fixed-iteration power method with dangling-mass redistribution:
+
+        pr'(v) = (1-d)/N + d * ( Σ_{u→v} pr(u)/outdeg(u) + dangling/N )
+
+    Determinism contract: the per-node inbound sum and the dangling mass
+    are scaled-integer sums (``round(x * scale)`` bigints) — double
+    addition order across in-neighbors/partitions can't change the result,
+    so a SQL oracle replays every iteration bit-for-bit.
+
+    Scale shape per iteration: one partial-aggregated groupBy on dst (the
+    contribution sum), one broadcast of a single-row (N, dangling) struct,
+    one left join back to the node list; lineage truncated per iteration.
+    Nothing is collected to the driver. Degree skew (a celebrity node's
+    in-box) is a partial-agg sum, not a window — map-side combine bounds
+    the reducer.
+
+    Output: (id, rank double) for every node appearing in ``edges``.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n_total = nodes.agg(F.count("*").alias("n"))
+
+    pr = nodes.join(F.broadcast(n_total)).select(
+        "id", (F.lit(1.0) / F.col("n").cast("double")).alias("rank")
+    )
+    d = damping
+    # Same scoped shuffle sizing (and same concurrency caveat) as
+    # connected_components: iters sequential rounds multiply per-task
+    # overhead, so size the loop's shuffles to the edge count.
+    spark = edges.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    session_parts = spark.conf.get(conf_key)
+    n_edges = e.count()
+    loop_parts = min(int(session_parts), max(1, n_edges // 65_536 + 1))
+    spark.conf.set(conf_key, str(loop_parts))
+    try:
+        pr = _pagerank_loop(pr, e, deg, nodes, n_total, d, iters, scale)
+    finally:
+        spark.conf.set(conf_key, session_parts)
+    return pr
+
+
+def _pagerank_loop(pr, e, deg, nodes, n_total, d, iters, scale):
+    for _ in range(iters):
+        with_deg = pr.join(deg, pr["id"] == deg["src"], "left").select(
+            pr["id"], "rank", "outdeg"
+        )
+        contrib = (
+            e.join(
+                with_deg.filter(F.col("outdeg").isNotNull()).withColumnRenamed("id", "src"),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(
+                (
+                    F.sum(
+                        F.round((F.col("rank") / F.col("outdeg")) * scale).cast("long")
+                    ).cast("double")
+                    / F.lit(float(scale))
+                ).alias("inb")
+            )
+        )
+        dangling = with_deg.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(
+                F.sum(F.round(F.col("rank") * scale).cast("long")), F.lit(0)
+            ).alias("dang_i")
+        )
+        pr = (
+            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            .join(F.broadcast(n_total))
+            .join(F.broadcast(dangling))
+            .select(
+                nodes["id"],
+                (
+                    F.lit(1.0 - d) / F.col("n").cast("double")
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("inb"), F.lit(0.0))
+                        + (F.col("dang_i").cast("double") / F.lit(float(scale)))
+                        / F.col("n").cast("double")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr

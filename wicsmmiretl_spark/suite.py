@@ -2954,6 +2954,86 @@ def q_event_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def _pagerank_sql(iters: int) -> str:
+    """Unrolled CTE chain replaying operators/graph.py:pagerank on the
+    order→customer→nation reference graph: per iteration one scaled-int
+    contribution sum, one scaled-int dangling mass, one recombine. The
+    damping constants are written as (1.0 - 0.85) so both engines compute
+    the identical IEEE double (a bare 0.15 literal differs in the last
+    ulp from Python's 1.0 - 0.85)."""
+    sql = """
+    pe AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT o_orderkey AS src, o_custkey + 1000000000 AS dst FROM orders
+        UNION ALL
+        SELECT c_custkey + 1000000000 AS src,
+               CAST(c_nationkey AS BIGINT) + 2000000000 AS dst FROM customer
+      )
+    ),
+    pn AS (SELECT DISTINCT id FROM (SELECT src AS id FROM pe UNION ALL SELECT dst FROM pe)),
+    pdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM pe GROUP BY src),
+    ptot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pn),
+    pr0 AS (SELECT id, 1.0 / CAST(n AS DOUBLE) AS rank FROM pn CROSS JOIN ptot)"""
+    for i in range(1, iters + 1):
+        p = f"pr{i - 1}"
+        sql += f""",
+    ctb{i} AS (
+      SELECT dst,
+             CAST(sum(CAST(round((rank / outdeg) * 1000000000000) AS BIGINT)) AS DOUBLE)
+               / 1000000000000.0 AS inb
+      FROM pe JOIN {p} ON pe.src = {p}.id JOIN pdeg ON pe.src = pdeg.src
+      GROUP BY dst
+    ),
+    dng{i} AS (
+      SELECT coalesce(sum(CAST(round(rank * 1000000000000) AS BIGINT)), 0) AS dang_i
+      FROM {p} LEFT JOIN pdeg ON {p}.id = pdeg.src WHERE pdeg.src IS NULL
+    ),
+    pr{i} AS (
+      SELECT pn.id,
+             (1.0 - 0.85) / CAST(n AS DOUBLE)
+             + 0.85 * (coalesce(inb, 0.0)
+                       + (CAST(dang_i AS DOUBLE) / 1000000000000.0) / CAST(n AS DOUBLE))
+               AS rank
+      FROM pn LEFT JOIN ctb{i} ON pn.id = ctb{i}.dst CROSS JOIN ptot CROSS JOIN dng{i}
+    )"""
+    return sql
+
+
+@query(
+    "order_graph_pagerank",
+    f"""
+    WITH {_pagerank_sql(4)}
+    SELECT id, round(rank, 9) AS rank FROM pr4
+    ORDER BY rank DESC, id ASC LIMIT 30
+    """,
+)
+def q_order_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph analytics: 4 PageRank power iterations over the
+    order→customer→nation reference graph (ids offset into disjoint
+    ranges), top-30 by rank. Mass concentrates at nations — the many-to-one
+    in-degree shape that exercises the partial-agged contribution sum
+    (operators/graph.py:pagerank)."""
+    from wicsmmiretl_spark.operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    edges = orders.select(
+        F.col("o_orderkey").alias("src"),
+        (F.col("o_custkey") + F.lit(10**9)).alias("dst"),
+    ).unionByName(
+        cust.select(
+            (F.col("c_custkey") + F.lit(10**9)).alias("src"),
+            (F.col("c_nationkey").cast("long") + F.lit(2 * 10**9)).alias("dst"),
+        )
+    )
+    pr = pagerank(edges, iters=4)
+    return (
+        pr.select("id", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(30)
+    )
+
+
 @query(
     "events_value_histogram",
     """
@@ -3351,6 +3431,7 @@ _DEFERRED_QUERIES = (
     "weighted_sample_docs",     # priority sampling: deterministic_sample_docs + corpus_mix (in-window) cover seeded sampling
     "bigram_surprisal_docs",    # LM quality signal: quality_scores + repetition_stats (in-window) cover the family
     "events_value_histogram",   # fixed-width histogram: events_stats_by_type + pricing_summary (in-window) cover aggs
+    "order_graph_pagerank",     # iterative graph analytics: dedup_clusters (in-window) covers the graph family
 )
 
 
