@@ -186,3 +186,24 @@ def test_no_cartesian_or_row_python_in_any_suite_query(spark):
         if hits:
             bad[name] = hits
     assert not bad, bad
+
+
+def test_pq_plan_broadcasts_lut_and_no_cartesian(spark):
+    """PQ ADC: code assignment and LUT scoring must both be broadcast hash
+    joins (codebook is m x k rows, LUT is |q| x m x k) — the candidate-side
+    codes table must never shuffle against them, and no stage may fall back
+    to CartesianProduct."""
+    from wicsmmiretl_spark.catalog import load_table
+    from wicsmmiretl_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    df = pq_topk(emb, k=5, dim=64, m=4, train_k=4, iters=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+# NB: no executedPlan pin for pagerank/connected_components — their loops
+# localCheckpoint per iteration, so the returned DataFrame's plan is just a
+# scan of the materialized RDD (the suite-wide sweep sees the same thing).
+# Their guarantees are pinned semantically instead: local-reference equality,
+# partitioning invariance, and the fixpoint certification inside the operator.
