@@ -2954,6 +2954,39 @@ def q_event_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+@query(
+    "streaming_dedup",
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+           CAST(round(value * 1000000) AS BIGINT) AS value_us
+    FROM events
+    """,
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 streaming exact dedup driven end to end: the events drop-folder
+    read as TWO file streams unioned (every row arrives twice — the
+    at-least-once replay shape), watermarked, and deduplicated on event_id
+    via dropDuplicatesWithinWatermark, append mode. The result must be
+    exactly the distinct base table; value pre-scaled to micro-unit longs
+    and ts emitted as unix micros for the cross-engine hash."""
+    from wicsmmiretl_spark.streaming.windows import read_event_stream, run_to_memory_sink, stream_dedup
+
+    d = _events_dropdir(spark, sf_dir)
+    one = read_event_stream(spark, d)
+    two = read_event_stream(spark, d)
+    doubled = one.unionByName(two)
+    deduped = stream_dedup(doubled, keys=("event_id",), watermark="1 hour")
+    name = f"suite_dedup_{next(_STREAM_RUN_COUNTER)}"
+    out = run_to_memory_sink(deduped, name, spark, output_mode="append", shuffle_partitions=8)
+    return out.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("long").alias("value_us"),
+    )
+
+
 def _pagerank_sql(iters: int) -> str:
     """Unrolled CTE chain replaying operators/graph.py:pagerank on the
     order→customer→nation reference graph: per iteration one scaled-int
@@ -3432,6 +3465,7 @@ _DEFERRED_QUERIES = (
     "bigram_surprisal_docs",    # LM quality signal: quality_scores + repetition_stats (in-window) cover the family
     "events_value_histogram",   # fixed-width histogram: events_stats_by_type + pricing_summary (in-window) cover aggs
     "order_graph_pagerank",     # iterative graph analytics: dedup_clusters (in-window) covers the graph family
+    "streaming_dedup",          # streaming replay dedup: dedup_exact + streaming_user_state (in-window) cover the pieces
 )
 
 
