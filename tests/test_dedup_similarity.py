@@ -430,3 +430,18 @@ def test_pq_encode_partitioning_invariant(spark, sf_dir):
         for r in pq_topk(emb.repartition(13), k=5, dim=64, m=4, train_k=8, iters=1).collect()
     )
     assert t1 == t2
+
+
+def test_hyperplane_signature_null_vector_survives_guard(spark):
+    """A NULL embedding must not abort the run: the width guard passes NULL
+    rows through with the same bucket the expression always produced."""
+    from pyspark.sql import Row
+
+    from wicsmmiretl_spark.operators.similarity import hyperplane_signature
+
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, -2.0, 0.5, 3.0]), Row(vec_id=2, embedding=None)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r.bucket for r in hyperplane_signature(df, bits=4, dim=8).collect()}
+    assert set(rows) == {1, 2}

@@ -130,3 +130,15 @@ def test_merge_scd2_rejects_retro_effective_change(spark):
     upd = spark.createDataFrame([(1, 11.0, "2019-06-01")], "k long, bal double, eff string")
     with pytest.raises(Exception, match="precedes the current version"):
         merge_scd2(dim, upd, ["k"], ["bal"], "eff").collect()
+
+
+def test_merge_scd2_null_effective_on_changed_key_errors_with_message(spark):
+    import pytest
+    from wicsmmiretl_spark.operators.merge import merge_scd2
+
+    dim = spark.createDataFrame(
+        [(1, 1.0, "2020-01-01", None)], "k long, bal double, valid_from string, valid_to string"
+    )
+    upd = spark.createDataFrame([(1, 2.0, None)], "k long, bal double, eff string")
+    with pytest.raises(Exception, match="NULL effective is rejected"):
+        merge_scd2(dim, upd, ["k"], ["bal"], "eff").collect()

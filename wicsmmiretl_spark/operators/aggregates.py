@@ -215,10 +215,18 @@ def histogram(
         raise ValueError(f"histogram: buckets must be >= 1, got {buckets}")
     width = (hi - lo) / buckets
     v = F.col(value_col).cast("double")
+    # least(..., buckets-1): when width rounds DOWN in fp, (v-lo)/width for
+    # an in-range v just below hi can land exactly on `buckets` — clamp so
+    # in-range values never leak into the overflow bucket.
     idx = (
         F.when(v < lo, F.lit(-1))
         .when(v >= hi, F.lit(buckets))
-        .otherwise(F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"))
+        .otherwise(
+            F.least(
+                F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"),
+                F.lit(buckets - 1),
+            )
+        )
     )
     return (
         df.filter(v.isNotNull())

@@ -119,11 +119,12 @@ def asof_join(
             "asof_join: right_cols may not contain '_on' — it is the carried "
             "struct's field name for the right-side on column; rename the column."
         )
-    reserved = {"_r", "_side"} & (set(left.columns) | set(right.columns))
+    reserved = {"_r", "_side", "_r_b", "_r_f"} & (set(left.columns) | set(right.columns))
     if reserved:
         raise ValueError(
             f"asof_join: input columns {sorted(reserved)} collide with the "
-            "union-tag columns the join builds internally; rename them."
+            "working columns the join builds internally (union tag + carried "
+            "struct per direction); rename them."
         )
     if tiebreak is not None and tiebreak not in right_cols:
         raise ValueError(

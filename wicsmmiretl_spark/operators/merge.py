@@ -128,6 +128,8 @@ def merge_scd2(
     # and open a new one overlapping closed history — silent corruption.
     # Fail in-plan at execution (no extra job); late-arriving corrections
     # belong in an upstream reprocessing path, not a forward-only SCD2 fold.
+    # NULL effective takes the error branch too (the >= compare is NULL);
+    # coalesce each message part so the raised message survives NULLs.
     vf_cur = F.col(f"__t__.{valid_from_col}")
     checked_eff = F.when(
         F.col(f"__s__.{effective_col}") >= vf_cur, F.col(f"__s__.{effective_col}")
@@ -135,9 +137,10 @@ def merge_scd2(
         F.raise_error(
             F.concat(
                 F.lit("merge_scd2: effective timestamp "),
-                F.col(f"__s__.{effective_col}").cast("string"),
+                F.coalesce(F.col(f"__s__.{effective_col}").cast("string"), F.lit("NULL")),
                 F.lit(" precedes the current version's valid_from "),
-                vf_cur.cast("string"),
+                F.coalesce(vf_cur.cast("string"), F.lit("NULL")),
+                F.lit(" (NULL effective is rejected on changed keys)"),
             )
         ).cast(dim.schema[valid_from_col].dataType)
     )

@@ -205,8 +205,12 @@ def cap_per_group(
     """
     if not order_by:
         raise ValueError("cap_per_group: order_by must name a deterministic order")
-    if cap < 1:
-        raise ValueError(f"cap_per_group: cap must be >= 1, got {cap}")
+    if cap < 0:
+        raise ValueError(f"cap_per_group: cap must be >= 0, got {cap}")
+    if cap == 0:
+        # Degenerate but well-defined (and what k=0 through the top-k
+        # callers historically produced): keep nothing, schema unchanged.
+        return df.filter(F.lit(False))
     clash = {"_pid", "_rn"} & set(df.columns)
     if clash:
         raise ValueError(
@@ -252,6 +256,11 @@ def weighted_sample(
     no global sort, no shuffle of the full table. The md5 key also makes
     the sample partitioning- and retry-invariant.
     """
+    if "priority" in df.columns:
+        raise ValueError(
+            "weighted_sample: input already has a 'priority' column, which is "
+            "the output column this operator adds; rename it."
+        )
     h = (
         F.conv(
             F.substring(

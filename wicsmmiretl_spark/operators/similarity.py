@@ -238,11 +238,15 @@ def hyperplane_signature(
     # it would silently project only the first `dim` components and collapse
     # recall while the oracles (which replay the same truncation) stay
     # green. Fail per-row inside the same scan — no extra plan-build job.
+    # NULL vectors pass the guard (they keep the same bucket the expression
+    # produced before the guard existed — a hard row failure for one NULL
+    # embedding would abort the whole run); the message is coalesced so it
+    # can never itself be NULL.
     guard = F.assert_true(
-        F.size(F.col(vec_col)) <= F.lit(dim),
+        F.coalesce(F.size(F.col(vec_col)) <= F.lit(dim), F.lit(True)),
         F.concat(
             F.lit(f"hyperplane_signature: dim={dim} under-provisions vector width "),
-            F.size(F.col(vec_col)).cast("string"),
+            F.coalesce(F.size(F.col(vec_col)).cast("string"), F.lit("NULL")),
         ),
     )
     return df.select(F.col(id_col), F.when(guard.isNull(), sig).alias("bucket"))

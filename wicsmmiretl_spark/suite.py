@@ -2991,9 +2991,10 @@ def _pagerank_sql(iters: int) -> str:
     """Unrolled CTE chain replaying operators/graph.py:pagerank on the
     order→customer→nation reference graph: per iteration one scaled-int
     contribution sum, one scaled-int dangling mass, one recombine. The
-    damping constants are written as (1.0 - 0.85) so both engines compute
-    the identical IEEE double (a bare 0.15 literal differs in the last
-    ulp from Python's 1.0 - 0.85)."""
+    teleport constant is written as (CAST(1.0 AS DOUBLE) - 0.85) to force
+    DOUBLE subtraction — DuckDB evaluates a bare (1.0 - 0.85) in DECIMAL
+    arithmetic to exact 0.15, which differs in the last ulp from
+    Python/Spark's double 1.0 - 0.85 (0.15000000000000002)."""
     sql = """
     pe AS (
       SELECT DISTINCT src, dst FROM (
@@ -3023,7 +3024,7 @@ def _pagerank_sql(iters: int) -> str:
     ),
     pr{i} AS (
       SELECT pn.id,
-             (1.0 - 0.85) / CAST(n AS DOUBLE)
+             (CAST(1.0 AS DOUBLE) - 0.85) / CAST(n AS DOUBLE)
              + 0.85 * (coalesce(inb, 0.0)
                        + (CAST(dang_i AS DOUBLE) / 1000000000000.0) / CAST(n AS DOUBLE))
                AS rank
@@ -3072,7 +3073,7 @@ def q_order_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (
       SELECT CASE WHEN v < 0.0 THEN -1 WHEN v >= 500.0 THEN 25
-                  ELSE CAST(floor(v / 20.0) AS INT) END AS bucket
+                  ELSE CAST(least(floor(v / 20.0), 24) AS INT) END AS bucket
       FROM (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL)
     )
     SELECT CAST(bucket AS INT) AS bucket,
@@ -3137,7 +3138,8 @@ def q_bigram_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
              / CAST((('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1) AS DOUBLE)
                AS priority
       FROM documents WHERE n_chars > 0
-    ) ORDER BY priority DESC, doc_id ASC LIMIT 60
+      ORDER BY priority DESC, doc_id ASC LIMIT 60
+    )
     """,
 )
 def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
