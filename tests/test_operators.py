@@ -568,3 +568,27 @@ def test_histogram_buckets_and_overflow(spark):
     assert sum(n for _lo, _hi, n in out.values()) == 7  # NULL dropped
     with pytest.raises(ValueError, match="hi > lo"):
         histogram(df, "x", 5.0, 5.0, 4)
+
+
+def test_hll_sketch_merge_and_accuracy(spark):
+    """Register merge over any batch split equals the one-shot sketch;
+    the estimate lands within the expected HLL error band (~1.04/sqrt(m)
+    -> a few percent at p=9 for n >> 0); p is validated."""
+    import pytest
+    from wicsmmiretl_spark.operators.aggregates import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    df = spark.createDataFrame([(i % 700,) for i in range(5000)], "uid long")
+    full = sorted(tuple(r) for r in hll_sketch(df, "uid", 9).collect())
+    a = hll_sketch(df.filter("uid < 300"), "uid", 9)
+    b = hll_sketch(df.filter("uid >= 300"), "uid", 9)
+    merged = sorted(tuple(r) for r in hll_merge(a, b).collect())
+    assert merged == full
+
+    est = hll_estimate(hll_sketch(df, "uid", 9), 9).first()["estimate"]
+    assert abs(est - 700) / 700 < 0.10
+    with pytest.raises(ValueError, match="p must be"):
+        hll_sketch(df, "uid", 2)

@@ -49,6 +49,9 @@ from wicsmmiretl_spark.functions.text import (
 from wicsmmiretl_spark.operators.aggregates import (
     column_stats,
     histogram,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
     incremental_agg_build,
     incremental_agg_merge,
     grouped_stats_matrix,
@@ -133,6 +136,9 @@ __all__ = [
     "incremental_agg_build",
     "incremental_agg_merge",
     "histogram",
+    "hll_sketch",
+    "hll_merge",
+    "hll_estimate",
     # sampling / splits
     "deterministic_shuffle",
     "deterministic_sample",

@@ -239,3 +239,72 @@ def histogram(
             "n",
         )
     )
+
+
+def hll_sketch(
+    df: DataFrame, col: str, p: int = 9
+) -> DataFrame:
+    """HyperLogLog register table for approximate COUNT DISTINCT
+    (Flajolet et al. 2007 — public literature), built deterministically
+    from md5 so the sketch is identical on any engine/partitioning:
+
+    * bucket = (first 16 md5 bits) mod 2**p,
+    * w      = the next 32 md5 bits (disjoint hex range),
+    * rho    = 33 - bit_length(w)  (w = 0 → 33),
+    * register = max(rho) per bucket — ONE partial-aggregated groupBy.
+
+    Every step is integer/string arithmetic (bit length via the binary
+    string, no log2, no decimal division), so a SQL oracle reproduces the
+    registers bit-for-bit. Registers are MERGEABLE (elementwise max), so
+    sketches from delta batches fold like ``incremental_agg_merge`` states
+    — distinct-count an append-only stream without rescanning the base.
+    NULLs are excluded (SQL COUNT DISTINCT semantics).
+
+    Output: (bucket int, reg int); at most 2**p rows.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll_sketch: p must be in [4, 16], got {p}")
+    h = F.md5(F.col(col).cast("string"))
+    first16 = F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+    w = F.conv(F.substring(h, 5, 8), 16, 10).cast("long")
+    bucket = first16 % F.lit(2**p)
+    rho = F.when(w == 0, F.lit(33)).otherwise(F.lit(33) - F.length(F.bin(w)))
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(bucket.cast("int").alias("bucket"), rho.cast("int").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two register tables (same ``p``): elementwise max."""
+    return a.unionByName(b).groupBy("bucket").agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
+    """Cardinality estimate from a register table. The harmonic denominator
+    Σ 2^-reg is computed EXACTLY: each term scaled by 2^33 is the integer
+    2^(33-reg) (reg ≤ 33), summed as longs — no double-accumulation order
+    anywhere. Includes the standard small-range linear-counting correction
+    (its ln() is the only libm call; the final 4dp round absorbs its ulp).
+
+    Output: one row (estimate double, 4dp).
+    """
+    m = 2**p
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    term = F.pow(F.lit(2.0), (F.lit(33) - F.col("reg")).cast("double")).cast("long")
+    agg = registers.agg(
+        F.coalesce(F.sum(term), F.lit(0)).alias("sum_i"),
+        F.count("*").alias("nonzero"),
+    )
+    # Buckets never touched by any row contribute 2^-0 = 1 each.
+    denom = (
+        F.col("sum_i").cast("double") / F.lit(float(2**33))
+        + (F.lit(m) - F.col("nonzero")).cast("double")
+    )
+    raw = F.lit(alpha_m2) / denom
+    zeros = (F.lit(m) - F.col("nonzero")).cast("double")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(F.round(est, 4).alias("estimate"))

@@ -3068,6 +3068,60 @@ def q_order_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_ALPHA_M2 = repr((0.7213 / (1.0 + 1.079 / 512)) * 512 * 512)
+
+@query(
+    "hll_distinct_users",
+    f"""
+    WITH hh AS (
+      SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events WHERE user_id IS NOT NULL
+    ),
+    hb AS (
+      SELECT (('0x' || substr(h, 1, 4))::BIGINT) % 512 AS bucket,
+             ('0x' || substr(h, 5, 8))::BIGINT AS w
+      FROM hh
+    ),
+    regs AS (
+      SELECT bucket,
+             max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(to_base(w, 2)) END) AS reg
+      FROM hb GROUP BY bucket
+    ),
+    ag AS (
+      SELECT coalesce(sum(CAST(2 ** (33 - reg) AS BIGINT)), 0) AS sum_i,
+             CAST(count(*) AS BIGINT) AS nonzero
+      FROM regs
+    ),
+    est AS (
+      SELECT CASE WHEN ({_HLL_ALPHA_M2}
+                        / (CAST(sum_i AS DOUBLE) / 8589934592.0
+                           + CAST(512 - nonzero AS DOUBLE))) <= 1280.0
+                   AND (512 - nonzero) > 0
+             THEN 512.0 * ln(512.0 / CAST(512 - nonzero AS DOUBLE))
+             ELSE {_HLL_ALPHA_M2}
+                  / (CAST(sum_i AS DOUBLE) / 8589934592.0
+                     + CAST(512 - nonzero AS DOUBLE)) END AS e
+      FROM ag
+    )
+    SELECT round(e, 4) AS estimate,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS exact_distinct
+    FROM est
+    """,
+)
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct: a deterministic md5 HyperLogLog (p=9, 512
+    registers) estimating distinct events.user_id, beside the exact count.
+    The register build and the harmonic denominator are pure integer/string
+    arithmetic, so the oracle replays the sketch bit-for-bit — unlike the
+    engine-native approx_count_distinct whose HLL++ hashing is
+    implementation-specific (operators/aggregates.py:hll_sketch)."""
+    from wicsmmiretl_spark.operators.aggregates import hll_estimate, hll_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_estimate(hll_sketch(ev, "user_id", p=9), p=9)
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact))
+
+
 @query(
     "events_value_histogram",
     """
@@ -3468,6 +3522,7 @@ _DEFERRED_QUERIES = (
     "events_value_histogram",   # fixed-width histogram: events_stats_by_type + pricing_summary (in-window) cover aggs
     "order_graph_pagerank",     # iterative graph analytics: dedup_clusters (in-window) covers the graph family
     "streaming_dedup",          # streaming replay dedup: dedup_exact + streaming_user_state (in-window) cover the pieces
+    "hll_distinct_users",       # mergeable distinct sketch: stats_matrix/pricing_summary (in-window) cover exact aggs
 )
 
 
