@@ -592,3 +592,31 @@ def test_hll_sketch_merge_and_accuracy(spark):
     assert abs(est - 700) / 700 < 0.10
     with pytest.raises(ValueError, match="p must be"):
         hll_sketch(df, "uid", 2)
+
+
+def test_profile_table_metrics(spark):
+    from wicsmmiretl_spark.operators.aggregates import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b"), (None, "b")],
+        "id long, cat string",
+    )
+    out = {r.column: r for r in profile_table(df, ["id", "cat"]).collect()}
+    assert out["id"].n_rows == 5 and out["id"].n_nulls == 1 and out["id"].n_distinct == 4
+    assert out["cat"].n_nulls == 1 and out["cat"].n_distinct == 2
+    assert out["cat"].null_frac == 0.2
+
+
+def test_robust_outliers_flags_and_mad_zero(spark):
+    from wicsmmiretl_spark.operators.aggregates import robust_outliers
+
+    rows = [("g", float(v)) for v in [10, 11, 9, 10, 12, 10, 9, 11, 500]]
+    rows += [("z", 5.0), ("z", 5.0), ("z", 5.0), ("z", 99.0)]
+    df = spark.createDataFrame(rows, "k string, x double")
+    out = robust_outliers(df, "x", ["k"]).collect()
+    flagged = {(r.k, r.x) for r in out if r.is_outlier}
+    assert ("g", 500.0) in flagged
+    assert all(x != 500.0 or k != "g" for k, x in flagged - {("g", 500.0), ("z", 99.0)})
+    # MAD=0 group: median 5.0, only the deviant row flags (robust_z NULL)
+    z_rows = {r.x: (r.is_outlier, r.robust_z) for r in out if r.k == "z"}
+    assert z_rows[99.0] == (True, None) and z_rows[5.0][0] is False

@@ -52,6 +52,8 @@ from wicsmmiretl_spark.operators.aggregates import (
     hll_estimate,
     hll_merge,
     hll_sketch,
+    profile_table,
+    robust_outliers,
     incremental_agg_build,
     incremental_agg_merge,
     grouped_stats_matrix,
@@ -139,6 +141,8 @@ __all__ = [
     "hll_sketch",
     "hll_merge",
     "hll_estimate",
+    "profile_table",
+    "robust_outliers",
     # sampling / splits
     "deterministic_shuffle",
     "deterministic_sample",

@@ -308,3 +308,76 @@ def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
     est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), linear).otherwise(raw)
     return agg.select(F.round(est, 4).alias("estimate"))
+
+
+def profile_table(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Column-level profile in long format: one output row per column with
+    (n_rows, n_nulls, null_frac, n_distinct). ONE aggregation pass builds
+    every metric; the long shape comes from exploding a literal struct
+    array afterwards (no per-column scans). Exact distincts are the
+    correctness surface; at 100 TB swap them for ``hll_sketch`` estimates
+    (mergeable, one-pass) — the shape of the output doesn't change.
+
+    Output: column string, n_rows bigint, n_nulls bigint,
+    null_frac double (6dp), n_distinct bigint.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in columns:
+        aggs.append(F.count_if(F.col(c).isNull()).alias(f"_nn_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"_nd_{c}"))
+    one = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"_nn_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+            )
+            for c in columns
+        ]
+    )
+    return one.select(F.col("_n").alias("n_rows"), F.explode(entries).alias("e")).select(
+        F.col("e.column").alias("column"),
+        "n_rows",
+        F.col("e.n_nulls").alias("n_nulls"),
+        F.round(F.col("e.n_nulls") / F.col("n_rows"), 6).alias("null_frac"),
+        F.col("e.n_distinct").alias("n_distinct"),
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str],
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier flagging via the modified z-score
+    (Iglewicz/Hoaglin): 0.6745 * (x - median) / MAD, flagged when its
+    absolute value exceeds ``threshold``. Median/MAD resist the very
+    outliers being hunted (mean/stddev get dragged by them).
+
+    Two grouped exact medians + two equi-joins, all on the same key —
+    the shuffle partitioning is computed once and reused. When MAD = 0
+    (half the group identical), the z-score is NULL and a row is an
+    outlier iff it differs from the median.
+
+    Appends ``robust_z`` (double) and ``is_outlier`` (boolean).
+    """
+    keys = list(key_cols)
+    med = df.groupBy(*keys).agg(F.median(value_col).alias("_med"))
+    with_med = df.join(med, keys)
+    mad = with_med.groupBy(*keys).agg(
+        F.median(F.abs(F.col(value_col) - F.col("_med"))).alias("_mad")
+    )
+    j = with_med.join(mad, keys)
+    rz = F.lit(0.6745) * (F.col(value_col) - F.col("_med")) / F.col("_mad")
+    return (
+        j.withColumn("robust_z", F.when(F.col("_mad") > 0, rz))
+        .withColumn(
+            "is_outlier",
+            F.when(F.col("_mad") > 0, F.abs(F.col("robust_z")) > F.lit(threshold)).otherwise(
+                F.col(value_col) != F.col("_med")
+            ),
+        )
+        .drop("_med", "_mad")
+    )

@@ -3068,6 +3068,76 @@ def q_order_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "documents_profile",
+    """
+    SELECT 'doc_id' AS column, (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+           CAST(count(*) FILTER (doc_id IS NULL) AS BIGINT) AS n_nulls,
+           round(CAST(count(*) FILTER (doc_id IS NULL) AS DOUBLE) / count(*), 6) AS null_frac,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+    FROM documents
+    UNION ALL
+    SELECT 'lang', (SELECT CAST(count(*) AS BIGINT) FROM documents),
+           CAST(count(*) FILTER (lang IS NULL) AS BIGINT),
+           round(CAST(count(*) FILTER (lang IS NULL) AS DOUBLE) / count(*), 6),
+           CAST(count(DISTINCT lang) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'source', (SELECT CAST(count(*) AS BIGINT) FROM documents),
+           CAST(count(*) FILTER (source IS NULL) AS BIGINT),
+           round(CAST(count(*) FILTER (source IS NULL) AS DOUBLE) / count(*), 6),
+           CAST(count(DISTINCT source) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', (SELECT CAST(count(*) AS BIGINT) FROM documents),
+           CAST(count(*) FILTER (n_chars IS NULL) AS BIGINT),
+           round(CAST(count(*) FILTER (n_chars IS NULL) AS DOUBLE) / count(*), 6),
+           CAST(count(DISTINCT n_chars) AS BIGINT)
+    FROM documents
+    """,
+)
+def q_documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling surface: per-column null/distinct stats for the
+    documents table in ONE aggregation pass, long format
+    (operators/aggregates.py:profile_table)."""
+    from wicsmmiretl_spark.operators.aggregates import profile_table
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile_table(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+@query(
+    "events_value_outliers",
+    """
+    WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+    wm AS (SELECT e.event_id, e.event_type, e.value, m.med
+           FROM events e JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, median(abs(value - med)) AS mad FROM wm GROUP BY 1),
+    j AS (SELECT wm.*, mad.mad FROM wm JOIN mad USING (event_type))
+    SELECT event_id, event_type, round(value, 4) AS value,
+           round(0.6745 * (value - med) / mad, 6) AS robust_z
+    FROM j
+    WHERE (mad > 0 AND abs(0.6745 * (value - med) / mad) > 3.5)
+       OR (mad = 0 AND value <> med)
+    """,
+)
+def q_events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier detection: modified z-score
+    (0.6745*(x-med)/MAD) over events.value, flagged rows only. Median and
+    MAD are exact grouped medians — two aggregations and two joins on one
+    key (operators/aggregates.py:robust_outliers)."""
+    from wicsmmiretl_spark.operators.aggregates import robust_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    out = robust_outliers(ev, "value", ["event_type"], threshold=3.5)
+    return out.filter("is_outlier").select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.round("robust_z", 6).alias("robust_z"),
+    )
+
+
 _HLL_ALPHA_M2 = repr((0.7213 / (1.0 + 1.079 / 512)) * 512 * 512)
 
 @query(
@@ -3523,6 +3593,8 @@ _DEFERRED_QUERIES = (
     "order_graph_pagerank",     # iterative graph analytics: dedup_clusters (in-window) covers the graph family
     "streaming_dedup",          # streaming replay dedup: dedup_exact + streaming_user_state (in-window) cover the pieces
     "hll_distinct_users",       # mergeable distinct sketch: stats_matrix/pricing_summary (in-window) cover exact aggs
+    "documents_profile",        # column profiler: stats_matrix_documents family (in-window) covers the agg shapes
+    "events_value_outliers",    # robust z-score: quantity_quantiles (in-window) covers exact medians
 )
 
 
