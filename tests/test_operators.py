@@ -615,8 +615,31 @@ def test_robust_outliers_flags_and_mad_zero(spark):
     df = spark.createDataFrame(rows, "k string, x double")
     out = robust_outliers(df, "x", ["k"]).collect()
     flagged = {(r.k, r.x) for r in out if r.is_outlier}
-    assert ("g", 500.0) in flagged
-    assert all(x != 500.0 or k != "g" for k, x in flagged - {("g", 500.0), ("z", 99.0)})
+    assert flagged == {("g", 500.0), ("z", 99.0)}
     # MAD=0 group: median 5.0, only the deviant row flags (robust_z NULL)
     z_rows = {r.x: (r.is_outlier, r.robust_z) for r in out if r.k == "z"}
     assert z_rows[99.0] == (True, None) and z_rows[5.0][0] is False
+
+
+def test_robust_outliers_null_key_group_scanned(spark):
+    """NULL-keyed groups must be scanned like any other, not dropped by the
+    stats joins."""
+    from wicsmmiretl_spark.operators.aggregates import robust_outliers
+
+    rows = [(None, float(v)) for v in [10, 11, 9, 10, 12, 10, 9, 11, 500]]
+    df = spark.createDataFrame(rows, "k string, x double")
+    out = robust_outliers(df, "x", ["k"]).collect()
+    assert len(out) == 9
+    assert {r.x for r in out if r.is_outlier} == {500.0}
+
+
+def test_hll_estimate_rejects_p_mismatch(spark):
+    import pytest
+    from wicsmmiretl_spark.operators.aggregates import hll_estimate, hll_sketch
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], "uid long")
+    sk = hll_sketch(df, "uid", 11)
+    with pytest.raises(Exception, match="p mismatch"):
+        hll_estimate(sk, p=9).collect()
+    with pytest.raises(ValueError, match="p must be"):
+        hll_estimate(sk, p=3)

@@ -291,8 +291,13 @@ def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
 
     Output: one row (estimate double, 4dp).
     """
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll_estimate: p must be in [4, 16], got {p}")
     m = 2**p
-    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    # Flajolet et al. give exact alpha for small m; the 0.7213 expression is
+    # the m >= 128 asymptote.
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1.0 + 1.079 / m))
+    alpha_m2 = alpha * m * m
     term = F.pow(F.lit(2.0), (F.lit(33) - F.col("reg")).cast("double")).cast("long")
     agg = registers.agg(
         F.coalesce(F.sum(term), F.lit(0)).alias("sum_i"),
@@ -307,7 +312,18 @@ def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
     zeros = (F.lit(m) - F.col("nonzero")).cast("double")
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
     est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), linear).otherwise(raw)
-    return agg.select(F.round(est, 4).alias("estimate"))
+    # A register table built with a LARGER p than claimed has more than m
+    # buckets — the estimate would silently go negative. Fail in-plan.
+    checked = F.when(F.col("nonzero") <= F.lit(m), est).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"hll_estimate: register table has "),
+                F.col("nonzero").cast("string"),
+                F.lit(f" buckets but p={p} allows at most {m} — p mismatch"),
+            )
+        ).cast("double")
+    )
+    return agg.select(F.round(checked, 4).alias("estimate"))
 
 
 def profile_table(df: DataFrame, columns: Sequence[str]) -> DataFrame:
@@ -364,12 +380,23 @@ def robust_outliers(
     Appends ``robust_z`` (double) and ``is_outlier`` (boolean).
     """
     keys = list(key_cols)
+
+    def _nullsafe_attach(left: DataFrame, right: DataFrame, extra: str) -> DataFrame:
+        # groupBy keeps NULL keys as a real group, but a plain equi-join
+        # would drop those rows (NULL never equals NULL) — attach the stats
+        # null-safely so NULL-keyed groups are scanned like any other.
+        l, r = left.alias("__l__"), right.alias("__r__")
+        cond = [F.col(f"__l__.{k}").eqNullSafe(F.col(f"__r__.{k}")) for k in keys]
+        return l.join(r, cond).select(
+            *[F.col(f"__l__.{c}") for c in left.columns], F.col(f"__r__.{extra}")
+        )
+
     med = df.groupBy(*keys).agg(F.median(value_col).alias("_med"))
-    with_med = df.join(med, keys)
+    with_med = _nullsafe_attach(df, med, "_med")
     mad = with_med.groupBy(*keys).agg(
         F.median(F.abs(F.col(value_col) - F.col("_med"))).alias("_mad")
     )
-    j = with_med.join(mad, keys)
+    j = _nullsafe_attach(with_med, mad, "_mad")
     rz = F.lit(0.6745) * (F.col(value_col) - F.col("_med")) / F.col("_mad")
     return (
         j.withColumn("robust_z", F.when(F.col("_mad") > 0, rz))

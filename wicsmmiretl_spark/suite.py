@@ -3115,7 +3115,7 @@ def q_documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad AS (SELECT event_type, median(abs(value - med)) AS mad FROM wm GROUP BY 1),
     j AS (SELECT wm.*, mad.mad FROM wm JOIN mad USING (event_type))
     SELECT event_id, event_type, round(value, 4) AS value,
-           round(0.6745 * (value - med) / mad, 6) AS robust_z
+           CASE WHEN mad > 0 THEN round(0.6745 * (value - med) / mad, 6) END AS robust_z
     FROM j
     WHERE (mad > 0 AND abs(0.6745 * (value - med) / mad) > 3.5)
        OR (mad = 0 AND value <> med)
