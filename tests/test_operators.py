@@ -643,3 +643,27 @@ def test_hll_estimate_rejects_p_mismatch(spark):
         hll_estimate(sk, p=9).collect()
     with pytest.raises(ValueError, match="p must be"):
         hll_estimate(sk, p=3)
+
+
+def test_resample_ffill_grid_and_fill(spark):
+    from datetime import datetime
+
+    from wicsmmiretl_spark.operators.aggregates import resample_ffill
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 5), 1.0),
+        ("a", datetime(2024, 1, 1, 9), 2.0),   # last of day 1
+        ("a", datetime(2024, 1, 4, 1), 7.0),   # gap: days 2,3 empty
+        ("b", datetime(2024, 1, 2, 0), 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {(r.k, str(r.tick)): (r.n_obs, r.value) for r in resample_ffill(df, "ts", ["k"], "v").collect()}
+    assert out[("a", "2024-01-01 00:00:00")] == (2, 2.0)
+    assert out[("a", "2024-01-02 00:00:00")] == (0, 2.0)   # ffill across gap
+    assert out[("a", "2024-01-03 00:00:00")] == (0, 2.0)
+    assert out[("a", "2024-01-04 00:00:00")] == (1, 7.0)
+    assert out[("b", "2024-01-02 00:00:00")] == (1, 9.0)
+    assert len(out) == 5
+    import pytest
+    with pytest.raises(ValueError, match="unit"):
+        resample_ffill(df, "ts", ["k"], "v", unit="fortnight")

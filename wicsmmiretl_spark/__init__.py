@@ -53,6 +53,7 @@ from wicsmmiretl_spark.operators.aggregates import (
     hll_merge,
     hll_sketch,
     profile_table,
+    resample_ffill,
     robust_outliers,
     incremental_agg_build,
     incremental_agg_merge,
@@ -143,6 +144,7 @@ __all__ = [
     "hll_estimate",
     "profile_table",
     "robust_outliers",
+    "resample_ffill",
     # sampling / splits
     "deterministic_shuffle",
     "deterministic_sample",

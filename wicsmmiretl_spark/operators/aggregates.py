@@ -408,3 +408,69 @@ def robust_outliers(
         )
         .drop("_med", "_mad")
     )
+
+
+_TRUNC_UNITS = {"hour": "hour", "day": "day", "week": "week", "month": "month"}
+
+
+def resample_ffill(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    unit: str = "day",
+) -> DataFrame:
+    """Time-series resampling to a fixed grid with forward fill: per key,
+    one row per ``unit`` tick from the key's first to last observation,
+    carrying (a) the count of observations in the tick and (b) the last
+    observed value at-or-before the tick (deterministic: the in-tick
+    "last" is argmax by (ts, row-order tiebreak via the value struct), and
+    empty ticks forward-fill from the previous tick). The standard
+    feature-engineering shape: regular time grids from irregular events.
+
+    One pass builds per-(key, tick) aggregates; the grid explodes from a
+    per-key (min, max) sequence — O(keys × ticks) rows, never a range join;
+    the forward fill is one window per key ordered by tick. Everything
+    shuffles on the key exactly once (aggregate, grid join, and window
+    share the partitioning).
+
+    Output: key_cols..., tick (timestamp), n_obs (bigint), value (double,
+    ffill'd; NULL until the key's first observation).
+    """
+    if unit not in _TRUNC_UNITS:
+        raise ValueError(f"resample_ffill: unit must be one of {sorted(_TRUNC_UNITS)}")
+    keys = list(key_cols)
+    tick = F.date_trunc(unit, F.col(ts_col))
+    per_tick = (
+        df.withColumn("_tick", tick)
+        .groupBy(*keys, "_tick")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.max(
+                F.struct(
+                    F.unix_micros(F.col(ts_col)).alias("_us"),
+                    F.col(value_col).alias("v"),
+                )
+            )["v"].alias("_last_in_tick"),
+        )
+    )
+    bounds = per_tick.groupBy(*keys).agg(
+        F.min("_tick").alias("_lo"), F.max("_tick").alias("_hi")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL 1 {unit}"))
+        ).alias("_tick"),
+    )
+    joined = grid.join(per_tick, [*keys, "_tick"], "left")
+    w = Window.partitionBy(*keys).orderBy("_tick")
+    return (
+        joined.withColumn("value", F.last("_last_in_tick", ignorenulls=True).over(w))
+        .select(
+            *keys,
+            F.col("_tick").alias("tick"),
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            "value",
+        )
+    )

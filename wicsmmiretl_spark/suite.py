@@ -3138,6 +3138,50 @@ def q_events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_daily_resample",
+    """
+    WITH pt AS (
+      SELECT event_type, date_trunc('day', ts) AS tick,
+             CAST(count(*) AS BIGINT) AS n_obs,
+             max(struct_pack(us := epoch_us(ts), v := value)) AS last_s
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT event_type, min(tick) AS lo, max(tick) AS hi FROM pt GROUP BY 1),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS tick
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.event_type, g.tick, pt.n_obs, pt.last_s
+      FROM grid g LEFT JOIN pt ON g.event_type = pt.event_type AND g.tick = pt.tick
+    )
+    SELECT event_type, epoch_us(tick) AS tick_us,
+           coalesce(n_obs, 0) AS n_obs,
+           round((last_value(last_s IGNORE NULLS) OVER (
+                    PARTITION BY event_type ORDER BY tick
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v, 4) AS value
+    FROM j
+    """,
+)
+def q_events_daily_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: irregular events resampled to a daily
+    grid per type with forward fill — per-tick counts plus the last
+    observed value carried across empty days. Grid from a per-key
+    min/max sequence (never a range join); fill is one window on the
+    shared key partitioning (operators/aggregates.py:resample_ffill)."""
+    from wicsmmiretl_spark.operators.aggregates import resample_ffill
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_ffill(ev, "ts", ["event_type"], "value", unit="day")
+    return out.select(
+        "event_type",
+        F.unix_micros("tick").alias("tick_us"),
+        "n_obs",
+        F.round("value", 4).alias("value"),
+    )
+
+
 _HLL_ALPHA_M2 = repr((0.7213 / (1.0 + 1.079 / 512)) * 512 * 512)
 
 @query(
@@ -3595,6 +3639,7 @@ _DEFERRED_QUERIES = (
     "hll_distinct_users",       # mergeable distinct sketch: stats_matrix/pricing_summary (in-window) cover exact aggs
     "documents_profile",        # column profiler: stats_matrix_documents family (in-window) covers the agg shapes
     "events_value_outliers",    # robust z-score: quantity_quantiles (in-window) covers exact medians
+    "events_daily_resample",    # grid resample + ffill: tumbling_daily family (in-window) covers time bucketing
 )
 
 
