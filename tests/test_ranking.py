@@ -79,3 +79,23 @@ def test_knn_excludes_self_label(spark):
     emb = _emb(spark, rows)
     out = knn_classify(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
     assert out[0].pred_label == 5 and out[0].votes == 2
+
+
+def test_rrf_fuse_ranks_and_overlap(spark):
+    """A doc present in BOTH lists outranks single-list docs with better
+    individual ranks (the RRF property); ties break on id; missing docs
+    contribute no term; empty input raises."""
+    import pytest
+    from wicsmmiretl_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(20, 1), (40, 2), (10, 3)], "doc_id long, rank int")
+    out = [(r.doc_id, r.rrf_score, r.n_lists) for r in rrf_fuse([a, b], topk=10).collect()]
+    ids = [d for d, _s, _n in out]
+    # 20: 1/62+1/61 and 10: 1/61+1/63 both beat any single-list doc
+    assert set(ids[:2]) == {10, 20}
+    assert ids[0] == 20  # 1/62+1/61 > 1/61+1/63
+    by_id = {d: n for d, _s, n in out}
+    assert by_id[10] == 2 and by_id[30] == 1 and by_id[40] == 1
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])

@@ -83,7 +83,7 @@ from wicsmmiretl_spark.operators.joins import (
 )
 from wicsmmiretl_spark.operators.merge import merge_scd2, merge_upsert
 from wicsmmiretl_spark.operators.packing import chunk_documents, pack_sequences
-from wicsmmiretl_spark.operators.ranking import bm25_rank
+from wicsmmiretl_spark.operators.ranking import bm25_rank, rrf_fuse
 from wicsmmiretl_spark.operators.graph import connected_components, pagerank
 from wicsmmiretl_spark.operators.sampling import (
     cap_per_group,
@@ -177,6 +177,7 @@ __all__ = [
     "pq_topk",
     # ranking / packing / decontamination / layout
     "bm25_rank",
+    "rrf_fuse",
     "chunk_documents",
     "pack_sequences",
     "ngram_contamination",

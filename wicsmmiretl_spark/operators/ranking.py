@@ -89,3 +89,47 @@ def bm25_rank(
     # orderBy+limit → TakeOrderedAndProject: per-partition top-k heaps, no
     # global sort, no single-partition window.
     return ranked.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k).select(id_col, "bm25")
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k0: int = 60,
+    topk: int = 20,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009 — public
+    literature): fuse N ranked lists by score(d) = Σ_lists 1/(k0 + rank_d).
+    The modern hybrid-retrieval combiner — lexical BM25 and embedding ANN
+    ranks fuse without score calibration, since only RANKS enter.
+
+    Each input must carry (id_col, rank) with 1-based integer ranks; a doc
+    missing from a list simply contributes no term (standard RRF). Each
+    reciprocal is rounded to ``scale`` precision and summed as integers, so
+    the fused score is independent of list order and engine.
+
+    Scale: the inputs are top-k lists (tiny); the fuse is one union + one
+    groupBy + TakeOrdered. Output: (id_col, rrf_score double, n_lists).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    terms = None
+    for r in rankings:
+        t = r.select(
+            F.col(id_col),
+            F.round(F.lit(float(scale)) / (F.lit(k0) + F.col("rank")))
+            .cast("long")
+            .alias("_rrf_i"),
+        )
+        terms = t if terms is None else terms.unionByName(t)
+    return (
+        terms.groupBy(id_col)
+        .agg(
+            F.round(F.sum("_rrf_i").cast("double") / F.lit(float(scale)), 9).alias(
+                "rrf_score"
+            ),
+            F.count("*").alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(topk)
+    )

@@ -3139,6 +3139,86 @@ def q_events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hybrid_rank_fusion",
+    rf"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens),
+    tf AS (
+      SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT t.doc_id, l.dl, unnest(t.toks) AS token
+            FROM toks t JOIN lens l ON t.doc_id = l.doc_id)
+      WHERE token IN ('spark', 'merge', 'scan')
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    bscored AS (
+      SELECT tf.doc_id,
+             round( ln(1 + (n - df + 0.5) / (df + 0.5))
+                    * tf * (1.2 + 1)
+                    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n))), 7) AS s
+      FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+    ),
+    bm AS (
+      SELECT doc_id, CAST(sum(CAST(round(s * 10000000.0) AS BIGINT)) AS BIGINT) / 10000000.0 AS bm25
+      FROM bscored GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+      FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 30)
+    ),
+    qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id = 0),
+    cscored AS (
+      SELECT c.vec_id AS doc_id,
+             round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * cv[i]))
+                   / (sqrt(list_sum(list_transform(q.v, x -> x*x))) * sqrt(list_sum(list_transform(cv, x -> x*x)))), 6) AS cosine
+      FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings WHERE vec_id <> 0) c
+      CROSS JOIN qv q
+    ),
+    sem AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+      FROM (SELECT * FROM cscored ORDER BY cosine DESC, doc_id ASC LIMIT 30)
+    ),
+    allterms AS (
+      SELECT doc_id, CAST(round(1000000000000.0 / (60 + rank)) AS BIGINT) AS t FROM lex
+      UNION ALL
+      SELECT doc_id, CAST(round(1000000000000.0 / (60 + rank)) AS BIGINT) AS t FROM sem
+    )
+    SELECT doc_id,
+           round(CAST(sum(t) AS DOUBLE) / 1000000000000.0, 9) AS rrf_score,
+           CAST(count(*) AS BIGINT) AS n_lists
+    FROM allterms GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: lexical BM25 top-30 and embedding-cosine top-30
+    (query vector 0, vec_id ≡ doc_id in the fixture) fused by reciprocal
+    rank fusion — scores never mix, only ranks, so no calibration is
+    needed. Reciprocals ride the scaled-int sum contract
+    (operators/ranking.py:rrf_fuse)."""
+    from wicsmmiretl_spark.operators.ranking import bm25_rank, rrf_fuse
+    from wicsmmiretl_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_rank(docs, ["spark", "merge", "scan"], k=30).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    sem = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=30).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("neighbor_id")))
+        .alias("rank"),
+    )
+    return rrf_fuse([lex, sem], id_col="doc_id", k0=60, topk=20)
+
+
+@query(
     "events_daily_resample",
     """
     WITH pt AS (
@@ -3640,6 +3720,7 @@ _DEFERRED_QUERIES = (
     "documents_profile",        # column profiler: stats_matrix_documents family (in-window) covers the agg shapes
     "events_value_outliers",    # robust z-score: quantity_quantiles (in-window) covers exact medians
     "events_daily_resample",    # grid resample + ffill: tumbling_daily family (in-window) covers time bucketing
+    "hybrid_rank_fusion",       # RRF hybrid retrieval: bm25_rank + cosine_topk cover the underlying rankers
 )
 
 
