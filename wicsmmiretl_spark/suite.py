@@ -3139,6 +3139,95 @@ def q_events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_curation_v2",
+    rf"""
+    WITH filt AS (
+      SELECT doc_id, text, source, n_chars,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS q_num_tok,
+             round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4) AS q_alpha_ratio,
+             round(CAST(len(list_filter(list_transform({_SQL_TOKS}, t -> lower(t)), t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS DOUBLE) / greatest(len({_SQL_TOKS}), 1), 4) AS q_stopword_ratio
+      FROM documents WHERE lang = 'en'
+    ),
+    pass AS (
+      SELECT * FROM filt
+      WHERE q_num_tok IS NOT NULL AND q_num_tok > 5 AND q_num_tok < 200
+        AND q_alpha_ratio IS NOT NULL AND q_alpha_ratio > 0.5
+        AND q_stopword_ratio IS NOT NULL AND q_stopword_ratio > 0.02
+    ),
+    fp AS (
+      SELECT *, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+      FROM pass
+    ),
+    keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+    surv AS (
+      SELECT p.doc_id, p.source, p.n_chars
+      FROM fp p JOIN keep k ON p.f = k.f AND p.doc_id = k.doc_id
+    ),
+    t0 AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    t2 AS (SELECT doc_id, toks FROM t0 WHERE len(toks) >= 2),
+    bi AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t2)
+    ),
+    uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+            FROM (SELECT unnest(toks) AS w1 FROM t2) GROUP BY 1),
+    big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY 1, 2),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+    sc AS (
+      SELECT bi.doc_id,
+             CAST(round(-log2(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) * 10000000) AS BIGINT) AS s_i
+      FROM bi JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+    ),
+    sp AS (
+      SELECT doc_id,
+             round((CAST(sum(s_i) AS DOUBLE) / 10000000.0) / count(*), 4) AS avg_surprisal
+      FROM sc GROUP BY doc_id
+    ),
+    gated AS (
+      SELECT s.doc_id, s.source, s.n_chars, sp.avg_surprisal
+      FROM surv s JOIN sp ON s.doc_id = sp.doc_id
+      WHERE sp.avg_surprisal > 4.85 AND sp.avg_surprisal < 4.97
+    )
+    SELECT doc_id, source, n_chars, avg_surprisal FROM (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM gated
+    ) WHERE rn <= 8
+    """,
+)
+def q_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-generation curation capstone composing this round's
+    operators: the v1 survivors (lang → quality gates → exact dedup) pass
+    through a corpus-trained bigram-surprisal band gate (cutting both the
+    templated low tail and the token-soup high tail) and a per-source
+    document cap — the anti-domination step — via cap_per_group's
+    straggler-free two-stage window. Checks the COMPOSITION of
+    bigram_surprisal + cap_per_group with the established v1 stages."""
+    from wicsmmiretl_spark.functions.text import bigram_surprisal, quality_score
+    from wicsmmiretl_spark.operators.dedup import exact_dedup
+    from wicsmmiretl_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en")
+    q = quality_score(en, "text")
+    passed = apply_filters_fenced(
+        q,
+        [
+            RangeFilter("q_num_tok", 5, 200),
+            RangeFilter("q_alpha_ratio", 0.5),
+            RangeFilter("q_stopword_ratio", 0.02),
+        ],
+    )
+    surv = exact_dedup(passed, "doc_id", "text").select("doc_id", "source", "n_chars")
+    sp = bigram_surprisal(docs, "doc_id", "text")
+    gated = (
+        surv.join(sp.select("doc_id", "avg_surprisal"), "doc_id")
+        .filter((F.col("avg_surprisal") > 4.85) & (F.col("avg_surprisal") < 4.97))
+    )
+    capped = cap_per_group(gated, "source", 8, [F.desc("n_chars"), F.asc("doc_id")])
+    return capped.select("doc_id", "source", "n_chars", "avg_surprisal")
+
+
+@query(
     "hybrid_rank_fusion",
     rf"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
@@ -3721,6 +3810,7 @@ _DEFERRED_QUERIES = (
     "events_value_outliers",    # robust z-score: quantity_quantiles (in-window) covers exact medians
     "events_daily_resample",    # grid resample + ffill: tumbling_daily family (in-window) covers time bucketing
     "hybrid_rank_fusion",       # RRF hybrid retrieval: bm25_rank + cosine_topk cover the underlying rankers
+    "corpus_curation_v2",       # capstone composition: corpus_curation (in-window) covers the v1 stages
 )
 
 
