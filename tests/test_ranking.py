@@ -99,3 +99,16 @@ def test_rrf_fuse_ranks_and_overlap(spark):
     assert by_id[10] == 2 and by_id[30] == 1 and by_id[40] == 1
     with pytest.raises(ValueError, match="at least one"):
         rrf_fuse([])
+
+
+def test_rrf_fuse_rejects_duplicates_and_null_ranks(spark):
+    import pytest
+    from wicsmmiretl_spark.operators.ranking import rrf_fuse
+
+    ok = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    dup = spark.createDataFrame([(7, 3), (7, 9)], "doc_id long, rank int")
+    with pytest.raises(ValueError, match="duplicate"):
+        rrf_fuse([ok, dup])
+    nulls = spark.createDataFrame([(1, None)], "doc_id long, rank int")
+    with pytest.raises(ValueError, match="NULL ranks"):
+        rrf_fuse([nulls])

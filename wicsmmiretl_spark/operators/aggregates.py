@@ -410,7 +410,7 @@ def robust_outliers(
     )
 
 
-_TRUNC_UNITS = {"hour": "hour", "day": "day", "week": "week", "month": "month"}
+_TRUNC_UNITS = ("day", "hour", "month", "week")
 
 
 def resample_ffill(
@@ -423,22 +423,33 @@ def resample_ffill(
     """Time-series resampling to a fixed grid with forward fill: per key,
     one row per ``unit`` tick from the key's first to last observation,
     carrying (a) the count of observations in the tick and (b) the last
-    observed value at-or-before the tick (deterministic: the in-tick
-    "last" is argmax by (ts, row-order tiebreak via the value struct), and
-    empty ticks forward-fill from the previous tick). The standard
-    feature-engineering shape: regular time grids from irregular events.
+    NON-NULL observed value at-or-before the tick. Deterministic in-tick
+    "last": max over a (timestamp, value) struct — rows sharing an exact
+    timestamp resolve to the larger value, and a tick whose latest
+    observation has a NULL value forward-fills past it (NULL observations
+    are treated as missing, SQL-aggregate style). Empty ticks forward-fill
+    from the previous tick. The standard feature-engineering shape:
+    regular time grids from irregular events.
 
-    One pass builds per-(key, tick) aggregates; the grid explodes from a
-    per-key (min, max) sequence — O(keys × ticks) rows, never a range join;
-    the forward fill is one window per key ordered by tick. Everything
-    shuffles on the key exactly once (aggregate, grid join, and window
-    share the partitioning).
+    Plan shape: a (key, tick) partial-aggregated groupBy feeds both the
+    per-key bounds (a second, |ticks|-sized aggregate on the key) and the
+    grid left join; the fill is one window per key. Three exchanges on
+    key-derived partitionings over tick-grain (not row-grain) data — never
+    a range join, never O(rows × ticks).
 
     Output: key_cols..., tick (timestamp), n_obs (bigint), value (double,
     ffill'd; NULL until the key's first observation).
     """
     if unit not in _TRUNC_UNITS:
         raise ValueError(f"resample_ffill: unit must be one of {sorted(_TRUNC_UNITS)}")
+    clash = {"_tick", "_lo", "_hi", "_last_in_tick", "n_obs", "tick", "value"} & set(
+        df.columns
+    ) - {value_col}
+    if clash:
+        raise ValueError(
+            f"resample_ffill: input columns {sorted(clash)} collide with the "
+            "operator's working/output columns; rename them."
+        )
     keys = list(key_cols)
     tick = F.date_trunc(unit, F.col(ts_col))
     per_tick = (

@@ -113,6 +113,20 @@ def rrf_fuse(
     """
     if not rankings:
         raise ValueError("rrf_fuse: need at least one ranking")
+    for i, r in enumerate(rankings):
+        # Inputs are top-k lists (tiny) — bounded eager probes are cheap,
+        # and a duplicate id or NULL rank would silently double-count terms
+        # or contribute nothing while still bumping n_lists.
+        if r.filter(F.col("rank").isNull()).limit(1).count():
+            raise ValueError(f"rrf_fuse: ranking {i} contains NULL ranks")
+        if (
+            r.groupBy(id_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(f"rrf_fuse: ranking {i} has duplicate {id_col} rows")
     terms = None
     for r in rankings:
         t = r.select(
