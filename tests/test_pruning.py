@@ -1,0 +1,78 @@
+"""Bloom-filter semi-join pruning: no-false-negative guarantee, false-positive
+bound, parameter validation, and the map-side plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wicsmmiretl_spark.operators.pruning import bloom_prune, bloom_semi_filter, bloom_words
+
+
+def test_bloom_words_validates_params(spark):
+    df = spark.range(10)
+    with pytest.raises(ValueError, match="num_bits"):
+        bloom_words(df, "id", num_bits=100)
+    with pytest.raises(ValueError, match="num_hashes"):
+        bloom_words(df, "id", num_hashes=0)
+
+
+def test_no_false_negatives(spark):
+    keys = spark.range(0, 2000).select((F.col("id") * 3).alias("k"))
+    words = bloom_words(keys, "k", num_bits=1 << 14, num_hashes=5)
+    big = spark.range(0, 6000).select(F.col("id").alias("k"))
+    kept = {r.k for r in bloom_prune(big, "k", words, num_hashes=5).collect()}
+    true_keys = {r.k for r in keys.collect()}
+    assert true_keys <= kept  # every true key survives, always
+
+
+def test_false_positive_rate_bounded(spark):
+    keys = spark.range(0, 1000).select(F.col("id").alias("k"))
+    words = bloom_words(keys, "k", num_bits=1 << 16, num_hashes=5)
+    # Probe with 5000 keys entirely disjoint from the build set.
+    probes = spark.range(1_000_000, 1_005_000).select(F.col("id").alias("k"))
+    n_kept = bloom_prune(probes, "k", words, num_hashes=5).count()
+    # Theoretical fp ~ (1 - e^(-5*1000/65536))^5 ~ 5e-6; allow generous slack.
+    assert n_kept <= 25
+
+
+def test_null_keys_dropped(spark):
+    keys = spark.range(0, 100).select(F.col("id").alias("k"))
+    words = bloom_words(keys, "k", num_bits=1 << 10, num_hashes=3)
+    big = spark.createDataFrame([(1,), (None,), (50,)], "k: bigint")
+    kept = [r.k for r in bloom_prune(big, "k", words, num_hashes=3).collect()]
+    assert None not in kept and set(kept) == {1, 50}
+
+
+def test_null_build_keys_excluded(spark):
+    keys = spark.createDataFrame([(None,), (7,)], "k: bigint")
+    words = bloom_words(keys, "k", num_bits=1 << 10, num_hashes=3)
+    big = spark.range(0, 64).select(F.col("id").alias("k"))
+    kept = {r.k for r in bloom_prune(big, "k", words, num_hashes=3).collect()}
+    assert 7 in kept
+
+
+def test_pruned_join_equals_plain_join(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dim = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    pruned = bloom_semi_filter(li, "l_orderkey", dim, "o_orderkey", num_bits=1 << 16)
+    plain = li.join(dim, li["l_orderkey"] == dim["o_orderkey"]).count()
+    via_bloom = pruned.join(dim, pruned["l_orderkey"] == dim["o_orderkey"]).count()
+    assert plain == via_bloom
+    # And the prune genuinely removed fact rows before the join.
+    assert pruned.count() < li.count()
+
+
+def test_prune_is_map_side(spark):
+    """The membership test must sit in the fact scan's stage: a broadcast
+    exchange for the word row, no shuffle of the fact before the filter."""
+    keys = spark.range(0, 100).select(F.col("id").alias("k"))
+    words = bloom_words(keys, "k", num_bits=1 << 10, num_hashes=3)
+    big = spark.range(0, 1000).select(F.col("id").alias("k"))
+    plan = bloom_prune(big, "k", words, num_hashes=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan

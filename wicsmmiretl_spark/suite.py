@@ -3748,6 +3748,49 @@ def q_source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select("doc_id", "source", "n_chars")
 
 
+@query(
+    "bloom_pruned_revenue",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {_sql_exact_sum("l_extendedprice * (1 - l_discount)", 4, "revenue")}
+    FROM lineitem l
+    JOIN (SELECT o_orderkey FROM orders
+          WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000) o
+      ON l.l_orderkey = o.o_orderkey
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: revenue by (flag, status) for lineitems of
+    urgent expensive orders, with the fact side Bloom-pruned map-side
+    BEFORE the join shuffle (operators/pruning.py). The filter has no
+    false negatives, so the oracle is simply the unpruned join — identical
+    rows, less exchanged volume. The join is hinted shuffle-hash because
+    that is the 100 TB shape this pattern accelerates: a dim side too big
+    to broadcast, where ~86% of fact rows would otherwise cross the wire
+    to die in the probe."""
+    from wicsmmiretl_spark.operators.pruning import bloom_semi_filter
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000))
+        .select("o_orderkey")
+    )
+    pruned = bloom_semi_filter(li, "l_orderkey", dim, "o_orderkey", num_bits=1 << 18, num_hashes=5)
+    return (
+        pruned.join(dim.hint("shuffle_hash"), pruned["l_orderkey"] == dim["o_orderkey"])
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            _exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -3811,6 +3854,7 @@ _DEFERRED_QUERIES = (
     "events_daily_resample",    # grid resample + ffill: tumbling_daily family (in-window) covers time bucketing
     "hybrid_rank_fusion",       # RRF hybrid retrieval: bm25_rank + cosine_topk cover the underlying rankers
     "corpus_curation_v2",       # capstone composition: corpus_curation (in-window) covers the v1 stages
+    "bloom_pruned_revenue",     # runtime-filter join: large_quantity_orders (in-window) covers the J1 join+agg
 )
 
 
