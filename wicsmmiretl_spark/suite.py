@@ -3791,6 +3791,42 @@ def q_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_retention_weekly",
+    """
+    WITH acts AS (
+      SELECT user_id, date_trunc('week', ts) AS period
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    firsts AS (SELECT user_id, min(period) AS cohort FROM acts GROUP BY 1),
+    joined AS (
+      SELECT f.cohort,
+             CAST(date_diff('day', CAST(f.cohort AS DATE), CAST(a.period AS DATE)) // 7 AS INT) AS period_offset
+      FROM acts a JOIN firsts f ON a.user_id = f.user_id
+    ),
+    counts AS (
+      SELECT cohort, period_offset, CAST(count(*) AS BIGINT) AS n_users
+      FROM joined GROUP BY 1, 2
+    )
+    SELECT epoch_us(cohort) AS cohort_us, period_offset, n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / max(CASE WHEN period_offset = 0 THEN n_users END) OVER (PARTITION BY cohort), 6) AS retention
+    FROM counts
+    """,
+)
+def q_user_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics cohort retention: users bucketed by the ISO week
+    of their first event, counted per weeks-since-cohort offset, with the
+    retention fraction against the offset-0 cohort size. One shuffle of
+    the stream keyed by user; everything downstream is |cohorts|x|weeks|
+    rows (operators/cohorts.py:retention_cohorts)."""
+    from wicsmmiretl_spark.operators.cohorts import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev, "user_id", "ts", unit="week")
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -3855,6 +3891,7 @@ _DEFERRED_QUERIES = (
     "hybrid_rank_fusion",       # RRF hybrid retrieval: bm25_rank + cosine_topk cover the underlying rankers
     "corpus_curation_v2",       # capstone composition: corpus_curation (in-window) covers the v1 stages
     "bloom_pruned_revenue",     # runtime-filter join: large_quantity_orders (in-window) covers the J1 join+agg
+    "user_retention_weekly",    # cohort retention: sessionize_events + user_value_analytics (in-window) cover event analytics
 )
 
 
