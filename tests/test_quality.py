@@ -1,0 +1,74 @@
+"""Data-quality expectation tests: three-valued-logic violations, NULL-key
+handling in uniqueness/referential rules, the gate, and validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wicsmmiretl_spark.operators.quality import dq_gate, dq_report
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (2, -5.0, "B"),
+            (2, None, "A"),   # duplicate key + NULL amount
+            (None, 3.0, "Z"), # NULL key + out-of-domain
+        ],
+        "k: bigint, amount: double, cat: string",
+    )
+
+
+def test_requires_rules(spark):
+    with pytest.raises(ValueError, match="at least one rule"):
+        dq_report(_df(spark))
+    with pytest.raises(ValueError, match="key columns"):
+        dq_report(_df(spark), unique={"u": []})
+
+
+def test_row_rules_null_is_violation(spark):
+    out = {
+        r.rule: (r.violations, r.checked)
+        for r in dq_report(
+            _df(spark),
+            row_rules={
+                "amount_positive": F.col("amount") > 0,
+                "cat_in_domain": F.col("cat").isin("A", "B"),
+            },
+        ).collect()
+    }
+    # -5 fails, NULL fails (unknown must not pass a gate) -> 2 violations.
+    assert out["amount_positive"] == (2, 4)
+    assert out["cat_in_domain"] == (1, 4)
+
+
+def test_unique_ignores_null_keys(spark):
+    out = dq_report(_df(spark), unique={"k_unique": ["k"]}).collect()[0]
+    # Rows with k IN (1,2,2): one surplus row; the NULL-key row is excluded.
+    assert (out.violations, out.checked) == (1, 3)
+
+
+def test_referential_counts_orphans(spark):
+    ref = spark.createDataFrame([(1,)], "rk: bigint")
+    out = dq_report(
+        _df(spark), references={"k_in_ref": (["k"], ref, ["rk"])}
+    ).collect()[0]
+    # k=2 twice are orphans; NULL k not checked.
+    assert (out.violations, out.checked) == (2, 3)
+
+
+def test_referential_duplicate_ref_keys_not_double_counted(spark):
+    ref = spark.createDataFrame([(1,), (1,), (2,)], "rk: bigint")
+    out = dq_report(
+        _df(spark), references={"k_in_ref": (["k"], ref, ["rk"])}
+    ).collect()[0]
+    assert (out.violations, out.checked) == (0, 3)
+
+
+def test_gate_raises_over_budget(spark):
+    rep = dq_report(_df(spark), row_rules={"amount_positive": F.col("amount") > 0})
+    with pytest.raises(ValueError, match="amount_positive=2/4"):
+        dq_gate(rep)
+    dq_gate(rep, max_violation_rate=0.5)  # 2/4 within budget

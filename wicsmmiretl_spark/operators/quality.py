@@ -1,0 +1,130 @@
+"""Declarative data-quality expectations ("assert on data, not on code").
+
+Engine extension beyond the reference (its validation is implicit in
+dtype normalization; see reference ``etl.py`` load stages): a pipeline
+feeding a 100 TB training corpus needs machine-checkable contracts on
+every ingested batch — null rates, value domains, key uniqueness,
+referential integrity — reported as data so a scheduler can gate
+downstream stages on the result (the Great Expectations / dbt-test
+pattern, public knowledge, re-expressed as lazy Spark plans).
+
+100 TB design:
+
+* All row-level rules evaluate in ONE aggregation pass over the table —
+  a single scan, partial-aggregated map-side, no shuffle of raw rows.
+* Uniqueness is one hash agg on the key columns (count vs distinct-count
+  in the same pass).
+* Referential integrity is a broadcast-or-shuffle LEFT ANTI join counting
+  orphans — never materializing them.
+* The report is a union of scalar aggregates: |rules| rows total, so the
+  gate decision costs one small collect downstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCHEMA_COLS = ("rule", "violations", "checked")
+
+
+def _report_row(rule: str, violations: Column, checked: Column) -> list[Column]:
+    return [
+        F.lit(rule).alias("rule"),
+        violations.cast("long").alias("violations"),
+        checked.cast("long").alias("checked"),
+    ]
+
+
+def dq_report(
+    df: DataFrame,
+    row_rules: dict[str, Column] | None = None,
+    unique: dict[str, Sequence[str]] | None = None,
+    references: dict[str, tuple[Sequence[str], DataFrame, Sequence[str]]] | None = None,
+) -> DataFrame:
+    """Evaluate expectations and return one row per rule.
+
+    * ``row_rules``: name → predicate Column that must hold per row; a row
+      violates when the predicate is FALSE **or NULL** (three-valued logic
+      must not let unknowns pass a gate). ``checked`` = all rows.
+    * ``unique``: name → key columns; ``violations`` = surplus rows beyond
+      one per distinct key among rows with fully non-NULL keys (NULL keys
+      are a nullability rule's job, not a uniqueness rule's);
+      ``checked`` = rows with non-NULL keys.
+    * ``references``: name → (fk_cols, ref_df, ref_cols); ``violations`` =
+      rows whose non-NULL fk tuple has no match in the referenced table
+      (LEFT ANTI join); ``checked`` = rows with non-NULL fks.
+
+    Output: rule string, violations bigint, checked bigint — ordered by
+    rule name for a deterministic report.
+    """
+    if not (row_rules or unique or references):
+        raise ValueError("dq_report: at least one rule is required")
+    parts: list[DataFrame] = []
+    if row_rules:
+        aggs = []
+        for name, pred in row_rules.items():
+            aggs.append(
+                F.sum(F.when(pred.isNull() | ~pred, 1).otherwise(0)).alias(f"_v_{name}")
+            )
+        wide = df.agg(*aggs, F.count("*").alias("_n"))
+        structs = F.array(
+            *[
+                F.struct(*_report_row(name, F.col(f"_v_{name}"), F.col("_n")))
+                for name in row_rules
+            ]
+        )
+        parts.append(wide.select(F.explode(structs).alias("_r")).select("_r.*"))
+    if unique:
+        for name, cols in unique.items():
+            if not cols:
+                raise ValueError(f"dq_report: unique rule {name!r} needs key columns")
+            nn = None
+            for c in cols:
+                cond = F.col(c).isNotNull()
+                nn = cond if nn is None else (nn & cond)
+            keyed = df.filter(nn) if nn is not None else df
+            agg = keyed.agg(
+                F.count("*").alias("_n"), F.count_distinct(*[F.col(c) for c in cols]).alias("_d")
+            )
+            parts.append(agg.select(*_report_row(name, F.col("_n") - F.col("_d"), F.col("_n"))))
+    if references:
+        for name, (fk_cols, ref_df, ref_cols) in references.items():
+            nn = None
+            for c in fk_cols:
+                cond = F.col(c).isNotNull()
+                nn = cond if nn is None else (nn & cond)
+            keyed = df.filter(nn) if nn is not None else df
+            ref = ref_df.select(
+                *[F.col(rc).alias(f"_ref_{i}") for i, rc in enumerate(ref_cols)]
+            ).dropDuplicates()
+            on = None
+            for i, fk in enumerate(fk_cols):
+                cond = F.col(fk) == F.col(f"_ref_{i}")
+                on = cond if on is None else (on & cond)
+            orphans = keyed.join(ref, on, "left_anti").agg(F.count("*").alias("_v"))
+            checked = keyed.agg(F.count("*").alias("_n"))
+            parts.append(
+                orphans.crossJoin(F.broadcast(checked)).select(
+                    *_report_row(name, F.col("_v"), F.col("_n"))
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("rule")
+
+
+def dq_gate(report: DataFrame, max_violation_rate: float = 0.0) -> None:
+    """Collect the |rules|-row report and raise if any rule's violation
+    rate exceeds the budget — the scheduler-facing hard gate."""
+    bad = [
+        r
+        for r in report.collect()
+        if r["checked"] > 0 and r["violations"] / r["checked"] > max_violation_rate
+    ]
+    if bad:
+        detail = ", ".join(f"{r['rule']}={r['violations']}/{r['checked']}" for r in bad)
+        raise ValueError(f"dq_gate: expectations failed: {detail}")

@@ -3827,6 +3827,66 @@ def q_user_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(ev, "user_id", "ts", unit="week")
 
 
+@query(
+    "orders_dq_report",
+    """
+    SELECT * FROM (
+      SELECT 'O1_totalprice_positive' AS rule,
+             CAST(count(*) FILTER (WHERE o_totalprice IS NULL OR NOT (o_totalprice > 0)) AS BIGINT) AS violations,
+             CAST(count(*) AS BIGINT) AS checked
+      FROM orders
+      UNION ALL
+      SELECT 'O2_status_in_domain',
+             CAST(count(*) FILTER (WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT),
+             CAST(count(*) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'O3_orderdate_not_null',
+             CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT),
+             CAST(count(*) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'O4_totalprice_le_300k',
+             CAST(count(*) FILTER (WHERE o_totalprice IS NULL OR NOT (o_totalprice <= 300000)) AS BIGINT),
+             CAST(count(*) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'O5_orderkey_unique',
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+             CAST(count(*) AS BIGINT)
+      FROM orders WHERE o_orderkey IS NOT NULL
+      UNION ALL
+      SELECT 'O6_custkey_in_customer',
+             CAST(count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+             CAST(count(*) AS BIGINT)
+      FROM orders o WHERE o_custkey IS NOT NULL
+    ) ORDER BY rule
+    """,
+)
+def q_orders_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data contract on the orders feed: four row-level rules
+    evaluated in ONE partial-aggregated scan (NULL predicates count as
+    violations — three-valued logic must not pass a gate), key uniqueness
+    as count-vs-distinct in one hash agg, and FK integrity to customer as
+    a counted LEFT ANTI join. The report is |rules| rows of data a
+    scheduler can gate on (operators/quality.py:dq_report)."""
+    from wicsmmiretl_spark.operators.quality import dq_report
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return dq_report(
+        orders,
+        row_rules={
+            "O1_totalprice_positive": F.col("o_totalprice") > 0,
+            "O2_status_in_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+            "O3_orderdate_not_null": F.col("o_orderdate").isNotNull(),
+            "O4_totalprice_le_300k": F.col("o_totalprice") <= 300000,
+        },
+        unique={"O5_orderkey_unique": ["o_orderkey"]},
+        references={"O6_custkey_in_customer": (["o_custkey"], cust, ["c_custkey"])},
+    )
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -3892,6 +3952,7 @@ _DEFERRED_QUERIES = (
     "corpus_curation_v2",       # capstone composition: corpus_curation (in-window) covers the v1 stages
     "bloom_pruned_revenue",     # runtime-filter join: large_quantity_orders (in-window) covers the J1 join+agg
     "user_retention_weekly",    # cohort retention: sessionize_events + user_value_analytics (in-window) cover event analytics
+    "orders_dq_report",         # data-quality expectations: pricing_summary + customers_without_orders (in-window) cover agg + anti-join
 )
 
 
