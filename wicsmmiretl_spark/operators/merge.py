@@ -157,3 +157,81 @@ def merge_scd2(
     )
     merged = j.select(F.explode(versions).alias("__v__")).select("__v__.*")
     return merged.unionByName(hist.select(*merged.columns))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data generation: diff two immutable snapshots into the
+    change-set that transforms ``old`` into ``new`` — the inverse of
+    ``merge_upsert`` and the feed for downstream incremental consumers
+    (CDC without a transaction log; the Delta/Iceberg "change data feed"
+    shape, derived rather than recorded).
+
+    One full-outer null-safe join on the key. Per key:
+
+    * in ``new`` only → ``insert``;
+    * in ``old`` only → ``delete``;
+    * in both with any ``compare_cols`` value differing (null-safe) →
+      ``update`` with the differing column names; unchanged keys emit
+      NOTHING (at 100 TB almost every key is unchanged — the filter is
+      what makes the diff consumable).
+
+    Scale shape: ONE co-partitioned shuffle join, no driver traffic, no
+    window. With snapshots bucketed on the key the exchange disappears; at
+    very wide schemas, persist a 64-bit row-hash column at write time and
+    compare that first, evaluating per-column differences only on the
+    mismatching minority (same output, ~1 column of compare I/O per side).
+
+    Output: key columns (old's types), change_type string, changed_cols
+    array<string> (alphabetical; empty for insert/delete).
+    """
+    for side, df in (("old", old), ("new", new)):
+        missing = [k for k in key_cols if k not in df.columns]
+        if missing:
+            raise ValueError(f"snapshot_diff: key columns {missing} not in {side} snapshot")
+    if compare_cols is None:
+        compare_cols = sorted(
+            (set(old.columns) & set(new.columns)) - set(key_cols)
+        )
+    else:
+        compare_cols = sorted(compare_cols)
+        for side, df in (("old", old), ("new", new)):
+            missing = [c for c in compare_cols if c not in df.columns]
+            if missing:
+                raise ValueError(f"snapshot_diff: compare columns {missing} not in {side} snapshot")
+    o = old.withColumn(_MARK + "o", F.lit(True)).alias("__o__")
+    n = new.withColumn(_MARK + "n", F.lit(True)).alias("__n__")
+    cond = [F.col(f"__o__.{k}").eqNullSafe(F.col(f"__n__.{k}")) for k in key_cols]
+    j = o.join(n, cond, "full_outer")
+    o_here = F.col(f"__o__.{_MARK}o").isNotNull()
+    n_here = F.col(f"__n__.{_MARK}n").isNotNull()
+    diffs = [
+        (c, ~F.col(f"__o__.{c}").eqNullSafe(F.col(f"__n__.{c}"))) for c in compare_cols
+    ]
+    any_diff = None
+    for _, d in diffs:
+        any_diff = d if any_diff is None else (any_diff | d)
+    change = (
+        F.when(n_here & ~o_here, F.lit("insert"))
+        .when(o_here & ~n_here, F.lit("delete"))
+        .when(any_diff if any_diff is not None else F.lit(False), F.lit("update"))
+    )
+    changed_cols = F.when(
+        change == "update",
+        F.filter(
+            F.array(*[F.when(d, F.lit(c)) for c, d in diffs]),
+            lambda x: x.isNotNull(),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        j.select(
+            *[F.coalesce(F.col(f"__n__.{k}"), F.col(f"__o__.{k}")).alias(k) for k in key_cols],
+            change.alias("change_type"),
+            changed_cols.alias("changed_cols"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

@@ -3887,6 +3887,74 @@ def q_orders_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_snapshot_diff",
+    """
+    WITH newsnap AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_custkey % 13 = 1 THEN c_mktsegment || '#m' ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 10 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name || '#new', c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 20 = 0
+    ),
+    d AS (
+      SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
+             CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                  WHEN n.c_custkey IS NULL THEN 'delete'
+                  WHEN (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+                    OR (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment)
+                    OR (o.c_name IS DISTINCT FROM n.c_name)
+                    OR (o.c_nationkey IS DISTINCT FROM n.c_nationkey) THEN 'update' END AS change_type,
+             CASE WHEN o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL THEN
+               list_filter([
+                 CASE WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'c_acctbal' END,
+                 CASE WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment THEN 'c_mktsegment' END,
+                 CASE WHEN o.c_name IS DISTINCT FROM n.c_name THEN 'c_name' END,
+                 CASE WHEN o.c_nationkey IS DISTINCT FROM n.c_nationkey THEN 'c_nationkey' END
+               ], x -> x IS NOT NULL)
+             ELSE [] END AS changed_cols
+      FROM customer o FULL OUTER JOIN newsnap n ON o.c_custkey = n.c_custkey
+    )
+    SELECT c_custkey, change_type, changed_cols
+    FROM d WHERE change_type IS NOT NULL
+    ORDER BY change_type, c_custkey
+    """,
+)
+def q_customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data generation without a transaction log: diff the customer
+    snapshot against a derived next snapshot (tenth keys deleted, %7=3
+    balances bumped, %13=1 segments renamed, twentieth keys re-inserted
+    under new ids) into the insert/delete/update change-set with the
+    differing column names. ONE full-outer null-safe join on the key;
+    unchanged keys — the 100 TB majority — emit nothing
+    (operators/merge.py:snapshot_diff)."""
+    from wicsmmiretl_spark.operators.merge import snapshot_diff
+
+    cust = _t(spark, sf_dir, "customer")
+    upd = cust.filter(F.col("c_custkey") % 10 != 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 7 == 3, F.col("c_acctbal") + 10)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 13 == 1, F.concat(F.col("c_mktsegment"), F.lit("#m")))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    ins = cust.filter(F.col("c_custkey") % 20 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.col("c_name"), F.lit("#new")).alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    new = upd.unionByName(ins)
+    return snapshot_diff(cust, new, ["c_custkey"]).orderBy("change_type", "c_custkey")
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -3953,6 +4021,7 @@ _DEFERRED_QUERIES = (
     "bloom_pruned_revenue",     # runtime-filter join: large_quantity_orders (in-window) covers the J1 join+agg
     "user_retention_weekly",    # cohort retention: sessionize_events + user_value_analytics (in-window) cover event analytics
     "orders_dq_report",         # data-quality expectations: pricing_summary + customers_without_orders (in-window) cover agg + anti-join
+    "customer_snapshot_diff",   # change-data generation: customer_merge_upsert (in-window) covers the full-outer merge family
 )
 
 
