@@ -1,0 +1,77 @@
+"""Count-min sketch tests: never-underestimate guarantee, merge-equals-
+whole, heavy-hitter superset, unseen values, validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wicsmmiretl_spark.operators.aggregates import (
+    cms_estimate,
+    cms_heavy_hitters,
+    cms_merge,
+    cms_sketch,
+)
+
+
+def _stream(spark, counts: dict[str, int]):
+    rows = [(v,) for v, n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "v: string")
+
+
+def test_validates_params(spark):
+    df = _stream(spark, {"a": 1})
+    with pytest.raises(ValueError, match="depth"):
+        cms_sketch(df, "v", depth=9)
+    with pytest.raises(ValueError, match="width"):
+        cms_sketch(df, "v", width=1)
+    with pytest.raises(ValueError, match="min_frac"):
+        cms_heavy_hitters(df, "v", min_frac=0.0)
+
+
+def test_never_underestimates(spark):
+    truth = {"a": 50, "b": 30, "c": 5, "d": 1}
+    df = _stream(spark, truth)
+    sk = cms_sketch(df, "v", depth=4, width=64)
+    est = {r.value: r.est for r in cms_estimate(sk, df, "v", depth=4, width=64).collect()}
+    for v, n in truth.items():
+        assert est[v] >= n
+
+
+def test_wide_sketch_is_exact_for_small_streams(spark):
+    truth = {"a": 50, "b": 30, "c": 5}
+    df = _stream(spark, truth)
+    sk = cms_sketch(df, "v", depth=4, width=2048)
+    est = {r.value: r.est for r in cms_estimate(sk, df, "v", depth=4, width=2048).collect()}
+    assert est == truth  # 3 keys in 2048 buckets: no collisions
+
+
+def test_merge_equals_whole(spark):
+    a = _stream(spark, {"a": 10, "b": 3})
+    b = _stream(spark, {"a": 5, "c": 7})
+    whole = _stream(spark, {"a": 15, "b": 3, "c": 7})
+    merged = cms_merge(cms_sketch(a, "v"), cms_sketch(b, "v"))
+    lhs = sorted(tuple(r) for r in merged.collect())
+    rhs = sorted(tuple(r) for r in cms_sketch(whole, "v").collect())
+    assert lhs == rhs
+
+
+def test_heavy_hitters_superset(spark):
+    truth = {"hot": 80, "warm": 15, "cold": 3, "ice": 2}
+    df = _stream(spark, truth)
+    hh = {r.value for r in cms_heavy_hitters(df, "v", min_frac=0.10).collect()}
+    assert {"hot", "warm"} <= hh  # true >=10% values always present
+    assert "ice" not in hh or True  # overestimates may add, never drop
+
+
+def test_unseen_value_estimates_zero(spark):
+    sk = cms_sketch(_stream(spark, {"a": 3}), "v", depth=4, width=2048)
+    ghosts = spark.createDataFrame([("zz",)], "v: string")
+    est = cms_estimate(sk, ghosts, "v", depth=4, width=2048).collect()[0]
+    assert est.est == 0  # ghost hits no occupied bucket at this width
+
+
+def test_nulls_excluded(spark):
+    df = spark.createDataFrame([("a",), (None,), ("a",)], "v: string")
+    sk = cms_sketch(df, "v", depth=2, width=64)
+    assert sk.agg(F.sum("cnt")).collect()[0][0] == 4  # 2 rows x depth 2

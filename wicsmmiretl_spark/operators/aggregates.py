@@ -326,6 +326,108 @@ def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
     return agg.select(F.round(checked, 4).alias("estimate"))
 
 
+def cms_sketch(df: DataFrame, col: str, depth: int = 4, width: int = 2048) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005 — public literature)
+    of a value stream, built deterministically from md5 so any engine
+    reproduces it bit-for-bit: hash row j takes the j-th disjoint 16-bit
+    slice of ``md5(value)`` mod ``width``. ONE partial-aggregated groupBy
+    over ``depth`` exploded entries per row; output is at most
+    ``depth × width`` rows regardless of input size, and sketches MERGE by
+    elementwise addition (``cms_merge``) — count a 100 TB append-only
+    stream per-batch and fold, never rescanning. NULLs are excluded.
+
+    Output: (j int, bucket int, cnt bigint).
+    """
+    if not 1 <= depth <= 8:
+        raise ValueError(f"cms_sketch: depth must be in [1, 8] (md5 has 8 16-bit slices), got {depth}")
+    if not 2 <= width <= 65536:
+        raise ValueError(f"cms_sketch: width must be in [2, 65536], got {width}")
+    h = F.md5(F.col(col).cast("string"))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (F.conv(F.substring(h, 1 + 4 * j, 4), 16, 10).cast("long") % width)
+                .cast("int")
+                .alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(entries).alias("_e"))
+        .select("_e.*")
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches with identical (depth, width): elementwise sum."""
+    return a.unionByName(b).groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, candidates: DataFrame, col: str, depth: int = 4, width: int = 2048
+) -> DataFrame:
+    """Point-query the sketch for each candidate value: the estimate is the
+    MIN over the ``depth`` bucket counters (never an underestimate — the
+    guarantee heavy-hitter screening relies on). The sketch is at most
+    depth×width rows, so the probe is a broadcast join; candidates stream
+    through map-side at any cardinality.
+
+    Output: (value <candidate type>, est bigint).
+    """
+    h = F.md5(F.col(col).cast("string"))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (F.conv(F.substring(h, 1 + 4 * j, 4), 16, 10).cast("long") % width)
+                .cast("int")
+                .alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    probes = (
+        candidates.filter(F.col(col).isNotNull())
+        .dropDuplicates([col])
+        .select(F.col(col).alias("value"), F.explode(entries).alias("_e"))
+        .select("value", "_e.*")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame, col: str, min_frac: float, depth: int = 4, width: int = 2048
+) -> DataFrame:
+    """Values whose estimated frequency is ≥ ``min_frac`` of the stream
+    length — a guaranteed SUPERSET of the true heavy hitters (CMS only
+    overestimates; with width w the overshoot is ≤ N·e/w w.h.p.). The
+    stream length N is recovered from the sketch itself (any row sums to
+    N), so the screen needs no second exact pass.
+
+    Output: (value, est bigint), est descending, value as tiebreak.
+    """
+    if not 0 < min_frac <= 1:
+        raise ValueError(f"cms_heavy_hitters: min_frac must be in (0, 1], got {min_frac}")
+    sketch = cms_sketch(df, col, depth=depth, width=width)
+    total = sketch.filter(F.col("j") == 0).agg(F.sum("cnt").alias("_n"))
+    est = cms_estimate(sketch, df, col, depth=depth, width=width)
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est") >= F.ceil(F.lit(min_frac) * F.col("_n")).cast("long"))
+        .select("value", "est")
+        .orderBy(F.desc("est"), F.asc("value"))
+    )
+
+
 def profile_table(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """Column-level profile in long format: one output row per column with
     (n_rows, n_nulls, null_frac, n_distinct). ONE aggregation pass builds

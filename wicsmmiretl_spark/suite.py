@@ -3955,6 +3955,39 @@ def q_customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(cust, new, ["c_custkey"]).orderBy("change_type", "c_custkey")
 
 
+@query(
+    "cms_heavy_tokens",
+    f"""
+    WITH toks AS (SELECT unnest({_SQL_TOKS}) AS token FROM documents),
+    js AS (SELECT unnest(range(4)) AS j),
+    hb AS (SELECT token, j, (('0x' || substr(md5(token), 1 + 4*j, 4))::BIGINT % 2048) AS bucket
+           FROM toks CROSS JOIN js),
+    sketch AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt FROM hb GROUP BY 1, 2),
+    total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sketch WHERE j = 0),
+    cand AS (SELECT DISTINCT token FROM toks),
+    cb AS (SELECT token, j, (('0x' || substr(md5(token), 1 + 4*j, 4))::BIGINT % 2048) AS bucket
+           FROM cand CROSS JOIN js),
+    est AS (SELECT cb.token, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est
+            FROM cb LEFT JOIN sketch s ON cb.j = s.j AND cb.bucket = s.bucket GROUP BY 1)
+    SELECT token AS value, est FROM est, total
+    WHERE est >= CAST(ceil(0.01 * n) AS BIGINT)
+    ORDER BY est DESC, value ASC
+    """,
+)
+def q_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch heavy hitters: tokens estimated at ≥1% of the
+    corpus token stream via a deterministic md5 count-min sketch (depth 4,
+    width 2048 — ≤8,192 counter rows at ANY corpus size). The sketch
+    merges by addition across batches like the HLL registers, the probe is
+    a broadcast join, and the screen is a guaranteed superset of the true
+    heavy hitters (operators/aggregates.py:cms_heavy_hitters)."""
+    from wicsmmiretl_spark.operators.aggregates import cms_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    return cms_heavy_hitters(toks, "token", min_frac=0.01, depth=4, width=2048)
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -4022,6 +4055,7 @@ _DEFERRED_QUERIES = (
     "user_retention_weekly",    # cohort retention: sessionize_events + user_value_analytics (in-window) cover event analytics
     "orders_dq_report",         # data-quality expectations: pricing_summary + customers_without_orders (in-window) cover agg + anti-join
     "customer_snapshot_diff",   # change-data generation: customer_merge_upsert (in-window) covers the full-outer merge family
+    "cms_heavy_tokens",         # count-min heavy hitters: hll_distinct_users family + vocab_top100 (in-window) cover sketch + vocab
 )
 
 
