@@ -112,3 +112,39 @@ def test_rrf_fuse_rejects_duplicates_and_null_ranks(spark):
     nulls = spark.createDataFrame([(1, None)], "doc_id long, rank int")
     with pytest.raises(ValueError, match="NULL ranks"):
         rrf_fuse([nulls])
+
+
+# ---------------------------------------------------------------------------
+# inverted_index
+# ---------------------------------------------------------------------------
+
+def test_inverted_index_validates(spark):
+    from wicsmmiretl_spark.operators.ranking import inverted_index
+
+    docs = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError, match="min_df"):
+        inverted_index(docs, min_df=0)
+    with pytest.raises(ValueError, match="max_df"):
+        inverted_index(docs, min_df=3, max_df=2)
+
+
+def test_inverted_index_postings_sorted_and_deduped(spark):
+    from wicsmmiretl_spark.operators.ranking import inverted_index
+
+    docs = _docs(spark, [(3, "x x y"), (1, "x z"), (2, "y")])
+    out = {r.token: (r.df, r.postings) for r in inverted_index(docs).collect()}
+    # doc 3 repeats x: one posting; lists ascend regardless of input order.
+    assert out == {"x": (2, [1, 3]), "y": (2, [2, 3]), "z": (1, [1])}
+
+
+def test_inverted_index_df_band_prunes_before_collect(spark):
+    from wicsmmiretl_spark.operators.ranking import inverted_index
+
+    docs = _docs(spark, [(1, "stop rare"), (2, "stop"), (3, "stop")])
+    out = {r.token for r in inverted_index(docs, min_df=1, max_df=2).collect()}
+    assert out == {"rare"}
+    # And the df band survives into the optimized plan as a filter on the
+    # count aggregate (i.e. before the posting-list collect, which joins
+    # against the banded vocabulary rather than aggregating everything).
+    plan = inverted_index(docs, max_df=2)._jdf.queryExecution().optimizedPlan().toString()
+    assert "<= 2" in plan and "sort_array" in plan

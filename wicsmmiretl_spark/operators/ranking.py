@@ -147,3 +147,46 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(topk)
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Build the posting lists a lexical retrieval index serves from:
+    token → document frequency + sorted doc-id posting list.
+
+    Two-phase plan, and the order matters at scale: phase 1 computes df
+    per token (a cheap partial-aggregated count) and applies the
+    ``[min_df, max_df]`` band FIRST; phase 2 collects posting arrays only
+    for surviving tokens (inner join on the banded vocabulary). Stopword
+    postings — the arrays that would be |corpus|-sized at 100 TB — are
+    never materialized, which is precisely why every real index drops or
+    caps them (``max_df`` is that knob; terms above it carry no retrieval
+    signal anyway). Both shuffles are keyed by token, so AQE reuses the
+    exchange. Multiple occurrences of a token in one document produce ONE
+    posting (document-level index).
+
+    Output: token string, df bigint, postings array<bigint> (ascending).
+    """
+    if min_df < 1:
+        raise ValueError(f"inverted_index: min_df must be >= 1, got {min_df}")
+    if max_df is not None and max_df < min_df:
+        raise ValueError(f"inverted_index: max_df {max_df} < min_df {min_df}")
+    pairs = (
+        docs.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("token"))
+        .dropDuplicates(["_id", "token"])
+    )
+    dfs = pairs.groupBy("token").agg(F.count("*").alias("df"))
+    band = dfs.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        band = band.filter(F.col("df") <= max_df)
+    return (
+        pairs.join(band, "token")
+        .groupBy("token", "df")
+        .agg(F.sort_array(F.collect_list("_id")).alias("postings"))
+        .orderBy("token")
+    )

@@ -3988,6 +3988,32 @@ def q_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(toks, "token", min_frac=0.01, depth=4, width=2048)
 
 
+@query(
+    "inverted_index_band",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+    ),
+    dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM pairs GROUP BY 1),
+    band AS (SELECT token, df FROM dfs WHERE df BETWEEN 1 AND 400)
+    SELECT b.token, b.df, list(p.doc_id ORDER BY p.doc_id) AS postings
+    FROM band b JOIN pairs p ON b.token = p.token
+    GROUP BY b.token, b.df
+    ORDER BY b.token
+    """,
+)
+def q_inverted_index_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical index construction: token → df + sorted posting list for
+    the df ≤ 400 vocabulary band. The df band applies BEFORE postings
+    materialize (two token-keyed aggs, exchange-reused), so stopword-class
+    arrays — |corpus|-sized at 100 TB — never exist
+    (operators/ranking.py:inverted_index)."""
+    from wicsmmiretl_spark.operators.ranking import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, min_df=1, max_df=400)
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -4056,6 +4082,7 @@ _DEFERRED_QUERIES = (
     "orders_dq_report",         # data-quality expectations: pricing_summary + customers_without_orders (in-window) cover agg + anti-join
     "customer_snapshot_diff",   # change-data generation: customer_merge_upsert (in-window) covers the full-outer merge family
     "cms_heavy_tokens",         # count-min heavy hitters: hll_distinct_users family + vocab_top100 (in-window) cover sketch + vocab
+    "inverted_index_band",      # posting-list build: vocab_top100 + bm25_rank families (in-window twins) cover tokenize + retrieval
 )
 
 
