@@ -667,3 +667,50 @@ def test_resample_ffill_grid_and_fill(spark):
     import pytest
     with pytest.raises(ValueError, match="unit"):
         resample_ffill(df, "ts", ["k"], "v", unit="fortnight")
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_match
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_match_validates():
+    import pytest as _pytest
+    from wicsmmiretl_spark.operators.joins import fuzzy_match
+    from wicsmmiretl_spark.session import get_spark
+
+    spark = get_spark("tests")
+    df = spark.createDataFrame([("abc",)], "s: string")
+    with _pytest.raises(ValueError, match="non-empty"):
+        fuzzy_match(df, "s", [])
+    with _pytest.raises(ValueError, match="None"):
+        fuzzy_match(df, "s", ["a", None])
+    with _pytest.raises(ValueError, match="max_dist"):
+        fuzzy_match(df, "s", ["a"], max_dist=-1)
+    with _pytest.raises(ValueError, match="'probe'"):
+        fuzzy_match(df.withColumn("probe", df.s), "s", ["a"])
+
+
+def test_fuzzy_match_picks_closest_with_tiebreak(spark):
+    from wicsmmiretl_spark.operators.joins import fuzzy_match
+
+    df = spark.createDataFrame([(1, "kitten"), (2, "zzz"), (3, None)], "id: bigint, s: string")
+    out = fuzzy_match(df, "s", ["mitten", "kitty", "sitten"], max_dist=2).collect()
+    # kitten: mitten=1, sitten=1, kitty=2 -> tie at 1 resolves alphabetically.
+    assert len(out) == 1
+    assert (out[0].id, out[0].probe, out[0].dist) == (1, "mitten", 1)
+
+
+def test_fuzzy_match_exact_hit_is_distance_zero(spark):
+    from wicsmmiretl_spark.operators.joins import fuzzy_match
+
+    df = spark.createDataFrame([(1, "blue rod")], "id: bigint, s: string")
+    out = fuzzy_match(df, "s", ["blue rod"], max_dist=0).collect()
+    assert out[0].dist == 0
+
+
+def test_fuzzy_match_plan_has_no_shuffle(spark):
+    from wicsmmiretl_spark.operators.joins import fuzzy_match
+
+    df = spark.range(100).select(F.col("id"), F.lit("abc").alias("s"))
+    plan = fuzzy_match(df, "s", ["abd"])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

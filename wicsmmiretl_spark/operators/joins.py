@@ -358,3 +358,56 @@ def salted_join(
         ),
     )
     return salted_left.join(salted_right, [key, "_salt"], how).drop("_salt")
+
+
+def fuzzy_match(
+    df: DataFrame,
+    col: str,
+    probes: Sequence[str],
+    max_dist: int = 2,
+) -> DataFrame:
+    """Attach the closest probe string within ``max_dist`` edit distance —
+    the entity-resolution / dirty-lookup primitive (match free-text fields
+    against a canonical dictionary: brand names, domains, label synonyms).
+
+    Spark-first shape: the probe dictionary rides into the plan as an
+    array literal and the whole match is ONE higher-order expression per
+    row — ``transform`` computes a bounded ``levenshtein`` per probe (the
+    threshold variant early-exits the DP and returns -1 past the bound,
+    which also subsumes length-difference blocking), ``filter`` keeps
+    in-bound candidates, ``array_min`` over (dist, probe) structs picks
+    the winner with the lexicographic probe tiebreak. Zero shuffles, zero
+    joins, pure whole-stage codegen: at 100 TB this scans the corpus once
+    and nothing else moves.
+
+    For LARGE×LARGE fuzzy joins (both sides beyond a broadcastable
+    dictionary) this per-row form is the wrong tool — block both sides on
+    (length band, first character) into an equi-join of candidate pairs,
+    then apply the same bounded distance; same expressions, one shuffle.
+
+    Rows with no probe in range are dropped (inner semantics). NULL values
+    never match. Output: the input columns + ``probe`` string + ``dist``
+    int.
+    """
+    if not probes:
+        raise ValueError("fuzzy_match: probes must be non-empty")
+    if any(p is None for p in probes):
+        raise ValueError("fuzzy_match: probes may not contain None")
+    if max_dist < 0:
+        raise ValueError(f"fuzzy_match: max_dist must be >= 0, got {max_dist}")
+    for out_col in ("probe", "dist"):
+        if out_col in df.columns:
+            raise ValueError(f"fuzzy_match: input already has a {out_col!r} column")
+    cand = F.transform(
+        F.lit(sorted(set(probes))),
+        lambda p: F.struct(
+            F.levenshtein(F.col(col), p, max_dist).alias("dist"), p.alias("probe")
+        ),
+    )
+    valid = F.filter(cand, lambda s: s["dist"] >= 0)
+    best = F.array_min(valid)
+    return (
+        df.withColumn("_best", best)
+        .filter(F.col("_best").isNotNull())
+        .select(*df.columns, F.col("_best.probe").alias("probe"), F.col("_best.dist").alias("dist"))
+    )

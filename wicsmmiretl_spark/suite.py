@@ -4014,6 +4014,38 @@ def q_inverted_index_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(docs, min_df=1, max_df=400)
 
 
+@query(
+    "part_name_fuzzy_match",
+    """
+    WITH probes(probe) AS (VALUES ('blu rod'), ('cold wigdet'), ('larg bolt')),
+    scored AS (
+      SELECT p.p_partkey, p.p_name, pr.probe, levenshtein(p.p_name, pr.probe) AS dist
+      FROM part p CROSS JOIN probes pr
+      WHERE p.p_name IS NOT NULL
+    ),
+    best AS (
+      SELECT p_partkey, p_name, probe, CAST(dist AS INT) AS dist,
+             row_number() OVER (PARTITION BY p_partkey ORDER BY dist, probe) AS rn
+      FROM scored WHERE dist <= 2
+    )
+    SELECT p_partkey, p_name, probe, dist FROM best WHERE rn = 1
+    ORDER BY p_partkey
+    """,
+)
+def q_part_name_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-lookup entity resolution: every part whose name sits within 2
+    edits of a misspelled probe dictionary, tagged with its best match.
+    The whole match is one higher-order expression per row (bounded
+    levenshtein early-exits past the threshold) — zero shuffles, zero
+    joins, pure codegen (operators/joins.py:fuzzy_match)."""
+    from wicsmmiretl_spark.operators.joins import fuzzy_match
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return fuzzy_match(part, "p_name", ["cold wigdet", "blu rod", "larg bolt"], max_dist=2).orderBy(
+        "p_partkey"
+    )
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -4083,6 +4115,7 @@ _DEFERRED_QUERIES = (
     "customer_snapshot_diff",   # change-data generation: customer_merge_upsert (in-window) covers the full-outer merge family
     "cms_heavy_tokens",         # count-min heavy hitters: hll_distinct_users family + vocab_top100 (in-window) cover sketch + vocab
     "inverted_index_band",      # posting-list build: vocab_top100 + bm25_rank families (in-window twins) cover tokenize + retrieval
+    "part_name_fuzzy_match",    # bounded edit-distance lookup: normalized_captions family (in-window) covers string transforms
 )
 
 
