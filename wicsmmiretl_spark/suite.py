@@ -4046,6 +4046,52 @@ def q_part_name_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_activity_spans",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + greatest(CAST(round(coalesce(value, 0) * 1000000) AS BIGINT), 0) AS e
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w THEN 1 ELSE 0 END AS ni
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    )
+    SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM isl GROUP BY user_id, island
+    ORDER BY user_id, span_start
+    """,
+)
+def q_user_activity_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merging: each event opens a [ts, ts+value
+    seconds] activity interval; overlapping-or-touching intervals per user
+    flatten into disjoint spans (negative/NULL durations clamp to point
+    intervals). One window shuffle keyed by user
+    (operators/intervals.py:merge_intervals)."""
+    from wicsmmiretl_spark.operators.intervals import merge_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    dur = F.greatest(
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 1000000).cast("long"), F.lit(0)
+    )
+    iv = ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()).select(
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + dur).alias("e_us"),
+    )
+    return merge_intervals(iv, ["user_id"], "s_us", "e_us").orderBy("user_id", "span_start")
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -4116,6 +4162,7 @@ _DEFERRED_QUERIES = (
     "cms_heavy_tokens",         # count-min heavy hitters: hll_distinct_users family + vocab_top100 (in-window) cover sketch + vocab
     "inverted_index_band",      # posting-list build: vocab_top100 + bm25_rank families (in-window twins) cover tokenize + retrieval
     "part_name_fuzzy_match",    # bounded edit-distance lookup: normalized_captions family (in-window) covers string transforms
+    "user_activity_spans",      # gaps-and-islands merge: sessionize_events + window_running_sum (in-window) cover the window family
 )
 
 
