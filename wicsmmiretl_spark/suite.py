@@ -4092,6 +4092,80 @@ def q_user_activity_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_intervals(iv, ["user_id"], "s_us", "e_us").orderBy("user_id", "span_start")
 
 
+def _bpe_sql(n_merges: int) -> str:
+    """Replay operators/bpe.py:bpe_train in DuckDB: per merge step, count
+    adjacent pairs (overlapping, freq-weighted), pick the (count desc,
+    lexicographic) winner, and apply the leftmost-greedy non-overlapping
+    merge via the run-parity window form — a candidate position merges iff
+    its offset inside a run of consecutive candidates is even, which is
+    exactly the fold semantics on the Spark side. Every CTE is
+    MATERIALIZED: each iteration references its predecessor more than
+    once, and DuckDB's default inlining re-evaluates the whole chain per
+    reference — exponential in n_merges (measured: hung at 8; 0.5 s
+    materialized)."""
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_SQL_TOKS}) AS w FROM documents) GROUP BY 1
+    ),
+    it0 AS MATERIALIZED (SELECT w, freq, regexp_extract_all(w, '.') AS syms FROM w0)"""
+    ]
+    for k in range(n_merges):
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+      SELECT syms[i+1] AS l, syms[i+2] AS r, CAST(sum(freq) AS BIGINT) AS c
+      FROM (SELECT freq, syms, unnest(range(len(syms)-1)) AS i FROM it{k})
+      GROUP BY 1, 2
+    ),
+    t{k} AS MATERIALIZED (SELECT l, r, c FROM p{k} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    e{k} AS MATERIALIZED (
+      SELECT w, freq, pos, syms[pos+1] AS sym
+      FROM (SELECT w, freq, syms, unnest(range(len(syms))) AS pos FROM it{k})
+    ),
+    c{k} AS MATERIALIZED (
+      SELECT e.w, e.freq, e.pos, e.sym,
+             coalesce(e.sym = t.l AND lead(e.sym) OVER (PARTITION BY e.w ORDER BY e.pos) = t.r, FALSE) AS cand
+      FROM e{k} e, t{k} t
+    ),
+    r{k} AS MATERIALIZED (
+      SELECT *, cand AND NOT coalesce(lag(cand) OVER (PARTITION BY w ORDER BY pos), FALSE) AS new_run
+      FROM c{k}
+    ),
+    h{k} AS MATERIALIZED (
+      SELECT *, max(CASE WHEN new_run THEN pos END)
+                  OVER (PARTITION BY w ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_head
+      FROM r{k}
+    ),
+    m{k} AS MATERIALIZED (SELECT *, cand AND ((pos - run_head) % 2 = 0) AS merged FROM h{k}),
+    s{k} AS MATERIALIZED (SELECT *, coalesce(lag(merged) OVER (PARTITION BY w ORDER BY pos), FALSE) AS skip FROM m{k}),
+    it{k + 1} AS MATERIALIZED (
+      SELECT w, freq,
+             list(CASE WHEN merged THEN sym || (SELECT r FROM t{k}) ELSE sym END ORDER BY pos)
+               FILTER (WHERE NOT skip) AS syms
+      FROM s{k} GROUP BY w, freq
+    )"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT {k} AS step, l AS lhs, r AS rhs, c AS pair_count FROM t{k}"
+        for k in range(n_merges)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT * FROM ({union}) ORDER BY step"
+
+
+@query("bpe_merge_table", _bpe_sql(8))
+def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training on the corpus: 8 BPE merges learned from the
+    word-frequency vocabulary (one corpus scan; each step is a pair-count
+    aggregate over the persisted vocab + a ONE-row driver collect + a pure
+    fold merge — the broadcast-Lloyd pattern applied to subword learning).
+    Lexicographic tiebreaks make training engine- and partition-exact
+    (operators/bpe.py:bpe_train)."""
+    from wicsmmiretl_spark.operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", n_merges=8, vocab_partitions=2)
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -4163,6 +4237,7 @@ _DEFERRED_QUERIES = (
     "inverted_index_band",      # posting-list build: vocab_top100 + bm25_rank families (in-window twins) cover tokenize + retrieval
     "part_name_fuzzy_match",    # bounded edit-distance lookup: normalized_captions family (in-window) covers string transforms
     "user_activity_spans",      # gaps-and-islands merge: sessionize_events + window_running_sum (in-window) cover the window family
+    "bpe_merge_table",          # BPE tokenizer training: vocab_top100 (in-window) covers tokenize; kmeans family covers iterative collect
 )
 
 
