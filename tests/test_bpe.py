@@ -72,3 +72,40 @@ def test_bpe_train_validates(spark):
         bpe_train(docs, n_merges=0)
     with pytest.raises(ValueError, match="vocab_partitions"):
         bpe_train(docs, vocab_partitions=0)
+
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    from wicsmmiretl_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame([(1, "lower low")], "doc_id: bigint, text: string")
+    out = bpe_encode(docs, "text", [("l", "o"), ("lo", "w")]).collect()[0].subwords
+    assert out == ["low", "e", "r", "low"]
+
+
+def test_bpe_encode_roundtrips_training(spark):
+    from wicsmmiretl_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower")], "doc_id: bigint, text: string"
+    )
+    merges = [(r.lhs, r.rhs) for r in bpe_train(docs, n_merges=2, vocab_partitions=1).collect()]
+    out = bpe_encode(docs, "text", merges).collect()[0].subwords
+    assert out == ["low", "low", "low", "low", "e", "r"]
+
+
+def test_bpe_encode_validates(spark):
+    from wicsmmiretl_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id: bigint, text: string")
+    with pytest.raises(ValueError, match="invalid merge"):
+        bpe_encode(docs, "text", [("a", "")])
+    with pytest.raises(ValueError, match="'subwords'"):
+        bpe_encode(docs.withColumn("subwords", F.lit("x")), "text", [("a", "b")])
+
+
+def test_bpe_encode_no_shuffle(spark):
+    from wicsmmiretl_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id: bigint, text: string")
+    plan = bpe_encode(docs, "text", [("a", "b")])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -139,3 +139,38 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, pair_count bigint"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "subwords",
+) -> DataFrame:
+    """Tokenize text with a learned merge table: whitespace words → char
+    symbols → each merge applied in training order → flattened subword
+    array. The merge list is tiny (it IS the tokenizer), so it compiles
+    straight into the plan: one ``transform`` per document whose lambda
+    chains the same fold used in training — per-row, map-side, no shuffle,
+    no Python. Deep merge tables (32k entries) belong in an Arrow-batched
+    ``mapInPandas`` encoder instead; the chained-fold form is for the
+    plan-native small-table case (codegen time grows with merge count —
+    keep it to a few dozen).
+
+    Output: input columns + ``out_col`` array<string>.
+    """
+    if out_col in df.columns:
+        raise ValueError(f"bpe_encode: input already has a {out_col!r} column")
+    for m in merges:
+        if len(m) != 2 or any(not isinstance(x, str) or not x for x in m):
+            raise ValueError(f"bpe_encode: invalid merge entry {m!r}")
+
+    def encode_word(w: Column) -> Column:
+        syms = F.regexp_extract_all(w, F.lit("."), F.lit(0))
+        for left, right in merges:
+            syms = merge_pair_expr(syms, left, right)
+        return syms
+
+    words = tokens(text_col)
+    encoded = F.flatten(F.transform(words, encode_word))
+    return df.withColumn(out_col, encoded)
