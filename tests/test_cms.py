@@ -75,3 +75,49 @@ def test_nulls_excluded(spark):
     df = spark.createDataFrame([("a",), (None,), ("a",)], "v: string")
     sk = cms_sketch(df, "v", depth=2, width=64)
     assert sk.agg(F.sum("cnt")).collect()[0][0] == 4  # 2 rows x depth 2
+
+
+# ---------------------------------------------------------------------------
+# corr_matrix (exact one-pass Pearson)
+# ---------------------------------------------------------------------------
+
+def test_corr_matrix_known_values(spark):
+    from wicsmmiretl_spark.operators.aggregates import corr_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (2.0, 4.0, 4.0), (3.0, 6.0, 3.0), (4.0, 8.0, 1.0)],
+        "x: double, y: double, z: double",
+    )
+    out = {(r.col_x, r.col_y): r.corr for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    assert out[("x", "y")] == 1.0         # perfectly linear
+    # r = -6.5 / sqrt(5 * 8.75) = -0.982708 (hand-computed)
+    assert out[("x", "z")] == pytest.approx(-0.982708, abs=1e-6)
+    assert out[("y", "z")] == out[("x", "z")]
+
+
+def test_corr_matrix_zero_variance_is_null(spark):
+    from wicsmmiretl_spark.operators.aggregates import corr_matrix
+
+    df = spark.createDataFrame([(1.0, 7.0), (2.0, 7.0)], "x: double, c: double")
+    out = corr_matrix(df, ["x", "c"]).collect()[0]
+    assert out.corr is None
+
+
+def test_corr_matrix_listwise_null_drop(spark):
+    from wicsmmiretl_spark.operators.aggregates import corr_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (None, 9.0), (3.0, None)], "x: double, y: double"
+    )
+    out = corr_matrix(df, ["x", "y"]).collect()[0]
+    assert out.n == 2 and out.corr == 1.0
+
+
+def test_corr_matrix_validates(spark):
+    from wicsmmiretl_spark.operators.aggregates import corr_matrix
+
+    df = spark.createDataFrame([(1.0,)], "x: double")
+    with pytest.raises(ValueError, match="at least 2"):
+        corr_matrix(df, ["x"])
+    with pytest.raises(ValueError, match="not in"):
+        corr_matrix(df, ["x", "ghost"])

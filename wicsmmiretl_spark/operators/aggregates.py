@@ -326,6 +326,71 @@ def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
     return agg.select(F.round(checked, 4).alias("estimate"))
 
 
+def corr_matrix(df: DataFrame, cols: Sequence[str], scale: int = 4) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns in ONE aggregation
+    pass — the feature-screening matrix over a fact table.
+
+    Engine-exact by the suite's integer-sum discipline: every moment
+    (Σx, Σx², Σxy) is accumulated in scaled-integer space — per-row values
+    round to ``scale`` decimals, products stay within int64, sums run in
+    decimal(38)/hugeint so no ordering effect exists — and only the final
+    closed-form r converts the exact sums to double (identical IEEE
+    rounding from identical integers on any engine). Zero-variance columns
+    yield NULL, not a division blow-up. Rows with a NULL in ANY requested
+    column are dropped (listwise deletion), so every pair sees the same n.
+
+    100 TB shape: a single scan with map-side partial aggregation of
+    k + k + k(k-1)/2 counters; nothing else moves. Output is long-form:
+    col_x string, col_y string, n bigint, corr double (6dp) — one row per
+    unordered pair in input order.
+    """
+    if len(cols) < 2:
+        raise ValueError(f"corr_matrix: need at least 2 columns, got {list(cols)}")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"corr_matrix: columns {missing} not in {df.columns}")
+    mult = 10**scale
+    keep = None
+    for c in cols:
+        cond = F.col(c).isNotNull()
+        keep = cond if keep is None else (keep & cond)
+    base = df.filter(keep)
+    ints = {c: F.round(F.col(c) * mult).cast("long") for c in cols}
+    dec = "decimal(38,0)"
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(ints[c].cast(dec)).alias(f"_s_{c}"))
+        aggs.append(F.sum((ints[c] * ints[c]).cast(dec)).alias(f"_q_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in list(cols)[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum((ints[a] * ints[b]).cast(dec)).alias(f"_p_{a}_{b}"))
+    wide = base.agg(*aggs)
+
+    def _r(a: str, b: str):
+        n = F.col("_n").cast("double")
+        sx, sy = F.col(f"_s_{a}").cast("double"), F.col(f"_s_{b}").cast("double")
+        qx, qy = F.col(f"_q_{a}").cast("double"), F.col(f"_q_{b}").cast("double")
+        pxy = F.col(f"_p_{a}_{b}").cast("double")
+        num = n * pxy - sx * sy
+        den = F.sqrt(n * qx - sx * sx) * F.sqrt(n * qy - sy * sy)
+        return F.when(den == 0, F.lit(None).cast("double")).otherwise(
+            F.round(num / den, 6)
+        )
+
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("_n").alias("n"),
+                _r(a, b).alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return wide.select(F.explode(structs).alias("_r")).select("_r.*")
+
+
 def cms_sketch(df: DataFrame, col: str, depth: int = 4, width: int = 2048) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005 — public literature)
     of a value stream, built deterministically from md5 so any engine

@@ -4166,6 +4166,61 @@ def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, "text", n_merges=8, vocab_partitions=2)
 
 
+def _corr_sql(cols: tuple[str, ...], scale: int) -> str:
+    """Replay operators/aggregates.py:corr_matrix — identical scaled-integer
+    moments (DuckDB's hugeint sums are exact like Spark's decimal(38)),
+    identical closed-form double arithmetic, identical 6dp round."""
+    mult = 10**scale
+    ints = {c: f"CAST(round({c} * {mult}) AS BIGINT)" for c in cols}
+    sel = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in cols:
+        sel.append(f"sum({ints[c]}) AS s_{c}")
+        sel.append(f"sum({ints[c]} * {ints[c]}) AS q_{c}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        sel.append(f"sum({ints[a]} * {ints[b]}) AS p_{a}_{b}")
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    rows = []
+    for a, b in pairs:
+        num = (
+            f"(CAST(n AS DOUBLE) * CAST(p_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        den = (
+            f"(sqrt(CAST(n AS DOUBLE) * CAST(q_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * sqrt(CAST(n AS DOUBLE) * CAST(q_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+        )
+        rows.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, n,"
+            f" CASE WHEN {den} = 0 THEN NULL ELSE round({num} / {den}, 6) END AS corr"
+            f" FROM s"
+        )
+    return (
+        "WITH s AS (SELECT "
+        + ", ".join(sel)
+        + f" FROM lineitem WHERE {notnull}) "
+        + " UNION ALL ".join(rows)
+    )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query("lineitem_corr_matrix", _corr_sql(_CORR_COLS, 4))
+def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature screening: the 4×4 Pearson matrix over lineitem numerics in
+    ONE partial-aggregated scan — every moment an exact scaled-integer sum
+    (order-independent on any partitioning/engine), the closed form
+    evaluated once in double at the end
+    (operators/aggregates.py:corr_matrix)."""
+    from wicsmmiretl_spark.operators.aggregates import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_matrix(li, list(_CORR_COLS), scale=4)
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -4238,6 +4293,7 @@ _DEFERRED_QUERIES = (
     "part_name_fuzzy_match",    # bounded edit-distance lookup: normalized_captions family (in-window) covers string transforms
     "user_activity_spans",      # gaps-and-islands merge: sessionize_events + window_running_sum (in-window) cover the window family
     "bpe_merge_table",          # BPE tokenizer training: vocab_top100 (in-window) covers tokenize; kmeans family covers iterative collect
+    "lineitem_corr_matrix",     # exact Pearson matrix: pricing_summary + stats_matrix families (in-window) cover one-pass aggs
 )
 
 
