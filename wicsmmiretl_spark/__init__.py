@@ -48,6 +48,11 @@ from wicsmmiretl_spark.functions.text import (
 )
 from wicsmmiretl_spark.operators.aggregates import (
     column_stats,
+    cms_estimate,
+    cms_heavy_hitters,
+    cms_merge,
+    cms_sketch,
+    corr_matrix,
     histogram,
     hll_estimate,
     hll_merge,
@@ -77,13 +82,19 @@ from wicsmmiretl_spark.operators.joins import (
     asof_join,
     attach,
     drop_failures,
+    fuzzy_match,
     keep_successes,
     range_join,
     salted_join,
 )
-from wicsmmiretl_spark.operators.merge import merge_scd2, merge_upsert
+from wicsmmiretl_spark.operators.bpe import bpe_encode, bpe_train
+from wicsmmiretl_spark.operators.cohorts import retention_cohorts
+from wicsmmiretl_spark.operators.intervals import merge_intervals
+from wicsmmiretl_spark.operators.merge import merge_scd2, merge_upsert, snapshot_diff
+from wicsmmiretl_spark.operators.pruning import bloom_prune, bloom_semi_filter, bloom_words
+from wicsmmiretl_spark.operators.quality import dq_gate, dq_report
 from wicsmmiretl_spark.operators.packing import chunk_documents, pack_sequences
-from wicsmmiretl_spark.operators.ranking import bm25_rank, rrf_fuse
+from wicsmmiretl_spark.operators.ranking import bm25_rank, inverted_index, rrf_fuse
 from wicsmmiretl_spark.operators.graph import connected_components, pagerank
 from wicsmmiretl_spark.operators.sampling import (
     cap_per_group,
@@ -129,7 +140,24 @@ __all__ = [
     "salted_join",
     "merge_upsert",
     "merge_scd2",
+    "snapshot_diff",
     "union_checked",
+    "fuzzy_match",
+    "bloom_words",
+    "bloom_prune",
+    "bloom_semi_filter",
+    "merge_intervals",
+    "retention_cohorts",
+    "dq_report",
+    "dq_gate",
+    "bpe_train",
+    "bpe_encode",
+    "inverted_index",
+    "cms_sketch",
+    "cms_merge",
+    "cms_estimate",
+    "cms_heavy_hitters",
+    "corr_matrix",
     # aggregates
     "column_stats",
     "grouped_stats_matrix",
