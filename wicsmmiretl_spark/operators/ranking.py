@@ -166,9 +166,14 @@ def inverted_index(
     postings — the arrays that would be |corpus|-sized at 100 TB — are
     never materialized, which is precisely why every real index drops or
     caps them (``max_df`` is that knob; terms above it carry no retrieval
-    signal anyway). Both shuffles are keyed by token, so AQE reuses the
-    exchange. Multiple occurrences of a token in one document produce ONE
-    posting (document-level index).
+    signal anyway). The (doc, token) pair stream is consumed by BOTH
+    phases, and the two exchanges differ (partial-agg vs raw join shuffle)
+    so Spark does NOT reuse one for the other — the corpus is tokenized
+    twice (verified in the executed plan: 2 scans, no ReusedExchange). The
+    explode is map-side and cheap relative to the posting shuffle; at
+    100 TB, persist/checkpoint the pair stream if the double scan matters
+    more than the cache footprint. Multiple occurrences of a token in one
+    document produce ONE posting (document-level index).
 
     Output: token string, df bigint, postings array<bigint> (ascending).
     """
