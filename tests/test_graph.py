@@ -124,3 +124,55 @@ def test_pagerank_partitioning_invariant(spark):
     a = sorted((r.id, r.rank) for r in pagerank(e1, iters=5).collect())
     b = sorted((r.id, r.rank) for r in pagerank(e1.repartition(7), iters=5).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# triangle_stats
+# ---------------------------------------------------------------------------
+
+def _tri(spark, rows):
+    from wicsmmiretl_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame(rows, "src: bigint, dst: bigint")
+    return triangle_stats(df).collect()[0]
+
+
+def test_triangle_stats_single_triangle(spark):
+    out = _tri(spark, [(1, 2), (2, 3), (1, 3)])
+    assert (out.n_vertices, out.n_edges, out.n_wedges, out.n_triangles) == (3, 3, 3, 1)
+    assert out.clustering == 1.0
+
+
+def test_triangle_stats_square_has_none(spark):
+    out = _tri(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    assert (out.n_triangles, out.n_wedges) == (0, 4)
+    assert out.clustering == 0.0
+
+
+def test_triangle_stats_canonicalizes_input(spark):
+    # Duplicates, reversed duplicates, and self-loops must not change counts.
+    out = _tri(spark, [(1, 2), (2, 1), (2, 3), (1, 3), (3, 1), (2, 2)])
+    assert (out.n_edges, out.n_triangles) == (3, 1)
+
+
+def test_triangle_stats_k4(spark):
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    out = _tri(spark, edges)
+    # K4: C(4,3)=4 triangles, 4 vertices of degree 3 -> 12 wedges.
+    assert (out.n_edges, out.n_wedges, out.n_triangles) == (6, 12, 4)
+    assert out.clustering == 1.0
+
+
+def test_triangle_stats_hub_star_no_triangles(spark):
+    # A star is the degenerate hub case the degree orientation exists for.
+    out = _tri(spark, [(0, i) for i in range(1, 20)])
+    assert out.n_triangles == 0 and out.n_wedges == 171  # C(19,2)
+
+
+def test_triangle_stats_validates(spark):
+    import pytest as _pytest
+    from wicsmmiretl_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame([(1, 2)], "src: bigint, dst: bigint")
+    with _pytest.raises(ValueError, match="column"):
+        triangle_stats(df, "nope", "dst")

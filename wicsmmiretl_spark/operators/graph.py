@@ -289,3 +289,80 @@ def _pagerank_loop(pr, e, deg, nodes, n_total, d, iters, scale):
             .localCheckpoint(eager=True)
         )
     return pr
+
+
+def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle census of an undirected graph: vertex/edge/wedge/
+    triangle counts plus the global clustering coefficient.
+
+    Algorithm: compact-forward with degree ordering (Latapy 2008 / the
+    standard MapReduce triangle join — public literature). Edges are
+    canonicalized (undirected, deduped, self-loops dropped) and oriented
+    from the (degree, id)-smaller endpoint to the larger; every wedge
+    (a→b1, a→b2) with rank(b1) < rank(b2) is generated once at its
+    lowest-rank vertex and closed by probing the oriented edge (b1, b2).
+    Each triangle is counted exactly once.
+
+    Why this survives 100 TB: degree orientation bounds every out-degree
+    by ~sqrt(2m) regardless of the input degree distribution, so the hub
+    vertex that would generate deg² wedges (the quadratic blow-up that
+    kills naive triangle joins) generates at most 2m — wedge volume is
+    O(m^1.5) worst case, the best known for join-based counting. All
+    steps are equi-joins and partial aggs; nothing collects.
+
+    Output: ONE row — n_vertices, n_edges, n_wedges (unoriented ΣC(d,2)),
+    n_triangles (all bigint), clustering double (6dp, 3T/wedges; NULL for
+    a wedgeless graph).
+    """
+    for c in (src, dst):
+        if c not in edges.columns:
+            raise ValueError(f"triangle_stats: column {c!r} not in {edges.columns}")
+    u, v = F.col(src), F.col(dst)
+    e0 = (
+        edges.filter(u.isNotNull() & v.isNotNull() & (u != v))
+        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .distinct()
+    )
+    # deg feeds both the orientation joins and the totals row; oriented
+    # feeds both wedge sides and the closing probe. Pin each once so the
+    # canonicalize+join cascade doesn't run 3x (lazy checkpoint: costs
+    # nothing until the single action that consumes all branches).
+    deg = (
+        e0.select(F.explode(F.array("u", "v")).alias("x"))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    ranked = (
+        e0.join(deg.withColumnsRenamed({"x": "u", "d": "du"}), "u")
+        .join(deg.withColumnsRenamed({"x": "v", "d": "dv"}), "v")
+    )
+    ru = F.struct(F.col("du").alias("d"), F.col("u").alias("x"))
+    rv = F.struct(F.col("dv").alias("d"), F.col("v").alias("x"))
+    oriented = ranked.select(
+        F.when(ru < rv, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(ru < rv, rv).otherwise(ru).alias("rb"),
+    ).select("a", F.col("rb.x").alias("b"), "rb").localCheckpoint(eager=False)
+    w1 = oriented.select("a", F.col("b").alias("b1"), F.col("rb").alias("r1"))
+    w2 = oriented.select("a", F.col("b").alias("b2"), F.col("rb").alias("r2"))
+    wedges = w1.join(w2, "a").filter(F.col("r1") < F.col("r2"))
+    closing = oriented.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
+    tri = wedges.join(closing, ["b1", "b2"]).agg(F.count("*").alias("n_triangles"))
+    totals = deg.agg(
+        F.count("*").alias("n_vertices"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    return (
+        tri.crossJoin(F.broadcast(totals))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
+            ).alias("clustering"),
+        )
+    )

@@ -4221,6 +4221,47 @@ def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corr_matrix(li, list(_CORR_COLS), scale=4)
 
 
+@query(
+    "part_copurchase_triangles",
+    """
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2),
+    e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+    deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+    o AS (SELECT CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.u ELSE e0.v END AS a,
+                 CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.v ELSE e0.u END AS b,
+                 CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN dv.d ELSE du.d END AS db
+          FROM e0 JOIN deg du ON du.x = e0.u JOIN deg dv ON dv.x = e0.v),
+    w AS (SELECT o1.b AS b1, o2.b AS b2
+          FROM o o1 JOIN o o2 ON o1.a = o2.a AND (o1.db, o1.b) < (o2.db, o2.b)),
+    tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM w JOIN o ON w.b1 = o.a AND w.b2 = o.b),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+                   CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+                   CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+            FROM deg)
+    SELECT n_vertices, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0 THEN round(3.0 * n_triangles / n_wedges, 6) END AS clustering
+    FROM tri, tot
+    """,
+)
+def q_part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph census of the part co-purchase graph (parts sharing an
+    order): triangle count + global clustering coefficient via
+    degree-ordered compact-forward — every out-degree bounded ~sqrt(2m)
+    by the orientation, so the hub-wedge quadratic blow-up can't happen
+    at any scale (operators/graph.py:triangle_stats)."""
+    from wicsmmiretl_spark.operators.graph import triangle_stats
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.withColumnsRenamed({"l_partkey": "p1"})
+    b = li.withColumnsRenamed({"l_partkey": "p2"})
+    edges = a.join(b, "l_orderkey").filter(F.col("p1") < F.col("p2")).select("p1", "p2")
+    return triangle_stats(edges, "p1", "p2")
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -4294,6 +4335,7 @@ _DEFERRED_QUERIES = (
     "user_activity_spans",      # gaps-and-islands merge: sessionize_events + window_running_sum (in-window) cover the window family
     "bpe_merge_table",          # BPE tokenizer training: vocab_top100 (in-window) covers tokenize; kmeans family covers iterative collect
     "lineitem_corr_matrix",     # exact Pearson matrix: pricing_summary + stats_matrix families (in-window) cover one-pass aggs
+    "part_copurchase_triangles",  # triangle census: event_chain_components + order_graph_pagerank (deferred twins) cover graph analytics
 )
 
 
