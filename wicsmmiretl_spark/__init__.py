@@ -95,7 +95,7 @@ from wicsmmiretl_spark.operators.pruning import bloom_prune, bloom_semi_filter, 
 from wicsmmiretl_spark.operators.quality import dq_gate, dq_report
 from wicsmmiretl_spark.operators.packing import chunk_documents, pack_sequences
 from wicsmmiretl_spark.operators.ranking import bm25_rank, inverted_index, rrf_fuse
-from wicsmmiretl_spark.operators.graph import connected_components, pagerank
+from wicsmmiretl_spark.operators.graph import connected_components, pagerank, triangle_stats
 from wicsmmiretl_spark.operators.sampling import (
     cap_per_group,
     deterministic_sample,
@@ -158,6 +158,7 @@ __all__ = [
     "cms_estimate",
     "cms_heavy_hitters",
     "corr_matrix",
+    "triangle_stats",
     # aggregates
     "column_stats",
     "grouped_stats_matrix",
