@@ -714,3 +714,44 @@ def test_fuzzy_match_plan_has_no_shuffle(spark):
     df = spark.range(100).select(F.col("id"), F.lit("abc").alias("s"))
     plan = fuzzy_match(df, "s", ["abd"])._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# quantile_bins
+# ---------------------------------------------------------------------------
+
+def test_quantile_bins_equal_frequency(spark):
+    from wicsmmiretl_spark.operators.sampling import quantile_bins
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "id: bigint, v: double")
+    out = {r.bin: (r.n, r.lo, r.hi) for r in quantile_bins(df, "v", "id", n_bins=5).collect()}
+    assert out == {1: (2, 0.0, 1.0), 2: (2, 2.0, 3.0), 3: (2, 4.0, 5.0),
+                   4: (2, 6.0, 7.0), 5: (2, 8.0, 9.0)}
+
+
+def test_quantile_bins_remainder_to_leading_buckets(spark):
+    from wicsmmiretl_spark.operators.sampling import quantile_bins
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(7)], "id: bigint, v: double")
+    out = {r.bin: r.n for r in quantile_bins(df, "v", "id", n_bins=3).collect()}
+    assert out == {1: 3, 2: 2, 3: 2}
+
+
+def test_quantile_bins_ties_split_deterministically(spark):
+    from wicsmmiretl_spark.operators.sampling import quantile_bins
+
+    df = spark.createDataFrame([(i, 1.0) for i in range(4)], "id: bigint, v: double")
+    a = sorted(tuple(r) for r in quantile_bins(df, "v", "id", n_bins=2).collect())
+    b = sorted(tuple(r) for r in quantile_bins(df.repartition(7), "v", "id", n_bins=2).collect())
+    assert a == b == [(1, 2, 1.0, 1.0), (2, 2, 1.0, 1.0)]
+
+
+def test_quantile_bins_validates(spark):
+    import pytest as _pytest
+    from wicsmmiretl_spark.operators.sampling import quantile_bins
+
+    df = spark.createDataFrame([(1, 1.0)], "id: bigint, v: double")
+    with _pytest.raises(ValueError, match="n_bins"):
+        quantile_bins(df, "v", "id", n_bins=1)
+    with _pytest.raises(ValueError, match="column"):
+        quantile_bins(df, "ghost", "id")

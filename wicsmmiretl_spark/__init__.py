@@ -102,6 +102,7 @@ from wicsmmiretl_spark.operators.sampling import (
     deterministic_shuffle,
     hash_split,
     mix_corpus,
+    quantile_bins,
     stratified_sample,
     top_k,
     train_test_split,
@@ -159,6 +160,7 @@ __all__ = [
     "cms_heavy_hitters",
     "corr_matrix",
     "triangle_stats",
+    "quantile_bins",
     # aggregates
     "column_stats",
     "grouped_stats_matrix",

@@ -180,6 +180,50 @@ def mix_corpus(
     return stratified_sample(df, source_col, fractions, key_cols, seed)
 
 
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equal-frequency (quantile) binning of a numeric column — the
+    feature-engineering discretizer (decile features, calibration buckets,
+    per-bin monitoring).
+
+    ``ntile`` over a TOTAL order: ``tiebreak_col`` must be a unique key so
+    equal values have a deterministic bin split (both Spark and DuckDB
+    fill remainder rows into the leading buckets — identical semantics on
+    an identical order). NULL values are excluded (a NULL is a missing
+    feature, not a quantile).
+
+    One global-sort window is the honest cost of exact equal-frequency
+    binning; at 100 TB use the two-level form — per-partition ntile over
+    ``repartitionByRange(value_col)`` gives the same bins because range
+    partitioning already orders partitions — or accept approximate
+    boundaries from a sampled sort. This operator is the exact small/mid
+    -scale tool and the correctness oracle for either scale path.
+
+    Output: bin int (1-based), n bigint, lo/hi double (bin min/max).
+    """
+    if n_bins < 2:
+        raise ValueError(f"quantile_bins: n_bins must be >= 2, got {n_bins}")
+    for c in (value_col, tiebreak_col):
+        if c not in df.columns:
+            raise ValueError(f"quantile_bins: column {c!r} not in {df.columns}")
+    w = Window.orderBy(F.asc(value_col), F.asc(tiebreak_col))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(value_col).alias("_v"), F.ntile(n_bins).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

@@ -4276,6 +4276,30 @@ def q_part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(edges, "p1", "p2")
 
 
+@query(
+    "events_value_deciles",
+    """
+    WITH b AS (
+      SELECT value AS v,
+             ntile(10) OVER (ORDER BY value ASC, event_id ASC) AS bin
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n, min(v) AS lo, max(v) AS hi
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+)
+def q_events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency feature binning: exact deciles of events.value with
+    the event_id tiebreak making the equal-value split deterministic in
+    both engines. The global-sort window is the honest exact-binning cost;
+    the docstring records the repartitionByRange two-level form for scale
+    (operators/sampling.py:quantile_bins)."""
+    from wicsmmiretl_spark.operators.sampling import quantile_bins
+
+    ev = _t(spark, sf_dir, "events")
+    return quantile_bins(ev, "value", "event_id", n_bins=10)
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -4350,6 +4374,7 @@ _DEFERRED_QUERIES = (
     "bpe_merge_table",          # BPE tokenizer training: vocab_top100 (in-window) covers tokenize; kmeans family covers iterative collect
     "lineitem_corr_matrix",     # exact Pearson matrix: pricing_summary + stats_matrix families (in-window) cover one-pass aggs
     "part_copurchase_triangles",  # triangle census: event_chain_components + order_graph_pagerank (deferred twins) cover graph analytics
+    "events_value_deciles",     # exact equal-frequency binning: quantity_quantiles (in-window) covers exact quantiles
 )
 
 
