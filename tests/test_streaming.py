@@ -244,3 +244,17 @@ def test_watermark_drops_late_rows_across_restart(spark, tmp_path):
     _write(["2024-01-01 15:00:00", "2024-01-02 13:00:00"], 100)
     _run()
     assert [e for e in emitted if e] == [[(day_b, 2)]]  # late A row dropped
+
+
+def test_stream_hll_registers_equal_batch_even_when_doubled(spark, event_dir):
+    from wicsmmiretl_spark.operators.aggregates import hll_sketch
+    from wicsmmiretl_spark.streaming.windows import stream_hll_registers
+
+    doubled = read_event_stream(spark, event_dir).unionByName(
+        read_event_stream(spark, event_dir)
+    )
+    got = stream_hll_registers(doubled, "user_id", spark, p=7)
+    want = hll_sketch(spark.read.parquet(event_dir), "user_id", p=7)
+    # max-merge is idempotent: replayed/doubled rows change nothing, and the
+    # per-batch fold equals the single batch sketch bit-for-bit.
+    assert _rows(got) == _rows(want)

@@ -122,6 +122,7 @@ from wicsmmiretl_spark.operators.similarity import (
     pq_train,
 )
 from wicsmmiretl_spark.session import get_spark, stop_spark
+from wicsmmiretl_spark.streaming.windows import stream_hll_registers
 
 __all__ = [
     # session / catalog
@@ -161,6 +162,7 @@ __all__ = [
     "corr_matrix",
     "triangle_stats",
     "quantile_bins",
+    "stream_hll_registers",
     # aggregates
     "column_stats",
     "grouped_stats_matrix",

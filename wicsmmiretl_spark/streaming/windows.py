@@ -208,3 +208,58 @@ def run_to_memory_sink(
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def stream_hll_registers(
+    stream_df: DataFrame,
+    col: str,
+    spark: SparkSession,
+    p: int = 9,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Fold a mergeable HyperLogLog sketch over a stream: each micro-batch
+    aggregates to its own register table (<= 2**p rows) and merges into
+    driver-held state by elementwise max — the sketch-over-stream pattern
+    (count distinct users over an unbounded feed with O(2**p) memory,
+    no stateful shuffle operator, no watermark needed).
+
+    Correctness properties that make this safe where a counting fold is
+    not: max is associative, commutative, AND idempotent, so at-least-once
+    delivery (a replayed micro-batch after driver failure) folds to the
+    same registers — no exactly-once sink machinery required, and the
+    drained registers equal the batch ``hll_sketch`` of the full data
+    bit-for-bit. Driver traffic is <= 2**p small rows per batch;
+    the driver state is one dict of <= 2**p ints.
+
+    Returns the merged register table as a batch DataFrame
+    (bucket int, reg int) — feed it to ``hll_estimate``.
+    """
+    from wicsmmiretl_spark.operators.aggregates import hll_sketch
+
+    state: dict[int, int] = {}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        for r in hll_sketch(batch_df, col, p=p).collect():
+            b = int(r["bucket"])
+            state[b] = max(state.get(b, 0), int(r["reg"]))
+
+    prev = (
+        spark.conf.get("spark.sql.shuffle.partitions")
+        if shuffle_partitions is not None
+        else None
+    )
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(fold)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    rows = sorted(state.items())
+    return spark.createDataFrame(rows, "bucket int, reg int")

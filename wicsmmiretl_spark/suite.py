@@ -4300,6 +4300,30 @@ def q_events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_bins(ev, "value", "event_id", n_bins=10)
 
 
+@query("streaming_hll_distinct", None)
+def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-over-stream: the events drop-folder DOUBLED (two unioned
+    file streams — at-least-once replay) folded into HLL registers per
+    micro-batch via foreachBatch driver-side max-merge. Because register
+    max is idempotent, the replayed duplicates change nothing and the
+    drained sketch equals the batch sketch bit-for-bit — same oracle as
+    hll_distinct_users (streaming/windows.py:stream_hll_registers)."""
+    from wicsmmiretl_spark.operators.aggregates import hll_estimate
+    from wicsmmiretl_spark.streaming.windows import read_event_stream, stream_hll_registers
+
+    d = _events_dropdir(spark, sf_dir)
+    doubled = read_event_stream(spark, d).unionByName(read_event_stream(spark, d))
+    regs = stream_hll_registers(doubled, "user_id", spark, p=9)
+    est = hll_estimate(regs, p=9)
+    exact = _t(spark, sf_dir, "events").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+ORACLES["streaming_hll_distinct"] = ORACLES["hll_distinct_users"]
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -4375,6 +4399,7 @@ _DEFERRED_QUERIES = (
     "lineitem_corr_matrix",     # exact Pearson matrix: pricing_summary + stats_matrix families (in-window) cover one-pass aggs
     "part_copurchase_triangles",  # triangle census: event_chain_components + order_graph_pagerank (deferred twins) cover graph analytics
     "events_value_deciles",     # exact equal-frequency binning: quantity_quantiles (in-window) covers exact quantiles
+    "streaming_hll_distinct",   # sketch-over-stream: hll_distinct_users + streaming_dedup (deferred twins) cover the pieces
 )
 
 
