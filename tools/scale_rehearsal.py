@@ -63,6 +63,16 @@ REHEARSAL_QUERIES = (
     # star-round count stays ~log(diameter) — expect strongly sublinear.
     "event_chain_components",
     "pq_adc_topk",
+    # Session-2 r7 additions. triangles: 10 disjoint graph copies — wedge
+    # volume scales with edges, not quadratically. bpe: the Caesar-rotated
+    # copies give a 10x vocabulary, so the per-iteration pair agg is the
+    # thing being scaled. bloom: 10x fact AND 10x dim keys — the word
+    # table grows, the prune rate stays constant.
+    "part_copurchase_triangles",
+    "bpe_merge_table",
+    "cms_heavy_tokens",
+    "bloom_pruned_revenue",
+    "user_activity_spans",
 )
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
@@ -122,15 +132,30 @@ def synthesize(spark: SparkSession, out_dir: str) -> None:
         f"{out_dir}/embeddings.parquet"
     )
 
+    # lineitem/orders copies offset the join keys CONSISTENTLY (suppkey,
+    # orderkey, partkey all shift together), so supplier joins, the
+    # order-dim Bloom prune, and the part co-purchase graph each see 10
+    # disjoint re-keyed copies — 10x keys at constant per-key density, the
+    # realistic growth mode for every query in the rehearsal list.
     li = load_table(spark, "lineitem", BASE_SF)
     sup = load_table(spark, "supplier", BASE_SF)
-    s_off = 10**7
-    _scale_copies(
-        li, lambda df, i: df.withColumn("l_suppkey", F.col("l_suppkey") + F.lit(i * s_off))
-    ).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+    orders = load_table(spark, "orders", BASE_SF)
+    s_off, o_off, p_off = 10**7, 10**9, 10**8
+
+    def li_copy(df, i):
+        return (
+            df.withColumn("l_suppkey", F.col("l_suppkey") + F.lit(i * s_off))
+            .withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * o_off))
+            .withColumn("l_partkey", F.col("l_partkey") + F.lit(i * p_off))
+        )
+
+    _scale_copies(li, li_copy).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
     _scale_copies(
         sup, lambda df, i: df.withColumn("s_suppkey", F.col("s_suppkey") + F.lit(i * s_off))
     ).write.mode("overwrite").parquet(f"{out_dir}/supplier.parquet")
+    _scale_copies(
+        orders, lambda df, i: df.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * o_off))
+    ).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
 
     for name in TESTDATA_TABLES:
         src = f"{BASE_SF}/{name}.parquet"
