@@ -72,3 +72,18 @@ def test_gate_raises_over_budget(spark):
     with pytest.raises(ValueError, match="amount_positive=2/4"):
         dq_gate(rep)
     dq_gate(rep, max_violation_rate=0.5)  # 2/4 within budget
+
+
+def test_rule_names_may_contain_dots_and_spaces(spark):
+    out = dq_report(
+        _df(spark), row_rules={"amount > 0 (v1.2)": F.col("amount") > 0}
+    ).collect()[0]
+    assert out.rule == "amount > 0 (v1.2)" and out.violations == 2
+
+
+def test_reference_rule_validates_shape(spark):
+    ref = spark.createDataFrame([(1,)], "rk: bigint")
+    with pytest.raises(ValueError, match="matching non-empty"):
+        dq_report(_df(spark), references={"bad": ([], ref, [])})
+    with pytest.raises(ValueError, match="matching non-empty"):
+        dq_report(_df(spark), references={"bad": (["k"], ref, ["rk", "x"])})

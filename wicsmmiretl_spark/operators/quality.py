@@ -27,9 +27,6 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_SCHEMA_COLS = ("rule", "violations", "checked")
-
-
 def _report_row(rule: str, violations: Column, checked: Column) -> list[Column]:
     return [
         F.lit(rule).alias("rule"),
@@ -64,16 +61,17 @@ def dq_report(
         raise ValueError("dq_report: at least one rule is required")
     parts: list[DataFrame] = []
     if row_rules:
-        aggs = []
-        for name, pred in row_rules.items():
-            aggs.append(
-                F.sum(F.when(pred.isNull() | ~pred, 1).otherwise(0)).alias(f"_v_{name}")
-            )
+        # Positional aliases: rule names are display strings and may contain
+        # dots/spaces that would break column-name resolution if embedded.
+        aggs = [
+            F.sum(F.when(pred.isNull() | ~pred, 1).otherwise(0)).alias(f"_v_{i}")
+            for i, pred in enumerate(row_rules.values())
+        ]
         wide = df.agg(*aggs, F.count("*").alias("_n"))
         structs = F.array(
             *[
-                F.struct(*_report_row(name, F.col(f"_v_{name}"), F.col("_n")))
-                for name in row_rules
+                F.struct(*_report_row(name, F.col(f"_v_{i}"), F.col("_n")))
+                for i, name in enumerate(row_rules)
             ]
         )
         parts.append(wide.select(F.explode(structs).alias("_r")).select("_r.*"))
@@ -92,6 +90,11 @@ def dq_report(
             parts.append(agg.select(*_report_row(name, F.col("_n") - F.col("_d"), F.col("_n"))))
     if references:
         for name, (fk_cols, ref_df, ref_cols) in references.items():
+            if not fk_cols or len(fk_cols) != len(ref_cols):
+                raise ValueError(
+                    f"dq_report: reference rule {name!r} needs matching non-empty "
+                    f"fk_cols/ref_cols, got {list(fk_cols)} vs {list(ref_cols)}"
+                )
             nn = None
             for c in fk_cols:
                 cond = F.col(c).isNotNull()
