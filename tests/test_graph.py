@@ -176,3 +176,11 @@ def test_triangle_stats_validates(spark):
     df = spark.createDataFrame([(1, 2)], "src: bigint, dst: bigint")
     with _pytest.raises(ValueError, match="column"):
         triangle_stats(df, "nope", "dst")
+
+
+def test_triangle_stats_empty_graph(spark):
+    from wicsmmiretl_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame([], "src: bigint, dst: bigint")
+    out = triangle_stats(df).collect()[0]
+    assert tuple(out) == (0, 0, 0, 0, None)

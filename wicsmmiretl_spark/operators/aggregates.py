@@ -346,6 +346,8 @@ def corr_matrix(df: DataFrame, cols: Sequence[str], scale: int = 4) -> DataFrame
     """
     if len(cols) < 2:
         raise ValueError(f"corr_matrix: need at least 2 columns, got {list(cols)}")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"corr_matrix: duplicate columns in {list(cols)}")
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"corr_matrix: columns {missing} not in {df.columns}")

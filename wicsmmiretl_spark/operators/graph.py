@@ -350,8 +350,10 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     tri = wedges.join(closing, ["b1", "b2"]).agg(F.count("*").alias("n_triangles"))
     totals = deg.agg(
         F.count("*").alias("n_vertices"),
-        (F.sum("d") / 2).cast("long").alias("n_edges"),
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+        F.coalesce((F.sum("d") / 2).cast("long"), F.lit(0)).alias("n_edges"),
+        F.coalesce(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long"), F.lit(0)
+        ).alias("n_wedges"),
     )
     return (
         tri.crossJoin(F.broadcast(totals))

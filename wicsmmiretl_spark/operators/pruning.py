@@ -77,6 +77,8 @@ def bloom_prune(
     the test inside codegen. Rows with NULL keys are dropped (equi-join
     semantics). Guaranteed superset of the true matching rows.
     """
+    if not words:
+        raise ValueError("bloom_prune: words must be a non-empty filter (from bloom_words)")
     num_bits = len(words) * 64
     spark = big.sparkSession
     bloom_df = spark.createDataFrame([(words,)], "_bloom: array<bigint>")
