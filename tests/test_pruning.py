@@ -76,3 +76,17 @@ def test_prune_is_map_side(spark):
     plan = bloom_prune(big, "k", words, num_hashes=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_saturated_filter_warns(spark):
+    import warnings
+
+    keys = spark.range(0, 2000).select(F.col("id").alias("k"))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        bloom_words(keys, "k", num_bits=1 << 10, num_hashes=5)  # 2000 keys, 1024 bits
+    assert any("ineffective" in str(w.message) for w in caught)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        bloom_words(keys, "k", num_bits=1 << 16, num_hashes=5)  # well sized
+    assert not caught

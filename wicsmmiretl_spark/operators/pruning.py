@@ -61,6 +61,23 @@ def bloom_words(small: DataFrame, key_col: str, num_bits: int = 1 << 17, num_has
     words = [0] * (num_bits // 64)
     for r in rows:
         words[r["word"]] = r["bits"]
+    # The filter is already on the driver — check saturation for free. At
+    # fill > 0.5 the false-positive rate is >= ~0.5^k and climbing fast:
+    # the prune silently stops pruning (results stay correct via the
+    # no-false-negative property; only the shuffle saving evaporates).
+    # Surfaced by the 10x scale rehearsal: a fixed num_bits with a growing
+    # dim side saturates — size ~10-15 bits per expected key.
+    fill = sum(bin(w & ((1 << 64) - 1)).count("1") for w in words) / num_bits
+    if fill > 0.5:
+        import warnings
+
+        warnings.warn(
+            f"bloom_words: filter is {fill:.0%} full (num_bits={num_bits}) — "
+            f"false-positive rate ~{fill**num_hashes:.2f}; the prune is "
+            "ineffective. Size num_bits to ~10-15 bits per dim-side key.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return words
 
 
