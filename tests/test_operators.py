@@ -755,3 +755,50 @@ def test_quantile_bins_validates(spark):
         quantile_bins(df, "v", "id", n_bins=1)
     with _pytest.raises(ValueError, match="column"):
         quantile_bins(df, "ghost", "id")
+
+
+# ---------------------------------------------------------------------------
+# stable_index
+# ---------------------------------------------------------------------------
+
+def test_stable_index_matches_global_window(spark):
+    from pyspark.sql import Window
+    from wicsmmiretl_spark.operators.sampling import stable_index
+
+    df = spark.range(0, 500).select(
+        (F.col("id") * 37 % 101).alias("v"), F.col("id").alias("k")
+    ).repartition(13)
+    got = {(r.v, r.k): r.idx for r in stable_index(df, ["v", "k"]).collect()}
+    w = Window.orderBy(F.asc("v"), F.asc("k"))
+    want = {(r.v, r.k): r.idx for r in df.withColumn("idx", F.row_number().over(w) - 1).collect()}
+    assert got == want
+
+
+def test_stable_index_dense_and_zero_based(spark):
+    from wicsmmiretl_spark.operators.sampling import stable_index
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    idxs = sorted(r.idx for r in stable_index(df, ["k"]).collect())
+    assert idxs == list(range(100))
+
+
+def test_stable_index_partitioning_invariant(spark):
+    from wicsmmiretl_spark.operators.sampling import stable_index
+
+    base = spark.range(0, 300).select((F.col("id") % 7).alias("v"), F.col("id").alias("k"))
+    a = sorted(tuple(r) for r in stable_index(base.coalesce(1), ["v", "k"]).collect())
+    b = sorted(tuple(r) for r in stable_index(base.repartition(17), ["v", "k"]).collect())
+    assert a == b
+
+
+def test_stable_index_validates(spark):
+    import pytest as _pytest
+    from wicsmmiretl_spark.operators.sampling import stable_index
+
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError, match="non-empty"):
+        stable_index(df, [])
+    with _pytest.raises(ValueError, match="not in"):
+        stable_index(df, ["ghost"])
+    with _pytest.raises(ValueError, match="'idx'"):
+        stable_index(df.withColumn("idx", F.lit(1)), ["k"])

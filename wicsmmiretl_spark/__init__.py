@@ -103,6 +103,7 @@ from wicsmmiretl_spark.operators.sampling import (
     hash_split,
     mix_corpus,
     quantile_bins,
+    stable_index,
     stratified_sample,
     top_k,
     train_test_split,
@@ -162,6 +163,7 @@ __all__ = [
     "corr_matrix",
     "triangle_stats",
     "quantile_bins",
+    "stable_index",
     "stream_hll_registers",
     # aggregates
     "column_stats",

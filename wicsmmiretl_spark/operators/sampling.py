@@ -325,3 +325,60 @@ def weighted_sample(
         .orderBy(F.desc("priority"), F.asc(id_col))
         .limit(k)
     )
+
+
+def stable_index(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "idx",
+) -> DataFrame:
+    """Contiguous 0-based global index in a total order — the DataFrame
+    answer to the reference's reset-index/positional-id idiom (SURVEY R6)
+    and to RDD ``zipWithIndex``, without either's downsides.
+
+    The naive form — ``row_number() OVER (ORDER BY ...)`` — funnels the
+    whole table through ONE task (Spark plans a single-partition window
+    for a global order). This operator gets the identical result in two
+    distributed passes: range-repartition on the order columns + local
+    sort, then one tiny per-partition count job whose cumulative offsets
+    (#partitions rows, broadcast back) turn partition-local row numbers
+    into global indexes. The heavy data is touched map-side only; the
+    global-order information travels entirely in the offsets.
+
+    ``order_cols`` must be a TOTAL order (include a unique tiebreak) —
+    otherwise ties would get partition-dependent indexes; this is the same
+    contract every deterministic-order operator in the suite carries. The
+    partitioned frame is pinned with a lazy checkpoint so the offset job
+    and the output see the SAME sampled range boundaries.
+
+    Output: input columns + ``out_col`` (bigint, 0-based, dense).
+    """
+    if not order_cols:
+        raise ValueError("stable_index: order_cols must be non-empty")
+    missing = [c for c in order_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"stable_index: columns {missing} not in {df.columns}")
+    if out_col in df.columns:
+        raise ValueError(f"stable_index: input already has a {out_col!r} column")
+    parts = (
+        df.repartitionByRange(*[F.asc(c) for c in order_cols])
+        .sortWithinPartitions(*[F.asc(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = parts.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    offsets = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["_n"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid: int, _off: bigint"
+    )
+    local = Window.partitionBy("_pid").orderBy(*[F.asc(c) for c in order_cols])
+    return (
+        parts.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.row_number().over(local) + F.col("_off") - 1)
+        .drop("_pid", "_off")
+    )

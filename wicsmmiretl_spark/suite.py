@@ -4324,6 +4324,28 @@ def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["streaming_hll_distinct"] = ORACLES["hll_distinct_users"]
 
 
+@query(
+    "documents_stable_index",
+    """
+    SELECT doc_id, n_chars,
+           CAST(row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) - 1 AS BIGINT) AS idx
+    FROM documents ORDER BY idx
+    """,
+)
+def q_documents_stable_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 upgraded from 'n/a in Spark' to a real operator: a contiguous
+    0-based global index over (n_chars, doc_id) computed WITHOUT the
+    single-task global window — range repartition + local sort, one
+    #partitions-row offset job, partition-local row numbers + broadcast
+    offsets. Identical to row_number()-1 on any partitioning
+    (operators/sampling.py:stable_index)."""
+    from wicsmmiretl_spark.operators.sampling import stable_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = stable_index(docs, ["n_chars", "doc_id"])
+    return out.select("doc_id", "n_chars", F.col("idx").cast("long").alias("idx")).orderBy("idx")
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -4400,6 +4422,7 @@ _DEFERRED_QUERIES = (
     "part_copurchase_triangles",  # triangle census: event_chain_components + order_graph_pagerank (deferred twins) cover graph analytics
     "events_value_deciles",     # exact equal-frequency binning: quantity_quantiles (in-window) covers exact quantiles
     "streaming_hll_distinct",   # sketch-over-stream: hll_distinct_users + streaming_dedup (deferred twins) cover the pieces
+    "documents_stable_index",   # distributed zipWithIndex: window_rank_events family covers rank; this is its no-global-sort form
 )
 
 
