@@ -121,3 +121,41 @@ def test_corr_matrix_validates(spark):
         corr_matrix(df, ["x"])
     with pytest.raises(ValueError, match="not in"):
         corr_matrix(df, ["x", "ghost"])
+
+
+# ---------------------------------------------------------------------------
+# profile_drift
+# ---------------------------------------------------------------------------
+
+def test_profile_drift_flags(spark):
+    from wicsmmiretl_spark.operators.aggregates import profile_drift
+
+    old = spark.createDataFrame(
+        [(i, "x") for i in range(100)], "k: bigint, c: string"
+    )
+    # new: half the keys collapsed to one value (distinct crash) and 10% nulls in c.
+    new = spark.createDataFrame(
+        [(i % 10, None if i < 10 else "x") for i in range(100)], "k: bigint, c: string"
+    )
+    out = {r["column"]: r for r in profile_drift(old, new, ["k", "c"]).collect()}
+    assert out["k"].distinct_ratio == 0.1 and bool(out["k"].distinct_drift)
+    assert out["c"].new_null_frac == 0.1 and bool(out["c"].null_drift)
+    assert out["k"].row_delta_frac == 0.0
+
+
+def test_profile_drift_boundary_is_not_drift(spark):
+    from wicsmmiretl_spark.operators.aggregates import profile_drift
+
+    old = spark.createDataFrame([(1,), (2,)], "k: bigint")
+    new = spark.createDataFrame([(1,), (2,), (3,), (4,)], "k: bigint")
+    out = profile_drift(old, new, ["k"]).collect()[0]
+    assert out.distinct_ratio == 2.0 and not out.distinct_drift  # strict bound
+
+
+def test_profile_drift_validates(spark):
+    import pytest as _pytest
+    from wicsmmiretl_spark.operators.aggregates import profile_drift
+
+    df = spark.createDataFrame([(1,)], "k: bigint")
+    with _pytest.raises(ValueError, match="distinct_ratio_tol"):
+        profile_drift(df, df, ["k"], distinct_ratio_tol=0.0)

@@ -57,6 +57,7 @@ from wicsmmiretl_spark.operators.aggregates import (
     hll_estimate,
     hll_merge,
     hll_sketch,
+    profile_drift,
     profile_table,
     resample_ffill,
     robust_outliers,
@@ -161,6 +162,7 @@ __all__ = [
     "cms_estimate",
     "cms_heavy_hitters",
     "corr_matrix",
+    "profile_drift",
     "triangle_stats",
     "quantile_bins",
     "stable_index",

@@ -654,3 +654,72 @@ def resample_ffill(
             "value",
         )
     )
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    columns: Sequence[str],
+    null_frac_tol: float = 0.05,
+    distinct_ratio_tol: float = 0.5,
+) -> DataFrame:
+    """Statistical drift report between two snapshots of the same table —
+    the monitoring companion to ``snapshot_diff`` (which answers WHICH
+    rows changed; this answers DID THE DISTRIBUTION move): per column,
+    null-fraction delta and distinct-cardinality ratio, each with a
+    drift flag against a tolerance.
+
+    Flags are computed from the same 6dp-rounded statistics the report
+    shows (not from unrounded internals), so any engine recomputing the
+    report reproduces the flags bit-for-bit. Cost: one aggregation pass
+    per snapshot (``profile_table``) + a |columns|-row join.
+
+    Output per column: column, old_null_frac, new_null_frac, null_drift
+    boolean, old_distinct, new_distinct, distinct_ratio double (6dp,
+    new/max(old,1)), distinct_drift boolean (ratio outside
+    [tol, 1/tol]), row_delta_frac double (6dp).
+    """
+    if not 0 < distinct_ratio_tol <= 1:
+        raise ValueError(
+            f"profile_drift: distinct_ratio_tol must be in (0, 1], got {distinct_ratio_tol}"
+        )
+    po = profile_table(old, columns).select(
+        "column",
+        F.col("n_rows").alias("_old_rows"),
+        F.col("null_frac").alias("old_null_frac"),
+        F.col("n_distinct").alias("old_distinct"),
+    )
+    pn = profile_table(new, columns).select(
+        "column",
+        F.col("n_rows").alias("_new_rows"),
+        F.col("null_frac").alias("new_null_frac"),
+        F.col("n_distinct").alias("new_distinct"),
+    )
+    ratio = F.round(
+        F.col("new_distinct") / F.greatest(F.col("old_distinct"), F.lit(1)).cast("double"), 6
+    )
+    return (
+        po.join(pn, "column")
+        .withColumn("distinct_ratio", ratio)
+        .select(
+            "column",
+            "old_null_frac",
+            "new_null_frac",
+            (F.abs(F.col("new_null_frac") - F.col("old_null_frac")) > null_frac_tol).alias(
+                "null_drift"
+            ),
+            "old_distinct",
+            "new_distinct",
+            "distinct_ratio",
+            (
+                (F.col("distinct_ratio") < distinct_ratio_tol)
+                | (F.col("distinct_ratio") > 1.0 / distinct_ratio_tol)
+            ).alias("distinct_drift"),
+            F.round(
+                (F.col("_new_rows") - F.col("_old_rows"))
+                / F.greatest(F.col("_old_rows"), F.lit(1)).cast("double"),
+                6,
+            ).alias("row_delta_frac"),
+        )
+        .orderBy("column")
+    )

@@ -4346,6 +4346,79 @@ def q_documents_stable_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars", F.col("idx").cast("long").alias("idx")).orderBy("idx")
 
 
+def _profile_sql(table: str, cols: tuple[str, ...]) -> str:
+    blocks = [
+        f"""SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(count(*) FILTER ({c} IS NULL) AS DOUBLE) / count(*), 6) AS null_frac,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM {table}"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(blocks)
+
+
+_DRIFT_COLS = ("c_acctbal", "c_mktsegment", "c_name")
+
+
+@query(
+    "customer_profile_drift",
+    f"""
+    WITH newsnap AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_custkey % 13 = 1 THEN c_mktsegment || '#m' ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 10 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name || '#new', c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 20 = 0
+    ),
+    po AS ({_profile_sql("customer", _DRIFT_COLS)}),
+    pn AS ({_profile_sql("newsnap", _DRIFT_COLS)}),
+    j AS (
+      SELECT po."column" AS "column", po.null_frac AS old_null_frac, pn.null_frac AS new_null_frac,
+             po.n_distinct AS old_distinct, pn.n_distinct AS new_distinct,
+             round(CAST(pn.n_distinct AS DOUBLE) / greatest(po.n_distinct, 1), 6) AS distinct_ratio,
+             po.n_rows AS oro, pn.n_rows AS nro
+      FROM po JOIN pn ON po."column" = pn."column"
+    )
+    SELECT "column", old_null_frac, new_null_frac,
+           abs(new_null_frac - old_null_frac) > 0.05 AS null_drift,
+           old_distinct, new_distinct, distinct_ratio,
+           (distinct_ratio < 0.5 OR distinct_ratio > 2.0) AS distinct_drift,
+           round((nro - oro) / CAST(greatest(oro, 1) AS DOUBLE), 6) AS row_delta_frac
+    FROM j ORDER BY "column"
+    """,
+)
+def q_customer_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring between the customer snapshot and its
+    derived successor (same derivation as customer_snapshot_diff): per
+    column, null-fraction delta and distinct-cardinality ratio with
+    tolerance flags computed from the rounded report statistics, so any
+    engine reproduces the flags bit-for-bit
+    (operators/aggregates.py:profile_drift)."""
+    from wicsmmiretl_spark.operators.aggregates import profile_drift
+
+    cust = _t(spark, sf_dir, "customer")
+    upd = cust.filter(F.col("c_custkey") % 10 != 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 7 == 3, F.col("c_acctbal") + 10)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 13 == 1, F.concat(F.col("c_mktsegment"), F.lit("#m")))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    ins = cust.filter(F.col("c_custkey") % 20 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.col("c_name"), F.lit("#new")).alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    return profile_drift(cust, upd.unionByName(ins), list(_DRIFT_COLS))
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -4423,6 +4496,7 @@ _DEFERRED_QUERIES = (
     "events_value_deciles",     # exact equal-frequency binning: quantity_quantiles (in-window) covers exact quantiles
     "streaming_hll_distinct",   # sketch-over-stream: hll_distinct_users + streaming_dedup (deferred twins) cover the pieces
     "documents_stable_index",   # distributed zipWithIndex: window_rank_events family covers rank; this is its no-global-sort form
+    "customer_profile_drift",   # stats-drift monitor: documents_profile + customer_snapshot_diff (deferred twins) cover the pieces
 )
 
 
