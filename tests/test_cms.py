@@ -159,3 +159,57 @@ def test_profile_drift_validates(spark):
     df = spark.createDataFrame([(1,)], "k: bigint")
     with _pytest.raises(ValueError, match="distinct_ratio_tol"):
         profile_drift(df, df, ["k"], distinct_ratio_tol=0.0)
+
+
+# ---------------------------------------------------------------------------
+# grouped_ols
+# ---------------------------------------------------------------------------
+
+def test_grouped_ols_perfect_line(spark):
+    from wicsmmiretl_spark.operators.aggregates import grouped_ols
+
+    rows = [("g", float(x), 2.0 * x + 3.0) for x in range(10)]
+    df = spark.createDataFrame(rows, "g: string, x: double, y: double")
+    out = grouped_ols(df, ["g"], "x", "y", x_scale=2, y_scale=2).collect()[0]
+    assert (out.n, out.slope, out.intercept, out.r2) == (10, 2.0, 3.0, 1.0)
+
+
+def test_grouped_ols_per_group_independence(spark):
+    from wicsmmiretl_spark.operators.aggregates import grouped_ols
+
+    rows = [("up", float(x), float(x)) for x in range(5)] + [
+        ("down", float(x), float(-x)) for x in range(5)
+    ]
+    df = spark.createDataFrame(rows, "g: string, x: double, y: double")
+    out = {r.g: r.slope for r in grouped_ols(df, ["g"], "x", "y", y_scale=2).collect()}
+    assert out == {"up": 1.0, "down": -1.0}
+
+
+def test_grouped_ols_zero_x_variance_is_null(spark):
+    from wicsmmiretl_spark.operators.aggregates import grouped_ols
+
+    df = spark.createDataFrame(
+        [("g", 5.0, 1.0), ("g", 5.0, 2.0)], "g: string, x: double, y: double"
+    )
+    out = grouped_ols(df, ["g"], "x", "y").collect()[0]
+    assert out.slope is None and out.intercept is None and out.r2 is None
+
+
+def test_grouped_ols_null_rows_dropped(spark):
+    from wicsmmiretl_spark.operators.aggregates import grouped_ols
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", None, 9.0), ("g", 3.0, None)],
+        "g: string, x: double, y: double",
+    )
+    out = grouped_ols(df, ["g"], "x", "y", y_scale=2).collect()[0]
+    assert out.n == 2 and out.slope == 1.0
+
+
+def test_grouped_ols_validates(spark):
+    import pytest as _pytest
+    from wicsmmiretl_spark.operators.aggregates import grouped_ols
+
+    df = spark.createDataFrame([("g", 1.0, 1.0)], "g: string, x: double, y: double")
+    with _pytest.raises(ValueError, match="not in"):
+        grouped_ols(df, ["g"], "ghost", "y")

@@ -63,6 +63,7 @@ from wicsmmiretl_spark.operators.aggregates import (
     robust_outliers,
     incremental_agg_build,
     incremental_agg_merge,
+    grouped_ols,
     grouped_stats_matrix,
     null_count,
     skew_report,
@@ -163,6 +164,7 @@ __all__ = [
     "cms_heavy_hitters",
     "corr_matrix",
     "profile_drift",
+    "grouped_ols",
     "triangle_stats",
     "quantile_bins",
     "stable_index",

@@ -723,3 +723,66 @@ def profile_drift(
         )
         .orderBy("column")
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    x_scale: int = 0,
+    y_scale: int = 4,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend (y = slope·x + intercept)
+    with R² — the million-models shape (one regression per key: per-source
+    quality trend, per-type value drift) that MLlib's single-model fit
+    doesn't cover.
+
+    Same engine-exactness recipe as ``corr_matrix``: the five moments
+    (Σx, Σy, Σx², Σxy, Σy²) accumulate as scaled integers in decimal(38)
+    — order-independent on any partitioning — and the closed form runs
+    once per group in double. ``x_scale``/``y_scale`` set the per-row
+    decimal rounding (0 for already-integer x like epoch days). Rows with
+    a NULL in x or y are dropped. Zero x-variance → NULL slope/intercept/
+    r²; zero y-variance → r² NULL (slope 0 is still well-defined).
+
+    One partial-aggregated pass; output is |groups| rows:
+    group cols, n bigint, slope, intercept, r2 (all double, 6dp).
+    """
+    for c in (*group_cols, x_col, y_col):
+        if c not in df.columns:
+            raise ValueError(f"grouped_ols: column {c!r} not in {df.columns}")
+    mx, my = 10**x_scale, 10**y_scale
+    X = F.round(F.col(x_col) * mx).cast("long")
+    Y = F.round(F.col(y_col) * my).cast("long")
+    dec = "decimal(38,0)"
+    base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    agg = base.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(X.cast(dec)).alias("_sx"),
+        F.sum(Y.cast(dec)).alias("_sy"),
+        F.sum((X * X).cast(dec)).alias("_sxx"),
+        F.sum((X * Y).cast(dec)).alias("_sxy"),
+        F.sum((Y * Y).cast(dec)).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, sxy, syy = (
+        F.col("_sxx").cast("double"),
+        F.col("_sxy").cast("double"),
+        F.col("_syy").cast("double"),
+    )
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope_scaled = cov / dx
+    slope = slope_scaled * F.lit(float(mx)) / F.lit(float(my))
+    intercept = (sy / n) / F.lit(float(my)) - slope * ((sx / n) / F.lit(float(mx)))
+    r2 = (cov * cov) / (dx * dy)
+    return agg.select(
+        *group_cols,
+        "n",
+        F.when(dx != 0, F.round(slope, 6)).alias("slope"),
+        F.when(dx != 0, F.round(intercept, 6)).alias("intercept"),
+        F.when((dx != 0) & (dy != 0), F.round(r2, 6)).alias("r2"),
+    )

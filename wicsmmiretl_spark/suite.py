@@ -4419,6 +4419,56 @@ def q_customer_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_drift(cust, upd.unionByName(ins), list(_DRIFT_COLS))
 
 
+@query(
+    "event_value_trend_by_type",
+    """
+    WITH base AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS x,
+             CAST(round(value * 10000) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM base GROUP BY 1
+    ),
+    d AS (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM m
+    )
+    SELECT event_type, n,
+           CASE WHEN dx <> 0 THEN round((cov / dx) * 1.0 / 10000.0, 6) END AS slope,
+           CASE WHEN dx <> 0 THEN round((syd / CAST(n AS DOUBLE)) / 10000.0
+                 - ((cov / dx) * 1.0 / 10000.0) * ((sxd / CAST(n AS DOUBLE)) / 1.0), 6) END AS intercept,
+           CASE WHEN dx <> 0 AND dy <> 0 THEN round((cov * cov) / (dx * dy), 6) END AS r2
+    FROM d ORDER BY event_type
+    """,
+)
+def q_event_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Million-models regression: per event_type, the OLS trend of value
+    over epoch-day — five scaled-integer moments per group in one
+    partial-aggregated pass, closed form in double once
+    (operators/aggregates.py:grouped_ols). x = integer epoch days (exact
+    DIV in both engines), y scaled 1e4."""
+    from wicsmmiretl_spark.operators.aggregates import grouped_ols
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("x"),
+        "value",
+    )
+    return grouped_ols(
+        base, ["event_type"], "x", "value", x_scale=0, y_scale=4
+    ).orderBy("event_type")
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -4497,6 +4547,7 @@ _DEFERRED_QUERIES = (
     "streaming_hll_distinct",   # sketch-over-stream: hll_distinct_users + streaming_dedup (deferred twins) cover the pieces
     "documents_stable_index",   # distributed zipWithIndex: window_rank_events family covers rank; this is its no-global-sort form
     "customer_profile_drift",   # stats-drift monitor: documents_profile + customer_snapshot_diff (deferred twins) cover the pieces
+    "event_value_trend_by_type",  # grouped OLS: lineitem_corr_matrix (deferred twin) covers the exact-moment machinery
 )
 
 
