@@ -129,3 +129,48 @@ def test_bigram_surprisal_orders_quality(spark):
     assert set(out) == {1, 2}
     assert out[1][0] == 59 and out[2][0] == 7
     assert out[1][1] < out[2][1]
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations
+# ---------------------------------------------------------------------------
+
+def test_pmi_prefers_exclusive_pairs(spark):
+    import math
+
+    import pytest
+
+    from wicsmmiretl_spark.functions.text import pmi_collocations
+
+    # "a b" always co-occur (exclusive); "x y" co-occur but x/y also appear alone.
+    docs = spark.createDataFrame(
+        [(1, "a b " * 10 + "x y " * 10 + "x z y q " * 10)],
+        "doc_id: bigint, text: string",
+    )
+    out = {(r.w1, r.w2): r.pmi for r in pmi_collocations(docs, min_count=5, k=50).collect()}
+    assert out[("a", "b")] > out[("x", "y")]
+    # Hand value: c_ab=10, c_a=c_b=10, N=79 bigrams, W=80 tokens ->
+    # pmi = ln(10*80*80/(79*10*10)) = ln(8.101...)
+    assert out[("a", "b")] == pytest.approx(math.log(10 * 80 * 80 / (79 * 10 * 10)), abs=1e-5)
+
+
+def test_pmi_min_count_floors(spark):
+    from wicsmmiretl_spark.functions.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "rare pair " + "common duo " * 20)], "doc_id: bigint, text: string"
+    )
+    out = {(r.w1, r.w2) for r in pmi_collocations(docs, min_count=10, k=50).collect()}
+    assert ("rare", "pair") not in out and ("common", "duo") in out
+
+
+def test_pmi_validates(spark):
+    import pytest
+
+    from wicsmmiretl_spark.functions.text import pmi_collocations
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id: bigint, text: string")
+    with pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(docs, min_count=0)
+    with pytest.raises(ValueError, match="k"):
+        pmi_collocations(docs, k=0)

@@ -41,6 +41,7 @@ from wicsmmiretl_spark.functions.text import (
     caption_stats,
     fingerprint,
     language_id,
+    pmi_collocations,
     pos_tag_stats,
     quality_score,
     token_counts,
@@ -165,6 +166,7 @@ __all__ = [
     "corr_matrix",
     "profile_drift",
     "grouped_ols",
+    "pmi_collocations",
     "triangle_stats",
     "quantile_bins",
     "stable_index",

@@ -398,3 +398,69 @@ def bigram_surprisal(
             ).alias("avg_surprisal"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 30,
+    k: int = 30,
+) -> DataFrame:
+    """Collocation mining: the k adjacent token pairs with the highest
+    pointwise mutual information (Church & Hanks 1990 — public
+    literature), the signal behind multi-word-expression vocabularies and
+    tokenizer pre-merges.
+
+    pmi(x, y) = ln( p(xy) / (p(x)·p(y)) ) with p(xy) = c_xy/N over bigram
+    occurrences and p(x) = c_x/W over token occurrences. All counts are
+    exact integers from two partial-aggregated explodes; the single ln
+    runs on identical doubles in any engine and the 6dp round absorbs the
+    last-ulp libm difference (the bm25 precedent). ``min_count`` floors
+    the bigram count — PMI is noise-dominated at low counts (a pair seen
+    twice from singleton tokens scores absurdly high), and the floor also
+    bounds the candidate set at scale.
+
+    Shuffle shape: one bigram count + one unigram count (both token-
+    keyed); the unigram table is vocabulary-sized and broadcasts onto the
+    bigram candidates twice. Output: w1, w2, pair_count bigint,
+    pmi double (6dp), k rows by (pmi desc, w1, w2).
+    """
+    if min_count < 1:
+        raise ValueError(f"pmi_collocations: min_count must be >= 1, got {min_count}")
+    if k < 1:
+        raise ValueError(f"pmi_collocations: k must be >= 1, got {k}")
+    toks = docs.select(tokens(text_col).alias("t"))
+    n_t = F.size("t")
+    bigrams = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, n_t - 1).alias("w1"),
+                F.slice(F.col("t"), 2, n_t - 1).alias("w2"),
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bc = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
+    uc = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    totals = bigrams.agg(F.count("*").alias("nb")).crossJoin(
+        toks.select(F.explode("t").alias("w")).agg(F.count("*").alias("wt"))
+    )
+    cand = bc.filter(F.col("pair_count") >= min_count)
+    joined = (
+        cand.join(F.broadcast(uc.withColumnsRenamed({"w": "w1", "wc": "c1"})), "w1")
+        .join(F.broadcast(uc.withColumnsRenamed({"w": "w2", "wc": "c2"})), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    c = F.col("pair_count").cast("double")
+    w = F.col("wt").cast("double")
+    pmi = F.round(
+        F.log((c * w * w) / ((F.col("nb").cast("double") * F.col("c1")) * F.col("c2"))), 6
+    )
+    return (
+        joined.select("w1", "w2", "pair_count", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )

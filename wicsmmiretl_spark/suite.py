@@ -4469,6 +4469,40 @@ def q_event_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+@query(
+    "pmi_collocations_top",
+    f"""
+    WITH toks AS (SELECT {_SQL_TOKS} AS t FROM documents),
+    big AS (SELECT t[i+1] AS w1, t[i+2] AS w2
+            FROM (SELECT t, unnest(range(len(t)-1)) AS i FROM toks)),
+    bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count FROM big GROUP BY 1, 2),
+    uc AS (SELECT w, CAST(count(*) AS BIGINT) AS wc
+           FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+    tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM big) AS nb,
+                   (SELECT CAST(count(*) AS BIGINT) FROM (SELECT unnest(t) FROM toks)) AS wt)
+    SELECT w1, w2, pair_count,
+           round(ln((CAST(pair_count AS DOUBLE) * CAST(wt AS DOUBLE) * CAST(wt AS DOUBLE))
+                    / ((CAST(nb AS DOUBLE) * CAST(u1.wc AS DOUBLE)) * CAST(u2.wc AS DOUBLE))), 6) AS pmi
+    FROM bc
+    JOIN uc u1 ON u1.w = bc.w1
+    JOIN uc u2 ON u2.w = bc.w2
+    CROSS JOIN tot
+    WHERE pair_count >= 30
+    ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 30
+    """,
+)
+def q_pmi_collocations_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-30 adjacent token pairs by pointwise mutual
+    information with a 30-occurrence floor — exact integer counts from two
+    token-keyed partial aggs, vocabulary-sized unigram table broadcast
+    onto the candidates, one ln at the end (6dp round absorbs libm ulp)
+    (functions/text.py:pmi_collocations)."""
+    from wicsmmiretl_spark.functions.text import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "text", min_count=30, k=30)
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -4548,6 +4582,7 @@ _DEFERRED_QUERIES = (
     "documents_stable_index",   # distributed zipWithIndex: window_rank_events family covers rank; this is its no-global-sort form
     "customer_profile_drift",   # stats-drift monitor: documents_profile + customer_snapshot_diff (deferred twins) cover the pieces
     "event_value_trend_by_type",  # grouped OLS: lineitem_corr_matrix (deferred twin) covers the exact-moment machinery
+    "pmi_collocations_top",     # PMI collocations: bigram_surprisal_docs + vocab_top100 (deferred/in-window) cover bigram counting
 )
 
 
