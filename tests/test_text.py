@@ -174,3 +174,43 @@ def test_pmi_validates(spark):
         pmi_collocations(docs, min_count=0)
     with pytest.raises(ValueError, match="k"):
         pmi_collocations(docs, k=0)
+
+
+# ---------------------------------------------------------------------------
+# feature_hash
+# ---------------------------------------------------------------------------
+
+def test_feature_hash_deterministic_and_parallel_arrays(spark):
+    from wicsmmiretl_spark.functions.text import feature_hash
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "alpha beta alpha")], "doc_id: bigint, text: string"
+    )
+    out = {r.doc_id: (r.indices, r.values) for r in feature_hash(docs, num_features=512).collect()}
+    assert out[1] == out[2]  # same text -> identical vector
+    idx, vals = out[1]
+    assert idx == sorted(idx) and len(idx) == len(vals)
+    # Signed counts: |alpha| contributes 2, |beta| 1 (signs may flip values).
+    assert sorted(abs(v) for v in vals) == [1, 2]
+
+
+def test_feature_hash_stable_under_repartition(spark):
+    from wicsmmiretl_spark.functions.text import feature_hash
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 11} tok{i % 7} common") for i in range(200)],
+        "doc_id: bigint, text: string",
+    )
+    a = sorted(tuple(r) for r in feature_hash(docs.coalesce(1), num_features=32).collect())
+    b = sorted(tuple(r) for r in feature_hash(docs.repartition(9), num_features=32).collect())
+    assert a == b
+
+
+def test_feature_hash_validates(spark):
+    import pytest
+
+    from wicsmmiretl_spark.functions.text import feature_hash
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id: bigint, text: string")
+    with pytest.raises(ValueError, match="num_features"):
+        feature_hash(docs, num_features=1)

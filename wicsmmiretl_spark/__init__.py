@@ -39,6 +39,7 @@ from wicsmmiretl_spark.functions.strings import (
 from wicsmmiretl_spark.functions.text import (
     bigram_surprisal,
     caption_stats,
+    feature_hash,
     fingerprint,
     language_id,
     pmi_collocations,
@@ -167,6 +168,7 @@ __all__ = [
     "profile_drift",
     "grouped_ols",
     "pmi_collocations",
+    "feature_hash",
     "triangle_stats",
     "quantile_bins",
     "stable_index",

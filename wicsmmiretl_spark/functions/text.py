@@ -464,3 +464,54 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(k)
     )
+
+
+def feature_hash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_features: int = 1024,
+) -> DataFrame:
+    """Hashing-trick vectorizer (Weinberger et al. 2009 — public
+    literature): each document becomes a sparse bag-of-words vector of
+    fixed dimension ``num_features``, with a sign hash de-biasing
+    collisions (colliding tokens cancel in expectation instead of
+    inflating the bucket). The fixed dimension is the point at 100 TB —
+    no vocabulary table to build, broadcast, or version; any executor
+    maps any token to its bucket statelessly.
+
+    Deterministic md5 hashing (engine-reproducible like the HLL/CMS
+    sketches): bucket = first 16 md5 bits mod ``num_features``; sign =
+    bit 0 of the next hex digit. One explode + two doc-keyed partial
+    aggs; zero-sum buckets (perfect cancellation) are dropped like any
+    absent feature.
+
+    Output: id, indices array<int> (ascending), values array<bigint>
+    (signed counts, parallel to indices).
+    """
+    if not 2 <= num_features <= 1 << 20:
+        raise ValueError(
+            f"feature_hash: num_features must be in [2, 2^20], got {num_features}"
+        )
+    h = F.md5(F.col("_tok"))
+    bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % num_features).cast("int")
+    sign = F.when(
+        F.conv(F.substring(h, 5, 1), 16, 10).cast("int") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    pairs = (
+        docs.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok"))
+        .select("_id", bucket.alias("_b"), sign.alias("_s"))
+        .groupBy("_id", "_b")
+        .agg(F.sum("_s").alias("_v"))
+        .filter(F.col("_v") != 0)
+    )
+    entries = F.sort_array(F.collect_list(F.struct(F.col("_b"), F.col("_v"))))
+    return (
+        pairs.groupBy("_id")
+        .agg(entries.alias("_e"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.transform("_e", lambda e: e["_b"]).alias("indices"),
+            F.transform("_e", lambda e: e["_v"]).alias("values"),
+        )
+    )

@@ -4503,6 +4503,35 @@ def q_pmi_collocations_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(docs, "text", min_count=30, k=30)
 
 
+@query(
+    "doc_feature_vectors",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents),
+    hb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 4))::BIGINT % 64 AS INT) AS b,
+             CASE WHEN ('0x' || substr(md5(tok), 5, 1))::INT % 2 = 0 THEN 1 ELSE -1 END AS s
+      FROM toks
+    ),
+    agg AS (
+      SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v
+      FROM hb GROUP BY 1, 2 HAVING sum(s) <> 0
+    )
+    SELECT doc_id, list(b ORDER BY b) AS indices, list(v ORDER BY b) AS values
+    FROM agg GROUP BY doc_id
+    """,
+)
+def q_doc_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization: every document as a 64-bucket signed
+    bag-of-words sparse vector — stateless fixed-dimension feature map,
+    no vocabulary table at any scale; md5 bucket/sign replayed exactly by
+    the oracle (functions/text.py:feature_hash)."""
+    from wicsmmiretl_spark.functions.text import feature_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    return feature_hash(docs, num_features=64)
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -4583,6 +4612,7 @@ _DEFERRED_QUERIES = (
     "customer_profile_drift",   # stats-drift monitor: documents_profile + customer_snapshot_diff (deferred twins) cover the pieces
     "event_value_trend_by_type",  # grouped OLS: lineitem_corr_matrix (deferred twin) covers the exact-moment machinery
     "pmi_collocations_top",     # PMI collocations: bigram_surprisal_docs + vocab_top100 (deferred/in-window) cover bigram counting
+    "doc_feature_vectors",      # hashing-trick vectorizer: cms/hll sketch family covers md5 bucket arithmetic
 )
 
 
