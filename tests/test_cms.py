@@ -213,3 +213,45 @@ def test_grouped_ols_validates(spark):
     df = spark.createDataFrame([("g", 1.0, 1.0)], "g: string, x: double, y: double")
     with _pytest.raises(ValueError, match="not in"):
         grouped_ols(df, ["g"], "ghost", "y")
+
+
+# ---------------------------------------------------------------------------
+# target_encode
+# ---------------------------------------------------------------------------
+
+def test_target_encode_shrinks_rare_toward_global(spark):
+    from wicsmmiretl_spark.operators.aggregates import target_encode
+
+    rows = [("common", 10.0)] * 100 + [("rare", 1000.0)]
+    df = spark.createDataFrame(rows, "c: string, y: double")
+    out = {r.category: r.encoded for r in target_encode(df, "c", "y", prior_weight=10.0).collect()}
+    gmean = (100 * 10.0 + 1000.0) / 101
+    # rare: (1000 + 10*gmean) / 11 — pulled hard toward the global mean.
+    assert out["rare"] == pytest.approx((1000.0 + 10 * gmean) / 11, abs=1e-4)
+    assert abs(out["common"] - 10.0) < abs(out["rare"] - 1000.0)
+
+
+def test_target_encode_zero_prior_is_plain_mean(spark):
+    from wicsmmiretl_spark.operators.aggregates import target_encode
+
+    df = spark.createDataFrame([("a", 2.0), ("a", 4.0), ("b", 10.0)], "c: string, y: double")
+    out = {r.category: (r.n, r.encoded) for r in target_encode(df, "c", "y", prior_weight=0.0).collect()}
+    assert out == {"a": (2, 3.0), "b": (1, 10.0)}
+
+
+def test_target_encode_null_category_is_a_level(spark):
+    from wicsmmiretl_spark.operators.aggregates import target_encode
+
+    df = spark.createDataFrame([(None, 4.0), ("a", 2.0), ("a", None)], "c: string, y: double")
+    out = {r.category: r.n for r in target_encode(df, "c", "y", prior_weight=0.0).collect()}
+    assert out == {None: 1, "a": 1}  # NULL target excluded, NULL category kept
+
+
+def test_target_encode_validates(spark):
+    from wicsmmiretl_spark.operators.aggregates import target_encode
+
+    df = spark.createDataFrame([("a", 1.0)], "c: string, y: double")
+    with pytest.raises(ValueError, match="prior_weight"):
+        target_encode(df, "c", "y", prior_weight=-1)
+    with pytest.raises(ValueError, match="not in"):
+        target_encode(df, "ghost", "y")

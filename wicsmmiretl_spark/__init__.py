@@ -69,6 +69,7 @@ from wicsmmiretl_spark.operators.aggregates import (
     grouped_stats_matrix,
     null_count,
     skew_report,
+    target_encode,
     trailing_aggregate,
 )
 from wicsmmiretl_spark.operators.decontaminate import ngram_contamination
@@ -169,6 +170,7 @@ __all__ = [
     "grouped_ols",
     "pmi_collocations",
     "feature_hash",
+    "target_encode",
     "triangle_stats",
     "quantile_bins",
     "stable_index",

@@ -786,3 +786,51 @@ def grouped_ols(
         F.when(dx != 0, F.round(intercept, 6)).alias("intercept"),
         F.when((dx != 0) & (dy != 0), F.round(r2, 6)).alias("r2"),
     )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    prior_weight: float = 100.0,
+    scale: int = 4,
+) -> DataFrame:
+    """Smoothed target encoding (the categorical-feature workhorse): each
+    category maps to ``(Σ target + m·global_mean) / (n + m)`` — the
+    empirical-Bayes shrinkage that keeps rare categories from memorizing
+    their few labels (m = ``prior_weight`` pseudo-observations of the
+    global mean).
+
+    Engine-exact: per-category and global sums accumulate as scaled
+    integers in decimal(38); the shrinkage formula runs once per category
+    in double from those exact sums. NULL targets are excluded
+    everywhere; NULL categories get their own encoding row (they are a
+    real level at serving time). One partial-aggregated pass + a
+    broadcast of the single global row.
+
+    Returns the MAPPING (not the joined frame): category, n bigint,
+    encoded double (6dp) — broadcast-join it onto any table that needs
+    the feature. |categories| rows.
+    """
+    if prior_weight < 0:
+        raise ValueError(f"target_encode: prior_weight must be >= 0, got {prior_weight}")
+    for c in (cat_col, target_col):
+        if c not in df.columns:
+            raise ValueError(f"target_encode: column {c!r} not in {df.columns}")
+    mult = 10**scale
+    t = F.round(F.col(target_col) * mult).cast("long").cast("decimal(38,0)")
+    base = df.filter(F.col(target_col).isNotNull())
+    per_cat = base.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count("*").alias("n"), F.sum(t).alias("_s")
+    )
+    glob = base.agg(F.count("*").alias("_gn"), F.sum(t).alias("_gs"))
+    gmean = F.col("_gs").cast("double") / F.col("_gn").cast("double")
+    enc = (
+        (F.col("_s").cast("double") + F.lit(prior_weight) * gmean)
+        / (F.col("n").cast("double") + F.lit(prior_weight))
+    ) / F.lit(float(mult))
+    return (
+        per_cat.crossJoin(F.broadcast(glob))
+        .select("category", "n", F.round(enc, 6).alias("encoded"))
+        .orderBy("category")
+    )

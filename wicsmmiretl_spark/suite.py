@@ -4532,6 +4532,38 @@ def q_doc_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature_hash(docs, num_features=64)
 
 
+@query(
+    "mktsegment_target_encoding",
+    """
+    WITH base AS (
+      SELECT c.c_mktsegment AS category, CAST(round(o.o_totalprice * 100) AS BIGINT) AS t
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_totalprice IS NOT NULL
+    ),
+    pc AS (SELECT category, CAST(count(*) AS BIGINT) AS n, sum(t) AS s FROM base GROUP BY 1),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS gn, sum(t) AS gs FROM base)
+    SELECT category, n,
+           round(((CAST(s AS DOUBLE) + 100.0 * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)))
+                  / (CAST(n AS DOUBLE) + 100.0)) / 100.0, 6) AS encoded
+    FROM pc, g ORDER BY category
+    """,
+)
+def q_mktsegment_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical feature engineering: market segment encoded by its
+    smoothed mean order value (m=100 pseudo-observations of the global
+    mean — empirical-Bayes shrinkage so rare levels can't memorize).
+    Exact scaled-integer sums; one pass + a broadcast global row
+    (operators/aggregates.py:target_encode)."""
+    from wicsmmiretl_spark.operators.aggregates import target_encode
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select("c_mktsegment", "o_totalprice")
+    return target_encode(joined, "c_mktsegment", "o_totalprice", prior_weight=100.0, scale=2)
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -4613,6 +4645,7 @@ _DEFERRED_QUERIES = (
     "event_value_trend_by_type",  # grouped OLS: lineitem_corr_matrix (deferred twin) covers the exact-moment machinery
     "pmi_collocations_top",     # PMI collocations: bigram_surprisal_docs + vocab_top100 (deferred/in-window) cover bigram counting
     "doc_feature_vectors",      # hashing-trick vectorizer: cms/hll sketch family covers md5 bucket arithmetic
+    "mktsegment_target_encoding",  # smoothed target encoding: pricing_summary + nation_trade_volume cover join+exact-sum aggs
 )
 
 
