@@ -255,3 +255,46 @@ def test_target_encode_validates(spark):
         target_encode(df, "c", "y", prior_weight=-1)
     with pytest.raises(ValueError, match="not in"):
         target_encode(df, "ghost", "y")
+
+
+# ---------------------------------------------------------------------------
+# ab_test_stats (Welch)
+# ---------------------------------------------------------------------------
+
+def test_welch_known_values(spark):
+    from wicsmmiretl_spark.operators.aggregates import ab_test_stats
+
+    rows = [("a", v) for v in (1.0, 2.0, 3.0, 4.0)] + [("b", v) for v in (3.0, 5.0, 7.0)]
+    df = spark.createDataFrame(rows, "g: string, y: double")
+    out = ab_test_stats(df, "g", "y", "a", "b", scale=2).collect()[0]
+    # Hand: mean_a=2.5 var_a=5/3; mean_b=5 var_b=4; se2=5/12+4/3=1.75
+    # t=-2.5/sqrt(1.75)=-1.889822; dof=1.75^2/((5/12)^2/3+(4/3)^2/2)=3.2347
+    assert (out.n_a, out.n_b, out.mean_a, out.mean_b) == (4, 3, 2.5, 5.0)
+    assert out.var_a == pytest.approx(5 / 3, abs=1e-5) and out.var_b == 4.0
+    assert out.t_stat == pytest.approx(-1.889822, abs=1e-6)
+    assert out.dof == pytest.approx(3.23, abs=0.01)
+
+
+def test_welch_identical_groups_t_zero(spark):
+    from wicsmmiretl_spark.operators.aggregates import ab_test_stats
+
+    rows = [("a", float(v)) for v in range(5)] + [("b", float(v)) for v in range(5)]
+    df = spark.createDataFrame(rows, "g: string, y: double")
+    out = ab_test_stats(df, "g", "y", "a", "b").collect()[0]
+    assert out.t_stat == 0.0
+
+
+def test_welch_tiny_group_yields_null(spark):
+    from wicsmmiretl_spark.operators.aggregates import ab_test_stats
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 5.0)], "g: string, y: double")
+    out = ab_test_stats(df, "g", "y", "a", "b").collect()[0]
+    assert out.n_b == 1 and out.t_stat is None and out.dof is None
+
+
+def test_welch_validates(spark):
+    from wicsmmiretl_spark.operators.aggregates import ab_test_stats
+
+    df = spark.createDataFrame([("a", 1.0)], "g: string, y: double")
+    with pytest.raises(ValueError, match="must differ"):
+        ab_test_stats(df, "g", "y", "a", "a")

@@ -49,6 +49,7 @@ from wicsmmiretl_spark.functions.text import (
     vocab,
 )
 from wicsmmiretl_spark.operators.aggregates import (
+    ab_test_stats,
     column_stats,
     cms_estimate,
     cms_heavy_hitters,
@@ -171,6 +172,7 @@ __all__ = [
     "pmi_collocations",
     "feature_hash",
     "target_encode",
+    "ab_test_stats",
     "triangle_stats",
     "quantile_bins",
     "stable_index",

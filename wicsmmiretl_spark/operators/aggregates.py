@@ -834,3 +834,78 @@ def target_encode(
         .select("category", "n", F.round(enc, 6).alias("encoded"))
         .orderBy("category")
     )
+
+
+def ab_test_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    scale: int = 4,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample comparison (the A/B-test
+    workhorse; Welch 1947 — public literature): means, sample variances,
+    the t statistic, and the Welch–Satterthwaite degrees of freedom for
+    two groups of one metric column.
+
+    Engine-exact like ``corr_matrix``: Σx and Σx² per group are scaled-
+    integer decimal(38) sums from ONE partial-aggregated pass over rows
+    of the two groups (everything else is filtered at the scan); the
+    closed forms run once in double. No p-value on purpose — that needs
+    the t CDF (an infinite series, not reproducible bit-for-bit across
+    libms); compare ``t_stat`` against the critical value for ``dof``
+    downstream. Each group needs n ≥ 2 (sample variance) — fewer rows
+    yield NULL t/dof rather than a divide blow-up.
+
+    Output: ONE row — n_a, n_b bigint, mean_a, mean_b, var_a, var_b,
+    t_stat double (6dp), dof double (2dp).
+    """
+    if group_a == group_b:
+        raise ValueError("ab_test_stats: group_a and group_b must differ")
+    for c in (group_col, value_col):
+        if c not in df.columns:
+            raise ValueError(f"ab_test_stats: column {c!r} not in {df.columns}")
+    mult = 10**scale
+    x = F.round(F.col(value_col) * mult).cast("long")
+    dec = "decimal(38,0)"
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isin(group_a, group_b)
+    )
+    is_a = F.col(group_col) == group_a
+    agg = base.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, x.cast(dec))).alias("_sa"),
+        F.sum(F.when(~is_a, x.cast(dec))).alias("_sb"),
+        F.sum(F.when(is_a, (x * x).cast(dec))).alias("_qa"),
+        F.sum(F.when(~is_a, (x * x).cast(dec))).alias("_qb"),
+    )
+    m = F.lit(float(mult))
+
+    def _stats(n_col, s_col, q_col):
+        n = F.col(n_col).cast("double")
+        s, q = F.col(s_col).cast("double"), F.col(q_col).cast("double")
+        mean = (s / n) / m
+        var = ((n * q - s * s) / (n * (n - 1.0))) / (m * m)
+        return mean, var, n
+
+    mean_a, var_a, na = _stats("n_a", "_sa", "_qa")
+    mean_b, var_b, nb = _stats("n_b", "_sb", "_qb")
+    se2 = var_a / na + var_b / nb
+    t = (mean_a - mean_b) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (var_a / na) * (var_a / na) / (na - 1.0)
+        + (var_b / nb) * (var_b / nb) / (nb - 1.0)
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.when(F.col("n_a") >= 2, F.round(var_a, 6)).alias("var_a"),
+        F.when(F.col("n_b") >= 2, F.round(var_b, 6)).alias("var_b"),
+        F.when(ok, F.round(t, 6)).alias("t_stat"),
+        F.when(ok, F.round(dof, 2)).alias("dof"),
+    )

@@ -4564,6 +4564,55 @@ def q_mktsegment_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return target_encode(joined, "c_mktsegment", "o_totalprice", prior_weight=100.0, scale=2)
 
 
+@query(
+    "purchase_click_ab_stats",
+    """
+    WITH base AS (
+      SELECT event_type = 'purchase' AS is_a, CAST(round(value * 10000) AS BIGINT) AS x
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+    ),
+    agg AS (
+      SELECT CAST(count(*) FILTER (is_a) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (NOT is_a) AS BIGINT) AS n_b,
+             sum(x) FILTER (is_a) AS sa, sum(x) FILTER (NOT is_a) AS sb,
+             sum(x * x) FILTER (is_a) AS qa, sum(x * x) FILTER (NOT is_a) AS qb
+      FROM base
+    ),
+    d AS (
+      SELECT n_a, n_b,
+             (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)) / 10000.0 AS mean_a,
+             (CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)) / 10000.0 AS mean_b,
+             ((CAST(n_a AS DOUBLE) * CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+              / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))) / (10000.0 * 10000.0) AS var_a,
+             ((CAST(n_b AS DOUBLE) * CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+              / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))) / (10000.0 * 10000.0) AS var_b
+      FROM agg
+    ),
+    e AS (
+      SELECT *, var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE) AS se2 FROM d
+    )
+    SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round(var_a, 6) AS var_a, round(var_b, 6) AS var_b,
+           round((mean_a - mean_b) / sqrt(se2), 6) AS t_stat,
+           round((se2 * se2) /
+                 ((var_a / CAST(n_a AS DOUBLE)) * (var_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)
+                  + (var_b / CAST(n_b AS DOUBLE)) * (var_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)), 2) AS dof
+    FROM e
+    """,
+)
+def q_purchase_click_ab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analytics: Welch's unequal-variance comparison of
+    purchase vs click event values — exact scaled-integer moments in one
+    filtered pass, closed forms in double, no p-value by design (the t
+    CDF isn't bit-reproducible across libms; compare t against the
+    critical value for dof) (operators/aggregates.py:ab_test_stats)."""
+    from wicsmmiretl_spark.operators.aggregates import ab_test_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return ab_test_stats(ev, "event_type", "value", "purchase", "click", scale=4)
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -4646,6 +4695,7 @@ _DEFERRED_QUERIES = (
     "pmi_collocations_top",     # PMI collocations: bigram_surprisal_docs + vocab_top100 (deferred/in-window) cover bigram counting
     "doc_feature_vectors",      # hashing-trick vectorizer: cms/hll sketch family covers md5 bucket arithmetic
     "mktsegment_target_encoding",  # smoothed target encoding: pricing_summary + nation_trade_volume cover join+exact-sum aggs
+    "purchase_click_ab_stats",  # Welch A/B stats: lineitem_corr_matrix + event_value_trend families cover exact moments
 )
 
 
