@@ -4613,6 +4613,68 @@ def q_purchase_click_ab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_test_stats(ev, "event_type", "value", "purchase", "click", scale=4)
 
 
+@query(
+    "order_feature_matrix",
+    """
+    WITH base AS (
+      SELECT o.o_orderkey, o.o_totalprice, o.o_orderpriority, o.o_orderdate, c.c_mktsegment
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_totalprice IS NOT NULL
+    ),
+    enc_base AS (SELECT c_mktsegment AS category, CAST(round(o_totalprice * 100) AS BIGINT) AS t FROM base),
+    pc AS (SELECT category, CAST(count(*) AS BIGINT) AS n, sum(t) AS s FROM enc_base GROUP BY 1),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS gn, sum(t) AS gs FROM enc_base),
+    enc AS (
+      SELECT category,
+             round(((CAST(s AS DOUBLE) + 100.0 * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)))
+                    / (CAST(n AS DOUBLE) + 100.0)) / 100.0, 6) AS seg_enc
+      FROM pc, g
+    )
+    SELECT b.o_orderkey,
+           CAST(ntile(10) OVER (ORDER BY b.o_totalprice ASC, b.o_orderkey ASC) AS INT) AS price_decile,
+           e.seg_enc,
+           CAST(b.o_orderpriority = '1-URGENT' AS BIGINT) AS is_urgent,
+           epoch_us(b.o_orderdate) // 86400000000 AS order_day
+    FROM base b JOIN enc e ON e.category = b.c_mktsegment
+    ORDER BY b.o_orderkey
+    """,
+)
+def q_order_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-engineering capstone: one training-ready row per order
+    composing the session's feature operators — smoothed target encoding
+    of the customer segment (broadcast mapping join), exact price decile
+    (total-order ntile), an indicator, and integer epoch-day. The
+    encoding mapping is |segments| rows and broadcasts; the decile is the
+    one honest global-order window; everything else is map-side
+    (operators/aggregates.py:target_encode + ntile + Catalyst)."""
+    from wicsmmiretl_spark.operators.aggregates import target_encode
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    base = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("o_totalprice").isNotNull())
+        .select("o_orderkey", "o_totalprice", "o_orderpriority", "o_orderdate", "c_mktsegment")
+    )
+    enc = target_encode(base, "c_mktsegment", "o_totalprice", prior_weight=100.0, scale=2).select(
+        F.col("category").alias("c_mktsegment"), F.col("encoded").alias("seg_enc")
+    )
+    decile = F.ntile(10).over(
+        Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    )
+    return (
+        base.join(F.broadcast(enc), "c_mktsegment")
+        .select(
+            "o_orderkey",
+            decile.cast("int").alias("price_decile"),
+            "seg_enc",
+            (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("is_urgent"),
+            F.expr("unix_micros(o_orderdate) div 86400000000").alias("order_day"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -4696,6 +4758,7 @@ _DEFERRED_QUERIES = (
     "doc_feature_vectors",      # hashing-trick vectorizer: cms/hll sketch family covers md5 bucket arithmetic
     "mktsegment_target_encoding",  # smoothed target encoding: pricing_summary + nation_trade_volume cover join+exact-sum aggs
     "purchase_click_ab_stats",  # Welch A/B stats: lineitem_corr_matrix + event_value_trend families cover exact moments
+    "order_feature_matrix",     # feature capstone: mktsegment_target_encoding + events_value_deciles cover the components
 )
 
 
