@@ -191,3 +191,95 @@ def test_asof_directions_match_python_reference(spark, left_ts, right_ts, data):
 
     want = {i: ref(t) for i, t in enumerate(left_ts)}
     assert got == want
+
+
+@given(
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@SET
+def test_merge_intervals_invariants(spark, ivs):
+    from wicsmmiretl_spark.operators.intervals import merge_intervals
+
+    rows = [("k", s, s + d) for s, d in ivs]
+    df = spark.createDataFrame(rows, "k: string, s: bigint, e: bigint")
+    spans = sorted(
+        (r.span_start, r.span_end, r.n_intervals)
+        for r in merge_intervals(df, ["k"], "s", "e").collect()
+    )
+    # Disjoint with real gaps, counts conserve, every input covered.
+    assert sum(n for _, _, n in spans) == len(rows)
+    for (s1, e1, _), (s2, e2, _) in zip(spans, spans[1:]):
+        assert e1 < s2  # a touch would have merged
+    for s, d in ivs:
+        assert any(a <= s and s + d <= b for a, b, _ in spans)
+    # Idempotence: merging the spans again is a no-op.
+    sdf = spark.createDataFrame([("k", a, b) for a, b, _ in spans], "k: string, s: bigint, e: bigint")
+    again = sorted(
+        (r.span_start, r.span_end) for r in merge_intervals(sdf, ["k"], "s", "e").collect()
+    )
+    assert again == [(a, b) for a, b, _ in spans]
+
+
+@given(
+    old_rows=st.dictionaries(
+        st.integers(min_value=0, max_value=12),
+        st.tuples(st.sampled_from(["x", "y", None]), st.integers(min_value=0, max_value=3)),
+        max_size=10,
+    ),
+    new_rows=st.dictionaries(
+        st.integers(min_value=0, max_value=12),
+        st.tuples(st.sampled_from(["x", "y", None]), st.integers(min_value=0, max_value=3)),
+        max_size=10,
+    ),
+)
+@SET
+def test_snapshot_diff_matches_python_reference(spark, old_rows, new_rows):
+    from wicsmmiretl_spark.operators.merge import snapshot_diff
+
+    schema = "k: bigint, a: string, b: bigint"
+    old = spark.createDataFrame([(k, *v) for k, v in old_rows.items()], schema)
+    new = spark.createDataFrame([(k, *v) for k, v in new_rows.items()], schema)
+    got = {r.k: (r.change_type, tuple(r.changed_cols)) for r in snapshot_diff(old, new, ["k"]).collect()}
+    want = {}
+    for k in set(old_rows) | set(new_rows):
+        if k not in old_rows:
+            want[k] = ("insert", ())
+        elif k not in new_rows:
+            want[k] = ("delete", ())
+        elif old_rows[k] != new_rows[k]:
+            cols = tuple(
+                c for c, i in (("a", 0), ("b", 1)) if old_rows[k][i] != new_rows[k][i]
+            )
+            want[k] = ("update", cols)
+    assert got == want
+
+
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "ab", "c"]), max_size=12),
+    pair=st.tuples(st.sampled_from(["a", "b", "ab"]), st.sampled_from(["a", "b", "c"])),
+)
+@SET
+def test_bpe_fold_matches_reference_on_random_arrays(spark, syms, pair):
+    from wicsmmiretl_spark.operators.bpe import merge_pair_expr
+
+    def ref(xs, left, right):
+        out, i = [], 0
+        while i < len(xs):
+            if i + 1 < len(xs) and xs[i] == left and xs[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(xs[i])
+                i += 1
+        return out
+
+    df = spark.createDataFrame([(syms,)], "syms: array<string>")
+    got = df.select(merge_pair_expr(F.col("syms"), *pair).alias("m")).collect()[0].m
+    assert got == ref(syms, *pair)
