@@ -298,3 +298,46 @@ def test_welch_validates(spark):
     df = spark.createDataFrame([("a", 1.0)], "g: string, y: double")
     with pytest.raises(ValueError, match="must differ"):
         ab_test_stats(df, "g", "y", "a", "a")
+
+
+# ---------------------------------------------------------------------------
+# category_entropy
+# ---------------------------------------------------------------------------
+
+def test_entropy_uniform_and_constant(spark):
+    import math
+
+    from wicsmmiretl_spark.operators.aggregates import category_entropy
+
+    rows = [(v, "same") for v in ("a", "b", "c", "d") * 5]
+    df = spark.createDataFrame(rows, "u: string, k: string")
+    out = {r["column"]: r for r in category_entropy(df, ["u", "k"]).collect()}
+    assert out["u"].entropy == pytest.approx(math.log(4), abs=1e-5)
+    assert out["u"].norm_entropy == 1.0  # uniform over 4
+    assert out["k"].entropy == 0.0 and out["k"].norm_entropy is None  # constant
+
+
+def test_entropy_skew_lowers_normalized(spark):
+    from wicsmmiretl_spark.operators.aggregates import category_entropy
+
+    rows = [("hot",)] * 90 + [("cold",)] * 10
+    df = spark.createDataFrame(rows, "c: string")
+    out = category_entropy(df, ["c"]).collect()[0]
+    assert out.n == 100 and out.n_categories == 2
+    assert 0 < out.norm_entropy < 1
+
+
+def test_entropy_nulls_excluded(spark):
+    from wicsmmiretl_spark.operators.aggregates import category_entropy
+
+    df = spark.createDataFrame([("a",), (None,), ("b",)], "c: string")
+    out = category_entropy(df, ["c"]).collect()[0]
+    assert out.n == 2 and out.n_categories == 2
+
+
+def test_entropy_validates(spark):
+    from wicsmmiretl_spark.operators.aggregates import category_entropy
+
+    df = spark.createDataFrame([("a",)], "c: string")
+    with pytest.raises(ValueError, match="not in"):
+        category_entropy(df, ["ghost"])

@@ -50,6 +50,7 @@ from wicsmmiretl_spark.functions.text import (
 )
 from wicsmmiretl_spark.operators.aggregates import (
     ab_test_stats,
+    category_entropy,
     column_stats,
     cms_estimate,
     cms_heavy_hitters,
@@ -173,6 +174,7 @@ __all__ = [
     "feature_hash",
     "target_encode",
     "ab_test_stats",
+    "category_entropy",
     "triangle_stats",
     "quantile_bins",
     "stable_index",

@@ -909,3 +909,66 @@ def ab_test_stats(
         F.when(ok, F.round(t, 6)).alias("t_stat"),
         F.when(ok, F.round(dof, 2)).alias("dof"),
     )
+
+
+def category_entropy(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Shannon entropy per categorical column — the concentration signal a
+    corpus mixture dashboard watches (a source column collapsing toward
+    one value is drift that null rates and cardinality alone miss).
+
+    H = −Σ p·ln p over value frequencies; ``norm_entropy`` divides by
+    ln(k) so 1.0 = uniform over the observed k values (NULL when k = 1 —
+    a constant column has no distribution to normalize). NULL values are
+    excluded (missingness is ``profile_table``'s metric).
+
+    Engine-exactness: each term p·ln p is computed in double from exact
+    integer counts (identical on any engine), then scaled to an integer
+    (1e9) and SUMMED IN INTEGER SPACE — the suite's exact-sum contract —
+    because a double Σ over categories would be accumulation-order
+    dependent. One explode to (column, value) pairs + two partial aggs;
+    intermediate volume is rows × |columns|.
+
+    Output: column string, n bigint (non-NULL rows), n_categories bigint,
+    entropy double (6dp), norm_entropy double (6dp).
+    """
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"category_entropy: columns {missing} not in {df.columns}")
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"), F.col(c).cast("string").alias("v")
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("_p")
+    ).select("_p.*").filter(F.col("v").isNotNull())
+    counts = pairs.groupBy("column", "v").agg(F.count("*").alias("c"))
+    n_tot = F.sum("c").over(Window.partitionBy("column"))
+    p = F.col("c").cast("double") / n_tot.cast("double")
+    term_i = F.round((-p * F.log(p)) * F.lit(1e9)).cast("long")
+    per_col = (
+        counts.withColumn("_t", term_i)
+        .withColumn("_n", n_tot)
+        .groupBy("column")
+        .agg(
+            F.max("_n").alias("n"),
+            F.count("*").alias("n_categories"),
+            F.sum("_t").alias("_s"),
+        )
+    )
+    entropy = F.col("_s").cast("double") / F.lit(1e9)
+    norm = F.when(
+        F.col("n_categories") > 1,
+        F.round(entropy / F.log(F.col("n_categories").cast("double")), 6),
+    )
+    return per_col.select(
+        "column",
+        "n",
+        "n_categories",
+        F.round(entropy, 6).alias("entropy"),
+        norm.alias("norm_entropy"),
+    ).orderBy("column")

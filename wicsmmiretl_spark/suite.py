@@ -4675,6 +4675,46 @@ def q_order_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_category_entropy",
+    """
+    WITH pairs AS (
+      SELECT 'event_type' AS col, CAST(event_type AS VARCHAR) AS v FROM events WHERE event_type IS NOT NULL
+      UNION ALL
+      SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events WHERE user_id IS NOT NULL
+    ),
+    counts AS (SELECT col, v, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2),
+    tot AS (SELECT col, c, sum(c) OVER (PARTITION BY col) AS n FROM counts),
+    terms AS (
+      SELECT col, n,
+             CAST(round((-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                         * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000000.0) AS BIGINT) AS t
+      FROM tot
+    ),
+    agg AS (
+      SELECT col AS "column", CAST(max(n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_categories, sum(t) AS s
+      FROM terms GROUP BY 1
+    )
+    SELECT "column", n, n_categories,
+           round(CAST(s AS DOUBLE) / 1000000000.0, 6) AS entropy,
+           CASE WHEN n_categories > 1
+                THEN round((CAST(s AS DOUBLE) / 1000000000.0) / ln(CAST(n_categories AS DOUBLE)), 6) END AS norm_entropy
+    FROM agg ORDER BY "column"
+    """,
+)
+def q_events_category_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-concentration profiling: Shannon entropy (raw +
+    normalized) of event_type and user_id. Each p·ln p term computed in
+    double from exact counts, then scaled to 1e9 integers and summed in
+    integer space — a double Σ over categories would be accumulation-
+    order dependent (operators/aggregates.py:category_entropy)."""
+    from wicsmmiretl_spark.operators.aggregates import category_entropy
+
+    ev = _t(spark, sf_dir, "events")
+    return category_entropy(ev, ["event_type", "user_id"])
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -4759,6 +4799,7 @@ _DEFERRED_QUERIES = (
     "mktsegment_target_encoding",  # smoothed target encoding: pricing_summary + nation_trade_volume cover join+exact-sum aggs
     "purchase_click_ab_stats",  # Welch A/B stats: lineitem_corr_matrix + event_value_trend families cover exact moments
     "order_feature_matrix",     # feature capstone: mktsegment_target_encoding + events_value_deciles cover the components
+    "events_category_entropy",  # entropy profiling: documents_profile + customer_profile_drift cover the profiling family
 )
 
 
