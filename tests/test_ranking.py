@@ -148,3 +148,49 @@ def test_inverted_index_df_band_prunes_before_collect(spark):
     # against the banded vocabulary rather than aggregating everything).
     plan = inverted_index(docs, max_df=2)._jdf.queryExecution().optimizedPlan().toString()
     assert "<= 2" in plan and "sort_array" in plan
+
+
+# ---------------------------------------------------------------------------
+# association_pairs
+# ---------------------------------------------------------------------------
+
+def test_association_pairs_known_metrics(spark):
+    from wicsmmiretl_spark.operators.ranking import association_pairs
+
+    # 4 baskets: {a,b} x3, {a,c} x1 -> supp(a)=1.0, supp(b)=0.75, supp(c)=0.25
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "b"), (4, "a"), (4, "c")]
+    df = spark.createDataFrame(rows, "bk: bigint, it: string")
+    out = {(r.item_a, r.item_b): r for r in association_pairs(df, "bk", "it", min_support=0.01).collect()}
+    ab = out[("a", "b")]
+    assert (ab.pair_count, ab.support, ab.confidence) == (3, 0.75, 0.75)
+    assert ab.lift == 1.0  # b always with a, a everywhere -> independent of a
+    ac = out[("a", "c")]
+    assert (ac.pair_count, ac.support, ac.lift) == (1, 0.25, 1.0)
+
+
+def test_association_pairs_duplicates_in_basket_count_once(spark):
+    from wicsmmiretl_spark.operators.ranking import association_pairs
+
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "bk: bigint, it: string")
+    out = association_pairs(df, "bk", "it", min_support=0.01).collect()
+    assert len(out) == 1 and out[0].pair_count == 2
+
+
+def test_association_pairs_support_floor(spark):
+    from wicsmmiretl_spark.operators.ranking import association_pairs
+
+    rows = [(i, "x") for i in range(10)] + [(i, "y") for i in range(10)] + [(0, "rare"), (0, "z"), (1, "z")]
+    df = spark.createDataFrame(rows, "bk: bigint, it: string")
+    got = {(r.item_a, r.item_b) for r in association_pairs(df, "bk", "it", min_support=0.5).collect()}
+    assert got == {("x", "y")}  # 10/10 baskets; rare pairs floored out
+
+
+def test_association_pairs_validates(spark):
+    from wicsmmiretl_spark.operators.ranking import association_pairs
+
+    df = spark.createDataFrame([(1, "a")], "bk: bigint, it: string")
+    with pytest.raises(ValueError, match="min_support"):
+        association_pairs(df, "bk", "it", min_support=0)
+    with pytest.raises(ValueError, match="no baskets"):
+        association_pairs(df.filter(F.col("bk").isNull()), "bk", "it")

@@ -101,7 +101,7 @@ from wicsmmiretl_spark.operators.merge import merge_scd2, merge_upsert, snapshot
 from wicsmmiretl_spark.operators.pruning import bloom_prune, bloom_semi_filter, bloom_words
 from wicsmmiretl_spark.operators.quality import dq_gate, dq_report
 from wicsmmiretl_spark.operators.packing import chunk_documents, pack_sequences
-from wicsmmiretl_spark.operators.ranking import bm25_rank, inverted_index, rrf_fuse
+from wicsmmiretl_spark.operators.ranking import association_pairs, bm25_rank, inverted_index, rrf_fuse
 from wicsmmiretl_spark.operators.graph import connected_components, pagerank, triangle_stats
 from wicsmmiretl_spark.operators.sampling import (
     cap_per_group,
@@ -175,6 +175,7 @@ __all__ = [
     "target_encode",
     "ab_test_stats",
     "category_entropy",
+    "association_pairs",
     "triangle_stats",
     "quantile_bins",
     "stable_index",

@@ -195,3 +195,80 @@ def inverted_index(
         .agg(F.sort_array(F.collect_list("_id")).alias("postings"))
         .orderBy("token")
     )
+
+
+def association_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float = 0.01,
+    k: int = 20,
+) -> DataFrame:
+    """Market-basket pair mining: support / confidence / lift for item
+    pairs that co-occur in at least ``min_support`` of baskets — the
+    co-occurrence statistics behind "related items" and behind corpus
+    co-topic analysis (documents as baskets, tags/entities as items).
+
+    Plan shape: dedupe to (basket, item), count item supports (one
+    item-keyed agg, vocabulary-sized, broadcast), self-join within basket
+    with ``item_a < item_b`` so each pair counts once, count pair
+    supports, THEN apply the support floor before attaching metrics.
+    Per-basket pair volume is C(|basket|, 2) — bounded by basket size,
+    not corpus size; a pathological mega-basket should be capped upstream
+    (``cap_per_group``). Metrics are exact ratios of integer counts,
+    rounded 6dp:
+
+    * support    = pairs / n_baskets
+    * confidence = P(b | a) = pair_count / count(a)   (a = item_a)
+    * lift       = support / (supp_a · supp_b)
+
+    Output: item_a, item_b, pair_count bigint, support, confidence, lift
+    (doubles, 6dp); top ``k`` by (lift desc, item_a, item_b).
+    """
+    if not 0 < min_support <= 1:
+        raise ValueError(f"association_pairs: min_support must be in (0, 1], got {min_support}")
+    if k < 1:
+        raise ValueError(f"association_pairs: k must be >= 1, got {k}")
+    for c in (basket_col, item_col):
+        if c not in baskets.columns:
+            raise ValueError(f"association_pairs: column {c!r} not in {baskets.columns}")
+    b = (
+        baskets.filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        .distinct()
+    )
+    n_baskets = b.select("_b").distinct().count()
+    if n_baskets == 0:
+        raise ValueError("association_pairs: no baskets after NULL filtering")
+    item_counts = b.groupBy(F.col("_i")).agg(F.count("*").alias("_ic"))
+    left = b.select(F.col("_b"), F.col("_i").alias("item_a"))
+    right = b.select(F.col("_b"), F.col("_i").alias("item_b"))
+    pairs = (
+        left.join(right, "_b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= F.lit(float(min_support)) * n_baskets)
+    )
+    ca = F.broadcast(item_counts.withColumnsRenamed({"_i": "item_a", "_ic": "_ca"}))
+    cb = F.broadcast(item_counts.withColumnsRenamed({"_i": "item_b", "_ic": "_cb"}))
+    nb = F.lit(float(n_baskets))
+    support = F.col("pair_count").cast("double") / nb
+    confidence = F.col("pair_count").cast("double") / F.col("_ca").cast("double")
+    lift = support / (
+        (F.col("_ca").cast("double") / nb) * (F.col("_cb").cast("double") / nb)
+    )
+    return (
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            F.round(support, 6).alias("support"),
+            F.round(confidence, 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("item_a"), F.asc("item_b"))
+        .limit(k)
+    )

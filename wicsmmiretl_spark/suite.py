@@ -4715,6 +4715,39 @@ def q_events_category_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return category_entropy(ev, ["event_type", "user_id"])
 
 
+@query(
+    "part_association_rules",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+    nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM b),
+    ic AS (SELECT it, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+    p AS (SELECT a.it AS item_a, c.it AS item_b, CAST(count(*) AS BIGINT) AS pair_count
+          FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+          GROUP BY 1, 2),
+    f AS (SELECT * FROM p, nb
+          WHERE CAST(pair_count AS DOUBLE) >= CAST(0.002 AS DOUBLE) * CAST(n AS DOUBLE))
+    SELECT item_a, item_b, pair_count,
+           round(CAST(pair_count AS DOUBLE) / CAST(n AS DOUBLE), 6) AS support,
+           round(CAST(pair_count AS DOUBLE) / CAST(ca.c AS DOUBLE), 6) AS confidence,
+           round((CAST(pair_count AS DOUBLE) / CAST(n AS DOUBLE))
+                 / ((CAST(ca.c AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(cb.c AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS lift
+    FROM f JOIN ic ca ON ca.it = f.item_a JOIN ic cb ON cb.it = f.item_b
+    ORDER BY lift DESC, item_a ASC, item_b ASC LIMIT 20
+    """,
+)
+def q_part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: top-20 part pairs by lift with a
+    0.2% support floor over order baskets — pair volume bounded by basket
+    size (C(|basket|,2) per order, never corpus-quadratic), item supports
+    vocabulary-sized and broadcast
+    (operators/ranking.py:association_pairs)."""
+    from wicsmmiretl_spark.operators.ranking import association_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    return association_pairs(li, "l_orderkey", "l_partkey", min_support=0.002, k=20)
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -4800,6 +4833,7 @@ _DEFERRED_QUERIES = (
     "purchase_click_ab_stats",  # Welch A/B stats: lineitem_corr_matrix + event_value_trend families cover exact moments
     "order_feature_matrix",     # feature capstone: mktsegment_target_encoding + events_value_deciles cover the components
     "events_category_entropy",  # entropy profiling: documents_profile + customer_profile_drift cover the profiling family
+    "part_association_rules",   # market-basket lift: part_copurchase_triangles (deferred twin) covers the basket self-join
 )
 
 
