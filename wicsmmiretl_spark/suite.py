@@ -4748,6 +4748,62 @@ def q_part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return association_pairs(li, "l_orderkey", "l_partkey", min_support=0.002, k=20)
 
 
+@query(
+    "purchase_last_touch",
+    f"""
+    WITH p AS (SELECT event_id AS pid, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    t AS (SELECT event_id AS tid, user_id, ts, event_type FROM events WHERE event_type IN ('view', 'click')),
+    m AS (
+      SELECT p.pid, p.value, t.event_type,
+             row_number() OVER (PARTITION BY p.pid ORDER BY t.ts DESC, t.tid ASC) AS rn
+      FROM p JOIN t ON t.user_id = p.user_id AND t.ts <= p.ts AND t.ts >= p.ts - INTERVAL 7 DAY
+    ),
+    best AS (SELECT pid, event_type FROM m WHERE rn = 1),
+    attributed AS (SELECT p.pid, p.value, b.event_type FROM p LEFT JOIN best b ON b.pid = p.pid)
+    SELECT coalesce(event_type, 'none') AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           {_sql_exact_sum("value", 4, "attributed_value")}
+    FROM attributed GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_purchase_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: each purchase credits the
+    most recent view/click by the same user within 7 days (touch id as
+    the equal-timestamp tiebreak; unmatched purchases → 'none'), rolled
+    up to purchases and exact value per touch type. The operator side is
+    ONE user-keyed as-of shuffle; the oracle's quadratic-per-group
+    inequality join is exactly the plan this operator exists to avoid
+    (operators/joins.py:asof_join)."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", "ts", "value"
+    )
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "ts",
+        F.col("event_type").alias("touch_type"),
+        F.col("event_id").alias("tid"),
+    )
+    att = asof_join(
+        purchases,
+        touches,
+        on="ts",
+        by="user_id",
+        right_cols=["touch_type", "tid"],
+        tolerance="7 days",
+        direction="backward",
+        tiebreak="tid",
+    )
+    return (
+        att.groupBy(F.coalesce("touch_type", F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            _exact_sum(F.col("value"), 4, "attributed_value"),
+        )
+        .orderBy("touch_type")
+    )
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -4834,6 +4890,7 @@ _DEFERRED_QUERIES = (
     "order_feature_matrix",     # feature capstone: mktsegment_target_encoding + events_value_deciles cover the components
     "events_category_entropy",  # entropy profiling: documents_profile + customer_profile_drift cover the profiling family
     "part_association_rules",   # market-basket lift: part_copurchase_triangles (deferred twin) covers the basket self-join
+    "purchase_last_touch",      # last-touch attribution: asof family (in-window nearest) covers the carry machinery
 )
 
 
