@@ -122,21 +122,6 @@ def assert_unique_key(df: DataFrame, key: str) -> None:
         raise ValueError(f"duplicate keys in column {key!r}: sample {sample}")
 
 
-def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
-    """Images-on-disk source (SURVEY §1.3: images become a BinaryType column).
-
-    Spark's ``binaryFile`` format yields (path, modificationTime, length,
-    content); we keep (path, length, content). Partition parallelism comes
-    from the file listing — at scale this reads a million-file image corpus
-    with no driver-side loop (vs the reference's per-file open,
-    utils.py:64-73).
-    """
-    reader = spark.read.format("binaryFile")
-    if glob is not None:
-        reader = reader.option("pathGlobFilter", glob)
-    return reader.load(path).select("path", "length", "content")
-
-
 def write_bucketed(
     df: DataFrame,
     table: str,
