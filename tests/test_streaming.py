@@ -258,3 +258,20 @@ def test_stream_hll_registers_equal_batch_even_when_doubled(spark, event_dir):
     # max-merge is idempotent: replayed/doubled rows change nothing, and the
     # per-batch fold equals the single batch sketch bit-for-bit.
     assert _rows(got) == _rows(want)
+
+
+def test_stream_cms_sketch_equals_batch_and_skips_replayed_batch(spark, event_dir):
+    from wicsmmiretl_spark.operators.aggregates import cms_sketch
+    from wicsmmiretl_spark.streaming.windows import stream_cms_sketch
+
+    stream = read_event_stream(spark, event_dir).select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    got = stream_cms_sketch(stream, "uid", spark, depth=3, width=256)
+    want = cms_sketch(
+        spark.read.parquet(event_dir).select(F.col("user_id").cast("string").alias("uid")),
+        "uid",
+        depth=3,
+        width=256,
+    )
+    assert _rows(got) == _rows(want)

@@ -130,7 +130,7 @@ from wicsmmiretl_spark.operators.similarity import (
     pq_train,
 )
 from wicsmmiretl_spark.session import get_spark, stop_spark
-from wicsmmiretl_spark.streaming.windows import stream_hll_registers
+from wicsmmiretl_spark.streaming.windows import stream_cms_sketch, stream_hll_registers
 
 __all__ = [
     # session / catalog
@@ -180,6 +180,7 @@ __all__ = [
     "quantile_bins",
     "stable_index",
     "stream_hll_registers",
+    "stream_cms_sketch",
     # aggregates
     "column_stats",
     "grouped_stats_matrix",

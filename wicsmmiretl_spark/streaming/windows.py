@@ -263,3 +263,62 @@ def stream_hll_registers(
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     rows = sorted(state.items())
     return spark.createDataFrame(rows, "bucket int, reg int")
+
+
+def stream_cms_sketch(
+    stream_df: DataFrame,
+    col: str,
+    spark: SparkSession,
+    depth: int = 4,
+    width: int = 2048,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Fold a count-min sketch over a stream: each micro-batch aggregates
+    to its own (j, bucket, cnt) table (≤ depth×width rows) and ADDS into
+    driver-held counters — heavy-hitter screening over an unbounded feed
+    with O(depth×width) memory and no stateful shuffle operator.
+
+    Unlike the HLL fold (max — idempotent), CMS merges by ADDITION, so
+    at-least-once replay WOULD double-count: this fold therefore tracks
+    processed batch ids and skips re-deliveries (the standard
+    foreachBatch idempotence recipe; batch ids are stable across
+    restarts with a checkpoint). Estimates remain never-under for the
+    delivered data.
+
+    Returns the merged sketch as a batch DataFrame (j int, bucket int,
+    cnt bigint) — feed it to ``cms_estimate`` / ``cms_heavy_hitters``'s
+    probe path.
+    """
+    from wicsmmiretl_spark.operators.aggregates import cms_sketch
+
+    counters: dict[tuple[int, int], int] = {}
+    seen_batches: set[int] = set()
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in seen_batches:
+            return
+        seen_batches.add(batch_id)
+        for r in cms_sketch(batch_df, col, depth=depth, width=width).collect():
+            key = (int(r["j"]), int(r["bucket"]))
+            counters[key] = counters.get(key, 0) + int(r["cnt"])
+
+    prev = (
+        spark.conf.get("spark.sql.shuffle.partitions")
+        if shuffle_partitions is not None
+        else None
+    )
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(fold)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    rows = sorted((j, b, c) for (j, b), c in counters.items())
+    return spark.createDataFrame(rows, "j: int, bucket: int, cnt: bigint")

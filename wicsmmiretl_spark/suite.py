@@ -4804,6 +4804,57 @@ def q_purchase_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_cms_heavy_users",
+    """
+    WITH vals AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events WHERE user_id IS NOT NULL),
+    js AS (SELECT unnest(range(4)) AS j),
+    hb AS (SELECT v, j, (('0x' || substr(md5(v), 1 + 4*j, 4))::BIGINT % 2048) AS bucket
+           FROM vals CROSS JOIN js),
+    sketch AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt FROM hb GROUP BY 1, 2),
+    total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sketch WHERE j = 0),
+    cand AS (SELECT DISTINCT v FROM vals),
+    cb AS (SELECT v, j, (('0x' || substr(md5(v), 1 + 4*j, 4))::BIGINT % 2048) AS bucket
+           FROM cand CROSS JOIN js),
+    est AS (SELECT cb.v, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est
+            FROM cb LEFT JOIN sketch s ON cb.j = s.j AND cb.bucket = s.bucket GROUP BY 1)
+    SELECT v AS value, est FROM est, total
+    WHERE est >= CAST(ceil(0.002 * n) AS BIGINT)
+    ORDER BY est DESC, value ASC
+    """,
+)
+def q_streaming_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over a stream: the events drop-folder driven through
+    a per-micro-batch count-min fold (addition-merged driver counters
+    with batch-id replay protection — CMS sums are NOT idempotent like
+    the HLL registers), then screened for users at ≥0.2% of the stream.
+    The folded sketch equals the batch sketch, so the oracle replays the
+    batch CMS (streaming/windows.py:stream_cms_sketch)."""
+    from wicsmmiretl_spark.operators.aggregates import cms_estimate
+    from wicsmmiretl_spark.streaming.windows import read_event_stream, stream_cms_sketch
+
+    d = _events_dropdir(spark, sf_dir)
+    stream = (
+        read_event_stream(spark, d)
+        .filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").cast("string").alias("uid"))
+    )
+    sk = stream_cms_sketch(stream, "uid", spark, depth=4, width=2048)
+    cand = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").cast("string").alias("uid"))
+    )
+    est = cms_estimate(sk, cand, "uid", depth=4, width=2048)
+    total = sk.filter(F.col("j") == 0).agg(F.sum("cnt").alias("_n"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est") >= F.ceil(F.lit(0.002) * F.col("_n")).cast("long"))
+        .select("value", "est")
+        .orderBy(F.desc("est"), F.asc("value"))
+    )
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -4891,6 +4942,7 @@ _DEFERRED_QUERIES = (
     "events_category_entropy",  # entropy profiling: documents_profile + customer_profile_drift cover the profiling family
     "part_association_rules",   # market-basket lift: part_copurchase_triangles (deferred twin) covers the basket self-join
     "purchase_last_touch",      # last-touch attribution: asof family (in-window nearest) covers the carry machinery
+    "streaming_cms_heavy_users",  # CMS-over-stream: cms_heavy_tokens + streaming_hll_distinct (deferred twins) cover the pieces
 )
 
 
