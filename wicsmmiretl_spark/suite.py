@@ -4855,6 +4855,47 @@ def q_streaming_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lineitem_melt_stats",
+    f"""
+    WITH long AS (
+      SELECT metric, val FROM (
+        SELECT l_quantity AS "l_quantity", l_extendedprice AS "l_extendedprice",
+               l_discount AS "l_discount", l_tax AS "l_tax"
+        FROM lineitem
+      ) UNPIVOT (val FOR metric IN ("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    )
+    SELECT metric, CAST(count(*) AS BIGINT) AS n,
+           {_sql_exact_sum("val", 4, "total")},
+           min(val) AS lo, max(val) AS hi
+    FROM long GROUP BY metric ORDER BY metric
+    """,
+)
+def q_lineitem_melt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the NATIVE unpivot operator (Spark 3.4
+    ``DataFrame.unpivot`` ↔ DuckDB UNPIVOT — the melt that profile-style
+    tooling otherwise hand-rolls with explode), then grouped exact stats
+    per metric. Unpivot is a Generate (map-side, no shuffle); the only
+    exchange is the 4-group aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.count("*").alias("n"),
+            _exact_sum(F.col("val"), 4, "total"),
+            F.min("val").alias("lo"),
+            F.max("val").alias("hi"),
+        )
+        .orderBy("metric")
+    )
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -4943,6 +4984,7 @@ _DEFERRED_QUERIES = (
     "part_association_rules",   # market-basket lift: part_copurchase_triangles (deferred twin) covers the basket self-join
     "purchase_last_touch",      # last-touch attribution: asof family (in-window nearest) covers the carry machinery
     "streaming_cms_heavy_users",  # CMS-over-stream: cms_heavy_tokens + streaming_hll_distinct (deferred twins) cover the pieces
+    "lineitem_melt_stats",      # native unpivot reshape: stats_matrix family (deferred twin) covers the per-metric aggs
 )
 
 
