@@ -445,3 +445,66 @@ def test_hyperplane_signature_null_vector_survives_guard(spark):
     )
     rows = {r.vec_id: r.bucket for r in hyperplane_signature(df, bits=4, dim=8).collect()}
     assert set(rows) == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# jaccard_prefix_join (exact — no-miss guarantee)
+# ---------------------------------------------------------------------------
+
+def _brute_jaccard_pairs(texts: dict[int, str], n: int, t: float):
+    def sh(s):
+        toks = s.split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: sh(s) for i, s in texts.items() if len(sh(s)) > 0}
+    out = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if uni and inter / uni >= t:
+                out.add((a, b))
+    return out
+
+
+def test_prefix_join_finds_every_pair_brute_force(spark):
+    from wicsmmiretl_spark.operators.dedup import jaccard_prefix_join
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = {
+        1: base,
+        2: base,                                 # exact dup
+        3: base.replace("dog", "cat"),           # near dup
+        4: "completely different words entirely here now with nothing shared",
+        5: base.replace("quick", "slow").replace("lazy", "busy"),
+        6: "the quick brown fox jumps over the lazy dog",  # prefix of base
+    }
+    for t in (0.3, 0.5, 0.8):
+        df = spark.createDataFrame(list(texts.items()), "doc_id: bigint, text: string")
+        got = {
+            (r.id_a, r.id_b)
+            for r in jaccard_prefix_join(df, "doc_id", "text", threshold=t).collect()
+        }
+        assert got == _brute_jaccard_pairs(texts, 3, t), f"threshold {t}"
+
+
+def test_prefix_join_validates(spark):
+    import pytest as _pytest
+    from wicsmmiretl_spark.operators.dedup import jaccard_prefix_join
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id: bigint, text: string")
+    with _pytest.raises(ValueError, match="threshold"):
+        jaccard_prefix_join(df, "doc_id", "text", threshold=0.0)
+
+
+def test_prefix_join_short_docs_dropped(spark):
+    from wicsmmiretl_spark.operators.dedup import jaccard_prefix_join
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, "a b c d a b c d")],
+        "doc_id: bigint, text: string",
+    )
+    # docs 1/2 have <3 tokens -> no shingles -> excluded entirely.
+    out = jaccard_prefix_join(df, "doc_id", "text", threshold=0.5).collect()
+    assert out == []

@@ -24,7 +24,7 @@ input yields byte-identical pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from wicsmmiretl_spark.functions.text import fingerprint, tokens
@@ -431,3 +431,76 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         term = bit * F.lit(2 ** (31 - j)).cast("long")
         sig = term if sig is None else sig + term
     return agged.select(F.col(id_col), sig.alias("simhash"))
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard self-join via prefix filtering (Chaudhuri et al. 2006
+    / Bayardo AllPairs 2007 — public literature): every document pair with
+    shingle Jaccard ≥ ``threshold``, with NO probabilistic miss — the
+    deterministic complement to the MinHash+LSH pipeline (which trades
+    recall for cost; this trades cost for a guarantee, and is the right
+    tool when a compliance bar says "find ALL duplicates above t").
+
+    Prefix-filter theorem: order every document's shingles by a GLOBAL
+    canonical order (ascending corpus frequency, then value — rarest
+    first); if J(A, B) ≥ t then |A∩B| ≥ ceil(t·|A|), so at least one
+    common shingle must fall inside A's first |A| − ceil(t·|A|) + 1
+    shingles. Candidates are therefore pairs where one side's PREFIX
+    shares a shingle with the other side's FULL set — an equi-join keyed
+    by shingle, never an all-pairs comparison. Higher thresholds prune
+    harder (t=0.9 keeps ~10% of each doc as prefix); the rarest-first
+    order makes surviving join keys low-frequency by construction.
+    Verification reuses ``jaccard_pairs`` (exact array intersection over
+    candidates only).
+
+    Cost shape: one shingle-keyed frequency agg, one window per doc for
+    the canonical ranks, one shingle-keyed candidate join, then
+    |candidates|-bounded verification. Output: id_a, id_b, jaccard ≥ t
+    (6dp).
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"jaccard_prefix_join: threshold must be in (0, 1], got {threshold}")
+    # explode_outer + post-filter (the repetition.py 45x gotcha): a plain
+    # explode (or a size()>0 pre-filter) gets its implicit predicate pushed
+    # below the projection, re-inlining the interpreted shingle lambda per
+    # element — measured 28 s vs 3 s on the sf0.1 documents table. The
+    # lazy checkpoint then pins the exploded stream for its three
+    # downstream consumers (frequency agg, ranking, candidate probe).
+    shs = staged_shingles(df, id_col, text_col, shingle_n)
+    ex = (
+        shs.select(
+            F.col(id_col).alias("_id"),
+            F.size("sh").alias("_n"),
+            F.explode_outer("sh").alias("_s"),
+        )
+        .filter(F.col("_s").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    freq = ex.groupBy("_s").agg(F.count("*").alias("_f"))
+    ranked = ex.join(freq, "_s").withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("_id").orderBy(F.asc("_f"), F.asc("_s"))
+        ),
+    )
+    prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")).cast("int") + 1
+    prefix = ranked.filter(F.col("_rn") <= prefix_len).select(
+        F.col("_id").alias("_pid"), "_s"
+    )
+    full = ex.select(F.col("_id").alias("_fid"), "_s")
+    cand = (
+        prefix.join(full, "_s")
+        .filter(F.col("_pid") != F.col("_fid"))
+        .select(
+            F.least("_pid", "_fid").alias("id_a"),
+            F.greatest("_pid", "_fid").alias("id_b"),
+        )
+        .distinct()
+    )
+    return jaccard_pairs(df, cand, id_col, text_col, shingle_n=shingle_n, threshold=threshold)

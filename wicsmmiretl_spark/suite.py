@@ -4896,6 +4896,44 @@ def q_lineitem_melt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SHINGLES5 = (
+    "CASE WHEN len(toks) >= 5 THEN list_distinct(list_transform(range(1, len(toks)-3), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) ELSE [] END"
+)
+
+
+@query(
+    "jaccard_exact_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    shs AS (
+      SELECT doc_id, sh FROM (SELECT doc_id, {_SQL_SHINGLES5} AS sh FROM toks)
+      WHERE len(sh) > 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
+    FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.5
+    """,
+)
+def q_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GUARANTEED-complete near-dup detection: every document pair with
+    5-gram shingle Jaccard ≥ 0.5 via prefix filtering (rarest-first canonical
+    order; a qualifying pair must share a shingle inside one side's
+    prefix, so candidates come from a shingle-keyed equi-join — no
+    all-pairs, no LSH miss probability). The oracle is the brute-force
+    all-pairs join: if the filter ever dropped a true pair, the hash
+    check fails (operators/dedup.py:jaccard_prefix_join)."""
+    from wicsmmiretl_spark.operators.dedup import jaccard_prefix_join
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_prefix_join(docs, "doc_id", "text", threshold=0.5, shingle_n=5).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
 _DEFERRED_QUERIES = (
     # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
     # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
@@ -4985,6 +5023,7 @@ _DEFERRED_QUERIES = (
     "purchase_last_touch",      # last-touch attribution: asof family (in-window nearest) covers the carry machinery
     "streaming_cms_heavy_users",  # CMS-over-stream: cms_heavy_tokens + streaming_hll_distinct (deferred twins) cover the pieces
     "lineitem_melt_stats",      # native unpivot reshape: stats_matrix family (deferred twin) covers the per-metric aggs
+    "jaccard_exact_pairs",      # exact prefix-filter join: near_dup_jaccard + minhash_lsh_pairs cover the probabilistic path
 )
 
 
