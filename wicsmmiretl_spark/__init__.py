@@ -79,6 +79,7 @@ from wicsmmiretl_spark.operators.dedup import (
     dup_clusters,
     exact_dedup,
     jaccard_pairs,
+    jaccard_prefix_join,
     lsh_candidate_pairs,
     minhash_signatures,
     simhash_near_pairs,
@@ -176,6 +177,7 @@ __all__ = [
     "ab_test_stats",
     "category_entropy",
     "association_pairs",
+    "jaccard_prefix_join",
     "triangle_stats",
     "quantile_bins",
     "stable_index",
