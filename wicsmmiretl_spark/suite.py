@@ -4979,7 +4979,11 @@ _DEFERRED_QUERIES = (
     "event_funnel",             # chained windows: user_value_analytics + window_running_sum (in-window) cover frames
     # -- r7 additions: born post-window (the 50 in-window slots hold the
     # rotated evidence-refresh set); oracle-checked every pytest run like
-    # the rest of this tuple.
+    # the rest of this tuple. r8 rotation guidance: the session-3 block at
+    # the END of this tuple (bloom_pruned_revenue onward, 27 queries) has
+    # never had a driver-side CORRECTNESS row — rotate those in first,
+    # swapping out in-window queries whose families they now also cover
+    # (e.g. pricing_summary-class aggs, window-rank twins).
     "event_chain_components",   # alternating-star CC: dedup_clusters (in-window) covers cluster resolution
     "source_capped_docs",       # per-group cap: window-rank family covered by cheapest_supplier_per_part (in-window)
     "pq_adc_topk",              # PQ ANN: ivf_topk_trained (in-window) covers trained-quantizer retrieval
