@@ -28,6 +28,16 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # Host-load telemetry (VERDICT r7 item 2): the r7 driver artifact was
+    # ~1.6× inflated by external load and cost a full judge re-run to
+    # adjudicate. Record loadavg at start/end on stderr AND stamp the start
+    # 1-minute value into the metric line so any reader can discount a
+    # loaded-host artifact without re-running. local[32] on an idle host
+    # shows start load well under ~4; a start load of 8+ means another
+    # tenant is eating cores and every wall-clock below is suspect.
+    load_start = os.getloadavg()
+    print(f"loadavg_start: {load_start}", file=sys.stderr)
+
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -71,6 +81,8 @@ def main() -> None:
                 times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
+    load_end = os.getloadavg()
+    print(f"loadavg_end: {load_end}", file=sys.stderr)
 
     # Round-over-round diagnostics go to STDERR only: the driver keeps just
     # the last 2000 chars of stdout, and embedding ratios in the metric line
@@ -100,6 +112,10 @@ def main() -> None:
             "unit": "sec",
             "queries": q,
             "sf": sf,
+            # 1-min loadavg at bench start — external load pre-existing the
+            # run. A value near 0 certifies a quiet host; >> 0 flags an
+            # artifact inflated by co-tenant load (see r7: 203 s vs 123 s).
+            "load1_start": round(load_start[0], 2),
         }
         if errors:
             # Truncated per-query error strings, capped at err_n entries so a

@@ -31,15 +31,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Sizing rule (surfaced by the 10× scale rehearsal, BENCH_NOTES_r07): a fixed
+# num_bits saturates as the dim side grows. ~12 bits/key keeps the
+# false-positive rate ≈ 0.3% at k=5 — auto-sizing targets this.
+_BITS_PER_KEY = 12
+_MIN_BITS = 1 << 12  # 512 B floor — below this the build job costs more than it saves
+_MAX_BITS = 1 << 27  # 16 MiB ceiling on what crosses the driver / broadcast
 
-def bloom_words(small: DataFrame, key_col: str, num_bits: int = 1 << 17, num_hashes: int = 5) -> list[int]:
+
+def _auto_num_bits(n_keys: int) -> int:
+    """Smallest power-of-two ≥ ``_BITS_PER_KEY × n_keys``, clamped.
+
+    Power-of-two keeps ``pmod``'s modulus cheap and the word table aligned;
+    the clamp bounds both the build-collect and the broadcast at 16 MiB —
+    past that a real engine should fall back to a shuffled semi join anyway.
+    """
+    bits = _MIN_BITS
+    target = max(1, n_keys) * _BITS_PER_KEY
+    while bits < target and bits < _MAX_BITS:
+        bits <<= 1
+    return bits
+
+
+def bloom_words(small: DataFrame, key_col: str, num_bits: int | None = 1 << 17, num_hashes: int = 5) -> list[int]:
     """Build the filter: a dense Python list of ``num_bits // 64`` longs.
 
     One Spark job at build time (the "runtime" in runtime filter): explode
     each key into its ``num_hashes`` xxhash64 bit positions, partial-agg
     ``bit_or`` per 64-bit word, collect the sparse word map, densify on the
     driver. NULL keys are excluded — they can never match an equi-join.
+
+    ``num_bits=None`` auto-sizes: one cheap partial-agged
+    ``approx_count_distinct`` job over the dim keys picks the smallest
+    power of two ≥ ~12 bits/key (FP ≈ 0.3% at k=5), so a 10× dim-side
+    growth can no longer silently saturate a fixed-width filter.
     """
+    if num_bits is None:
+        n_keys = (
+            small.filter(F.col(key_col).isNotNull())
+            .agg(F.approx_count_distinct(key_col).alias("n"))
+            .collect()[0]["n"]
+        )
+        num_bits = _auto_num_bits(n_keys)
     if num_bits % 64 != 0 or num_bits <= 0:
         raise ValueError(f"bloom_words: num_bits must be a positive multiple of 64, got {num_bits}")
     if not 1 <= num_hashes <= 16:
@@ -115,16 +148,18 @@ def bloom_semi_filter(
     big_key: str,
     small: DataFrame,
     small_key: str,
-    num_bits: int = 1 << 17,
+    num_bits: int | None = None,
     num_hashes: int = 5,
 ) -> DataFrame:
     """End-to-end runtime filter: build from ``small``, prune ``big``.
 
     Launches one bounded job at plan-build time (the word-table collect —
-    ≤ ``num_bits/64`` longs regardless of input size); the returned frame
-    is a lazy map-side prune of ``big`` suitable for a subsequent join
-    against ``small``. The join result is identical with or without the
-    prune — only the shuffled volume changes.
+    ≤ ``num_bits/64`` longs regardless of input size; with the default
+    ``num_bits=None`` an extra partial-agg count job auto-sizes the filter
+    at ~12 bits/key so it keeps pruning as the dim side grows); the
+    returned frame is a lazy map-side prune of ``big`` suitable for a
+    subsequent join against ``small``. The join result is identical with
+    or without the prune — only the shuffled volume changes.
     """
     words = bloom_words(small, small_key, num_bits=num_bits, num_hashes=num_hashes)
     return bloom_prune(big, big_key, words, num_hashes=num_hashes)

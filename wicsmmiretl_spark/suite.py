@@ -3765,8 +3765,11 @@ def q_source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime-filter join: revenue by (flag, status) for lineitems of
     urgent expensive orders, with the fact side Bloom-pruned map-side
-    BEFORE the join shuffle (operators/pruning.py). The filter has no
-    false negatives, so the oracle is simply the unpruned join — identical
+    BEFORE the join shuffle (operators/pruning.py). The filter auto-sizes
+    from an approx dim-key count at ~12 bits/key (power-of-two, 16 MiB
+    cap), so dim-side growth cannot silently saturate it — the failure
+    mode the 10× rehearsal exposed for a fixed width. It has no false
+    negatives, so the oracle is simply the unpruned join — identical
     rows, less exchanged volume. The join is hinted shuffle-hash because
     that is the 100 TB shape this pattern accelerates: a dim side too big
     to broadcast, where ~86% of fact rows would otherwise cross the wire
@@ -3779,7 +3782,7 @@ def q_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000))
         .select("o_orderkey")
     )
-    pruned = bloom_semi_filter(li, "l_orderkey", dim, "o_orderkey", num_bits=1 << 18, num_hashes=5)
+    pruned = bloom_semi_filter(li, "l_orderkey", dim, "o_orderkey", num_hashes=5)
     return (
         pruned.join(dim.hint("shuffle_hash"), pruned["l_orderkey"] == dim["o_orderkey"])
         .groupBy("l_returnflag", "l_linestatus")
@@ -4935,99 +4938,99 @@ def q_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEFERRED_QUERIES = (
-    # r7 rotation — the exact inverse of r5/r6: the 28 queries deferred in
-    # r5/r6 move back IN-window so their driver-side CORRECTNESS rows are
-    # refreshed against the *current* testdata generation (their last driver
-    # rows predate two physical-dtype drifts: r5's events.ts and the r6 NTZ
-    # date columns). Deferred in their place: 28 queries that passed the
-    # driver in r6 (CORRECTNESS_r06 = 50/50) and whose operator families
-    # remain covered by an in-window query (noted per line). The 22 retained
-    # in-window queries are the ones touched this round (salted_join fusion,
-    # asof_nearest tiebreak, hyperplane dim param, streaming micro-batch
-    # tuning) plus one canonical query per family with no incoming twin
-    # (ranking, packing, CDC merge, theta join, union-find, multimodal,
-    # LSH dedup, trained IVF, stateful streaming, curation, flagship vocab).
-    # All 28 deferred stay oracle-checked every pytest run via
-    # tests/test_deferred_oracle.py.
-    "pos_tag_stats",            # E1 enrichment: text_stats (in-window) runs the same Catalyst token classes
-    "customers_without_orders", # J3 anti: nations_without_suppliers (in-window) is the same anti/EXCEPT shape
-    "region_customer_rollup",   # rollup: orders_rollup (in-window) is the same grouped rollup
-    "stats_matrix_documents",   # A9 stats matrix: pricing_summary + quantity_quantiles (in-window) cover A2-A6/A5
-    "events_stats_by_type",     # grouped wide stats: pricing_summary + events_daily_pivot in-window
-    "window_rank_events",       # rank window: cheapest_supplier_per_part (in-window) is the canonical rank
-    "tumbling_daily",           # event-time windows: sessionize_events (in-window) covers the family
+    # r8 rotation — evidence completion (VERDICT r7 item 1): the 44 queries
+    # born in r7 (17 mid-session + the 27-query session-3 block) had never
+    # had a driver-side CORRECTNESS row, so ALL 44 move IN-window this round.
+    # Retained in-window alongside them: 6 family anchors with no incoming
+    # twin — vocab_top100 (entry flagship / tokenize+UDTF+top-k),
+    # image_pipeline_stats (multimodal mapInPandas), salted_supplier_volume
+    # (skew-salted join), minhash_lsh_pairs (probabilistic LSH — the exact
+    # prefix-filter join is its complement, not a substitute),
+    # streaming_interval_join (stream-stream interval join; the incoming
+    # streaming queries are session/dedup/HLL/CMS, not interval), and
+    # asof_nearest_purchase (as-of join proper; purchase_last_touch only
+    # reuses the carry machinery). Deferred in their place: the other 44
+    # queries of the r7 window, every one green in CORRECTNESS_r07 (50/50)
+    # and judge-re-verified at sf0.01, with the in-window family cover noted
+    # per line. All 72 deferred stay oracle-checked every pytest run via
+    # tests/test_deferred_oracle.py and by tools/verify_local.py.
+    #
+    # -- carried over from the r6 rotation (driver rows in CORRECTNESS_r06) --
+    "pos_tag_stats",            # E1 enrichment: bigram_surprisal_docs + vocab_top100 (in-window) run the same Catalyst token classes
+    "customers_without_orders", # J3 anti: orders_dq_report (in-window) evaluates the same anti/EXCEPT shape as a DQ rule
+    "region_customer_rollup",   # rollup: orders_incremental_rollup (in-window) is the same grouped rollup, mergeable-state form
+    "stats_matrix_documents",   # A9 stats matrix: documents_profile + lineitem_corr_matrix (in-window) cover the one-pass wide aggs
+    "events_stats_by_type",     # grouped wide stats: events_value_histogram + events_category_entropy (in-window) cover grouped event aggs
+    "window_rank_events",       # rank window: source_capped_docs (in-window) is the same rank-then-filter window
+    "tumbling_daily",           # event-time windows: events_daily_resample (in-window) buckets the same event-time grid
     "asof_click_purchase",      # as-of backward: asof_nearest_purchase (in-window) evaluates backward as a component; direction-parity pytest
     "asof_tolerance_purchase",  # as-of tolerance: asof_nearest_purchase (in-window) exercises the tolerance path
-    "embedding_centroids",      # array aggs: embedding_vector_stats (in-window) + ivf_topk_trained's Lloyd means
-    "streaming_tumbling",       # streaming: streaming_interval_join + streaming_user_state in-window
-    "ivf_topk",                 # IVF probe: ivf_topk_trained (in-window) runs the same probe on trained centroids
-    "kmeans_centroids",         # Lloyd training: ivf_topk_trained (in-window) trains the same k-means internally
-    "etl_caption_pipeline",     # E/T/L chain: normalized_captions + range_filter_chain + corpus_curation in-window
-    "vocab_token_class",        # UDTF explode: vocab_top100 + token_counts (in-window) run the same tokenizer
-    "nation_trade_volume",      # J1 equi-join agg: large_quantity_orders (in-window) is the same J1+HAVING
-    "simhash_near_pairs",       # SimHash: simhash_signatures (in-window) computes the same signatures
-    "sliding_hourly",           # sliding windows: sessionize_events (in-window) covers event-time windows
+    "embedding_centroids",      # array aggs: doc_feature_vectors + pq_adc_topk (in-window) cover vector arithmetic + Lloyd means
+    "streaming_tumbling",       # streaming: streaming_interval_join + streaming_session_window in-window
+    "ivf_topk",                 # IVF probe: pq_adc_topk (in-window) runs the same broadcast-quantizer probe (ivf_topk_trained deferred twin)
+    "kmeans_centroids",         # Lloyd training: pq_adc_topk (in-window) trains per-subspace k-means internally
+    "etl_caption_pipeline",     # E/T/L chain: corpus_curation_v2 (in-window) is the same composed lazy pipeline
+    "vocab_token_class",        # UDTF explode: vocab_top100 (in-window) runs the same tokenizer explode
+    "nation_trade_volume",      # J1 equi-join agg: bloom_pruned_revenue (in-window) is the same J1 join+agg with runtime pruning
+    "simhash_near_pairs",       # SimHash pairs: jaccard_exact_pairs (in-window) is the guaranteed-complete near-dup path; signatures pytest
+    "sliding_hourly",           # sliding windows: events_daily_resample + streaming_session_window (in-window) cover event-time windows
     "video_frame_sample",       # multimodal mapInPandas: image_pipeline_stats (in-window) is the same Arrow-batched path
-    "idle_rich_customers",      # semi+anti: customers_with_orders_semi + nations_without_suppliers in-window
-    "lineitem_flag_status_cube",  # cube/grouping sets: events_daily_pivot + orders_rollup in-window
-    "repetition_stats",         # text-quality signals: quality_scores (in-window) runs the same fenced gates
+    "idle_rich_customers",      # semi+anti: orders_dq_report (in-window) runs the same semi/anti membership checks
+    "lineitem_flag_status_cube",  # cube/grouping sets: orders_incremental_rollup (in-window) covers grouping-set aggs
+    "repetition_stats",         # text-quality signals: bigram_surprisal_docs (in-window) runs the same fenced quality gates
     "click_purchase_interval_join",  # interval join: streaming_interval_join (in-window) hash-matches the identical oracle
-    "corpus_mix",               # stratified mix: split_assign + deterministic_sample_docs (in-window) cover md5 sampling
-    "doc_chunks",               # chunking: pack_assign (in-window) covers the packing family
-    "knn_classify",             # k-NN: cosine_topk (in-window) is the underlying top-k retrieval
-    "dedup_canonical",          # survivor pick: dedup_exact + dedup_clusters (in-window) cover the fingerprint + clusters
-    "event_funnel",             # chained windows: user_value_analytics + window_running_sum (in-window) cover frames
-    # -- r7 additions: born post-window (the 50 in-window slots hold the
-    # rotated evidence-refresh set); oracle-checked every pytest run like
-    # the rest of this tuple. r8 rotation guidance: the session-3 block at
-    # the END of this tuple (bloom_pruned_revenue onward, 27 queries) has
-    # never had a driver-side CORRECTNESS row — rotate those in first,
-    # swapping out in-window queries whose families they now also cover
-    # (e.g. pricing_summary-class aggs, window-rank twins).
-    "event_chain_components",   # alternating-star CC: dedup_clusters (in-window) covers cluster resolution
-    "source_capped_docs",       # per-group cap: window-rank family covered by cheapest_supplier_per_part (in-window)
-    "pq_adc_topk",              # PQ ANN: ivf_topk_trained (in-window) covers trained-quantizer retrieval
-    "customer_scd2_merge",      # SCD2 merge: customer_merge_upsert (in-window) covers the CDC family
-    "orders_incremental_rollup",  # mergeable-state agg: pricing_summary (in-window) covers grouped aggs
-    "streaming_session_window", # streaming sessions: streaming_user_state + sessionize_events (in-window) cover the pieces
-    "weighted_sample_docs",     # priority sampling: deterministic_sample_docs + corpus_mix (in-window) cover seeded sampling
-    "bigram_surprisal_docs",    # LM quality signal: quality_scores + repetition_stats (in-window) cover the family
-    "events_value_histogram",   # fixed-width histogram: events_stats_by_type + pricing_summary (in-window) cover aggs
-    "order_graph_pagerank",     # iterative graph analytics: dedup_clusters (in-window) covers the graph family
-    "streaming_dedup",          # streaming replay dedup: dedup_exact + streaming_user_state (in-window) cover the pieces
-    "hll_distinct_users",       # mergeable distinct sketch: stats_matrix/pricing_summary (in-window) cover exact aggs
-    "documents_profile",        # column profiler: stats_matrix_documents family (in-window) covers the agg shapes
-    "events_value_outliers",    # robust z-score: quantity_quantiles (in-window) covers exact medians
-    "events_daily_resample",    # grid resample + ffill: tumbling_daily family (in-window) covers time bucketing
-    "hybrid_rank_fusion",       # RRF hybrid retrieval: bm25_rank + cosine_topk cover the underlying rankers
-    "corpus_curation_v2",       # capstone composition: corpus_curation (in-window) covers the v1 stages
-    "bloom_pruned_revenue",     # runtime-filter join: large_quantity_orders (in-window) covers the J1 join+agg
-    "user_retention_weekly",    # cohort retention: sessionize_events + user_value_analytics (in-window) cover event analytics
-    "orders_dq_report",         # data-quality expectations: pricing_summary + customers_without_orders (in-window) cover agg + anti-join
-    "customer_snapshot_diff",   # change-data generation: customer_merge_upsert (in-window) covers the full-outer merge family
-    "cms_heavy_tokens",         # count-min heavy hitters: hll_distinct_users family + vocab_top100 (in-window) cover sketch + vocab
-    "inverted_index_band",      # posting-list build: vocab_top100 + bm25_rank families (in-window twins) cover tokenize + retrieval
-    "part_name_fuzzy_match",    # bounded edit-distance lookup: normalized_captions family (in-window) covers string transforms
-    "user_activity_spans",      # gaps-and-islands merge: sessionize_events + window_running_sum (in-window) cover the window family
-    "bpe_merge_table",          # BPE tokenizer training: vocab_top100 (in-window) covers tokenize; kmeans family covers iterative collect
-    "lineitem_corr_matrix",     # exact Pearson matrix: pricing_summary + stats_matrix families (in-window) cover one-pass aggs
-    "part_copurchase_triangles",  # triangle census: event_chain_components + order_graph_pagerank (deferred twins) cover graph analytics
-    "events_value_deciles",     # exact equal-frequency binning: quantity_quantiles (in-window) covers exact quantiles
-    "streaming_hll_distinct",   # sketch-over-stream: hll_distinct_users + streaming_dedup (deferred twins) cover the pieces
-    "documents_stable_index",   # distributed zipWithIndex: window_rank_events family covers rank; this is its no-global-sort form
-    "customer_profile_drift",   # stats-drift monitor: documents_profile + customer_snapshot_diff (deferred twins) cover the pieces
-    "event_value_trend_by_type",  # grouped OLS: lineitem_corr_matrix (deferred twin) covers the exact-moment machinery
-    "pmi_collocations_top",     # PMI collocations: bigram_surprisal_docs + vocab_top100 (deferred/in-window) cover bigram counting
-    "doc_feature_vectors",      # hashing-trick vectorizer: cms/hll sketch family covers md5 bucket arithmetic
-    "mktsegment_target_encoding",  # smoothed target encoding: pricing_summary + nation_trade_volume cover join+exact-sum aggs
-    "purchase_click_ab_stats",  # Welch A/B stats: lineitem_corr_matrix + event_value_trend families cover exact moments
-    "order_feature_matrix",     # feature capstone: mktsegment_target_encoding + events_value_deciles cover the components
-    "events_category_entropy",  # entropy profiling: documents_profile + customer_profile_drift cover the profiling family
-    "part_association_rules",   # market-basket lift: part_copurchase_triangles (deferred twin) covers the basket self-join
-    "purchase_last_touch",      # last-touch attribution: asof family (in-window nearest) covers the carry machinery
-    "streaming_cms_heavy_users",  # CMS-over-stream: cms_heavy_tokens + streaming_hll_distinct (deferred twins) cover the pieces
-    "lineitem_melt_stats",      # native unpivot reshape: stats_matrix family (deferred twin) covers the per-metric aggs
-    "jaccard_exact_pairs",      # exact prefix-filter join: near_dup_jaccard + minhash_lsh_pairs cover the probabilistic path
+    "corpus_mix",               # stratified mix: weighted_sample_docs (in-window) covers md5 priority sampling
+    "doc_chunks",               # chunking: pytest (test_training_data_ops) covers the generate-only chunker; pack_assign deferred twin
+    "knn_classify",             # k-NN: pq_adc_topk + hybrid_rank_fusion (in-window) cover the underlying top-k retrieval
+    "dedup_canonical",          # survivor pick: event_chain_components (in-window) covers cluster resolution; streaming_dedup covers fingerprints
+    "event_funnel",             # chained windows: user_activity_spans + user_retention_weekly (in-window) cover ordered-event frames
+    #
+    # -- newly deferred r8: the r7 evidence-refresh window, all green in
+    # -- CORRECTNESS_r07 (rows+schema+hash), family cover now in-window --
+    "text_stats",               # E1/E2 text enrichment: bigram_surprisal_docs (in-window) computes the same token/ratio signals
+    "quality_scores",           # quality gates: bigram_surprisal_docs + corpus_curation_v2 (in-window) run the same fenced gates
+    "lang_id",                  # n-gram lang heuristic: doc_feature_vectors + bigram_surprisal_docs (in-window) cover n-gram scoring
+    "dedup_exact",              # exact md5 dedup: streaming_dedup (in-window) replays the same fingerprint dedup; jaccard_exact covers near-dup
+    "deterministic_sample_docs", # seeded sampling: weighted_sample_docs (in-window) is the same md5-threshold family
+    "pricing_summary",          # grouped agg: orders_incremental_rollup + lineitem_corr_matrix (in-window) cover grouped/exact-moment aggs
+    "range_filter_chain",       # P5/P6 filter chain: corpus_curation_v2 (in-window) composes the same strict-bound conjunctive filters
+    "customers_with_orders_semi", # P8 semi join: bloom_pruned_revenue (in-window) is the same membership prune, runtime-filter form
+    "union_balance_stats",      # U1 union: hybrid_rank_fusion (in-window) unions ranker outputs with uniqueness handling
+    "window_running_sum",       # running frame: user_activity_spans (in-window) is the same running-window machinery (islands)
+    "events_json_extract",      # S3 JSON flatten: pytest (test_io) covers the scan; no in-window twin — rotate back in r9
+    "asof_next_purchase",       # as-of forward: asof_nearest_purchase (in-window) evaluates forward as a component
+    "sessionize_events",        # session windows: streaming_session_window + user_activity_spans (in-window) cover sessionization
+    "orders_rollup",            # rollup: orders_incremental_rollup (in-window) is the same rollup, mergeable-state form
+    "nation_segment_distinct",  # distinct counts: hll_distinct_users (in-window) is the sketch form; events_category_entropy exact counts
+    "nations_without_suppliers", # J3 anti: orders_dq_report (in-window) runs the same anti-join membership rule
+    "cosine_topk",              # exact ANN baseline: pq_adc_topk re-ranks with the same exact cosine; hybrid_rank_fusion consumes it
+    "near_dup_jaccard",         # LSH-verify Jaccard: jaccard_exact_pairs (in-window) computes the same shingle Jaccard, exhaustively
+    "simhash_signatures",       # SimHash: jaccard_exact_pairs covers near-dup; signatures pytest (test_dedup_similarity)
+    "token_counts",             # tokenize counts: vocab_top100 (in-window) runs the same tokenizer
+    "clamped_ratios",           # P9 clamp: corpus_curation_v2 (in-window) applies the same conditional clamps
+    "split_assign",             # R7 split: weighted_sample_docs (in-window) covers seeded md5 assignment
+    "wikimedia_url_build",      # F4 string build: part_name_fuzzy_match (in-window) covers the string-function family
+    "embedding_near_dup",       # cosine near-dup: pq_adc_topk (in-window) covers embedding retrieval; recall pytest
+    "hyperplane_lsh_pairs",     # hyperplane LSH: pq_adc_topk (in-window) covers quantized ANN; recall gate pytest ≥0.9
+    "normalized_captions",      # F1/F2 strip/normalize: part_name_fuzzy_match (in-window) covers string transforms
+    "corpus_concat",            # F3 concat-reduce: bpe_merge_table (in-window) scans/reduces the same corpus
+    "ivf_topk_trained",         # trained IVF: pq_adc_topk (in-window) is the same trained-quantizer probe + re-rank
+    "events_value_bands",       # theta/range join: events_value_histogram + events_value_deciles (in-window) cover value banding
+    "user_value_analytics",     # analytic windows: user_retention_weekly + purchase_click_ab_stats (in-window) cover user analytics
+    "dedup_clusters",           # union-find clusters: event_chain_components (in-window) is the distributed-CC superset
+    "events_daily_pivot",       # pivot: lineitem_melt_stats is its unpivot inverse (deferred twin); events_daily_resample in-window buckets
+    "embedding_vector_stats",   # array aggs: doc_feature_vectors (in-window) covers vector arithmetic
+    "streaming_user_state",     # stateful streaming: streaming_session_window + streaming_cms_heavy_users (in-window) cover custom state
+    "nations_with_both",        # semi∩semi: orders_dq_report (in-window) evaluates the same membership conjunction
+    "quantity_quantiles",       # exact quantiles: events_value_deciles (in-window) computes the same exact equal-frequency bins
+    "cheapest_supplier_per_part", # rank-per-group: source_capped_docs (in-window) is the same window-rank cap
+    "large_quantity_orders",    # J1 join+HAVING: bloom_pruned_revenue (in-window) is the same join+agg with runtime pruning
+    "customer_merge_upsert",    # CDC upsert: customer_scd2_merge + customer_snapshot_diff (in-window) cover the merge family
+    "pii_scrub",                # regexp scrub chain: corpus_curation_v2 (in-window) applies the same scrub stage; pytest (test_text)
+    "decontaminate_ngrams",     # n-gram decontamination: pmi_collocations_top + bigram_surprisal_docs (in-window) cover n-gram joins
+    "corpus_curation",          # capstone v1: corpus_curation_v2 (in-window) supersets the v1 stages
+    "pack_assign",              # sequence packing: pytest (test_training_data_ops) covers the binner; doc_chunks deferred twin
+    "bm25_rank",                # BM25: hybrid_rank_fusion + inverted_index_band (in-window) cover df/posting retrieval
 )
 
 
