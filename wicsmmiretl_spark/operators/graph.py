@@ -44,17 +44,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, parts: int) -> DataFrame:
     """(u,v) edges → for every node, point strictly-larger neighbors at the
     neighborhood minimum. Emits (larger_neighbor, min).
 
     The neighborhood min rides a partition-only window instead of a
-    groupBy+join: one full shuffle of the neighbor list by ``u`` rather
+    groupBy+min+join: one full shuffle of the neighbor list by ``u`` rather
     than two (the join would redistribute the same rows by ``u`` anyway,
-    so the skew exposure is identical and the volume strictly lower).
-    Duplicate emissions are tolerated — the small-star at the end of the
-    round deduplicates, so multiplicity never compounds across rounds."""
-    nbrs = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    so the skew exposure is identical and the volume strictly lower). The
+    explicit ``repartition(parts, u)`` IS that shuffle — hash on ``u``
+    satisfies the window's clustering requirement, so Catalyst adds no
+    second exchange, and the loop's partition count is a property of the
+    plan instead of session state. Duplicate emissions are tolerated —
+    the small-star at the end of the round deduplicates, so multiplicity
+    never compounds across rounds."""
+    nbrs = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).repartition(parts, "u")
     m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     return (
         nbrs.withColumn("m", m)
@@ -63,13 +69,19 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, parts: int) -> DataFrame:
     """Orient every edge larger→smaller, then point each node and all its
-    smaller neighbors at the neighborhood minimum. Same window-min shape
-    as the large-star; both branches of the emit union reuse one exchange."""
-    oriented = edges.select(
-        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).filter(F.col("u") != F.col("v"))
+    smaller neighbors at the neighborhood minimum. Same explicit
+    window-carrying repartition as the large-star; both branches of the
+    emit union reuse that one exchange. The closing ``distinct`` keeps its
+    own partial-agg exchange (map-side dedup bounds a hub node's duplicate
+    emissions before they cross the wire); AQE coalesces its read side, so
+    no fixed session-wide partition count is assumed."""
+    oriented = (
+        edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .repartition(parts, "u")
+    )
     j = oriented.withColumn("m", F.min("v").over(Window.partitionBy("u")))
     return (
         j.select(F.col("v").alias("u"), F.col("m").alias("v"))
@@ -104,13 +116,6 @@ def connected_components(
     any input partitioning. Converges in O(log n) alternating-star rounds
     regardless of component diameter (path graphs included — the case that
     defeats min-label propagation).
-
-    Concurrency caveat: the loop scopes the SESSION-level
-    ``spark.sql.shuffle.partitions`` down to the edge count for its rounds
-    (restored after, same pattern as the streaming memory-sink harness).
-    Other queries launched on the same session DURING the loop would plan
-    with the reduced value — run this in its own pipeline stage, not
-    concurrently with unrelated heavy queries.
     """
     edges0 = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
@@ -129,32 +134,29 @@ def connected_components(
     )
 
     prev = _checksum(edges)
-    # Size the per-round shuffles to the edge count: the loop runs
-    # O(log n) sequential rounds, so at small-to-medium edge counts the
-    # session's full shuffle-partition count is pure per-task overhead ×
+    # Size the per-round window shuffles to the edge count, as an explicit
+    # plan-local ``repartition`` inside each star (NOT a session-conf
+    # mutation — concurrent queries on the same session are unaffected):
+    # the loop runs O(log n) sequential rounds, so at small-to-medium edge
+    # counts a full session partition count is pure per-task overhead ×
     # rounds. ~64k edges per partition keeps tasks fat; a 100 TB candidate
-    # graph rides the session setting untouched. Scoped + restored, same
-    # pattern as the streaming state-store sizing.
-    spark = pairs.sparkSession
-    conf_key = "spark.sql.shuffle.partitions"
-    session_parts = spark.conf.get(conf_key)
-    loop_parts = min(int(session_parts), max(1, prev[0] // 65_536 + 1))
-    try:
-        spark.conf.set(conf_key, str(loop_parts))
-        for _ in range(max_iter):
-            edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-            cur = _checksum(edges)
-            if cur == prev:
-                break
-            prev = cur
-        else:
-            raise RuntimeError(
-                f"connected_components: alternating-star did not reach a fixpoint "
-                f"within max_iter={max_iter} rounds; raise max_iter (expected "
-                "rounds ~ log2 of the largest component size)."
-            )
-    finally:
-        spark.conf.set(conf_key, session_parts)
+    # graph gets parts capped at the session's shuffle setting.
+    session_parts = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = min(session_parts, max(1, prev[0] // 65_536 + 1))
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges, loop_parts), loop_parts).localCheckpoint(
+            eager=True
+        )
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components: alternating-star did not reach a fixpoint "
+            f"within max_iter={max_iter} rounds; raise max_iter (expected "
+            "rounds ~ log2 of the largest component size)."
+        )
 
     # Fixpoint edge set is the star forest: (node, component_min) for every
     # non-root node. Roots (and isolated nodes) label themselves.
@@ -211,41 +213,45 @@ def pagerank(
 
     Output: (id, rank double) for every node appearing in ``edges``.
     """
-    e = (
+    e0 = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Same plan-local shuffle sizing as connected_components (no session
+    # conf mutation): iters sequential rounds multiply per-task overhead,
+    # so pin the loop's operands to edge-count-sized hash partitionings
+    # ONCE — pr/deg/e/nodes all co-partitioned on their join keys at
+    # loop_parts, so each iteration's equi-joins add no exchange for the
+    # pinned sides. The contribution groupBy keeps its own partial-agg
+    # exchange (map-side combine bounds a celebrity node's in-box); AQE
+    # coalesces its read side.
+    session_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_edges = e0.count()
+    loop_parts = min(session_parts, max(1, n_edges // 65_536 + 1))
+    e = e0.repartition(loop_parts, "src").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
+        .repartition(loop_parts, "id")
         .localCheckpoint(eager=True)
     )
-    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    deg = (
+        e.groupBy("src")
+        .agg(F.count("*").alias("outdeg"))
+        .repartition(loop_parts, "src")
+        .localCheckpoint(eager=False)
+    )
     n_total = nodes.agg(F.count("*").alias("n"))
 
     pr = nodes.join(F.broadcast(n_total)).select(
         "id", (F.lit(1.0) / F.col("n").cast("double")).alias("rank")
     )
-    d = damping
-    # Same scoped shuffle sizing (and same concurrency caveat) as
-    # connected_components: iters sequential rounds multiply per-task
-    # overhead, so size the loop's shuffles to the edge count.
-    spark = edges.sparkSession
-    conf_key = "spark.sql.shuffle.partitions"
-    session_parts = spark.conf.get(conf_key)
-    n_edges = e.count()
-    loop_parts = min(int(session_parts), max(1, n_edges // 65_536 + 1))
-    spark.conf.set(conf_key, str(loop_parts))
-    try:
-        pr = _pagerank_loop(pr, e, deg, nodes, n_total, d, iters, scale)
-    finally:
-        spark.conf.set(conf_key, session_parts)
-    return pr
+    return _pagerank_loop(pr, e, deg, nodes, n_total, damping, iters, scale, loop_parts)
 
 
-def _pagerank_loop(pr, e, deg, nodes, n_total, d, iters, scale):
+def _pagerank_loop(pr, e, deg, nodes, n_total, d, iters, scale, loop_parts):
     for _ in range(iters):
         with_deg = pr.join(deg, pr["id"] == deg["src"], "left").select(
             pr["id"], "rank", "outdeg"
@@ -286,6 +292,7 @@ def _pagerank_loop(pr, e, deg, nodes, n_total, d, iters, scale):
                     )
                 ).alias("rank"),
             )
+            .repartition(loop_parts, "id")
             .localCheckpoint(eager=True)
         )
     return pr

@@ -160,20 +160,28 @@ def inverted_index(
     token → document frequency + sorted doc-id posting list.
 
     Two-phase plan, and the order matters at scale: phase 1 computes df
-    per token (a cheap partial-aggregated count) and applies the
-    ``[min_df, max_df]`` band FIRST; phase 2 collects posting arrays only
-    for surviving tokens (inner join on the banded vocabulary). Stopword
-    postings — the arrays that would be |corpus|-sized at 100 TB — are
-    never materialized, which is precisely why every real index drops or
-    caps them (``max_df`` is that knob; terms above it carry no retrieval
-    signal anyway). The (doc, token) pair stream is consumed by BOTH
-    phases, and the two exchanges differ (partial-agg vs raw join shuffle)
-    so Spark does NOT reuse one for the other — the corpus is tokenized
-    twice (verified in the executed plan: 2 scans, no ReusedExchange). The
-    explode is map-side and cheap relative to the posting shuffle; at
-    100 TB, persist/checkpoint the pair stream if the double scan matters
-    more than the cache footprint. Multiple occurrences of a token in one
-    document produce ONE posting (document-level index).
+    per token and applies the ``[min_df, max_df]`` band FIRST; phase 2
+    collects posting arrays only for surviving tokens (inner join on the
+    banded vocabulary). Stopword postings — the arrays that would be
+    |corpus|-sized at 100 TB — are never materialized, which is precisely
+    why every real index drops or caps them (``max_df`` is that knob;
+    terms above it carry no retrieval signal anyway).
+
+    One scan, one shuffle: the raw (doc, token) occurrence stream is
+    hash-repartitioned by ``token`` ONCE, and everything downstream —
+    the per-document dedup (clustering on (_id, token) is satisfied by a
+    hash on the subset {token}), the df count, the vocabulary-band join
+    (both sides descend from the same exchange), and the posting
+    collect_list — runs exchange-free on that partitioning. Both
+    consuming branches sit on a byte-identical exchange subtree, so
+    ReuseExchange materializes it once (verified in the executed plan:
+    1 scan, 1 shuffle, ReusedExchange) — versus the naive phase-split
+    plan's 3 full pair-stream exchanges and 2 corpus scans, with no cache
+    footprint. The trade: the single exchange carries raw occurrence
+    volume (map-side dedup would have shrunk it to distinct pairs), which
+    is bounded by per-document token multiplicity, not corpus size.
+    Multiple occurrences of a token in one document produce ONE posting
+    (document-level index).
 
     Output: token string, df bigint, postings array<bigint> (ascending).
     """
@@ -183,6 +191,7 @@ def inverted_index(
         raise ValueError(f"inverted_index: max_df {max_df} < min_df {min_df}")
     pairs = (
         docs.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("token"))
+        .repartition("token")  # no explicit N — AQE may still coalesce
         .dropDuplicates(["_id", "token"])
     )
     dfs = pairs.groupBy("token").agg(F.count("*").alias("df"))

@@ -445,6 +445,10 @@ def ivf_topk(
                 "cv",
                 F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x)).alias("nc"),
             )
+            # scored_cells feeds BOTH the candidate and the query branch —
+            # without a pin, this corpus-wide centroid agg runs once per
+            # branch. k rows materialize; the corpus itself stays lazy.
+            .localCheckpoint(eager=False)
         )
 
     cdot = F.aggregate(F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)

@@ -187,7 +187,16 @@ def run_to_memory_sink(
     drops 5.9s -> 2.6s going 32 -> 8); a production always-on query sizes
     it to cluster cores instead. The session conf is restored afterwards —
     the override applies only to this query (partitioning is captured at
-    start)."""
+    start).
+
+    This is the engine's ONLY session-conf-scoped path (the graph loops
+    use plan-local ``repartition`` instead): stateful streaming operators
+    require exactly ``spark.sql.shuffle.partitions`` state partitions,
+    recorded in the checkpoint at first-batch planning — an explicit
+    repartition upstream cannot override it, so there is no plan-local
+    equivalent. Concurrency caveat: a query planned on the same session
+    during the drain sees the reduced value — this harness is test/bench
+    scaffolding, run it sequentially."""
     prev = (
         spark.conf.get("spark.sql.shuffle.partitions")
         if shuffle_partitions is not None
