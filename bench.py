@@ -115,6 +115,9 @@ def main() -> None:
             # 1-min loadavg at bench start — external load pre-existing the
             # run. A value near 0 certifies a quiet host; >> 0 flags an
             # artifact inflated by co-tenant load (see r7: 203 s vs 123 s).
+            # Contract-compat confirmed r8: the driver recorded BENCH_r08
+            # with this extra key present (rc 0, tail parsed), so its
+            # parser tolerates unknown keys.
             "load1_start": round(load_start[0], 2),
         }
         if errors:

@@ -150,6 +150,28 @@ def test_inverted_index_df_band_prunes_before_collect(spark):
     assert "<= 2" in plan and "sort_array" in plan
 
 
+def test_inverted_index_dedups_before_token_repartition(spark):
+    """r8-advice skew guard: the (_id, token)-hashed dedup exchange must
+    sit UPSTREAM of the token-keyed repartition, so a stopword's raw
+    occurrence stream is spread across partitions by doc id and the
+    token-keyed exchange carries only distinct pairs; the shared subtree
+    is then materialized once (ReusedExchange in the final AQE plan)."""
+    from wicsmmiretl_spark.operators.ranking import inverted_index
+
+    docs = _docs(spark, [(1, "x z"), (2, "y"), (3, "x x y")])
+    df = inverted_index(docs)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    # Walk one branch bottom-up: the pre-dedup ENSURE_REQUIREMENTS exchange
+    # hashes (_id, token); the REPARTITION_BY_COL exchange above it hashes
+    # token alone. Printed top-down, token-only appears before (_id, token).
+    i_tok = plan.find("REPARTITION_BY_COL")
+    i_pair = plan.find("ENSURE_REQUIREMENTS", i_tok)
+    assert 0 <= i_tok < i_pair
+    assert "hashpartitioning(_id" in plan[i_pair - 120 : i_pair]
+
+
 # ---------------------------------------------------------------------------
 # association_pairs
 # ---------------------------------------------------------------------------

@@ -94,7 +94,15 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         # when actually CHANGING a non-UTC session: the repin is permanent
         # and alters timestamp parsing for everything else in that session
         # (documented in the public docstring above).
-        prior_tz = spark.conf.get("spark.sql.session.timeZone", "")
+        # NB: conf.get(key, "") is a trap on PySpark 4.x — the provided
+        # default is itself validated against the entry's converter, so an
+        # empty-string default throws INVALID_CONF_VALUE on any session
+        # that hasn't explicitly set the timezone. Read without a default
+        # (resolves to the JVM default TZ) and treat failure as unknown.
+        try:
+            prior_tz = spark.conf.get("spark.sql.session.timeZone")
+        except Exception:
+            prior_tz = ""
         if prior_tz not in ("", "UTC", "Etc/UTC", "GMT"):
             import warnings
 

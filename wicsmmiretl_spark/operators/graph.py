@@ -116,6 +116,16 @@ def connected_components(
     any input partitioning. Converges in O(log n) alternating-star rounds
     regardless of component diameter (path graphs included — the case that
     defeats min-label propagation).
+
+    Partition sizing assumes AQE (r8 advice): the per-round window
+    shuffles are pinned plan-locally to an edge-count-sized partitioning,
+    but the small-star's closing ``distinct()`` plans its partial-agg
+    exchange at the session's ``spark.sql.shuffle.partitions`` and relies
+    on ``spark.sql.adaptive.coalescePartitions`` (on by default in
+    session.get_spark and in Spark ≥3.2) to shrink the read side. With
+    AQE force-disabled, each of the O(log n) rounds pays that full
+    session-width task overhead — re-size the session conf or re-enable
+    AQE before calling this in a tight loop.
     """
     edges0 = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
@@ -210,6 +220,15 @@ def pagerank(
     Nothing is collected to the driver. Degree skew (a celebrity node's
     in-box) is a partial-agg sum, not a window — map-side combine bounds
     the reducer.
+
+    Partition sizing assumes AQE (r8 advice): pr/deg/e/nodes are pinned
+    to an edge-count-sized partitioning plan-locally, but the per-round
+    contribution ``groupBy("dst")`` keeps its own partial-agg exchange at
+    the session's ``spark.sql.shuffle.partitions`` and relies on
+    ``spark.sql.adaptive.coalescePartitions`` (on by default in
+    session.get_spark and in Spark ≥3.2) to shrink the read side. With
+    AQE force-disabled, every iteration pays that full session-width task
+    overhead.
 
     Output: (id, rank double) for every node appearing in ``edges``.
     """
@@ -375,3 +394,77 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             ).alias("clustering"),
         )
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """Multi-source breadth-first search: hop distance from the nearest
+    source for every node reachable within ``max_depth`` hops, over a
+    directed edge list (symmetrize upstream for undirected semantics).
+
+    The per-round pattern the reference's imperative graph walks reduce
+    to, expressed as frontier joins: each round equi-joins the current
+    frontier into the edge list, anti-joins out already-visited nodes,
+    and appends the survivors at level d. First-touch level IS the
+    minimum level because expansion is strictly level-ordered — no
+    re-relaxation, no priority queue.
+
+    Scale shape: the edge list is hash-partitioned on ``src`` ONCE at an
+    edge-count-sized width (same plan-local sizing as pagerank — no
+    session-conf mutation) and every round's frontier join re-uses that
+    partitioning; the frontier and visited sets are repartitioned on the
+    node id at the same width, so the anti-join co-locates. Lineage is
+    truncated per round (``localCheckpoint``) and the loop exits early on
+    an empty frontier — two scalars per round cross the driver (the
+    frontier count), nothing else collects. Rounds are data-independent
+    sequential barriers, so ``max_depth`` bounds wall-clock explicitly;
+    unreached nodes are simply absent (a caller wanting them labels the
+    complement with a left anti join).
+
+    Output: (``id_col`` node id, level int) — one row per node reached,
+    level in [0, max_depth]; level 0 rows are exactly the distinct
+    source ids.
+    """
+    if max_depth < 0:
+        raise ValueError(f"bfs_levels: max_depth must be >= 0, got {max_depth}")
+    e0 = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e0.count()
+    session_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = min(session_parts, max(1, n_edges // 65_536 + 1))
+    e = e0.repartition(loop_parts, "src").localCheckpoint(eager=True)
+
+    visited = (
+        sources.select(F.col(id_col).alias("id"))
+        .filter(F.col("id").isNotNull())
+        .distinct()
+        .withColumn("level", F.lit(0))
+        .repartition(loop_parts, "id")
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .withColumn("level", F.lit(depth))
+            .repartition(loop_parts, "id")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select(F.col("id").alias(id_col), F.col("level").cast("int"))

@@ -34,7 +34,11 @@ from pyspark.sql import functions as F
 # Sizing rule (surfaced by the 10× scale rehearsal, BENCH_NOTES_r07): a fixed
 # num_bits saturates as the dim side grows. ~12 bits/key keeps the
 # false-positive rate ≈ 0.3% at k=5 — auto-sizing targets this.
-_BITS_PER_KEY = 12
+# 14 (not 12) bits/key per the r8 advice: approx_count_distinct at its
+# default ~5% rsd can undercount, and an undercount landing just below a
+# power-of-two boundary would halve the filter; the 2-bit headroom absorbs
+# that while keeping FP ≈ 0.1% at k=5.
+_BITS_PER_KEY = 14
 _MIN_BITS = 1 << 12  # 512 B floor — below this the build job costs more than it saves
 _MAX_BITS = 1 << 27  # 16 MiB ceiling on what crosses the driver / broadcast
 
@@ -63,8 +67,16 @@ def bloom_words(small: DataFrame, key_col: str, num_bits: int | None = 1 << 17, 
 
     ``num_bits=None`` auto-sizes: one cheap partial-agged
     ``approx_count_distinct`` job over the dim keys picks the smallest
-    power of two ≥ ~12 bits/key (FP ≈ 0.3% at k=5), so a 10× dim-side
-    growth can no longer silently saturate a fixed-width filter.
+    power of two ≥ ~14 bits/key (FP ≈ 0.1% at k=5; the headroom over the
+    information-theoretic ~10 absorbs the approx count's ~5% rsd), so a
+    10× dim-side growth can no longer silently saturate a fixed-width
+    filter.
+
+    API-change note (r7→r8, restated per the r8 advice): the default was
+    a fixed ``num_bits=1<<17``; the ``None`` default means every caller
+    on defaults now runs this extra eager count job at PLAN-BUILD time.
+    Pass an explicit ``num_bits`` to keep build-time to the single
+    word-table job when the dim cardinality is known.
     """
     if num_bits is None:
         n_keys = (
@@ -156,7 +168,7 @@ def bloom_semi_filter(
     Launches one bounded job at plan-build time (the word-table collect —
     ≤ ``num_bits/64`` longs regardless of input size; with the default
     ``num_bits=None`` an extra partial-agg count job auto-sizes the filter
-    at ~12 bits/key so it keeps pruning as the dim side grows); the
+    at ~14 bits/key so it keeps pruning as the dim side grows); the
     returned frame is a lazy map-side prune of ``big`` suitable for a
     subsequent join against ``small``. The join result is identical with
     or without the prune — only the shuffled volume changes.

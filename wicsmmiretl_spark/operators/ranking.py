@@ -167,21 +167,24 @@ def inverted_index(
     why every real index drops or caps them (``max_df`` is that knob;
     terms above it carry no retrieval signal anyway).
 
-    One scan, one shuffle: the raw (doc, token) occurrence stream is
-    hash-repartitioned by ``token`` ONCE, and everything downstream —
-    the per-document dedup (clustering on (_id, token) is satisfied by a
-    hash on the subset {token}), the df count, the vocabulary-band join
-    (both sides descend from the same exchange), and the posting
-    collect_list — runs exchange-free on that partitioning. Both
-    consuming branches sit on a byte-identical exchange subtree, so
-    ReuseExchange materializes it once (verified in the executed plan:
-    1 scan, 1 shuffle, ReusedExchange) — versus the naive phase-split
-    plan's 3 full pair-stream exchanges and 2 corpus scans, with no cache
-    footprint. The trade: the single exchange carries raw occurrence
-    volume (map-side dedup would have shrunk it to distinct pairs), which
-    is bounded by per-document token multiplicity, not corpus size.
-    Multiple occurrences of a token in one document produce ONE posting
-    (document-level index).
+    One scan, two shuffles, skew-safe ordering (r8 advice): the
+    per-document dedup runs FIRST on its natural (_id, token)-hashed
+    exchange — a stopword's raw occurrence stream is spread across
+    partitions by doc id, so no single task ever holds a token's
+    corpus-wide occurrence volume — and only the deduped (doc, token)
+    pairs are then hash-repartitioned by ``token``. Everything downstream
+    — the df count, the vocabulary-band join (both sides descend from
+    the same exchange), and the posting collect_list — runs
+    exchange-free on that token partitioning; both consuming branches
+    sit on a byte-identical exchange subtree, so ReuseExchange
+    materializes it once (1 scan, 2 shuffles, ReusedExchange — verified
+    by tests/test_ranking.py::test_inverted_index_dedups_before_token_
+    repartition). The token-keyed exchange carries only
+    DISTINCT pairs, so the hottest task's volume is a token's df (its
+    posting-list length), not its raw occurrence count — the correct
+    bound for a document-level index, and the ``max_df`` band is the
+    knob that caps even that. Multiple occurrences of a token in one
+    document produce ONE posting.
 
     Output: token string, df bigint, postings array<bigint> (ascending).
     """
@@ -191,8 +194,8 @@ def inverted_index(
         raise ValueError(f"inverted_index: max_df {max_df} < min_df {min_df}")
     pairs = (
         docs.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("token"))
-        .repartition("token")  # no explicit N — AQE may still coalesce
-        .dropDuplicates(["_id", "token"])
+        .dropDuplicates(["_id", "token"])  # (_id, token)-hashed: spreads stopword volume
+        .repartition("token")  # distinct pairs only; no explicit N — AQE may coalesce
     )
     dfs = pairs.groupBy("token").agg(F.count("*").alias("df"))
     band = dfs.filter(F.col("df") >= min_df)

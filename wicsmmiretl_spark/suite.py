@@ -3920,7 +3920,8 @@ def q_orders_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE [] END AS changed_cols
       FROM customer o FULL OUTER JOIN newsnap n ON o.c_custkey = n.c_custkey
     )
-    SELECT c_custkey, change_type, changed_cols
+    SELECT c_custkey, change_type,
+           coalesce(array_to_string(changed_cols, ','), '') AS changed_cols
     FROM d WHERE change_type IS NOT NULL
     ORDER BY change_type, c_custkey
     """,
@@ -3955,7 +3956,18 @@ def q_customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
     )
     new = upd.unionByName(ins)
-    return snapshot_diff(cust, new, ["c_custkey"]).orderBy("change_type", "c_custkey")
+    # Driver-harness contract: the comparator canonicalizes via pandas
+    # sort_values over every column, which cannot sort list cells — so the
+    # changed-column array is serialized to its comma-joined form here
+    # (snapshot_diff itself keeps the typed array API).
+    return (
+        snapshot_diff(cust, new, ["c_custkey"])
+        .withColumn(
+            "changed_cols",
+            F.coalesce(F.array_join("changed_cols", ","), F.lit("")),
+        )
+        .orderBy("change_type", "c_custkey")
+    )
 
 
 @query(
@@ -3999,7 +4011,8 @@ def q_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM pairs GROUP BY 1),
     band AS (SELECT token, df FROM dfs WHERE df BETWEEN 1 AND 400)
-    SELECT b.token, b.df, list(p.doc_id ORDER BY p.doc_id) AS postings
+    SELECT b.token, b.df,
+           array_to_string(list(p.doc_id ORDER BY p.doc_id), ',') AS postings
     FROM band b JOIN pairs p ON b.token = p.token
     GROUP BY b.token, b.df
     ORDER BY b.token
@@ -4014,7 +4027,12 @@ def q_inverted_index_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wicsmmiretl_spark.operators.ranking import inverted_index
 
     docs = _t(spark, sf_dir, "documents")
-    return inverted_index(docs, min_df=1, max_df=400)
+    # Driver-harness contract: posting arrays serialize to their
+    # comma-joined form (the comparator cannot sort list cells);
+    # inverted_index itself keeps the typed array<bigint> API.
+    return inverted_index(docs, min_df=1, max_df=400).withColumn(
+        "postings", F.array_join(F.col("postings").cast("array<string>"), ",")
+    )
 
 
 @query(
@@ -4520,7 +4538,9 @@ def q_pmi_collocations_top(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v
       FROM hb GROUP BY 1, 2 HAVING sum(s) <> 0
     )
-    SELECT doc_id, list(b ORDER BY b) AS indices, list(v ORDER BY b) AS values
+    SELECT doc_id,
+           array_to_string(list(b ORDER BY b), ',') AS indices,
+           array_to_string(list(v ORDER BY b), ',') AS values
     FROM agg GROUP BY doc_id
     """,
 )
@@ -4532,7 +4552,15 @@ def q_doc_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wicsmmiretl_spark.functions.text import feature_hash
 
     docs = _t(spark, sf_dir, "documents")
-    return feature_hash(docs, num_features=64)
+    # Driver-harness contract: the sparse (indices, values) arrays
+    # serialize to comma-joined strings (the comparator cannot sort list
+    # cells); feature_hash itself keeps the typed array API.
+    out = feature_hash(docs, num_features=64)
+    return out.select(
+        "doc_id",
+        F.array_join(F.col("indices").cast("array<string>"), ",").alias("indices"),
+        F.array_join(F.col("values").cast("array<string>"), ",").alias("values"),
+    )
 
 
 @query(
