@@ -508,3 +508,47 @@ def test_prefix_join_short_docs_dropped(spark):
     # docs 1/2 have <3 tokens -> no shingles -> excluded entirely.
     out = jaccard_prefix_join(df, "doc_id", "text", threshold=0.5).collect()
     assert out == []
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighborhood_pairs
+# ---------------------------------------------------------------------------
+
+def test_sorted_neighborhood_pairs_window_semantics(spark):
+    from wicsmmiretl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    # Sorted by name: anna(1), annb(2), jon(3), jonn(4), zed(5).
+    df = spark.createDataFrame(
+        [(1, "anna"), (3, "jon"), (5, "zed"), (2, "annb"), (4, "jonn")],
+        "id: bigint, name: string",
+    )
+    out = sorted_neighborhood_pairs(df, "id", ["name", "id"], window=1).collect()
+    # window=1 → adjacent-only pairs, lower-rank id first.
+    assert sorted((r.id_a, r.id_b) for r in out) == [(1, 2), (2, 3), (3, 4), (4, 5)]
+
+
+def test_sorted_neighborhood_pairs_distance_verifier(spark):
+    from wicsmmiretl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(1, "anna"), (2, "annb"), (3, "jon"), (4, "jonn"), (5, "zed")],
+        "id: bigint, name: string",
+    )
+    out = sorted_neighborhood_pairs(
+        df, "id", ["name", "id"], window=2, max_dist=1, dist_col="dist"
+    ).collect()
+    got = {(r.id_a, r.id_b): r.dist for r in out}
+    # anna~annb (1 edit) and jon~jonn (1 edit) survive; cross pairs don't.
+    assert got == {(1, 2): 1, (3, 4): 1}
+
+
+def test_sorted_neighborhood_pairs_validates(spark):
+    import pytest as _pytest
+
+    from wicsmmiretl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame([(1, "a")], "id: bigint, name: string")
+    with _pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, "id", ["name", "id"], window=0)
+    with _pytest.raises(ValueError, match="not in"):
+        sorted_neighborhood_pairs(df, "nope", ["name"])

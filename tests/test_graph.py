@@ -184,3 +184,56 @@ def test_triangle_stats_empty_graph(spark):
     df = spark.createDataFrame([], "src: bigint, dst: bigint")
     out = triangle_stats(df).collect()[0]
     assert tuple(out) == (0, 0, 0, 0, None)
+
+
+# ---------------------------------------------------------------------------
+# bfs_levels
+# ---------------------------------------------------------------------------
+
+def test_bfs_levels_diamond_and_disconnected(spark):
+    from wicsmmiretl_spark.operators.graph import bfs_levels
+
+    # 1→2, 1→3, 2→4, 3→4 (diamond), 4→5; 9→10 unreachable from source 1.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (9, 10)], "src: bigint, dst: bigint"
+    )
+    src = spark.createDataFrame([(1,)], "id: bigint")
+    out = {r.id: r.level for r in bfs_levels(edges, src, max_depth=10).collect()}
+    assert out == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}  # 4 via shortest, 9/10 absent
+
+
+def test_bfs_levels_first_touch_is_min_level(spark):
+    from wicsmmiretl_spark.operators.graph import bfs_levels
+
+    # Long way round 1→2→3→4 and a shortcut 1→4: level(4) must be 1.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "src: bigint, dst: bigint"
+    )
+    src = spark.createDataFrame([(1,)], "id: bigint")
+    out = {r.id: r.level for r in bfs_levels(edges, src, max_depth=10).collect()}
+    assert out[4] == 1 and out[3] == 2
+
+
+def test_bfs_levels_depth_cap_and_multi_source(spark):
+    from wicsmmiretl_spark.operators.graph import bfs_levels
+
+    # Path 1→2→…→6; sources {1, 5}: node 6 is level 1 (from 5), cap at 2
+    # drops nothing here but caps node 4 (distance 3 from 1) out.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "src: bigint, dst: bigint"
+    )
+    src = spark.createDataFrame([(1,), (5,)], "id: bigint")
+    out = {r.id: r.level for r in bfs_levels(edges, src, max_depth=2).collect()}
+    assert out == {1: 0, 5: 0, 2: 1, 6: 1, 3: 2}  # 4 is 3 hops from 1 → absent
+
+
+def test_bfs_levels_validates(spark):
+    from wicsmmiretl_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame([(1, 2)], "src: bigint, dst: bigint")
+    src = spark.createDataFrame([(1,)], "id: bigint")
+    with pytest.raises(ValueError, match="max_depth"):
+        bfs_levels(edges, src, max_depth=-1)
+    # max_depth=0 → sources only.
+    out = bfs_levels(edges, src, max_depth=0).collect()
+    assert [(r.id, r.level) for r in out] == [(1, 0)]

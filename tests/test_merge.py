@@ -142,3 +142,56 @@ def test_merge_scd2_null_effective_on_changed_key_errors_with_message(spark):
     upd = spark.createDataFrame([(1, 2.0, None)], "k long, bal double, eff string")
     with pytest.raises(Exception, match="NULL effective is rejected"):
         merge_scd2(dim, upd, ["k"], ["bal"], "eff").collect()
+
+
+# ---------------------------------------------------------------------------
+# point_in_time_join
+# ---------------------------------------------------------------------------
+
+def _pit_dim(spark):
+    return spark.createDataFrame(
+        [
+            (1, 100.0, "1990-01-01", "1994-01-01"),
+            (1, 200.0, "1994-01-01", None),
+            (2, 50.0, "1992-01-01", "1995-01-01"),
+        ],
+        "k: bigint, bal: double, valid_from: string, valid_to: string",
+    )
+
+
+def test_point_in_time_join_picks_containing_version(spark):
+    from wicsmmiretl_spark.operators.merge import point_in_time_join
+
+    facts = spark.createDataFrame(
+        [
+            (10, 1, "1993-06-01"),   # inside v1
+            (11, 1, "1994-01-01"),   # boundary: half-open → v2
+            (12, 2, "1991-01-01"),   # before any version → NULLs
+            (13, 2, "1996-01-01"),   # after the closed version → NULLs
+        ],
+        "fid: bigint, k: bigint, ts: string",
+    )
+    out = {
+        r.fid: (r.bal, r.valid_from)
+        for r in point_in_time_join(facts, _pit_dim(spark), ["k"], "ts").collect()
+    }
+    assert out[10] == (100.0, "1990-01-01")
+    assert out[11] == (200.0, "1994-01-01")
+    assert out[12] == (None, None)
+    assert out[13] == (None, None)
+    assert len(out) == 4  # cardinality preserved
+
+
+def test_point_in_time_join_inner_and_validation(spark):
+    from wicsmmiretl_spark.operators.merge import point_in_time_join
+
+    facts = spark.createDataFrame(
+        [(10, 1, "1993-06-01"), (12, 2, "1991-01-01")],
+        "fid: bigint, k: bigint, ts: string",
+    )
+    inner = point_in_time_join(facts, _pit_dim(spark), ["k"], "ts", how="inner")
+    assert [r.fid for r in inner.collect()] == [10]
+    with pytest.raises(ValueError, match="how"):
+        point_in_time_join(facts, _pit_dim(spark), ["k"], "ts", how="full")
+    with pytest.raises(ValueError, match="not in facts"):
+        point_in_time_join(facts, _pit_dim(spark), ["nope"], "ts")

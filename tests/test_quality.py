@@ -87,3 +87,29 @@ def test_reference_rule_validates_shape(spark):
         dq_report(_df(spark), references={"bad": ([], ref, [])})
     with pytest.raises(ValueError, match="matching non-empty"):
         dq_report(_df(spark), references={"bad": (["k"], ref, ["rk", "x"])})
+
+
+# ---------------------------------------------------------------------------
+# key_skew_profile
+# ---------------------------------------------------------------------------
+
+def test_key_skew_profile_known_distribution(spark):
+    from wicsmmiretl_spark.operators.quality import key_skew_profile
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1 + [(None,)]
+    df = spark.createDataFrame(rows, "k: string")
+    out = key_skew_profile(df, "k", top_k=2).collect()
+    assert [(r.key, r.n_rows) for r in out] == [("a", 6), ("b", 3)]
+    a, b = out
+    assert (a.frac, a.cum_frac, a.skew) == (0.6, 0.6, 1.8)  # 6/10, 6*3/10
+    assert (b.frac, b.cum_frac, b.skew) == (0.3, 0.9, 0.9)
+
+
+def test_key_skew_profile_validates(spark):
+    from wicsmmiretl_spark.operators.quality import key_skew_profile
+
+    df = spark.createDataFrame([("a",)], "k: string")
+    with pytest.raises(ValueError, match="top_k"):
+        key_skew_profile(df, "k", top_k=0)
+    with pytest.raises(ValueError, match="not in"):
+        key_skew_profile(df, "nope")

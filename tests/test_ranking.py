@@ -216,3 +216,39 @@ def test_association_pairs_validates(spark):
         association_pairs(df, "bk", "it", min_support=0)
     with pytest.raises(ValueError, match="no baskets"):
         association_pairs(df.filter(F.col("bk").isNull()), "bk", "it")
+
+
+# ---------------------------------------------------------------------------
+# tfidf_cosine_pairs
+# ---------------------------------------------------------------------------
+
+def test_tfidf_cosine_pairs_identical_docs_score_one(spark):
+    from wicsmmiretl_spark.operators.ranking import tfidf_cosine_pairs
+
+    docs = _docs(
+        spark,
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],
+    )
+    out = {(r.id_a, r.id_b): r.sim for r in tfidf_cosine_pairs(docs, min_sim=0.0).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) not in out and (2, 3) not in out  # no shared tokens → no pair
+
+
+def test_tfidf_cosine_pairs_max_df_bands_vocabulary(spark):
+    from wicsmmiretl_spark.operators.ranking import tfidf_cosine_pairs
+
+    # "common" is in every doc; with max_df=2 it is banded out, so docs
+    # 1 and 2 share nothing that remains → no pair at all.
+    docs = _docs(spark, [(1, "common x"), (2, "common y"), (3, "common z")])
+    out = tfidf_cosine_pairs(docs, max_df=2, min_sim=0.0).collect()
+    assert out == []
+
+
+def test_tfidf_cosine_pairs_validates(spark):
+    from wicsmmiretl_spark.operators.ranking import tfidf_cosine_pairs
+
+    docs = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError, match="max_df"):
+        tfidf_cosine_pairs(docs, max_df=1)
+    with pytest.raises(ValueError, match="min_sim"):
+        tfidf_cosine_pairs(docs, min_sim=1.5)

@@ -465,6 +465,10 @@ def bfs_levels(
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # No re-checkpoint of the visited union: every leaf is already a
+        # checkpointed frontier, so the union's lineage is a flat d-way
+        # tree of RDD scans — re-materializing the accumulated set every
+        # round would turn O(V) total union work into O(V·depth).
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited.select(F.col("id").alias(id_col), F.col("level").cast("int"))

@@ -235,3 +235,59 @@ def snapshot_diff(
         )
         .filter(F.col("change_type").isNotNull())
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (as-of-validity) lookup: attach to every fact row the
+    dimension version whose ``[valid_from, valid_to)`` interval contains
+    the fact's timestamp — the feature-store join that prevents label
+    leakage in training pipelines (a fact must only ever see attribute
+    values that were current WHEN IT HAPPENED, never later restatements).
+
+    Contract: versions per key are non-overlapping half-open intervals
+    (the shape ``merge_scd2`` emits; an open current version has NULL
+    ``valid_to``), so at most one dimension row matches each fact and the
+    output cardinality is exactly ``facts``' (for ``how='left'``; facts
+    before any version carry NULL attributes).
+
+    Scale shape: this is an EQUI-join on the business key — the validity
+    range lands in the join condition, evaluated post-match, so Catalyst
+    plans an ordinary hash/sort-merge join shuffled on the key (or a
+    broadcast when the dimension is small), never a theta-join cross
+    product. Version count per key is bounded by update frequency, not
+    corpus size, so the per-key match loop is O(versions) — the 100 TB
+    fact side streams through unexpanded.
+
+    Validity bounds compare as the dimension stores them; mixed types are
+    the caller's responsibility (the suite pins ISO-8601 date strings,
+    which compare lexicographically = chronologically).
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"point_in_time_join: how must be left|inner, got {how!r}")
+    for c in key_cols + [ts_col]:
+        if c not in facts.columns:
+            raise ValueError(f"point_in_time_join: column {c!r} not in facts {facts.columns}")
+    for c in key_cols + [valid_from, valid_to]:
+        if c not in dim.columns:
+            raise ValueError(f"point_in_time_join: column {c!r} not in dim {dim.columns}")
+    cond = None
+    for k in key_cols:
+        eq = facts[k] == dim[k]
+        cond = eq if cond is None else cond & eq
+    cond = (
+        cond
+        & (facts[ts_col] >= dim[valid_from])
+        & (dim[valid_to].isNull() | (facts[ts_col] < dim[valid_to]))
+    )
+    dim_payload = [c for c in dim.columns if c not in key_cols]
+    return facts.join(dim, cond, how).select(
+        *[facts[c] for c in facts.columns], *[dim[c] for c in dim_payload]
+    )

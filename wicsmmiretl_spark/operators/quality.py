@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 def _report_row(rule: str, violations: Column, checked: Column) -> list[Column]:
@@ -131,3 +131,62 @@ def dq_gate(report: DataFrame, max_violation_rate: float = 0.0) -> None:
     if bad:
         detail = ", ".join(f"{r['rule']}={r['violations']}/{r['checked']}" for r in bad)
         raise ValueError(f"dq_gate: expectations failed: {detail}")
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Join/shuffle-key skew diagnostics: the ``top_k`` heaviest values of
+    ``key_col`` with their share of the table and the running cumulative
+    share, plus the skew ratio of each against a perfectly uniform key.
+    This is the probe to run BEFORE committing a 100 TB join — the output
+    tells you directly whether the hot keys need salting
+    (operators/joins.salted_join) or an AQE skew split, and how much of
+    the table they cover.
+
+    One partial-aggregated groupBy (map-side combine bounds every
+    reducer: the hottest key arrives pre-summed per partition, so the
+    diagnostic itself cannot be killed by the skew it measures), a
+    driver-side top-k (TakeOrderedAndProject — top_k rows, never the
+    full key histogram), and ONE broadcast global row for the totals.
+    The cumulative share rides a window over top_k rows only.
+
+    Output, ordered by count desc (ties: key asc):
+      key (as string), n_rows bigint, frac double (6dp, share of
+      non-null rows), cum_frac double (6dp), skew double (6dp —
+      n_rows × n_distinct / n_total; 1.0 = perfectly uniform).
+    NULL keys are excluded (they never co-locate in an equi-join).
+    """
+    if top_k < 1:
+        raise ValueError(f"key_skew_profile: top_k must be >= 1, got {top_k}")
+    if key_col not in df.columns:
+        raise ValueError(f"key_skew_profile: {key_col!r} not in {df.columns}")
+    keyed = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("key")
+    )
+    counts = keyed.groupBy("key").agg(F.count("*").alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_n_total"), F.count("*").alias("_n_distinct")
+    )
+    top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_k)
+    w = (
+        Window.orderBy(F.desc("n_rows"), F.asc("key"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_n_total"), 6).alias("frac"),
+            F.round(
+                F.sum("n_rows").over(w) / F.col("_n_total"), 6
+            ).alias("cum_frac"),
+            F.round(
+                F.col("n_rows") * F.col("_n_distinct") / F.col("_n_total"), 6
+            ).alias("skew"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+    )

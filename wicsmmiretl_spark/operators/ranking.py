@@ -284,3 +284,99 @@ def association_pairs(
         .orderBy(F.desc("lift"), F.asc("item_a"), F.asc("item_b"))
         .limit(k)
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 100,
+    min_sim: float = 0.2,
+    top_k: int = 50,
+    scale: int = 1000,
+) -> DataFrame:
+    """All-pairs document cosine similarity in TF-IDF space, computed
+    through the inverted index instead of dense vectors: two documents
+    contribute to each other's dot product ONLY at tokens they share, so
+    the pair stream is generated by a token-keyed self-join of the
+    posting weights — the sparse-similarity formulation every lexical
+    near-duplicate / plagiarism pass uses.
+
+    Scale levers, in order of importance:
+
+    * ``max_df`` bands the vocabulary FIRST (same ordering as
+      ``inverted_index``): a token in d documents fans out C(d,2) pairs,
+      so stopword-class tokens — df ≈ |corpus| — would alone produce the
+      quadratic blow-up. Banding bounds per-token fanout at C(max_df,2)
+      and drops dimensions that carry no discrimination signal anyway
+      (idf ≈ 0). The band applies to the NORM too, so similarity is
+      exact cosine in the banded space, not an approximation of it.
+    * The pair aggregation groups on (id_a, id_b) with map-side combine;
+      ``min_sim`` then cuts the long tail before the final top-k
+      (TakeOrderedAndProject — top_k rows cross the driver, nothing else).
+
+    Determinism contract (DuckDB-replayable): idf = round(ln((N+1)/(df+1))
+    + 1, 6); integer weights w = round(tf · idf · scale); dot and squared
+    norms are exact bigint sums of bigint products (addition order
+    cannot matter), and the single sqrt/divide happens once per pair,
+    rounded 6dp. ``scale``=1000 keeps w² · |tokens| far from bigint
+    overflow at any document length.
+
+    Output: id_a, id_b (id_a < id_b), sim double (6dp), ordered
+    (sim desc, id_a, id_b), limited to ``top_k``.
+    """
+    if max_df < 2:
+        raise ValueError(f"tfidf_cosine_pairs: max_df must be >= 2, got {max_df}")
+    if not 0 <= min_sim <= 1:
+        raise ValueError(f"tfidf_cosine_pairs: min_sim must be in [0, 1], got {min_sim}")
+    tf = (
+        docs.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("token"))
+        .groupBy("_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = docs.select(F.count("*").alias("_n"))
+    dfs = tf.groupBy("token").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
+    w = (
+        tf.join(dfs, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.round(
+                    F.log((F.col("_n") + 1).cast("double") / (F.col("df") + 1)) + 1.0, 6
+                )
+                * scale
+            )
+            .cast("long")
+            .alias("wi"),
+        )
+    )
+    norms = w.groupBy("_id").agg(F.sum(F.col("wi") * F.col("wi")).alias("n2"))
+    wa = w.select(F.col("_id").alias("id_a"), "token", F.col("wi").alias("wa"))
+    wb = w.select(F.col("_id").alias("id_b"), "token", F.col("wi").alias("wb"))
+    dots = (
+        wa.join(wb, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("_id").alias("id_a"), F.col("n2").alias("na"))
+    nb = norms.select(F.col("_id").alias("id_b"), F.col("n2").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+                6,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= min_sim)
+        .orderBy(F.desc("sim"), F.asc("id_a"), F.asc("id_b"))
+        .limit(top_k)
+    )

@@ -4965,100 +4965,354 @@ def q_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# r9 additions: iterative BFS, point-in-time lookup, sorted-neighborhood
+# blocking, key-skew diagnostics, sparse TF-IDF pair similarity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_chain_bfs_levels",
+    """
+    WITH RECURSIVE ordered AS (
+      SELECT event_id,
+             lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    edges AS (SELECT prev AS src, event_id AS dst FROM ordered WHERE prev IS NOT NULL),
+    sources AS (SELECT event_id AS id FROM ordered WHERE prev IS NULL),
+    bfs AS (
+      SELECT id, 0 AS level FROM sources
+      UNION
+      SELECT e.dst AS id, b.level + 1 AS level
+      FROM bfs b JOIN edges e ON e.src = b.id
+      WHERE b.level < 6
+    )
+    SELECT id, CAST(min(level) AS BIGINT) AS level FROM bfs GROUP BY id
+    """,
+)
+def q_event_chain_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop levels over the per-user event chains (path
+    graphs — the adversarial shape for frontier algorithms: every round's
+    frontier is exactly one node per chain, so the loop machinery, early
+    exit, and visited anti-join all get exercised for the full depth
+    cap). Sources are the chain heads; the level cap (6) bounds the
+    sequential rounds explicitly. The DuckDB oracle replays it as a
+    recursive CTE with the same cap — distance = min(level) over every
+    enumerated path, which first-touch frontier expansion must equal
+    (operators/graph.py:bfs_levels)."""
+    from wicsmmiretl_spark.operators.graph import bfs_levels
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("event_id", "user_id", "ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select("event_id", F.lag("event_id").over(w).alias("prev"))
+    edges = lagged.filter(F.col("prev").isNotNull()).select(
+        F.col("prev").alias("src"), F.col("event_id").alias("dst")
+    )
+    sources = lagged.filter(F.col("prev").isNull()).select(
+        F.col("event_id").alias("id")
+    )
+    return bfs_levels(edges, sources, max_depth=6).select(
+        "id", F.col("level").cast("bigint").alias("level")
+    )
+
+
+@query(
+    "orders_pit_attributes",
+    """
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal - 50 AS c_acctbal,
+             '1990-01-01' AS valid_from, '1994-01-01' AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal, '1994-01-01', NULL
+      FROM customer WHERE c_custkey % 3 <> 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal, '1994-01-01', '1996-01-01'
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal + 25, '1996-01-01', NULL
+      FROM customer WHERE c_custkey % 3 = 0
+    ),
+    facts AS (
+      SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day
+      FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT f.o_orderkey, f.o_custkey, f.order_day,
+           d.c_acctbal, d.c_mktsegment, d.valid_from
+    FROM facts f LEFT JOIN dim d
+      ON d.c_custkey = f.o_custkey
+     AND f.order_day >= d.valid_from
+     AND (d.valid_to IS NULL OR f.order_day < d.valid_to)
+    """,
+)
+def q_orders_pit_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature lookup: every 11th order fetches the customer
+    attribute version that was valid ON ITS ORDER DATE from a 3-4 deep
+    SCD2 history (balances restated at 1994 and, for third keys, again at
+    1996) — the label-leakage-safe join a feature store runs per training
+    example. Equi-join on the key with the validity range as a post-match
+    condition: no theta join, output cardinality = facts
+    (operators/merge.py:point_in_time_join)."""
+    from wicsmmiretl_spark.operators.merge import point_in_time_join
+
+    cust = _t(spark, sf_dir, "customer")
+
+    def version(pred, bal, vf, vt):
+        d = cust.filter(pred) if pred is not None else cust
+        return d.select(
+            F.col("c_custkey").alias("o_custkey"),
+            "c_mktsegment",
+            bal.alias("c_acctbal"),
+            F.lit(vf).alias("valid_from"),
+            (F.lit(vt) if vt else F.lit(None)).cast("string").alias("valid_to"),
+        )
+
+    third = F.col("c_custkey") % 3 == 0
+    dim = (
+        version(None, F.col("c_acctbal") - 50, "1990-01-01", "1994-01-01")
+        .unionByName(version(~third, F.col("c_acctbal"), "1994-01-01", None))
+        .unionByName(version(third, F.col("c_acctbal"), "1994-01-01", "1996-01-01"))
+        .unionByName(version(third, F.col("c_acctbal") + 25, "1996-01-01", None))
+    )
+    facts = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 11 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        )
+    )
+    return point_in_time_join(facts, dim, ["o_custkey"], "order_day").select(
+        "o_orderkey", "o_custkey", "order_day", "c_acctbal", "c_mktsegment", "valid_from"
+    )
+
+
+@query(
+    "part_name_neighborhood_pairs",
+    """
+    WITH r AS (
+      SELECT p_partkey, p_name,
+             row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS idx
+      FROM part WHERE p_name IS NOT NULL
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM r a JOIN r b ON b.idx BETWEEN a.idx + 1 AND a.idx + 3
+    WHERE levenshtein(a.p_name, b.p_name) <= 10
+    ORDER BY id_a, id_b
+    """,
+)
+def q_part_name_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record-linkage blocking on part names: sort by
+    name, pair every record with its 3 successors in the global order,
+    keep pairs within Levenshtein 10. The global rank comes from the
+    distributed stable index (range partition + broadcast offsets — the
+    oracle's single-partition row_number() is exactly what the Spark
+    plan must NOT contain), and the neighborhood pairing is an equi-join
+    on a dense integer rank (operators/dedup.py:sorted_neighborhood_pairs)."""
+    from wicsmmiretl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").isNotNull())
+    return sorted_neighborhood_pairs(
+        part,
+        "p_partkey",
+        ["p_name", "p_partkey"],
+        window=3,
+        max_dist=10,
+        dist_col="dist",
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "event_type_skew_profile",
+    """
+    WITH counts AS (
+      SELECT CAST(event_type AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n_rows
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_rows) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS n_distinct
+      FROM counts
+    ),
+    top AS (SELECT key, n_rows FROM counts ORDER BY n_rows DESC, key ASC LIMIT 10)
+    SELECT key, n_rows,
+           round(CAST(n_rows AS DOUBLE) / n_total, 6) AS frac,
+           round(CAST(sum(n_rows) OVER (ORDER BY n_rows DESC, key ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / n_total, 6) AS cum_frac,
+           round(CAST(n_rows AS DOUBLE) * n_distinct / n_total, 6) AS skew
+    FROM top, tot
+    ORDER BY n_rows DESC, key ASC
+    """,
+)
+def q_event_type_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics on the event-type column: heaviest
+    keys with table share, cumulative share, and uniform-key skew ratio —
+    the probe to run before committing a 100 TB join, feeding directly
+    into the salted-join / AQE-skew-split decision. One partial-agged
+    groupBy + driver top-k + one broadcast totals row; the diagnostic
+    itself cannot be killed by the skew it measures
+    (operators/quality.py:key_skew_profile)."""
+    from wicsmmiretl_spark.operators.quality import key_skew_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_profile(ev, "event_type", top_k=10)
+
+
+@query(
+    "doc_tfidf_similar_pairs",
+    f"""
+    WITH tf AS (
+      SELECT id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id AS id, unnest({_SQL_TOKS}) AS token FROM documents)
+      GROUP BY 1, 2
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    dfs AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf
+      GROUP BY 1 HAVING count(*) <= 100
+    ),
+    w AS (
+      SELECT id, tf.token,
+             CAST(round(tf * round(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1.0, 6)
+                        * 1000) AS BIGINT) AS wi
+      FROM tf JOIN dfs ON tf.token = dfs.token CROSS JOIN nd
+    ),
+    norms AS (SELECT id, CAST(sum(wi * wi) AS BIGINT) AS n2 FROM w GROUP BY 1),
+    dots AS (
+      SELECT a.id AS id_a, b.id AS id_b, CAST(sum(a.wi * b.wi) AS BIGINT) AS dot
+      FROM w a JOIN w b ON a.token = b.token AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS sim
+    FROM dots JOIN norms na ON dots.id_a = na.id JOIN norms nb ON dots.id_b = nb.id
+    WHERE round(CAST(dot AS DOUBLE)
+                / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= 0.2
+    ORDER BY sim DESC, id_a ASC, id_b ASC
+    LIMIT 50
+    """,
+)
+def q_doc_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF pairwise cosine via the inverted index: documents
+    meet only at shared tokens (token-keyed self-join of posting
+    weights), with the df ≤ 100 vocabulary band applied BEFORE the join
+    so stopword-class tokens never fan out C(df, 2) pairs. Integer
+    weights (round(tf·idf·1000)) make dot products and norms exact
+    bigint sums — the single sqrt/divide per pair rounds 6dp identically
+    in both engines (operators/ranking.py:tfidf_cosine_pairs)."""
+    from wicsmmiretl_spark.operators.ranking import tfidf_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(
+        docs, max_df=100, min_sim=0.2, top_k=50, scale=1000
+    )
+
+
+
 _DEFERRED_QUERIES = (
-    # r8 rotation — evidence completion (VERDICT r7 item 1): the 44 queries
-    # born in r7 (17 mid-session + the 27-query session-3 block) had never
-    # had a driver-side CORRECTNESS row, so ALL 44 move IN-window this round.
-    # Retained in-window alongside them: 6 family anchors with no incoming
-    # twin — vocab_top100 (entry flagship / tokenize+UDTF+top-k),
-    # image_pipeline_stats (multimodal mapInPandas), salted_supplier_volume
-    # (skew-salted join), minhash_lsh_pairs (probabilistic LSH — the exact
-    # prefix-filter join is its complement, not a substitute),
-    # streaming_interval_join (stream-stream interval join; the incoming
-    # streaming queries are session/dedup/HLL/CMS, not interval), and
-    # asof_nearest_purchase (as-of join proper; purchase_last_touch only
-    # reuses the carry machinery). Deferred in their place: the other 44
-    # queries of the r7 window, every one green in CORRECTNESS_r07 (50/50)
-    # and judge-re-verified at sf0.01, with the in-window family cover noted
-    # per line. All 72 deferred stay oracle-checked every pytest run via
+    # r9 rotation. IN-window this round (the 50 = registry minus this
+    # tuple): the 3 queries whose r8 driver rows crashed on array-column
+    # canonicalization, re-shaped to scalar outputs and needing fresh
+    # driver evidence (customer_snapshot_diff, inverted_index_band,
+    # doc_feature_vectors); the 5 r9-born queries (event_chain_bfs_levels,
+    # orders_pit_attributes, part_name_neighborhood_pairs,
+    # event_type_skew_profile, doc_tfidf_similar_pairs); events_json_extract
+    # (r8 note: no in-window twin, rotate back); the 28 queries whose
+    # newest driver rows date to CORRECTNESS_r06 (evidence 3 rounds stale);
+    # 12 of the r7-evidence block; and the entry flagship vocab_top100.
+    # DEFERRED below: every name here has a green driver row from r07 or
+    # r08 (rows+schema+hash) and stays oracle-checked every pytest run via
     # tests/test_deferred_oracle.py and by tools/verify_local.py.
     #
-    # -- carried over from the r6 rotation (driver rows in CORRECTNESS_r06) --
-    "pos_tag_stats",            # E1 enrichment: bigram_surprisal_docs + vocab_top100 (in-window) run the same Catalyst token classes
-    "customers_without_orders", # J3 anti: orders_dq_report (in-window) evaluates the same anti/EXCEPT shape as a DQ rule
-    "region_customer_rollup",   # rollup: orders_incremental_rollup (in-window) is the same grouped rollup, mergeable-state form
-    "stats_matrix_documents",   # A9 stats matrix: documents_profile + lineitem_corr_matrix (in-window) cover the one-pass wide aggs
-    "events_stats_by_type",     # grouped wide stats: events_value_histogram + events_category_entropy (in-window) cover grouped event aggs
-    "window_rank_events",       # rank window: source_capped_docs (in-window) is the same rank-then-filter window
-    "tumbling_daily",           # event-time windows: events_daily_resample (in-window) buckets the same event-time grid
-    "asof_click_purchase",      # as-of backward: asof_nearest_purchase (in-window) evaluates backward as a component; direction-parity pytest
-    "asof_tolerance_purchase",  # as-of tolerance: asof_nearest_purchase (in-window) exercises the tolerance path
-    "embedding_centroids",      # array aggs: doc_feature_vectors + pq_adc_topk (in-window) cover vector arithmetic + Lloyd means
-    "streaming_tumbling",       # streaming: streaming_interval_join + streaming_session_window in-window
-    "ivf_topk",                 # IVF probe: pq_adc_topk (in-window) runs the same broadcast-quantizer probe (ivf_topk_trained deferred twin)
-    "kmeans_centroids",         # Lloyd training: pq_adc_topk (in-window) trains per-subspace k-means internally
-    "etl_caption_pipeline",     # E/T/L chain: corpus_curation_v2 (in-window) is the same composed lazy pipeline
-    "vocab_token_class",        # UDTF explode: vocab_top100 (in-window) runs the same tokenizer explode
-    "nation_trade_volume",      # J1 equi-join agg: bloom_pruned_revenue (in-window) is the same J1 join+agg with runtime pruning
-    "simhash_near_pairs",       # SimHash pairs: jaccard_exact_pairs (in-window) is the guaranteed-complete near-dup path; signatures pytest
-    "sliding_hourly",           # sliding windows: events_daily_resample + streaming_session_window (in-window) cover event-time windows
-    "video_frame_sample",       # multimodal mapInPandas: image_pipeline_stats (in-window) is the same Arrow-batched path
-    "idle_rich_customers",      # semi+anti: orders_dq_report (in-window) runs the same semi/anti membership checks
-    "lineitem_flag_status_cube",  # cube/grouping sets: orders_incremental_rollup (in-window) covers grouping-set aggs
-    "repetition_stats",         # text-quality signals: bigram_surprisal_docs (in-window) runs the same fenced quality gates
-    "click_purchase_interval_join",  # interval join: streaming_interval_join (in-window) hash-matches the identical oracle
-    "corpus_mix",               # stratified mix: weighted_sample_docs (in-window) covers md5 priority sampling
-    "doc_chunks",               # chunking: pytest (test_training_data_ops) covers the generate-only chunker; pack_assign deferred twin
-    "knn_classify",             # k-NN: pq_adc_topk + hybrid_rank_fusion (in-window) cover the underlying top-k retrieval
-    "dedup_canonical",          # survivor pick: event_chain_components (in-window) covers cluster resolution; streaming_dedup covers fingerprints
-    "event_funnel",             # chained windows: user_activity_spans + user_retention_weekly (in-window) cover ordered-event frames
+    # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
+    "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
+    "minhash_lsh_pairs",        # probabilistic LSH; simhash_near_pairs + dedup_canonical in-window cover near-dup
+    "image_pipeline_stats",     # multimodal mapInPandas; video_frame_sample in-window is the same Arrow path
+    "streaming_session_window", # streaming sessions; sliding_hourly + streaming_tumbling in-window cover event-time windows
+    "streaming_interval_join",  # stream-stream interval join; click_purchase_interval_join in-window hash-matches the same oracle
+    "salted_supplier_volume",   # skew-salted join; event_type_skew_profile in-window is the diagnostic feeding it
+    "event_chain_components",   # alternating-star CC; event_chain_bfs_levels in-window walks the same chains iteratively
+    "streaming_dedup",          # fingerprint dedup over stream; dedup_exact in-window replays the same md5 dedup
+    "order_graph_pagerank",     # PageRank loop; event_chain_bfs_levels in-window covers the iterative-frontier family
+    "documents_profile",        # wide one-pass profile; stats_matrix_documents in-window is the grouped form
+    "events_value_outliers",    # robust outliers; events_stats_by_type in-window covers grouped event stats
+    "corpus_curation_v2",       # capstone pipeline; etl_caption_pipeline in-window is the composed E/T/L chain
+    "hybrid_rank_fusion",       # RRF fusion; knn_classify in-window consumes the same top-k retrieval
+    "events_daily_resample",    # event-time buckets; tumbling_daily + sliding_hourly in-window cover the grid
+    "hll_distinct_users",       # HLL sketch; nation_segment_distinct deferred twin; exact distincts in-window via cube
+    "events_value_histogram",   # fixed-bin histogram; events_stats_by_type in-window covers grouped value aggs
+    "bigram_surprisal_docs",    # n-gram LM scoring; repetition_stats + pos_tag_stats in-window cover text signals
+    "weighted_sample_docs",     # md5 priority sampling; corpus_mix in-window is the stratified form
+    "orders_incremental_rollup", # mergeable-state rollup; region_customer_rollup in-window is the same rollup
+    "customer_scd2_merge",      # SCD2 merge; orders_pit_attributes in-window probes the same validity intervals
+    "pq_adc_topk",              # PQ-ADC ANN; ivf_topk + kmeans_centroids in-window cover trained quantizers
+    "source_capped_docs",       # window-rank cap; window_rank_events in-window is the same rank-then-filter
+    "bloom_pruned_revenue",     # Bloom runtime filter; nation_trade_volume in-window is the same J1 join+agg
+    "user_retention_weekly",    # cohort retention; event_funnel in-window covers ordered-event user analytics
+    "orders_dq_report",         # DQ contract rules; idle_rich_customers + customers_without_orders in-window cover semi/anti
+    "cms_heavy_tokens",         # CMS heavy hitters; vocab_token_class in-window counts the same token classes
+    "part_name_fuzzy_match",    # bounded-levenshtein probe; part_name_neighborhood_pairs in-window is the blocking form
+    "user_activity_spans",      # gaps-and-islands; sessionize_events in-window merges the same user timelines
+    "bpe_merge_table",          # BPE training; vocab_token_class + token_counts in-window cover tokenizer stats
+    "lineitem_corr_matrix",     # exact Pearson matrix; stats_matrix_documents in-window is the same one-pass moments
+    "part_copurchase_triangles", # triangle census; event_chain_bfs_levels in-window covers graph traversal
+    "events_value_deciles",     # exact equal-frequency bins; quantity_quantiles in-window computes the same bins
+    "streaming_hll_distinct",   # HLL over stream; streaming_tumbling in-window covers the streaming agg path
+    "documents_stable_index",   # distributed stable index; part_name_neighborhood_pairs in-window is built ON it
+    "customer_profile_drift",   # distribution drift; event_type_skew_profile in-window profiles the same key space
+    "event_value_trend_by_type", # grouped OLS trend; events_stats_by_type in-window covers grouped moments
+    "pmi_collocations_top",     # PMI collocations; decontaminate-family n-gram joins covered via vocab in-window
+    "mktsegment_target_encoding", # target encoding; region_customer_rollup in-window covers grouped encode stats
+    "purchase_click_ab_stats",  # Welch A/B; stats_matrix_documents in-window covers exact-moment aggs
+    "order_feature_matrix",     # per-entity features; orders_pit_attributes in-window builds the PIT feature join
+    "events_category_entropy",  # entropy per group; events_stats_by_type in-window covers grouped aggs
+    "part_association_rules",   # basket mining; knn_classify in-window covers candidate-pair scoring
+    "purchase_last_touch",      # as-of carry; asof_click_purchase (backward) in-window evaluates the same direction
+    "streaming_cms_heavy_users", # CMS over stream; streaming_tumbling in-window covers the streaming agg path
+    "lineitem_melt_stats",      # unpivot/melt; lineitem_flag_status_cube in-window reshapes the same table
+    "jaccard_exact_pairs",      # exact prefix-filter Jaccard; simhash_near_pairs + dedup_canonical in-window cover near-dup
     #
-    # -- newly deferred r8: the r7 evidence-refresh window, all green in
-    # -- CORRECTNESS_r07 (rows+schema+hash), family cover now in-window --
-    "text_stats",               # E1/E2 text enrichment: bigram_surprisal_docs (in-window) computes the same token/ratio signals
-    "quality_scores",           # quality gates: bigram_surprisal_docs + corpus_curation_v2 (in-window) run the same fenced gates
-    "lang_id",                  # n-gram lang heuristic: doc_feature_vectors + bigram_surprisal_docs (in-window) cover n-gram scoring
-    "dedup_exact",              # exact md5 dedup: streaming_dedup (in-window) replays the same fingerprint dedup; jaccard_exact covers near-dup
-    "deterministic_sample_docs", # seeded sampling: weighted_sample_docs (in-window) is the same md5-threshold family
-    "pricing_summary",          # grouped agg: orders_incremental_rollup + lineitem_corr_matrix (in-window) cover grouped/exact-moment aggs
-    "range_filter_chain",       # P5/P6 filter chain: corpus_curation_v2 (in-window) composes the same strict-bound conjunctive filters
-    "customers_with_orders_semi", # P8 semi join: bloom_pruned_revenue (in-window) is the same membership prune, runtime-filter form
-    "union_balance_stats",      # U1 union: hybrid_rank_fusion (in-window) unions ranker outputs with uniqueness handling
-    "window_running_sum",       # running frame: user_activity_spans (in-window) is the same running-window machinery (islands)
-    "events_json_extract",      # S3 JSON flatten: pytest (test_io) covers the scan; no in-window twin — rotate back in r9
-    "asof_next_purchase",       # as-of forward: asof_nearest_purchase (in-window) evaluates forward as a component
-    "sessionize_events",        # session windows: streaming_session_window + user_activity_spans (in-window) cover sessionization
-    "orders_rollup",            # rollup: orders_incremental_rollup (in-window) is the same rollup, mergeable-state form
-    "nation_segment_distinct",  # distinct counts: hll_distinct_users (in-window) is the sketch form; events_category_entropy exact counts
-    "nations_without_suppliers", # J3 anti: orders_dq_report (in-window) runs the same anti-join membership rule
-    "cosine_topk",              # exact ANN baseline: pq_adc_topk re-ranks with the same exact cosine; hybrid_rank_fusion consumes it
-    "near_dup_jaccard",         # LSH-verify Jaccard: jaccard_exact_pairs (in-window) computes the same shingle Jaccard, exhaustively
-    "simhash_signatures",       # SimHash: jaccard_exact_pairs covers near-dup; signatures pytest (test_dedup_similarity)
-    "token_counts",             # tokenize counts: vocab_top100 (in-window) runs the same tokenizer
-    "clamped_ratios",           # P9 clamp: corpus_curation_v2 (in-window) applies the same conditional clamps
-    "split_assign",             # R7 split: weighted_sample_docs (in-window) covers seeded md5 assignment
-    "wikimedia_url_build",      # F4 string build: part_name_fuzzy_match (in-window) covers the string-function family
-    "embedding_near_dup",       # cosine near-dup: pq_adc_topk (in-window) covers embedding retrieval; recall pytest
-    "hyperplane_lsh_pairs",     # hyperplane LSH: pq_adc_topk (in-window) covers quantized ANN; recall gate pytest ≥0.9
-    "normalized_captions",      # F1/F2 strip/normalize: part_name_fuzzy_match (in-window) covers string transforms
-    "corpus_concat",            # F3 concat-reduce: bpe_merge_table (in-window) scans/reduces the same corpus
-    "ivf_topk_trained",         # trained IVF: pq_adc_topk (in-window) is the same trained-quantizer probe + re-rank
-    "events_value_bands",       # theta/range join: events_value_histogram + events_value_deciles (in-window) cover value banding
-    "user_value_analytics",     # analytic windows: user_retention_weekly + purchase_click_ab_stats (in-window) cover user analytics
-    "dedup_clusters",           # union-find clusters: event_chain_components (in-window) is the distributed-CC superset
-    "events_daily_pivot",       # pivot: lineitem_melt_stats is its unpivot inverse (deferred twin); events_daily_resample in-window buckets
-    "embedding_vector_stats",   # array aggs: doc_feature_vectors (in-window) covers vector arithmetic
-    "streaming_user_state",     # stateful streaming: streaming_session_window + streaming_cms_heavy_users (in-window) cover custom state
-    "nations_with_both",        # semi∩semi: orders_dq_report (in-window) evaluates the same membership conjunction
-    "quantity_quantiles",       # exact quantiles: events_value_deciles (in-window) computes the same exact equal-frequency bins
-    "cheapest_supplier_per_part", # rank-per-group: source_capped_docs (in-window) is the same window-rank cap
-    "large_quantity_orders",    # J1 join+HAVING: bloom_pruned_revenue (in-window) is the same join+agg with runtime pruning
-    "customer_merge_upsert",    # CDC upsert: customer_scd2_merge + customer_snapshot_diff (in-window) cover the merge family
-    "pii_scrub",                # regexp scrub chain: corpus_curation_v2 (in-window) applies the same scrub stage; pytest (test_text)
-    "decontaminate_ngrams",     # n-gram decontamination: pmi_collocations_top + bigram_surprisal_docs (in-window) cover n-gram joins
-    "corpus_curation",          # capstone v1: corpus_curation_v2 (in-window) supersets the v1 stages
-    "pack_assign",              # sequence packing: pytest (test_training_data_ops) covers the binner; doc_chunks deferred twin
-    "bm25_rank",                # BM25: hybrid_rank_fusion + inverted_index_band (in-window) cover df/posting retrieval
+    # -- green in CORRECTNESS_r07 (driver evidence 2 rounds back) --
+    "orders_rollup",            # rollup: region_customer_rollup (in-window) is the same grouping-set agg
+    "nation_segment_distinct",  # distinct counts: lineitem_flag_status_cube (in-window) counts the same exact groups
+    "nations_without_suppliers", # J3 anti: customers_without_orders (in-window) runs the same anti-join rule
+    "cosine_topk",              # exact ANN baseline: ivf_topk + knn_classify (in-window) re-rank with the same cosine
+    "near_dup_jaccard",         # LSH-verify Jaccard: simhash_near_pairs (in-window) covers near-dup verification
+    "simhash_signatures",       # SimHash sigs: simhash_near_pairs (in-window) consumes these signatures directly
+    "token_counts",             # tokenize counts: vocab_token_class (in-window) runs the same tokenizer
+    "clamped_ratios",           # P9 clamp: repetition_stats (in-window) applies the same fenced ratio math
+    "split_assign",             # R7 split: corpus_mix (in-window) covers seeded md5 assignment
+    "wikimedia_url_build",      # F4 string build: normalized_captions deferred twin; string fns pytest (test_text)
+    "embedding_near_dup",       # cosine near-dup: embedding_centroids + ivf_topk (in-window) cover embedding ops
+    "hyperplane_lsh_pairs",     # hyperplane LSH: ivf_topk (in-window) covers quantized ANN; recall gate pytest >=0.9
+    "normalized_captions",      # F1/F2 strip: etl_caption_pipeline (in-window) runs the same normalize stage
+    "corpus_concat",            # F3 concat-reduce: doc_chunks (in-window) scans/reduces the same corpus
+    "ivf_topk_trained",         # trained IVF: ivf_topk + kmeans_centroids (in-window) are the same probe + training
+    "events_value_bands",       # theta/range join: click_purchase_interval_join (in-window) is the same interval predicate
+    "user_value_analytics",     # analytic windows: event_funnel + window_rank_events (in-window) cover user windows
+    "dedup_clusters",           # union-find clusters: dedup_canonical (in-window) resolves the same clusters
+    "events_daily_pivot",       # pivot: tumbling_daily (in-window) buckets the same grid; melt inverse deferred
+    "embedding_vector_stats",   # array aggs: embedding_centroids (in-window) covers vector arithmetic
+    "streaming_user_state",     # stateful streaming: streaming_tumbling (in-window) covers the stream path; state pytest
+    "nations_with_both",        # semi-and-semi membership: idle_rich_customers (in-window) evaluates the same conjunction
+    "quantity_quantiles",       # exact quantiles: stats_matrix_documents (in-window) covers exact distribution stats
+    "cheapest_supplier_per_part", # rank-per-group: window_rank_events (in-window) is the same window-rank cap
+    "large_quantity_orders",    # J1 join+HAVING: nation_trade_volume (in-window) is the same join+agg
+    "customer_merge_upsert",    # CDC upsert: customer_snapshot_diff (in-window) covers the merge-family change-set
+    "pii_scrub",                # regexp scrub chain: etl_caption_pipeline (in-window) applies the same scrub stage
+    "decontaminate_ngrams",     # n-gram decontamination: vocab_token_class + repetition_stats (in-window) cover n-gram joins
+    "corpus_curation",          # capstone v1: etl_caption_pipeline (in-window) runs the composed pipeline
+    "pack_assign",              # sequence packing: doc_chunks (in-window) is its generate-side twin; binner pytest
+    "bm25_rank",                # BM25: doc_tfidf_similar_pairs (in-window) computes the same tf/df/idf weighting
 )
 
 
