@@ -552,3 +552,74 @@ def test_sorted_neighborhood_pairs_validates(spark):
         sorted_neighborhood_pairs(df, "id", ["name", "id"], window=0)
     with _pytest.raises(ValueError, match="not in"):
         sorted_neighborhood_pairs(df, "nope", ["name"])
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (operators/dedup.py:winnowing_fingerprints)
+# ---------------------------------------------------------------------------
+
+def _winnow_brute(text, k=5, w=4):
+    import hashlib
+    import re as _re
+
+    s = _re.sub(r"[^a-z0-9]", "", text.lower())
+    ng = len(s) - k + 1
+    if ng < w:
+        return set()
+    hs = [
+        int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:8], 16)
+        for i in range(ng)
+    ]
+    sel = set()
+    for i in range(ng - w + 1):
+        m = min(hs[i : i + w])
+        pos = max(j for j in range(i, i + w) if hs[j] == m)  # rightmost min
+        sel.add((pos + 1, m))  # operator positions are 1-based
+    return sel
+
+
+def test_winnowing_matches_reference_algorithm(spark):
+    from wicsmmiretl_spark.operators.dedup import winnowing_fingerprints
+
+    texts = [
+        (1, "The quick brown fox jumps over the lazy dog!"),
+        (2, "the quick brown fox JUMPS over a sleepy cat."),
+        (3, "aaaaaaaaaaaaaaaaaaaa"),  # degenerate: all identical k-grams
+        (4, "short"),                 # exactly one k-gram: below window, no fp
+        (5, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in winnowing_fingerprints(df, "doc_id", "text", k=5, window=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["hash"]))
+    for doc_id, text in texts:
+        assert got.get(doc_id, set()) == _winnow_brute(text), f"doc {doc_id}"
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    from wicsmmiretl_spark.operators.dedup import winnowing_fingerprints
+
+    # Any shared substring of length >= k + w - 1 = 8 must produce at least
+    # one identical selected HASH in both documents (the MOSS guarantee).
+    shared = "xylophone quartz"
+    df = spark.createDataFrame(
+        [(1, f"first document prefix {shared} first suffix"),
+         (2, f"another text entirely {shared} and another tail")],
+        "doc_id long, text string",
+    )
+    fp = winnowing_fingerprints(df, "doc_id", "text", k=5, window=4)
+    h1 = {r["hash"] for r in fp.filter("doc_id = 1").collect()}
+    h2 = {r["hash"] for r in fp.filter("doc_id = 2").collect()}
+    assert h1 & h2, "shared substring produced no common fingerprint"
+
+
+def test_winnowing_validates_params(spark):
+    from wicsmmiretl_spark.operators.dedup import winnowing_fingerprints
+
+    df = spark.createDataFrame([(1, "abcdef")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        winnowing_fingerprints(df, "doc_id", "text", k=1)
+    with _pytest.raises(ValueError, match="window must be"):
+        winnowing_fingerprints(df, "doc_id", "text", window=0)

@@ -67,8 +67,10 @@ from wicsmmiretl_spark.operators.aggregates import (
     robust_outliers,
     incremental_agg_build,
     incremental_agg_merge,
+    binary_auc,
     grouped_ols,
     grouped_stats_matrix,
+    spearman_corr,
     null_count,
     skew_report,
     target_encode,
@@ -83,6 +85,8 @@ from wicsmmiretl_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     simhash_near_pairs,
+    sorted_neighborhood_pairs,
+    winnowing_fingerprints,
 )
 from wicsmmiretl_spark.operators.filters import apply_filters, drop_null
 from wicsmmiretl_spark.operators.layout import cluster_by_zorder, zorder_value
@@ -96,14 +100,14 @@ from wicsmmiretl_spark.operators.joins import (
     salted_join,
 )
 from wicsmmiretl_spark.operators.bpe import bpe_encode, bpe_train
-from wicsmmiretl_spark.operators.cohorts import retention_cohorts
+from wicsmmiretl_spark.operators.cohorts import retention_cohorts, survival_curve
 from wicsmmiretl_spark.operators.intervals import merge_intervals
-from wicsmmiretl_spark.operators.merge import merge_scd2, merge_upsert, snapshot_diff
+from wicsmmiretl_spark.operators.merge import merge_scd2, merge_upsert, point_in_time_join, snapshot_diff
 from wicsmmiretl_spark.operators.pruning import bloom_prune, bloom_semi_filter, bloom_words
-from wicsmmiretl_spark.operators.quality import dq_gate, dq_report
+from wicsmmiretl_spark.operators.quality import dq_gate, dq_report, key_skew_profile
 from wicsmmiretl_spark.operators.packing import chunk_documents, pack_sequences
-from wicsmmiretl_spark.operators.ranking import association_pairs, bm25_rank, inverted_index, rrf_fuse
-from wicsmmiretl_spark.operators.graph import connected_components, pagerank, triangle_stats
+from wicsmmiretl_spark.operators.ranking import association_pairs, bm25_rank, inverted_index, rrf_fuse, tfidf_cosine_pairs
+from wicsmmiretl_spark.operators.graph import bfs_levels, connected_components, pagerank, triangle_stats
 from wicsmmiretl_spark.operators.sampling import (
     cap_per_group,
     deterministic_sample,
@@ -117,6 +121,7 @@ from wicsmmiretl_spark.operators.sampling import (
     train_test_split,
     weighted_sample,
 )
+from wicsmmiretl_spark.operators.sequences import transition_matrix
 from wicsmmiretl_spark.operators.sets import union_checked
 from wicsmmiretl_spark.operators.similarity import (
     cosine_pairs,
@@ -152,6 +157,7 @@ __all__ = [
     "merge_upsert",
     "merge_scd2",
     "snapshot_diff",
+    "point_in_time_join",
     "union_checked",
     "fuzzy_match",
     "bloom_words",
@@ -159,8 +165,11 @@ __all__ = [
     "bloom_semi_filter",
     "merge_intervals",
     "retention_cohorts",
+    "survival_curve",
+    "transition_matrix",
     "dq_report",
     "dq_gate",
+    "key_skew_profile",
     "bpe_train",
     "bpe_encode",
     "inverted_index",
@@ -171,6 +180,8 @@ __all__ = [
     "corr_matrix",
     "profile_drift",
     "grouped_ols",
+    "binary_auc",
+    "spearman_corr",
     "pmi_collocations",
     "feature_hash",
     "target_encode",
@@ -214,7 +225,10 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard_pairs",
     "simhash_near_pairs",
+    "sorted_neighborhood_pairs",
+    "winnowing_fingerprints",
     "dup_clusters",
+    "bfs_levels",
     "connected_components",
     "pagerank",
     # similarity / ANN
@@ -230,6 +244,7 @@ __all__ = [
     "pq_topk",
     # ranking / packing / decontamination / layout
     "bm25_rank",
+    "tfidf_cosine_pairs",
     "rrf_fuse",
     "chunk_documents",
     "pack_sequences",

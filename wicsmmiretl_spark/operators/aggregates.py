@@ -972,3 +972,171 @@ def category_entropy(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         F.round(entropy, 6).alias("entropy"),
         norm.alias("norm_entropy"),
     ).orderBy("column")
+
+
+def _ordered_cumsum(
+    levels: DataFrame, order_col: str, weight_col: str, out_col: str = "cum"
+) -> DataFrame:
+    """Running total of ``weight_col`` in ``order_col`` order, WITHOUT the
+    single-partition global window Spark would otherwise plan.
+
+    Same two-pass offsets pattern as ``sampling.stable_index``:
+    range-repartition on the order column + local sort, one tiny
+    per-partition sum job (#partitions rows collected, broadcast back),
+    then a partition-LOCAL cumulative window + the broadcast offset.
+    The heavy data is touched map-side only; global-order information
+    travels entirely in the offsets. ``order_col`` values must be unique
+    per row (callers pass pre-aggregated distinct levels).
+
+    Output: input columns + ``out_col`` (running total INCLUDING the
+    current row).
+    """
+    parts = (
+        levels.repartitionByRange(F.asc(order_col))
+        .sortWithinPartitions(F.asc(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    sums = parts.groupBy("_pid").agg(F.sum(weight_col).alias("_n")).collect()
+    offsets, acc = {}, 0
+    for r in sorted(sums, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["_n"]
+    off_df = levels.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid: int, _off: bigint"
+    )
+    local = (
+        Window.partitionBy("_pid")
+        .orderBy(F.asc(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parts.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.sum(weight_col).over(local) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
+def binary_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+    """Exact ROC AUC of a score against a binary label, via the
+    Mann-Whitney U statistic (Mann & Whitney 1947; Hanley & McNeil 1982 —
+    public literature): AUC = P(score⁺ > score⁻) + ½·P(tie), computed
+    from the rank-sum of the positives with average ranks over ties —
+    the model-eval primitive every training pipeline needs, exact, with
+    NO per-row sort crossing the driver.
+
+    Distributed shape: ONE groupBy collapses the table to its distinct
+    score levels (cnt, pos_cnt per level — partial agg does the heavy
+    lifting map-side), then the running rank comes from the offsets-based
+    cumulative sum (``_ordered_cumsum`` — range partition + broadcast
+    offsets, never a single-partition window), then one global agg.
+    Work after the first shuffle is O(distinct scores), not O(rows).
+
+    Integer-exactness: with cum = running count through this level and
+    cnt = level size, twice the average rank is the INTEGER
+    2·cum - cnt + 1, so the positives' rank-sum accumulates as exact
+    bigints; AUC = (Σ 2r⁺ - n⁺(n⁺+1)) / (2 n⁺ n⁻) does its one double
+    division at the end (rounded 6dp). NULL labels/scores are excluded.
+    Degenerate inputs (a single class) yield NULL AUC.
+
+    ``label_col`` must be boolean or 0/1-integer. Output (one row):
+    n_pos bigint, n_neg bigint, auc double.
+    """
+    for c in (label_col, score_col):
+        if c not in df.columns:
+            raise ValueError(f"binary_auc: column {c!r} not in {df.columns}")
+    levels = (
+        df.filter(F.col(label_col).isNotNull() & F.col(score_col).isNotNull())
+        .select(
+            F.col(score_col).alias("_s"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .groupBy("_s")
+        .agg(F.count("*").alias("_cnt"), F.sum("_y").alias("_pos"))
+    )
+    ranked = _ordered_cumsum(levels, "_s", "_cnt", "_cum")
+    agg = ranked.agg(
+        F.sum("_pos").cast("long").alias("n_pos"),
+        (F.sum("_cnt") - F.sum("_pos")).cast("long").alias("n_neg"),
+        F.sum(F.col("_pos") * (2 * F.col("_cum") - F.col("_cnt") + 1))
+        .cast("long")
+        .alias("_s2r"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                (F.col("_s2r") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+                / (2.0 * F.col("n_pos") * F.col("n_neg")),
+                6,
+            ),
+        ).alias("auc"),
+    )
+
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Exact Spearman rank correlation (Spearman 1904 — public
+    literature): Pearson correlation of the two columns' average ranks,
+    with exact tie handling — the monotonic-association twin of the
+    ``corr_matrix`` Pearson path, robust to outliers and nonlinearity
+    (the usual check before trusting a linear trend on heavy-tailed
+    pipeline metrics).
+
+    Exact-arithmetic contract: twice-the-average-rank is the integer
+    2·cum - cnt + 1 (per distinct level, via the same offsets-based
+    running count as ``binary_auc``); ranks are then CENTERED with the
+    integer 2r - (n+1), which sums to zero exactly, so
+    ρ = Σcxcy / √(Σcx² · Σcy²) needs no mean subtraction in floating
+    point. The three cross-moments accumulate in decimal(38,0) (exact to
+    |c|≤n ≤ ~10⁷ rows; beyond that the moments still fit — Σc² ≤ n³ —
+    up to n ≈ 10¹²). The single sqrt/divide happens once, rounded 6dp.
+
+    Distributed shape: one groupBy per column to its distinct levels,
+    offsets-based cumulative counts (no single-partition window), then
+    two equi-joins to attach per-row ranks and one global agg. Rows where
+    either column is NULL are excluded (pairwise-complete, like
+    ``corr_matrix``).
+
+    Output (one row): n bigint, rho double.
+    """
+    for c in (x_col, y_col):
+        if c not in df.columns:
+            raise ValueError(f"spearman_corr: column {c!r} not in {df.columns}")
+    rows = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    )
+
+    def two_ranks(col: str, out: str) -> DataFrame:
+        lv = rows.groupBy(col).agg(F.count("*").alias("_cnt"))
+        cum = _ordered_cumsum(lv, col, "_cnt", "_cum")
+        return cum.select(col, (2 * F.col("_cum") - F.col("_cnt") + 1).alias(out))
+
+    n_df = rows.agg(F.count("*").alias("_n"))
+    joined = (
+        rows.join(two_ranks("_x", "_rx"), "_x")
+        .join(two_ranks("_y", "_ry"), "_y")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            (F.col("_rx") - (F.col("_n") + 1)).cast("decimal(38,0)").alias("_cx"),
+            (F.col("_ry") - (F.col("_n") + 1)).cast("decimal(38,0)").alias("_cy"),
+        )
+    )
+    mom = joined.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("_cx") * F.col("_cy")).alias("_sxy"),
+        F.sum(F.col("_cx") * F.col("_cx")).alias("_sxx"),
+        F.sum(F.col("_cy") * F.col("_cy")).alias("_syy"),
+    )
+    return mom.select(
+        "n",
+        F.when(
+            (F.col("_sxx") > 0) & (F.col("_syy") > 0),
+            F.round(
+                F.col("_sxy").cast("double")
+                / F.sqrt(F.col("_sxx").cast("double") * F.col("_syy").cast("double")),
+                6,
+            ),
+        ).alias("rho"),
+    )

@@ -78,3 +78,94 @@ def retention_cohorts(
             "retention",
         )
     )
+
+
+def survival_curve(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    censor_days: int = 7,
+    ln_scale: int = 10**12,
+) -> DataFrame:
+    """Kaplan-Meier survival estimate of user lifetime (Kaplan & Meier
+    1958, JASA — public literature) with right-censoring: the churn-curve
+    primitive behind retention forecasting and source-freshness analysis,
+    computed without the bias of treating still-active users as churned.
+
+    Lifetime model (deterministic, derived entirely from the stream):
+
+    * observation end = max(ts) over the table;
+    * a user CHURNED if their last event is more than ``censor_days``
+      before observation end (duration = days first→last, integer-floored
+      in exact microsecond arithmetic — ``div``, not double division);
+    * otherwise they are CENSORED at duration = days first→obs-end.
+
+    Estimator: at each distinct duration t, with d_t churns and n_t users
+    still at risk (neither churned nor censored earlier),
+    S(t) = Π_{u≤t} (1 - d_u / n_u).
+
+    Cross-engine determinism (the bigram-surprisal pattern): each factor's
+    ln is scaled by ``ln_scale`` and rounded to an exact bigint; the
+    running product is the exp of the bigint running sum — double
+    summation order can't flip the hash, and the per-row 1-ulp libm
+    difference between engines is ~10⁶× below the rounding grid. The
+    final S(t) rounds 6dp; a terminal d = n row (everyone remaining
+    churns) yields S = 0 exactly.
+
+    Scale: one shuffle keyed by user (the per-user min/max agg,
+    partial-agged map-side), then everything runs on |distinct durations|
+    rows — bounded by the calendar horizon in days (tens~thousands), so
+    the global window over durations is a deliberate single-partition
+    window over a provably tiny frame.
+
+    Output (only durations with ≥1 churn, KM convention): duration_days
+    int, n_at_risk bigint, n_churned bigint, survival double.
+    """
+    if censor_days < 0:
+        raise ValueError(f"survival_curve: censor_days must be >= 0, got {censor_days}")
+    for c in (user_col, ts_col):
+        if c not in df.columns:
+            raise ValueError(f"survival_curve: column {c!r} not in {df.columns}")
+    day_us = 86_400_000_000
+    obs = df.agg(F.unix_micros(F.max(ts_col)).alias("_eu"))
+    per_user = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.unix_micros(F.min(ts_col)).alias("_fu"),
+            F.unix_micros(F.max(ts_col)).alias("_lu"),
+        )
+        .crossJoin(F.broadcast(obs))
+    )
+    churned = (F.col("_lu") < F.col("_eu") - F.lit(censor_days * day_us)).cast("int")
+    dur = per_user.select(
+        churned.alias("_ch"),
+        F.when(
+            churned == 1, F.expr(f"(_lu - _fu) div {day_us}")
+        ).otherwise(F.expr(f"(_eu - _fu) div {day_us}")).alias("_dd"),
+    )
+    levels = dur.groupBy("_dd").agg(
+        F.sum("_ch").cast("long").alias("_d"),
+        F.sum(1 - F.col("_ch")).cast("long").alias("_c"),
+    )
+    total = dur.agg(F.count("*").cast("long").alias("_n"))
+    wprev = Window.orderBy("_dd").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("_dd").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    at_risk = (F.col("_n") - F.coalesce(F.sum(F.col("_d") + F.col("_c")).over(wprev), F.lit(0))).cast("long")
+    r = levels.crossJoin(F.broadcast(total)).withColumn("_ar", at_risk)
+    li = F.when(
+        F.col("_d") < F.col("_ar"),
+        F.round(F.log(F.lit(1.0) - F.col("_d").cast("double") / F.col("_ar")) * ln_scale).cast("long"),
+    )
+    s = r.withColumn("_ls", F.sum(li).over(wcum))
+    return (
+        s.filter(F.col("_d") > 0)
+        .select(
+            F.col("_dd").cast("int").alias("duration_days"),
+            F.col("_ar").alias("n_at_risk"),
+            F.col("_d").alias("n_churned"),
+            F.when(F.col("_d") == F.col("_ar"), F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("_ls").cast("double") / ln_scale), 6))
+            .alias("survival"),
+        )
+    )

@@ -5217,21 +5217,233 @@ def q_doc_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_winnowing_stats",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 1048579) AS s
+      FROM documents
+    ),
+    b AS (SELECT doc_id, s, CAST(len(s) - 4 AS BIGINT) AS ng FROM norm WHERE len(s) - 4 >= 4),
+    g AS (SELECT doc_id, ng, unnest(generate_series(1, ng)) AS pos, s FROM b),
+    h AS (SELECT doc_id, ng, pos,
+            ('0x' || substr(md5(substr(s, pos, 5)), 1, 8))::BIGINT * 1048576
+            + (1048575 - pos) AS comb
+          FROM g),
+    m AS (SELECT doc_id, ng, pos,
+            min(comb) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+          FROM h),
+    fp AS (SELECT DISTINCT doc_id, ng, sel FROM m WHERE pos <= ng - 3),
+    d AS (SELECT doc_id, ng, sel // 1048576 AS hv, 1048575 - (sel % 1048576) AS pos FROM fp)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+           round(count(*) / CAST(max(ng) AS DOUBLE), 6) AS fp_density,
+           CAST(sum(hv) AS BIGINT) AS hash_sum, CAST(sum(pos) AS BIGINT) AS pos_sum
+    FROM d GROUP BY doc_id
+    """,
+)
+def q_doc_winnowing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint census (Schleimer 2003/MOSS): per-document
+    count, density, and exact checksums of the selected (pos, hash)
+    fingerprints at k=5, window=4. Guarantees any shared substring of
+    length ≥ 8 yields an identical fingerprint in both documents, so
+    overlap detection becomes an equi-join on the hash. The min-with-
+    rightmost-tiebreak is ONE arithmetic-encoded window min per document
+    (operators/dedup.py:winnowing_fingerprints)."""
+    from wicsmmiretl_spark.operators.dedup import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = winnowing_fingerprints(docs, "doc_id", "text", k=5, window=4)
+    ng = docs.select(
+        "doc_id",
+        (
+            F.length(
+                F.substring(
+                    F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""),
+                    1,
+                    (1 << 20) - 1 + 4,
+                )
+            )
+            - F.lit(4)
+        )
+        .cast("long")
+        .alias("_ng"),
+    )
+    return (
+        fp.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fp"),
+            F.sum("hash").cast("long").alias("hash_sum"),
+            F.sum("pos").cast("long").alias("pos_sum"),
+        )
+        .join(ng, "doc_id")
+        .select(
+            "doc_id",
+            "n_fp",
+            F.round(F.col("n_fp") / F.col("_ng").cast("double"), 6).alias("fp_density"),
+            "hash_sum",
+            "pos_sum",
+        )
+    )
+
+
+@query(
+    "purchase_auc",
+    """
+    WITH lv AS (
+      SELECT value AS s, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY 1
+    ),
+    r AS (SELECT s, cnt, pos, sum(cnt) OVER (ORDER BY s) AS cum FROM lv),
+    t AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+                 CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+                 CAST(sum(pos * (2 * cum - cnt + 1)) AS BIGINT) AS s2r
+          FROM r)
+    SELECT n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             round(CAST(s2r - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * n_neg), 6)
+           END AS auc
+    FROM t
+    """,
+)
+def q_purchase_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC via the Mann-Whitney rank-sum: does event value
+    separate purchases from other events? Average ranks over ties stay in
+    integer space (2·avg_rank = 2·cum - cnt + 1); the running rank uses
+    the offsets-based cumulative sum, never a single-partition window
+    (operators/aggregates.py:binary_auc)."""
+    from wicsmmiretl_spark.operators.aggregates import binary_auc
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    labeled = ev.withColumn("is_purchase", (F.col("event_type") == "purchase").cast("int"))
+    return binary_auc(labeled, "is_purchase", "value")
+
+
+@query(
+    "lineitem_price_qty_spearman",
+    """
+    WITH r0 AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM r0),
+    xr AS (SELECT x, 2 * sum(cnt) OVER (ORDER BY x) - cnt + 1 AS rx
+           FROM (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM r0 GROUP BY 1)),
+    yr AS (SELECT y, 2 * sum(cnt) OVER (ORDER BY y) - cnt + 1 AS ry
+           FROM (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM r0 GROUP BY 1)),
+    j AS (SELECT (rx - (n_rows + 1)) AS cx, (ry - (n_rows + 1)) AS cy
+          FROM r0 JOIN xr USING (x) JOIN yr USING (y) CROSS JOIN nn)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(cx * cy) AS DOUBLE)
+                 / sqrt(CAST(sum(cx * cx) AS DOUBLE) * CAST(sum(cy * cy) AS DOUBLE)), 6) AS rho
+    FROM j
+    """,
+)
+def q_lineitem_price_qty_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation (quantity vs extended price) with
+    tie-corrected average ranks — the monotonic-association twin of the
+    Pearson matrix. Centered twice-ranks (2r - (n+1)) sum to zero exactly,
+    so the three cross-moments are exact integer sums; ONE sqrt/divide at
+    the end (operators/aggregates.py:spearman_corr)."""
+    from wicsmmiretl_spark.operators.aggregates import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
+@query(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_state,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    c AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2)
+    SELECT from_state, to_state, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE), 6) AS p
+    FROM c
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's time-ordered
+    event sequence: counts and row-stochastic probabilities for all
+    |states|² successor pairs. ONE shuffle keyed by user (the same
+    exchange sessionization pays); everything after the lead() runs on
+    |states|² rows (operators/sequences.py:transition_matrix)."""
+    from wicsmmiretl_spark.operators.sequences import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(ev, "user_id", "ts", "event_type", "event_id")
+
+
+@query(
+    "user_survival_curve",
+    """
+    WITH obs AS (SELECT epoch_us(max(ts)) AS eu FROM events),
+    pu AS (SELECT user_id, epoch_us(min(ts)) AS fu, epoch_us(max(ts)) AS lu
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+    lab AS (SELECT CASE WHEN lu < eu - 604800000000 THEN 1 ELSE 0 END AS ch, fu, lu, eu
+            FROM pu CROSS JOIN obs),
+    dur AS (SELECT CASE WHEN ch = 1 THEN (lu - fu) // 86400000000
+                        ELSE (eu - fu) // 86400000000 END AS dd, ch
+            FROM lab),
+    lv AS (SELECT dd, CAST(sum(ch) AS BIGINT) AS d, CAST(sum(1 - ch) AS BIGINT) AS c
+           FROM dur GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dur),
+    r AS (SELECT dd, d, c,
+            CAST(n - COALESCE(sum(d + c) OVER (ORDER BY dd
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS at_risk
+          FROM lv CROSS JOIN tot),
+    s AS (SELECT dd, d, at_risk,
+            sum(CASE WHEN d < at_risk THEN
+                  CAST(round(ln(1.0 - CAST(d AS DOUBLE) / at_risk) * 1000000000000) AS BIGINT)
+                END) OVER (ORDER BY dd) AS ls
+          FROM r)
+    SELECT CAST(dd AS INT) AS duration_days, at_risk AS n_at_risk, d AS n_churned,
+           CASE WHEN d = at_risk THEN 0.0
+                ELSE round(exp(CAST(ls AS DOUBLE) / 1000000000000), 6) END AS survival
+    FROM s WHERE d > 0
+    """,
+)
+def q_user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-lifetime curve with right-censoring (last event
+    within 7 days of observation end = still active). The running product
+    is an exp of a scaled-bigint ln sum (the surprisal determinism
+    pattern); the duration window is provably bounded by the calendar
+    horizon in days (operators/cohorts.py:survival_curve)."""
+    from wicsmmiretl_spark.operators.cohorts import survival_curve
+
+    ev = _t(spark, sf_dir, "events")
+    return survival_curve(ev, "user_id", "ts", censor_days=7)
+
 
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
     # canonicalization, re-shaped to scalar outputs and needing fresh
     # driver evidence (customer_snapshot_diff, inverted_index_band,
-    # doc_feature_vectors); the 5 r9-born queries (event_chain_bfs_levels,
+    # doc_feature_vectors); the 10 r9-born queries (event_chain_bfs_levels,
     # orders_pit_attributes, part_name_neighborhood_pairs,
-    # event_type_skew_profile, doc_tfidf_similar_pairs); events_json_extract
-    # (r8 note: no in-window twin, rotate back); the 28 queries whose
-    # newest driver rows date to CORRECTNESS_r06 (evidence 3 rounds stale);
-    # 12 of the r7-evidence block; and the entry flagship vocab_top100.
+    # event_type_skew_profile, doc_tfidf_similar_pairs, doc_winnowing_stats,
+    # purchase_auc, lineitem_price_qty_spearman, event_transition_matrix,
+    # user_survival_curve); events_json_extract (r8 note: no in-window
+    # twin, rotate back); the queries whose newest driver rows date to
+    # CORRECTNESS_r06 (evidence 3 rounds stale); part of the r7-evidence
+    # block; and the entry flagship vocab_top100.
     # DEFERRED below: every name here has a green driver row from r07 or
     # r08 (rows+schema+hash) and stays oracle-checked every pytest run via
     # tests/test_deferred_oracle.py and by tools/verify_local.py.
+    #
+    # -- green in CORRECTNESS_r07, deferred r9 to make window room for the
+    # -- five r9-born queries --
+    "quality_scores",           # heuristic quality scoring; text_stats + repetition_stats in-window cover text signals
+    "deterministic_sample_docs", # R1 seeded shuffle; corpus_mix in-window covers seeded md5 sampling
+    "pricing_summary",          # A2-A5 grouped stats; stats_matrix_documents + events_stats_by_type in-window cover them
+    "range_filter_chain",       # P5/P6 fenced filters; idle_rich_customers + repetition_stats in-window apply the same chains
+    "customers_with_orders_semi", # P8 semi join; idle_rich_customers in-window evaluates the same membership
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
