@@ -271,9 +271,19 @@ def pagerank(
 
 
 def _pagerank_loop(pr, e, deg, nodes, n_total, d, iters, scale, loop_parts):
+    # All checkpoints in the loop are LAZY (r9): pagerank has no
+    # per-iteration driver action (unlike connected_components' fixpoint
+    # checksum), so eager per-iteration materialization would only add
+    # iters scheduling barriers. Lazy localCheckpoint still truncates the
+    # logical plan immediately (planning stays O(1) per iteration) and
+    # still computes each iteration's RDD exactly once — with_deg is
+    # checkpointed because BOTH the contribution join and the dangling
+    # aggregation consume it.
     for _ in range(iters):
-        with_deg = pr.join(deg, pr["id"] == deg["src"], "left").select(
-            pr["id"], "rank", "outdeg"
+        with_deg = (
+            pr.join(deg, pr["id"] == deg["src"], "left")
+            .select(pr["id"], "rank", "outdeg")
+            .localCheckpoint(eager=False)
         )
         contrib = (
             e.join(
@@ -312,7 +322,7 @@ def _pagerank_loop(pr, e, deg, nodes, n_total, d, iters, scale, loop_parts):
                 ).alias("rank"),
             )
             .repartition(loop_parts, "id")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return pr
 
