@@ -104,3 +104,71 @@ def test_spearman_exact_monotone_and_constant(spark):
     # Constant column: zero rank variance -> NULL, not a division error.
     const = spark.createDataFrame([(float(i), 5.0) for i in range(10)], "x double, y double")
     assert spearman_corr(const, "x", "y").collect()[0]["rho"] is None
+
+
+def test_calibration_curve_bins_and_rates(spark):
+    from wicsmmiretl_spark.operators.aggregates import calibration_curve
+
+    # 20 rows, scores 1..20, positives exactly the top half: with 4 bins of
+    # 5 rows each, frac_pos must be 0, 0, 1, 1.
+    rows = [(i > 10, float(i), i) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "label boolean, score double, id long")
+    out = calibration_curve(df, "label", "score", "id", n_bins=4).collect()
+    assert [r["bin"] for r in out] == [1, 2, 3, 4]
+    assert all(r["n"] == 5 for r in out)
+    assert [r["frac_pos"] for r in out] == [0.0, 0.0, 1.0, 1.0]
+    assert out[0]["mean_score"] == pytest.approx(3.0, abs=1e-6)  # mean(1..5)
+    with pytest.raises(ValueError, match="n_bins"):
+        calibration_curve(df, "label", "score", "id", n_bins=1)
+
+
+def test_quantile_transform_ties_and_nulls(spark):
+    from wicsmmiretl_spark.operators.aggregates import quantile_transform
+
+    # values: 1, 2, 2, 4 -> avg ranks 1, 2.5, 2.5, 4 -> q = r/4
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 2.0), (4, 4.0), (5, None)], "id long, v double"
+    )
+    got = {r["id"]: r["q"] for r in quantile_transform(df, "v").collect()}
+    assert got[1] == pytest.approx(0.25, abs=1e-6)
+    assert got[2] == got[3] == pytest.approx(0.625, abs=1e-6)
+    assert got[4] == pytest.approx(1.0, abs=1e-6)
+    assert got[5] is None
+    with pytest.raises(ValueError, match="already has"):
+        quantile_transform(df.withColumnRenamed("id", "q"), "v")
+
+
+def test_seasonal_naive_error_hand_computed(spark):
+    from wicsmmiretl_spark.operators.aggregates import seasonal_naive_error
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # Regular daily grid, season=2: forecasts start at index 2.
+    vals = [10.0, 20.0, 13.0, 16.0, 10.0, 24.0]
+    rows = [(base + dt.timedelta(days=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "d timestamp, total double")
+    r = seasonal_naive_error(df, "d", "total", season=2).collect()[0]
+    errs = [vals[i] - vals[i - 2] for i in range(2, 6)]  # 3, -4, -3, 8
+    assert r["n_forecasts"] == 4
+    assert r["mae"] == pytest.approx(sum(abs(e) for e in errs) / 4, abs=1e-6)
+    assert r["rmse"] == pytest.approx((sum(e * e for e in errs) / 4) ** 0.5, abs=1e-6)
+    mapes = [abs(e) / abs(a) for e, a in zip(errs, vals[2:])]
+    assert r["mape"] == pytest.approx(sum(mapes) / 4, abs=1e-4)
+
+
+def test_seasonal_naive_error_grouped_and_zero_actuals(spark):
+    from wicsmmiretl_spark.operators.aggregates import seasonal_naive_error
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for g, vals in [("a", [1.0, 2.0, 3.0]), ("b", [5.0, 5.0, 0.0])]:
+        rows += [(g, base + dt.timedelta(days=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, d timestamp, total double")
+    got = {r["g"]: r for r in seasonal_naive_error(df, "d", "total", 1, by=["g"]).collect()}
+    assert got["a"]["mae"] == pytest.approx(1.0, abs=1e-6)
+    # Group b's second forecast has actual 0: excluded from MAPE, not MAE.
+    assert got["b"]["mae"] == pytest.approx(2.5, abs=1e-6)
+    assert got["b"]["mape"] == pytest.approx(0.0, abs=1e-6)  # only the 5->5 step
+    with pytest.raises(ValueError, match="season"):
+        seasonal_naive_error(df, "d", "total", 0)

@@ -68,8 +68,11 @@ from wicsmmiretl_spark.operators.aggregates import (
     incremental_agg_build,
     incremental_agg_merge,
     binary_auc,
+    calibration_curve,
     grouped_ols,
     grouped_stats_matrix,
+    quantile_transform,
+    seasonal_naive_error,
     spearman_corr,
     null_count,
     skew_report,
@@ -182,6 +185,9 @@ __all__ = [
     "grouped_ols",
     "binary_auc",
     "spearman_corr",
+    "calibration_curve",
+    "quantile_transform",
+    "seasonal_naive_error",
     "pmi_collocations",
     "feature_hash",
     "target_encode",

@@ -1140,3 +1140,170 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             ),
         ).alias("rho"),
     )
+
+
+def calibration_curve(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    tiebreak_col: str,
+    n_bins: int = 10,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Score-calibration table (reliability diagram; DeGroot & Fienberg
+    1983 — public literature): equal-frequency score bins vs the
+    empirical positive rate in each — AUC's companion diagnostic (AUC
+    measures ranking, calibration measures whether the score VALUE means
+    what it claims; both belong in any model-eval pass over pipeline
+    scores).
+
+    Binning is the suite's exact ntile-with-tiebreak discretizer (same
+    contract as ``sampling.quantile_bins``: ``tiebreak_col`` must be a
+    unique key so equal scores split deterministically; the global-sort
+    window is the honest exact-binning cost, with the range-partitioned
+    two-level form as the 100 TB path). Per-bin mean score follows the
+    exact-sum contract — per-row ``round(score·scale)`` bigints summed,
+    divided back once — so double addition order can't flip the hash;
+    the positive rate is an exact integer ratio.
+
+    ``label_col`` must be boolean or 0/1. NULL labels/scores excluded.
+    Output: bin int (1-based), n bigint, mean_score double (6dp),
+    frac_pos double (6dp).
+    """
+    if n_bins < 2:
+        raise ValueError(f"calibration_curve: n_bins must be >= 2, got {n_bins}")
+    for c in (label_col, score_col, tiebreak_col):
+        if c not in df.columns:
+            raise ValueError(f"calibration_curve: column {c!r} not in {df.columns}")
+    w = Window.orderBy(F.asc(score_col), F.asc(tiebreak_col))
+    binned = (
+        df.filter(F.col(label_col).isNotNull() & F.col(score_col).isNotNull())
+        .select(
+            F.col(label_col).cast("int").alias("_y"),
+            F.round(F.col(score_col) * scale).cast("long").alias("_si"),
+            F.ntile(n_bins).over(w).alias("bin"),
+        )
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round((F.sum("_si").cast("double") / scale) / F.count("*"), 6).alias(
+                "mean_score"
+            ),
+            F.round(F.sum("_y") / F.count("*"), 6).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )
+
+
+def quantile_transform(df: DataFrame, value_col: str, out_col: str = "q") -> DataFrame:
+    """Rank-based quantile normalization of a numeric column: each value
+    maps to its average-rank percentile q = avg_rank / n ∈ (0, 1] — the
+    distribution-free feature transform (uniform output whatever the
+    input's shape, outlier-immune), and the first half of a quantile-to-
+    normal transform.
+
+    Exact tie handling through the same integer identity as the rank
+    statistics: q = (2·cum - cnt + 1) / (2n), computed per DISTINCT value
+    (one groupBy + the offsets-based running count — no single-partition
+    window) and equi-joined back to the rows, so the full-table work is
+    one groupBy and one join regardless of value skew. The single double
+    division rounds 6dp. NULL values pass through with NULL ``out_col``
+    (a missing feature stays missing).
+
+    Output: input columns + ``out_col`` double.
+    """
+    if value_col not in df.columns:
+        raise ValueError(f"quantile_transform: {value_col!r} not in {df.columns}")
+    if out_col in df.columns:
+        raise ValueError(f"quantile_transform: input already has {out_col!r}")
+    present = df.filter(F.col(value_col).isNotNull())
+    lv = present.groupBy(value_col).agg(F.count("*").alias("_cnt"))
+    cum = _ordered_cumsum(lv, value_col, "_cnt", "_cum")
+    n_df = present.agg(F.count("*").alias("_n"))
+    qmap = cum.crossJoin(F.broadcast(n_df)).select(
+        value_col,
+        F.round(
+            (2 * F.col("_cum") - F.col("_cnt") + 1).cast("double") / (2 * F.col("_n")),
+            6,
+        ).alias(out_col),
+    )
+    return df.join(qmap, value_col, "left")
+
+
+def seasonal_naive_error(
+    grid: DataFrame,
+    ts_col: str,
+    value_col: str,
+    season: int,
+    by: Sequence[str] = (),
+    scale: int = 10**6,
+) -> DataFrame:
+    """Seasonal-naive backtest (Hyndman & Athanasopoulos, *Forecasting:
+    Principles and Practice* — public literature): forecast each period as
+    the value one season earlier, and report MAE / RMSE / MAPE of that
+    forecast — the standard baseline every time-series monitor is judged
+    against, and the cheapest drift alarm for ingest-volume dashboards.
+
+    ``grid`` must be a REGULAR series (one row per period per group —
+    the shape ``resample_ffill`` and the tumbling windows emit), so
+    lag(``season``) IS the value one season back; rows without a
+    same-season predecessor (the first ``season`` periods) are excluded
+    from the metrics.
+
+    Determinism: per-row errors are scaled to bigints (``round(err·scale)``)
+    then summed — |err| in decimal(38,0) for MAE, squared in decimal(38,0)
+    for RMSE (exact up to |err|·scale ≈ 10¹⁸ per row), and the MAPE ratio
+    is rounded per-row at 6dp before its integer-scaled sum. One sqrt /
+    division per metric at the end.
+
+    Scale: the window partitions by ``by`` (one shuffle); with no ``by``
+    the series is a single partition — fine, because a regular grid is
+    bounded by the calendar horizon, not the corpus (document the bound
+    when composing). Output (per group; one global row when ``by`` empty):
+    ``by`` + n_forecasts bigint, mae double, rmse double, mape double
+    (NULL when no nonzero actuals).
+    """
+    if season < 1:
+        raise ValueError(f"seasonal_naive_error: season must be >= 1, got {season}")
+    for c in (ts_col, value_col, *by):
+        if c not in grid.columns:
+            raise ValueError(f"seasonal_naive_error: column {c!r} not in {grid.columns}")
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(F.asc(ts_col))
+    prev = F.lag(value_col, season).over(w)
+    err_i = F.round((F.col(value_col) - prev) * scale).cast("long")
+    act_i = F.round(F.col(value_col) * scale).cast("long")
+    rows = (
+        grid.select(*by, ts_col, value_col)
+        .withColumn("_err_i", err_i)
+        .withColumn("_act_i", act_i)
+        .filter(F.col("_err_i").isNotNull())
+    )
+    ape_i = F.when(
+        F.col("_act_i") != 0,
+        F.round(
+            F.abs(F.col("_err_i")).cast("double") / F.abs(F.col("_act_i")) * scale
+        ).cast("long"),
+    )
+    agg = rows.groupBy(*by).agg(
+        F.count("*").alias("n_forecasts"),
+        F.sum(F.abs(F.col("_err_i")).cast("decimal(38,0)")).alias("_sae"),
+        F.sum(
+            F.col("_err_i").cast("decimal(38,0)") * F.col("_err_i").cast("decimal(38,0)")
+        ).alias("_sse"),
+        F.sum(ape_i).alias("_sape"),
+        F.count(ape_i).alias("_nape"),
+    )
+    return agg.select(
+        *by,
+        "n_forecasts",
+        F.round(F.col("_sae").cast("double") / scale / F.col("n_forecasts"), 6).alias("mae"),
+        F.round(
+            F.sqrt(F.col("_sse").cast("double") / F.col("n_forecasts")) / scale, 6
+        ).alias("rmse"),
+        F.when(
+            F.col("_nape") > 0,
+            F.round(F.col("_sape").cast("double") / scale / F.col("_nape"), 6),
+        ).alias("mape"),
+    )

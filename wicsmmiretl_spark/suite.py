@@ -5420,6 +5420,108 @@ def q_user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survival_curve(ev, "user_id", "ts", censor_days=7)
 
 
+@query(
+    "purchase_calibration",
+    """
+    WITH b AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CAST(round(value * 1000000) AS BIGINT) AS si,
+             ntile(10) OVER (ORDER BY value ASC, event_id ASC) AS bin
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           round((CAST(sum(si) AS DOUBLE) / 1000000) / count(*), 6) AS mean_score,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+)
+def q_purchase_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram companion to purchase_auc: equal-frequency
+    score bins (the exact ntile-with-tiebreak discretizer) vs empirical
+    purchase rate per bin. Per-bin mean score follows the exact-sum
+    contract; positive rate is an exact integer ratio
+    (operators/aggregates.py:calibration_curve)."""
+    from wicsmmiretl_spark.operators.aggregates import calibration_curve
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    labeled = ev.withColumn("is_purchase", (F.col("event_type") == "purchase").cast("int"))
+    return calibration_curve(labeled, "is_purchase", "value", "event_id", n_bins=10)
+
+
+@query(
+    "doc_len_quantile_norm",
+    """
+    WITH p AS (SELECT doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL),
+    lv AS (SELECT n_chars, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1),
+    c AS (SELECT n_chars, cnt, sum(cnt) OVER (ORDER BY n_chars) AS cum FROM lv),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p)
+    SELECT doc_id, n_chars,
+           round(CAST(2 * cum - cnt + 1 AS DOUBLE) / (2 * n), 6) AS q
+    FROM p JOIN c USING (n_chars) CROSS JOIN nn
+    """,
+)
+def q_doc_len_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization of document length: every doc's
+    average-rank percentile q = (2·cum - cnt + 1)/(2n), exact under ties —
+    the distribution-free feature transform. One groupBy to distinct
+    levels + offsets-based running count + one join back; no
+    single-partition window (operators/aggregates.py:quantile_transform)."""
+    from wicsmmiretl_spark.operators.aggregates import quantile_transform
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars").filter(
+        F.col("n_chars").isNotNull()
+    )
+    return quantile_transform(docs, "n_chars", out_col="q")
+
+
+@query(
+    "events_weekly_seasonality_error",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS total
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1
+    ),
+    lagged AS (SELECT total, lag(total, 7) OVER (ORDER BY d) AS prev FROM daily),
+    e AS (SELECT CAST(round((total - prev) * 1000000) AS BIGINT) AS err_i,
+                 CAST(round(total * 1000000) AS BIGINT) AS act_i
+          FROM lagged WHERE prev IS NOT NULL),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n_forecasts,
+                 sum(abs(err_i)) AS sae,
+                 sum(CAST(err_i AS HUGEINT) * err_i) AS sse,
+                 sum(CASE WHEN act_i <> 0 THEN
+                       CAST(round(abs(err_i) / CAST(abs(act_i) AS DOUBLE) * 1000000) AS BIGINT)
+                     END) AS sape,
+                 count(CASE WHEN act_i <> 0 THEN 1 END) AS nape
+          FROM e)
+    SELECT n_forecasts,
+           round(CAST(sae AS DOUBLE) / 1000000 / n_forecasts, 6) AS mae,
+           round(sqrt(CAST(sse AS DOUBLE) / n_forecasts) / 1000000, 6) AS rmse,
+           CASE WHEN nape > 0 THEN round(CAST(sape AS DOUBLE) / 1000000 / nape, 6) END AS mape
+    FROM a
+    """,
+)
+def q_events_weekly_seasonality_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest of daily event volume at season=7: MAE /
+    RMSE / MAPE of forecasting each day as the same weekday last week —
+    the baseline every ingest-volume monitor is judged against. Daily
+    totals and all three metrics follow the exact-sum contract (scaled
+    bigint / decimal(38) moments, one sqrt/division per metric at the
+    end) (operators/aggregates.py:seasonal_naive_error)."""
+    from wicsmmiretl_spark.operators.aggregates import seasonal_naive_error
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        (
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).cast("double")
+            / 1_000_000
+        ).alias("total")
+    )
+    return seasonal_naive_error(daily, "d", "total", season=7)
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -5438,12 +5540,15 @@ _DEFERRED_QUERIES = (
     # tests/test_deferred_oracle.py and by tools/verify_local.py.
     #
     # -- green in CORRECTNESS_r07, deferred r9 to make window room for the
-    # -- five r9-born queries --
+    # -- eight r9-born queries --
     "quality_scores",           # heuristic quality scoring; text_stats + repetition_stats in-window cover text signals
     "deterministic_sample_docs", # R1 seeded shuffle; corpus_mix in-window covers seeded md5 sampling
     "pricing_summary",          # A2-A5 grouped stats; stats_matrix_documents + events_stats_by_type in-window cover them
     "range_filter_chain",       # P5/P6 fenced filters; idle_rich_customers + repetition_stats in-window apply the same chains
     "customers_with_orders_semi", # P8 semi join; idle_rich_customers in-window evaluates the same membership
+    "dedup_exact",              # exact md5 dedup; dedup_canonical in-window resolves the same fingerprint clusters
+    "union_balance_stats",      # U1 union+uniqueness; corpus_mix in-window unions tagged sources with the same checks
+    "window_running_sum",       # analytic running frames; window_rank_events + event_funnel in-window cover user windows
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
