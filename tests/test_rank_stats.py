@@ -172,3 +172,24 @@ def test_seasonal_naive_error_grouped_and_zero_actuals(spark):
     assert got["b"]["mape"] == pytest.approx(0.0, abs=1e-6)  # only the 5->5 step
     with pytest.raises(ValueError, match="season"):
         seasonal_naive_error(df, "d", "total", 0)
+
+
+def test_rank_ops_plan_has_no_full_table_single_partition_window(spark):
+    """The scale contract of the rank statistics: the running rank comes
+    from the offsets pattern (range partition + broadcast offsets +
+    partition-LOCAL window), so no plan may funnel the level table through
+    a single-partition WINDOW. (The final one-row aggregate legitimately
+    collapses to a single partition — that is one row, not the table.)"""
+    from wicsmmiretl_spark.operators.aggregates import binary_auc, quantile_transform
+
+    rows = [(i % 2 == 0, float(i % 97)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "label boolean, score double")
+    for out in (binary_auc(df, "label", "score"), quantile_transform(df, "score")):
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # Every Window node must be partitioned (its required child
+        # distribution shows as hashpartitioning on _pid, never
+        # SinglePartition directly under a Window sort).
+        for i, line in enumerate(plan.splitlines()):
+            if "Window" in line and "windowspecdefinition" in line:
+                assert "_pid" in line, f"unpartitioned window in plan:\n{line}"

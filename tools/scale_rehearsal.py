@@ -73,6 +73,28 @@ REHEARSAL_QUERIES = (
     "cms_heavy_tokens",
     "bloom_pruned_revenue",
     "user_activity_spans",
+    # r9 additions. winnowing: per-char k-gram explode — the honest linear
+    # budget, window-min per doc. auc/quantile-norm: distinct-level
+    # cardinality grows 10x, the offsets-based cumsum is the thing being
+    # scaled. spearman: two rank joins over 10x lineitem. transition/
+    # survival: one user-keyed shuffle each, 10x users. bfs: 10 disjoint
+    # chain copies — frontier rounds constant, per-round volume 10x.
+    # tfidf pairs: Caesar copies give 10x vocabulary at constant df, so
+    # pair volume scales with corpus, not quadratically. neighborhood:
+    # stable-index range partition + rank equi-join over 10x parts.
+    # calibration: the ntile global-sort window measured honestly — the
+    # documented single-partition cost, expect exponent near 1 with the
+    # range-partitioned two-level form as the escape hatch.
+    "doc_winnowing_stats",
+    "purchase_auc",
+    "doc_len_quantile_norm",
+    "lineitem_price_qty_spearman",
+    "event_transition_matrix",
+    "user_survival_curve",
+    "event_chain_bfs_levels",
+    "doc_tfidf_similar_pairs",
+    "part_name_neighborhood_pairs",
+    "purchase_calibration",
 )
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
@@ -156,6 +178,20 @@ def synthesize(spark: SparkSession, out_dir: str) -> None:
     _scale_copies(
         orders, lambda df, i: df.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * o_off))
     ).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+    # part: key offset matches lineitem's l_partkey shift; p_name is
+    # Caesar-rotated per copy so the sorted-neighborhood key space grows
+    # 10x instead of every name gaining 9 exact twins (which would blow up
+    # the within-window Levenshtein hit rate, changing semantics, not
+    # scale).
+    part = load_table(spark, "part", BASE_SF)
+
+    def part_copy(df, i):
+        return df.withColumn("p_partkey", F.col("p_partkey") + F.lit(i * p_off)).withColumn(
+            "p_name", _caesar(F.col("p_name"), i)
+        )
+
+    _scale_copies(part, part_copy).write.mode("overwrite").parquet(f"{out_dir}/part.parquet")
 
     for name in TESTDATA_TABLES:
         src = f"{BASE_SF}/{name}.parquet"
