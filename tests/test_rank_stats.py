@@ -193,3 +193,17 @@ def test_rank_ops_plan_has_no_full_table_single_partition_window(spark):
         for i, line in enumerate(plan.splitlines()):
             if "Window" in line and "windowspecdefinition" in line:
                 assert "_pid" in line, f"unpartitioned window in plan:\n{line}"
+
+
+def test_auc_grouped_matches_per_group_brute_force(spark):
+    from wicsmmiretl_spark.operators.aggregates import binary_auc
+
+    rng = random.Random(3)
+    rows = []
+    for g in ("a", "b", "c"):
+        rows += [(g, rng.random() < 0.5, float(rng.randint(0, 6))) for _ in range(150)]
+    df = spark.createDataFrame(rows, "g string, label boolean, score double")
+    got = {r["g"]: r for r in binary_auc(df, "label", "score", by=["g"]).collect()}
+    for g in ("a", "b", "c"):
+        pairs = [(y, s) for gg, y, s in rows if gg == g]
+        assert got[g]["auc"] == pytest.approx(round(_auc_brute(pairs), 6), abs=1e-6), g

@@ -1017,7 +1017,12 @@ def _ordered_cumsum(
     )
 
 
-def binary_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+def binary_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    by: Sequence[str] = (),
+) -> DataFrame:
     """Exact ROC AUC of a score against a binary label, via the
     Mann-Whitney U statistic (Mann & Whitney 1947; Hanley & McNeil 1982 —
     public literature): AUC = P(score⁺ > score⁻) + ½·P(tie), computed
@@ -1039,23 +1044,41 @@ def binary_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     division at the end (rounded 6dp). NULL labels/scores are excluded.
     Degenerate inputs (a single class) yield NULL AUC.
 
-    ``label_col`` must be boolean or 0/1-integer. Output (one row):
-    n_pos bigint, n_neg bigint, auc double.
+    ``by`` turns this into per-slice evaluation (AUC per segment/day —
+    the drift monitor for score separability): the level table gains the
+    group key and the running rank becomes a window PARTITIONED by the
+    group (distributed across groups; per-group distinct-score
+    cardinality must fit one partition — bounded in any real slicing;
+    the global path keeps the offsets pattern precisely because it has
+    no such bound).
+
+    ``label_col`` must be boolean or 0/1-integer. Output (one row per
+    group; one row total when ``by`` is empty): ``by`` + n_pos bigint,
+    n_neg bigint, auc double.
     """
-    for c in (label_col, score_col):
+    for c in (label_col, score_col, *by):
         if c not in df.columns:
             raise ValueError(f"binary_auc: column {c!r} not in {df.columns}")
     levels = (
         df.filter(F.col(label_col).isNotNull() & F.col(score_col).isNotNull())
         .select(
+            *by,
             F.col(score_col).alias("_s"),
             F.col(label_col).cast("int").alias("_y"),
         )
-        .groupBy("_s")
+        .groupBy(*by, "_s")
         .agg(F.count("*").alias("_cnt"), F.sum("_y").alias("_pos"))
     )
-    ranked = _ordered_cumsum(levels, "_s", "_cnt", "_cum")
-    agg = ranked.agg(
+    if by:
+        wg = (
+            Window.partitionBy(*[F.col(c) for c in by])
+            .orderBy(F.asc("_s"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ranked = levels.withColumn("_cum", F.sum("_cnt").over(wg))
+    else:
+        ranked = _ordered_cumsum(levels, "_s", "_cnt", "_cum")
+    agg = ranked.groupBy(*by).agg(
         F.sum("_pos").cast("long").alias("n_pos"),
         (F.sum("_cnt") - F.sum("_pos")).cast("long").alias("n_neg"),
         F.sum(F.col("_pos") * (2 * F.col("_cum") - F.col("_cnt") + 1))
@@ -1063,6 +1086,7 @@ def binary_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
         .alias("_s2r"),
     )
     return agg.select(
+        *by,
         "n_pos",
         "n_neg",
         F.when(

@@ -5522,6 +5522,48 @@ def q_events_weekly_seasonality_error(spark: SparkSession, sf_dir: str) -> DataF
     return seasonal_naive_error(daily, "d", "total", season=7)
 
 
+@query(
+    "daily_purchase_auc",
+    """
+    WITH lv AS (
+      SELECT date_trunc('day', ts) AS day, value AS s, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    r AS (SELECT day, cnt, pos,
+            sum(cnt) OVER (PARTITION BY day ORDER BY s) AS cum FROM lv),
+    t AS (SELECT day, CAST(sum(pos) AS BIGINT) AS n_pos,
+                 CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+                 CAST(sum(pos * (2 * cum - cnt + 1)) AS BIGINT) AS s2r
+          FROM r GROUP BY 1)
+    SELECT epoch_us(day) AS day_us, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             round(CAST(s2r - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * n_neg), 6)
+           END AS auc
+    FROM t
+    """,
+)
+def q_daily_purchase_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice model eval: the Mann-Whitney AUC of purchase_auc computed
+    PER DAY — the drift monitor for score separability. The grouped path
+    partitions the running rank by the slice key (distributed across
+    groups, no offsets machinery needed)
+    (operators/aggregates.py:binary_auc with by=['day'])."""
+    from wicsmmiretl_spark.operators.aggregates import binary_auc
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .withColumn("day", F.date_trunc("day", "ts"))
+        .withColumn("is_purchase", (F.col("event_type") == "purchase").cast("int"))
+    )
+    return binary_auc(ev, "is_purchase", "value", by=["day"]).select(
+        F.unix_micros("day").alias("day_us"), "n_pos", "n_neg", "auc"
+    )
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -5549,6 +5591,9 @@ _DEFERRED_QUERIES = (
     "dedup_exact",              # exact md5 dedup; dedup_canonical in-window resolves the same fingerprint clusters
     "union_balance_stats",      # U1 union+uniqueness; corpus_mix in-window unions tagged sources with the same checks
     "window_running_sum",       # analytic running frames; window_rank_events + event_funnel in-window cover user windows
+    #
+    # -- r9-born, deferred at birth (family in-window) --
+    "daily_purchase_auc",       # grouped rank-sum AUC; purchase_auc in-window is the same estimator, global path
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
