@@ -40,7 +40,7 @@ Scale design
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -154,10 +154,27 @@ def connected_components(
     session_parts = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     loop_parts = min(session_parts, max(1, prev[0] // 65_536 + 1))
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges, loop_parts), loop_parts).localCheckpoint(
-            eager=True
+        # The fixpoint checksum rides the materialization job itself via
+        # an Observation (r9): CollectMetrics fires when the eager
+        # localCheckpoint's internal action completes, so each round is
+        # ONE job instead of two (materialize, then re-aggregate the
+        # checkpointed RDD). Same order-independent fingerprint as
+        # _checksum.
+        obs = Observation()
+        edges = (
+            _small_star(_large_star(edges, loop_parts), loop_parts)
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("h"),
+            )
+            .localCheckpoint(eager=True)
         )
-        cur = _checksum(edges)
+        m = obs.get
+        cur = (m["n"], int(m["h"]))
         if cur == prev:
             break
         prev = cur
@@ -471,9 +488,12 @@ def bfs_levels(
             .join(visited, "id", "left_anti")
             .withColumn("level", F.lit(depth))
             .repartition(loop_parts, "id")
-            .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        # Frontier count rides the materialization job via an Observation
+        # (r9) — the empty-frontier exit needs no separate isEmpty job.
+        obs = Observation()
+        nxt = nxt.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+        if obs.get["n"] == 0:
             break
         # No re-checkpoint of the visited union: every leaf is already a
         # checkpointed frontier, so the union's lineage is a flat d-way
