@@ -252,3 +252,42 @@ def test_tfidf_cosine_pairs_validates(spark):
         tfidf_cosine_pairs(docs, max_df=1)
     with pytest.raises(ValueError, match="min_sim"):
         tfidf_cosine_pairs(docs, min_sim=1.5)
+
+
+# ---------------------------------------------------------------------------
+# ndcg_at_k
+# ---------------------------------------------------------------------------
+
+def test_ndcg_hand_computed(spark):
+    import math
+
+    from wicsmmiretl_spark.operators.ranking import ndcg_at_k
+
+    ranked = spark.createDataFrame(
+        [(1, 9.0), (2, 7.0), (3, 5.0)], "doc_id long, score double"
+    )
+    rel = spark.createDataFrame(
+        [(1, 1), (2, 3), (3, 0), (4, 2)], "doc_id long, rel int"
+    )
+    r = ndcg_at_k(ranked, rel, k=3).collect()[0]
+    dcg = (2**1 - 1) / math.log2(2) + (2**3 - 1) / math.log2(3) + 0.0
+    idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) + (2**1 - 1) / math.log2(4)
+    assert r["dcg"] == pytest.approx(dcg, abs=1e-6)
+    assert r["idcg"] == pytest.approx(idcg, abs=1e-6)
+    assert r["ndcg"] == pytest.approx(round(dcg / idcg, 6), abs=1e-6)
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    from wicsmmiretl_spark.operators.ranking import ndcg_at_k
+
+    ranked = spark.createDataFrame(
+        [(1, 3.0), (2, 2.0), (3, 1.0)], "doc_id long, score double"
+    )
+    rel = spark.createDataFrame([(1, 3), (2, 2), (3, 1)], "doc_id long, rel int")
+    r = ndcg_at_k(ranked, rel, k=3).collect()[0]
+    assert r["ndcg"] == 1.0
+    # All-zero relevance: IDCG = 0 -> NULL ndcg, not a division error.
+    zero = spark.createDataFrame([(1, 0), (2, 0), (3, 0)], "doc_id long, rel int")
+    assert ndcg_at_k(ranked, zero, k=3).collect()[0]["ndcg"] is None
+    with pytest.raises(ValueError, match="k must be"):
+        ndcg_at_k(ranked, rel, k=0)

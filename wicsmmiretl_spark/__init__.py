@@ -109,7 +109,7 @@ from wicsmmiretl_spark.operators.merge import merge_scd2, merge_upsert, point_in
 from wicsmmiretl_spark.operators.pruning import bloom_prune, bloom_semi_filter, bloom_words
 from wicsmmiretl_spark.operators.quality import dq_gate, dq_report, key_skew_profile
 from wicsmmiretl_spark.operators.packing import chunk_documents, pack_sequences
-from wicsmmiretl_spark.operators.ranking import association_pairs, bm25_rank, inverted_index, rrf_fuse, tfidf_cosine_pairs
+from wicsmmiretl_spark.operators.ranking import association_pairs, bm25_rank, inverted_index, ndcg_at_k, rrf_fuse, tfidf_cosine_pairs
 from wicsmmiretl_spark.operators.graph import bfs_levels, connected_components, pagerank, triangle_stats
 from wicsmmiretl_spark.operators.sampling import (
     cap_per_group,
@@ -251,6 +251,7 @@ __all__ = [
     # ranking / packing / decontamination / layout
     "bm25_rank",
     "tfidf_cosine_pairs",
+    "ndcg_at_k",
     "rrf_fuse",
     "chunk_documents",
     "pack_sequences",

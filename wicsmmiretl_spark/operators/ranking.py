@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from wicsmmiretl_spark.functions.text import tokens
@@ -379,4 +379,99 @@ def tfidf_cosine_pairs(
         .filter(F.col("sim") >= min_sim)
         .orderBy(F.desc("sim"), F.asc("id_a"), F.asc("id_b"))
         .limit(top_k)
+    )
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+    scale: int = 10**9,
+) -> DataFrame:
+    """Normalized discounted cumulative gain at k (Järvelin & Kekäläinen
+    2002, TOIS — public literature): grade a retrieval ranking against
+    graded relevance labels — the third leg of the eval-metrics family
+    (AUC ranks a score, calibration checks its meaning, NDCG scores a
+    produced RANKING). DCG = Σ_{i≤k} (2^rel_i - 1) / log2(i + 1) over the
+    ranking's order; NDCG divides by the ideal DCG (labels sorted
+    descending), so 1.0 = perfect ordering.
+
+    Scale shape: the ranking side is top-k BY CONSTRUCTION (k rows — this
+    operator grades a ranked list, it does not produce one), so position
+    assignment is a window over k rows. The ideal side is a global top-k
+    of the label table — TakeOrderedAndProject, k rows cross the wire,
+    never a full sort. The label attach broadcasts the K RANKED IDS into
+    a semi-filter over the label table (one map-side scan), then joins
+    the surviving ≤k label rows back broadcast — the full label table is
+    never broadcast and never shuffled.
+
+    Determinism: per-position gains are rounded to ``scale`` bigints and
+    summed exactly; rel values must be small integers (2^rel exact in
+    double), log2 of integer positions is identical across engines, and
+    the single DCG/IDCG division rounds 6dp. Ties in ``score_col`` must
+    be broken by ``id_col`` upstream AND are re-broken here with the same
+    (score desc, id asc) order. Unlabeled ranked ids count rel = 0.
+
+    Output (one row): k int, dcg double, idcg double, ndcg double.
+    """
+    if k < 1:
+        raise ValueError(f"ndcg_at_k: k must be >= 1, got {k}")
+    for c, df_, nm in ((id_col, ranked, "ranked"), (score_col, ranked, "ranked"),
+                       (id_col, relevance, "relevance"), (rel_col, relevance, "relevance")):
+        if c not in df_.columns:
+            raise ValueError(f"ndcg_at_k: column {c!r} not in {nm} {df_.columns}")
+    top = ranked.orderBy(F.desc(score_col), F.asc(id_col)).limit(k).localCheckpoint(eager=False)
+    rel_k = relevance.select(id_col, rel_col).join(
+        F.broadcast(top.select(id_col)), id_col, "left_semi"
+    )
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    gains = (
+        top.join(F.broadcast(rel_k), id_col, "left")
+        .select(
+            F.row_number().over(w).alias("_pos"),
+            F.coalesce(F.col(rel_col), F.lit(0)).alias("_rel"),
+        )
+        .select(
+            F.round(
+                (F.pow(F.lit(2.0), F.col("_rel")) - 1.0)
+                / F.log2(F.col("_pos") + 1.0)
+                * scale
+            )
+            .cast("long")
+            .alias("_g")
+        )
+    )
+    ideal = (
+        relevance.select(F.col(rel_col).alias("_rel"), F.col(id_col).alias("_id"))
+        .orderBy(F.desc("_rel"), F.asc("_id"))
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("_rel"), F.asc("_id")))
+            .alias("_pos"),
+            "_rel",
+        )
+        .select(
+            F.round(
+                (F.pow(F.lit(2.0), F.col("_rel")) - 1.0)
+                / F.log2(F.col("_pos") + 1.0)
+                * scale
+            )
+            .cast("long")
+            .alias("_g")
+        )
+    )
+    dcg = gains.agg(F.coalesce(F.sum("_g"), F.lit(0)).alias("_dcg"))
+    idcg = ideal.agg(F.coalesce(F.sum("_g"), F.lit(0)).alias("_idcg"))
+    return dcg.crossJoin(idcg).select(
+        F.lit(k).alias("k"),
+        F.round(F.col("_dcg").cast("double") / scale, 6).alias("dcg"),
+        F.round(F.col("_idcg").cast("double") / scale, 6).alias("idcg"),
+        F.when(
+            F.col("_idcg") > 0,
+            F.round(F.col("_dcg").cast("double") / F.col("_idcg"), 6),
+        ).alias("ndcg"),
     )

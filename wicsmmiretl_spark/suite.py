@@ -5564,6 +5564,79 @@ def q_daily_purchase_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bm25_ndcg",
+    rf"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens),
+    tf AS (
+      SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT t.doc_id, l.dl, unnest(t.toks) AS token
+            FROM toks t JOIN lens l ON t.doc_id = l.doc_id)
+      WHERE token IN ('spark', 'merge', 'scan')
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             round( ln(1 + (n - df + 0.5) / (df + 0.5))
+                    * tf * (1.2 + 1)
+                    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n))), 7) AS s
+      FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+    ),
+    ranked AS (
+      SELECT doc_id, CAST(sum(CAST(round(s * 10000000.0) AS BIGINT)) AS BIGINT) / 10000000.0 AS bm25
+      FROM scored GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    ),
+    rel AS (
+      SELECT doc_id,
+             CAST(len(list_filter(['spark', 'merge', 'scan'],
+                                  t -> list_contains(toks, t))) AS INT) AS rel
+      FROM toks
+    ),
+    g AS (SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS pos,
+                 COALESCE(rel, 0) AS rel
+          FROM ranked LEFT JOIN rel USING (doc_id)),
+    gd AS (SELECT CAST(sum(CAST(round((pow(2.0, rel) - 1.0) / log2(pos + 1.0)
+                                       * 1000000000) AS BIGINT)) AS BIGINT) AS dcg_i FROM g),
+    gi AS (SELECT row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS pos, rel
+           FROM (SELECT rel, doc_id FROM rel ORDER BY rel DESC, doc_id ASC LIMIT 20)),
+    gid AS (SELECT CAST(sum(CAST(round((pow(2.0, rel) - 1.0) / log2(pos + 1.0)
+                                        * 1000000000) AS BIGINT)) AS BIGINT) AS idcg_i FROM gi)
+    SELECT 20 AS k,
+           round(CAST(dcg_i AS DOUBLE) / 1000000000, 6) AS dcg,
+           round(CAST(idcg_i AS DOUBLE) / 1000000000, 6) AS idcg,
+           CASE WHEN idcg_i > 0 THEN round(CAST(dcg_i AS DOUBLE) / idcg_i, 6) END AS ndcg
+    FROM gd CROSS JOIN gid
+    """,
+)
+def q_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@20 of the BM25 ranking against graded relevance = number of
+    distinct query terms a document contains (0-3) — the third eval
+    metric alongside AUC (score ranking) and calibration (score
+    meaning), here grading a produced RANKING. Scaled-bigint gain sums;
+    the k ranked ids are broadcast into a semi-filter over the label
+    table, which is never broadcast or shuffled whole
+    (operators/ranking.py:ndcg_at_k)."""
+    from wicsmmiretl_spark.operators.ranking import bm25_rank, ndcg_at_k
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["spark", "merge", "scan"]
+    ranked = bm25_rank(docs, terms, k=20)
+    rel = docs.select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                F.array_distinct(tokens("text")),
+                F.array(*[F.lit(t) for t in terms]),
+            )
+        ).alias("rel"),
+    )
+    return ndcg_at_k(ranked, rel, k=20, id_col="doc_id", score_col="bm25", rel_col="rel")
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -5594,6 +5667,7 @@ _DEFERRED_QUERIES = (
     #
     # -- r9-born, deferred at birth (family in-window) --
     "daily_purchase_auc",       # grouped rank-sum AUC; purchase_auc in-window is the same estimator, global path
+    "bm25_ndcg",                # ranking eval over bm25's output; doc_tfidf_similar_pairs in-window covers the tf/idf weighting
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
