@@ -138,6 +138,7 @@ from wicsmmiretl_spark.operators.similarity import (
     pq_topk,
     pq_train,
 )
+from wicsmmiretl_spark.multimodal.audio import audio_features, synth_wav
 from wicsmmiretl_spark.session import get_spark, stop_spark
 from wicsmmiretl_spark.streaming.windows import stream_cms_sketch, stream_hll_registers
 
@@ -252,6 +253,8 @@ __all__ = [
     "bm25_rank",
     "tfidf_cosine_pairs",
     "ndcg_at_k",
+    "synth_wav",
+    "audio_features",
     "rrf_fuse",
     "chunk_documents",
     "pack_sequences",

@@ -5637,6 +5637,65 @@ def q_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ndcg_at_k(ranked, rel, k=20, id_col="doc_id", score_col="bm25", rel_col="rel")
 
 
+@query(
+    "user_audio_features",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             ((abs(CAST(round(value * 1000) AS BIGINT)) * 2654435761) % 65536) - 32768 AS smp
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    idx AS (SELECT user_id, smp,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM s),
+    fr AS (SELECT user_id, (rn - 1) // 64 AS f,
+             CAST(sum(smp * smp) AS BIGINT) AS ss, CAST(count(*) AS BIGINT) AS cnt
+           FROM idx GROUP BY 1, 2),
+    frq AS (SELECT user_id,
+              CAST(floor(sqrt(CAST(ss AS DOUBLE) / cnt) * 1000000 + 0.5) AS BIGINT) AS q
+            FROM fr),
+    agg AS (SELECT user_id, CAST(sum(q) AS BIGINT) AS sq, CAST(count(*) AS BIGINT) AS nf
+            FROM frq GROUP BY 1),
+    zc AS (SELECT user_id,
+             CAST(sum(CASE WHEN prev * smp < 0 THEN 1 ELSE 0 END) AS BIGINT) AS crossings,
+             CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT user_id, smp,
+                   lag(smp) OVER (PARTITION BY user_id ORDER BY rn) AS prev FROM idx)
+           GROUP BY 1)
+    SELECT a.user_id, 8000 AS sample_rate, z.n AS n_samples, a.nf AS n_frames,
+           (sq // nf) / 1000000.0 AS rms_mean,
+           CASE WHEN z.n >= 2 THEN ((z.crossings * 1000000) // (z.n - 1)) / 1000000.0 END AS zcr
+    FROM agg a JOIN zc z USING (user_id)
+    """,
+)
+def q_user_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal AUDIO end-to-end: each user's event stream becomes an
+    int16 sample sequence (exact integer hash of the value — oracle-
+    derivable), is serialized into a real PCM16 RIFF/WAV binary column
+    (applyInPandas), then parsed BACK from the bytes and reduced to
+    frame-RMS and zero-crossing features (Arrow-batched mapInPandas) —
+    the byte-level round trip is on the verified path, while the oracle
+    replays the features directly from the pre-synthesis samples in SQL.
+    Floor-quantized micro-unit ratios: no language round() anywhere
+    (multimodal/audio.py)."""
+    from wicsmmiretl_spark.multimodal.audio import audio_features, synth_wav
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    k = F.round(F.col("value") * 1000).cast("long")
+    sampled = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (((F.abs(k) * F.lit(2654435761)) % F.lit(65536)) - F.lit(32768))
+        .cast("int")
+        .alias("s"),
+    )
+    wav = synth_wav(sampled, "user_id", ["ts", "event_id"], "s", sample_rate=8000)
+    return audio_features(wav.select("user_id", "audio"), "audio", frame_size=64)
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -5664,6 +5723,7 @@ _DEFERRED_QUERIES = (
     "dedup_exact",              # exact md5 dedup; dedup_canonical in-window resolves the same fingerprint clusters
     "union_balance_stats",      # U1 union+uniqueness; corpus_mix in-window unions tagged sources with the same checks
     "window_running_sum",       # analytic running frames; window_rank_events + event_funnel in-window cover user windows
+    "asof_next_purchase",       # forward as-of; asof_click_purchase (backward) + asof_tolerance_purchase stay in-window
     #
     # -- r9-born, deferred at birth (family in-window) --
     "daily_purchase_auc",       # grouped rank-sum AUC; purchase_auc in-window is the same estimator, global path
