@@ -341,3 +341,38 @@ def test_entropy_validates(spark):
     df = spark.createDataFrame([("a",)], "c: string")
     with pytest.raises(ValueError, match="not in"):
         category_entropy(df, ["ghost"])
+
+
+# ---------------------------------------------------------------------------
+# cms_join_size (AMS inner-product estimator)
+# ---------------------------------------------------------------------------
+
+def test_cms_join_size_upper_bounds_and_converges(spark):
+    from wicsmmiretl_spark.operators.aggregates import cms_join_size, cms_sketch
+
+    rows = [(i % 50,) for i in range(2000)]  # 50 keys x 40 -> F2 = 50*1600
+    df = spark.createDataFrame(rows, "k long")
+    exact = 50 * 40 * 40
+    # Wide sketch: near-zero collision noise, estimate == exact.
+    wide = cms_sketch(df, "k", depth=4, width=65536)
+    est_wide = cms_join_size(wide, wide).collect()[0]["est_join_size"]
+    assert est_wide == exact
+    # Narrow sketch: collisions only ADD mass — still an upper bound.
+    narrow = cms_sketch(df, "k", depth=4, width=16)
+    est_narrow = cms_join_size(narrow, narrow).collect()[0]["est_join_size"]
+    assert est_narrow >= exact
+
+
+def test_cms_join_size_cross_streams(spark):
+    from wicsmmiretl_spark.operators.aggregates import cms_join_size, cms_sketch
+
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k long")
+    b = spark.createDataFrame([(1,), (2,), (2,), (9,)], "k long")
+    # true join size = 2*1 (k=1) + 1*2 (k=2) = 4
+    ska = cms_sketch(a, "k", depth=4, width=65536)
+    skb = cms_sketch(b, "k", depth=4, width=65536)
+    assert cms_join_size(ska, skb).collect()[0]["est_join_size"] == 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing columns"):
+        cms_join_size(a, skb)

@@ -54,6 +54,7 @@ from wicsmmiretl_spark.operators.aggregates import (
     column_stats,
     cms_estimate,
     cms_heavy_hitters,
+    cms_join_size,
     cms_merge,
     cms_sketch,
     corr_matrix,
@@ -181,6 +182,7 @@ __all__ = [
     "cms_merge",
     "cms_estimate",
     "cms_heavy_hitters",
+    "cms_join_size",
     "corr_matrix",
     "profile_drift",
     "grouped_ols",

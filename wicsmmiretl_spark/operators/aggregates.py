@@ -1331,3 +1331,41 @@ def seasonal_naive_error(
             F.round(F.col("_sape").cast("double") / scale / F.col("_nape"), 6),
         ).alias("mape"),
     )
+
+
+def cms_join_size(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
+    """Join-cardinality estimate from two count-min sketches (the
+    inner-product estimator of Cormode & Muthukrishnan 2005; the AMS
+    self-join-size / F₂ estimator when both sketches are the same stream —
+    public literature): est = min_j Σ_bucket a_j[bucket] · b_j[bucket],
+    an upper bound on the true equi-join output size that tightens with
+    sketch width (collision noise ≈ |A|·|B| / width per hash row).
+
+    This is the planner-diagnostics companion to ``key_skew_profile``:
+    before committing a 100 TB join, fold each side's CMS per batch
+    (``cms_merge`` — the sketches are the ONLY thing that crosses stages,
+    depth × width rows however large the inputs), then read the estimate
+    off this one tiny join. Estimate is deterministic (md5 sketches), so
+    a SQL oracle replays it exactly.
+
+    Both sketches must share (depth, width) — ``cms_sketch``'s (j, bucket,
+    cnt) shape. Products accumulate in decimal(38,0) and the result casts
+    to bigint (exact for any join under ~9·10¹⁸ output rows).
+
+    Output (one row): est_join_size bigint.
+    """
+    for df_, nm in ((sk_a, "sk_a"), (sk_b, "sk_b")):
+        missing = [c for c in ("j", "bucket", "cnt") if c not in df_.columns]
+        if missing:
+            raise ValueError(f"cms_join_size: {nm} missing columns {missing}")
+    joined = (
+        sk_a.select("j", "bucket", F.col("cnt").alias("_ca"))
+        .join(sk_b.select("j", "bucket", F.col("cnt").alias("_cb")), ["j", "bucket"])
+        .groupBy("j")
+        .agg(
+            F.sum(
+                F.col("_ca").cast("decimal(38,0)") * F.col("_cb").cast("decimal(38,0)")
+            ).alias("_ip")
+        )
+    )
+    return joined.agg(F.min("_ip").cast("long").alias("est_join_size"))

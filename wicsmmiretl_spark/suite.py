@@ -5696,6 +5696,52 @@ def q_user_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(wav.select("user_id", "audio"), "audio", frame_size=64)
 
 
+@query(
+    "user_selfjoin_size_estimate",
+    """
+    WITH v AS (SELECT CAST(user_id AS VARCHAR) AS s FROM events WHERE user_id IS NOT NULL),
+    e AS (SELECT j, (('0x' || substr(md5(s), 1 + 4*j, 4))::BIGINT % 65536) AS bucket
+          FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
+    sk AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2),
+    ip AS (SELECT j, sum(cnt * cnt) AS ip FROM sk GROUP BY 1),
+    est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_size FROM ip),
+    ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_join_size
+           FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM events
+                 WHERE user_id IS NOT NULL GROUP BY user_id))
+    SELECT est_join_size, exact_join_size,
+           round(CAST(est_join_size - exact_join_size AS DOUBLE) / exact_join_size, 6) AS rel_err
+    FROM est CROSS JOIN ex
+    """,
+)
+def q_user_selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner diagnostics: the AMS/CMS inner-product estimate of the
+    user_id self-join size (= F₂, Σc² — what a groupBy-user join would
+    output) against the exact count, with the relative error. The
+    estimate reads off a depth×width sketch join — the only thing that
+    would cross stages at 100 TB — and is md5-deterministic, so the
+    oracle replays it bit-for-bit
+    (operators/aggregates.py:cms_sketch + cms_join_size)."""
+    from wicsmmiretl_spark.operators.aggregates import cms_join_size, cms_sketch
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sk = cms_sketch(ev, "user_id", depth=4, width=65536).localCheckpoint(eager=False)
+    est = cms_join_size(sk, sk)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("_c"))
+        .agg(F.sum(F.col("_c") * F.col("_c")).cast("long").alias("exact_join_size"))
+    )
+    return est.crossJoin(exact).select(
+        "est_join_size",
+        "exact_join_size",
+        F.round(
+            (F.col("est_join_size") - F.col("exact_join_size")).cast("double")
+            / F.col("exact_join_size"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -5728,6 +5774,7 @@ _DEFERRED_QUERIES = (
     # -- r9-born, deferred at birth (family in-window) --
     "daily_purchase_auc",       # grouped rank-sum AUC; purchase_auc in-window is the same estimator, global path
     "bm25_ndcg",                # ranking eval over bm25's output; doc_tfidf_similar_pairs in-window covers the tf/idf weighting
+    "user_selfjoin_size_estimate", # CMS join-size estimate; event_type_skew_profile in-window covers join diagnostics
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
