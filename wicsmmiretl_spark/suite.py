@@ -5747,14 +5747,19 @@ _DEFERRED_QUERIES = (
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
     # canonicalization, re-shaped to scalar outputs and needing fresh
     # driver evidence (customer_snapshot_diff, inverted_index_band,
-    # doc_feature_vectors); the 10 r9-born queries (event_chain_bfs_levels,
-    # orders_pit_attributes, part_name_neighborhood_pairs,
-    # event_type_skew_profile, doc_tfidf_similar_pairs, doc_winnowing_stats,
-    # purchase_auc, lineitem_price_qty_spearman, event_transition_matrix,
-    # user_survival_curve); events_json_extract (r8 note: no in-window
-    # twin, rotate back); the queries whose newest driver rows date to
-    # CORRECTNESS_r06 (evidence 3 rounds stale); part of the r7-evidence
-    # block; and the entry flagship vocab_top100.
+    # doc_feature_vectors); 14 of the 17 r9-born queries
+    # (event_chain_bfs_levels, orders_pit_attributes,
+    # part_name_neighborhood_pairs, event_type_skew_profile,
+    # doc_tfidf_similar_pairs, doc_winnowing_stats, purchase_auc,
+    # lineitem_price_qty_spearman, event_transition_matrix,
+    # user_survival_curve, purchase_calibration, doc_len_quantile_norm,
+    # events_weekly_seasonality_error, user_audio_features — the other
+    # three, daily_purchase_auc / bm25_ndcg / user_selfjoin_size_estimate,
+    # are deferred at birth with in-window family twins);
+    # events_json_extract (r8 note: no in-window twin, rotate back); the
+    # queries whose newest driver rows date to CORRECTNESS_r06 (evidence
+    # 3 rounds stale); part of the r7-evidence block; and the entry
+    # flagship vocab_top100.
     # DEFERRED below: every name here has a green driver row from r07 or
     # r08 (rows+schema+hash) and stays oracle-checked every pytest run via
     # tests/test_deferred_oracle.py and by tools/verify_local.py.
