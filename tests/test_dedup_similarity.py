@@ -623,3 +623,24 @@ def test_winnowing_validates_params(spark):
         winnowing_fingerprints(df, "doc_id", "text", k=1)
     with _pytest.raises(ValueError, match="window must be"):
         winnowing_fingerprints(df, "doc_id", "text", window=0)
+
+
+def test_winnowing_overlap_pairs_detects_planted_overlap(spark):
+    from wicsmmiretl_spark.operators.dedup import winnowing_overlap_pairs
+
+    shared = "an uncommon shared passage that is quite long indeed"
+    rows = [
+        (1, f"alpha prefix text {shared} alpha suffix here"),
+        (2, f"totally different beginning {shared} plus some tail"),
+        (3, "no overlap with the rest at all in this one zzz"),
+        (4, "qqq fully disjoint vocabulary here wwwww"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnowing_overlap_pairs(df, "doc_id", "text", min_shared=2).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(p == (1, 2) for p in pairs), f"false positives: {pairs}"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_df"):
+        winnowing_overlap_pairs(df, "doc_id", "text", max_df=1)

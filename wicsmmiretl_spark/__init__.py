@@ -91,6 +91,7 @@ from wicsmmiretl_spark.operators.dedup import (
     simhash_near_pairs,
     sorted_neighborhood_pairs,
     winnowing_fingerprints,
+    winnowing_overlap_pairs,
 )
 from wicsmmiretl_spark.operators.filters import apply_filters, drop_null
 from wicsmmiretl_spark.operators.layout import cluster_by_zorder, zorder_value
@@ -236,6 +237,7 @@ __all__ = [
     "simhash_near_pairs",
     "sorted_neighborhood_pairs",
     "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
     "dup_clusters",
     "bfs_levels",
     "connected_components",

@@ -649,3 +649,63 @@ def winnowing_fingerprints(
         .cast("long")
         .alias("hash"),
     )
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    max_df: int = 100,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document-overlap candidate pairs from winnowing fingerprints — the
+    detection join the fingerprints exist for (the MOSS pipeline's second
+    half): two documents sharing any substring of length ≥ k + window - 1
+    share at least one selected fingerprint hash, so overlap detection is
+    an EQUI-join on the hash, never an all-pairs comparison.
+
+    Scale levers (same ordering discipline as the TF-IDF pair join):
+
+    * fingerprints are first reduced to DISTINCT (doc, hash) — repeats of
+      a gram within one document don't multiply join fanout;
+    * a document-frequency band drops hashes selected in more than
+      ``max_df`` documents BEFORE the self-join (boilerplate grams — the
+      stopword equivalent — would alone fan out C(df, 2) pairs and carry
+      no discrimination signal);
+    * ``min_shared`` cuts singleton-hash coincidences after the grouped
+      count (≥2 shared fingerprints ≈ two independent shared regions, the
+      standard MOSS reporting threshold).
+
+    Output: id_a, id_b (id_a < id_b), n_shared bigint (distinct shared
+    fingerprint hashes), ordered (n_shared desc, id_a, id_b).
+    """
+    if max_df < 2:
+        raise ValueError(f"winnowing_overlap_pairs: max_df must be >= 2, got {max_df}")
+    if min_shared < 1:
+        raise ValueError(
+            f"winnowing_overlap_pairs: min_shared must be >= 1, got {min_shared}"
+        )
+    # The fingerprint pipeline (per-char k-gram explode + window min) is
+    # the expensive stage and has THREE consumers below (the df band, and
+    # both sides of the self-join) — pin it once, lazily, the same
+    # materialize-before-fanout pattern as jaccard_prefix_join.
+    fp = (
+        winnowing_fingerprints(df, id_col, text_col, k=k, window=window)
+        .select(F.col(id_col).alias("_id"), "hash")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dfs = fp.groupBy("hash").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_df)
+    banded = fp.join(dfs.select("hash"), "hash")
+    a = banded.select(F.col("_id").alias("id_a"), "hash")
+    b = banded.select(F.col("_id").alias("id_b"), "hash")
+    return (
+        a.join(b, "hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy(F.desc("n_shared"), F.asc("id_a"), F.asc("id_b"))
+    )

@@ -5697,6 +5697,49 @@ def q_user_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_overlap_pairs",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 1048579) AS s
+      FROM documents
+    ),
+    b AS (SELECT doc_id, s, CAST(len(s) - 4 AS BIGINT) AS ng FROM norm WHERE len(s) - 4 >= 4),
+    g AS (SELECT doc_id, ng, unnest(generate_series(1, ng)) AS pos, s FROM b),
+    h AS (SELECT doc_id, ng, pos,
+            ('0x' || substr(md5(substr(s, pos, 5)), 1, 8))::BIGINT * 1048576
+            + (1048575 - pos) AS comb
+          FROM g),
+    m AS (SELECT doc_id, ng, pos,
+            min(comb) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+          FROM h),
+    fp0 AS (SELECT DISTINCT doc_id, sel FROM m WHERE pos <= ng - 3),
+    fp AS (SELECT DISTINCT doc_id, sel // 1048576 AS hv FROM fp0),
+    dfs AS (SELECT hv FROM (SELECT hv, count(*) AS df FROM fp GROUP BY 1) WHERE df <= 100),
+    bd AS (SELECT doc_id, hv FROM fp JOIN dfs USING (hv)),
+    p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+          FROM bd a JOIN bd b2 USING (hv)
+          WHERE a.doc_id < b2.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 10
+    ORDER BY n_shared DESC, id_a ASC, id_b ASC LIMIT 100
+    """,
+)
+def q_doc_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowing pipeline's second half (MOSS detection): top-100
+    document pairs by count of distinct shared fingerprint hashes —
+    overlap detection as an equi-join on the hash with a df ≤ 100 band
+    killing boilerplate grams BEFORE the self-join, never an all-pairs
+    compare (operators/dedup.py:winnowing_overlap_pairs)."""
+    from wicsmmiretl_spark.operators.dedup import winnowing_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnowing_overlap_pairs(
+        docs, "doc_id", "text", k=5, window=4, max_df=100, min_shared=10
+    ).limit(100)
+
+
+@query(
     "user_selfjoin_size_estimate",
     """
     WITH v AS (SELECT CAST(user_id AS VARCHAR) AS s FROM events WHERE user_id IS NOT NULL),
@@ -5780,6 +5823,7 @@ _DEFERRED_QUERIES = (
     "daily_purchase_auc",       # grouped rank-sum AUC; purchase_auc in-window is the same estimator, global path
     "bm25_ndcg",                # ranking eval over bm25's output; doc_tfidf_similar_pairs in-window covers the tf/idf weighting
     "user_selfjoin_size_estimate", # CMS join-size estimate; event_type_skew_profile in-window covers join diagnostics
+    "doc_overlap_pairs",        # winnowing overlap join; doc_winnowing_stats (in-window) verifies the same fingerprints
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
