@@ -95,6 +95,15 @@ REHEARSAL_QUERIES = (
     "doc_tfidf_similar_pairs",
     "part_name_neighborhood_pairs",
     "purchase_calibration",
+    # r9 late additions. audio: the Python/Arrow multimodal path — synth
+    # applyInPandas + parse mapInPandas over 10x users. overlap join: the
+    # fingerprint self-join with 10x Caesar-disjoint docs — candidate
+    # volume scales with corpus, the df band holds. cms estimate: sketch
+    # size is FIXED (depth x width) whatever the input — expect near-zero.
+    "user_audio_features",
+    "doc_overlap_pairs",
+    "user_selfjoin_size_estimate",
+    "bm25_ndcg",
 )
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
@@ -220,8 +229,12 @@ def main() -> None:
     synthesize(spark, out_dir)
     print(f"synthesized in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    selected = sys.argv[1:] or REHEARSAL_QUERIES
+    unknown = [n for n in selected if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
     rows = []
-    for name in REHEARSAL_QUERIES:
+    for name in selected:
         t1 = time_query(spark, name, BASE_SF)
         t10 = time_query(spark, name, out_dir)
         exp = math.log(t10 / t1) / math.log(COPIES)
