@@ -283,3 +283,57 @@ def test_bpe_fold_matches_reference_on_random_arrays(spark, syms, pair):
     df = spark.createDataFrame([(syms,)], "syms: array<string>")
     got = df.select(merge_pair_expr(F.col("syms"), *pair).alias("m")).collect()[0].m
     assert got == ref(syms, *pair)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.booleans(), st.integers(min_value=0, max_value=12)),
+        min_size=4,
+        max_size=24,
+    )
+)
+@SET
+def test_auc_invariant_under_monotone_score_transform(spark, rows):
+    """AUC depends only on the score ORDER: any strictly increasing
+    transform (here 3x + 7) must leave it bit-identical — the property
+    that distinguishes a rank statistic from a value statistic."""
+    from wicsmmiretl_spark.operators.aggregates import binary_auc
+
+    df = spark.createDataFrame(
+        [(y, float(s)) for y, s in rows], "label boolean, score double"
+    )
+    base = binary_auc(df, "label", "score").collect()[0]
+    shifted = binary_auc(
+        df.withColumn("score", F.col("score") * 3.0 + 7.0), "label", "score"
+    ).collect()[0]
+    assert base["auc"] == shifted["auc"]
+    assert (base["n_pos"], base["n_neg"]) == (shifted["n_pos"], shifted["n_neg"])
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=24)
+)
+@SET
+def test_quantile_transform_is_a_valid_percentile(spark, vals):
+    """q must be in (0, 1], the MAX value must map to exactly 1, equal
+    values must share q, and ordering must be preserved — the defining
+    properties of an average-rank percentile, for arbitrary inputs."""
+    from wicsmmiretl_spark.operators.aggregates import quantile_transform
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, v double"
+    )
+    got = {r["id"]: (r["v"], r["q"]) for r in quantile_transform(df, "v").collect()}
+    assert all(0 < q <= 1 for _, q in got.values())
+    mx = max(v for v, _ in got.values())
+    assert all(q == 1.0 for v, q in got.values() if v == mx) or len(
+        [1 for v, _ in got.values() if v == mx]
+    ) > 1  # ties at the max average below 1
+    by_val = {}
+    for v, q in got.values():
+        by_val.setdefault(v, set()).add(q)
+    assert all(len(qs) == 1 for qs in by_val.values()), "equal values, unequal q"
+    svals = sorted(by_val)
+    assert all(
+        min(by_val[a]) < min(by_val[b]) for a, b in zip(svals, svals[1:])
+    ), "order not preserved"
