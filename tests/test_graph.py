@@ -237,3 +237,37 @@ def test_bfs_levels_validates(spark):
     # max_depth=0 → sources only.
     out = bfs_levels(edges, src, max_depth=0).collect()
     assert [(r.id, r.level) for r in out] == [(1, 0)]
+
+
+# ---------------------------------------------------------------------------
+# shortest_paths (bounded-hop Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+def test_shortest_paths_picks_cheaper_indirect_route(spark):
+    from wicsmmiretl_spark.operators.graph import shortest_paths
+
+    # 1 -> 4 direct costs 100; 1 -> 2 -> 3 -> 4 costs 30. Within 3 hops
+    # the relaxation must find the cheap route; within 1 hop only the
+    # expensive direct edge exists.
+    edges = spark.createDataFrame(
+        [(1, 4, 100), (1, 2, 10), (2, 3, 10), (3, 4, 10), (5, 6, 7)],
+        "src long, dst long, w long",
+    )
+    src = spark.createDataFrame([(1,)], "id long")
+    d3 = {r["id"]: r["dist"] for r in shortest_paths(edges, src, max_hops=3).collect()}
+    assert d3 == {1: 0, 2: 10, 3: 20, 4: 30}  # node 5/6 unreachable, absent
+    d1 = {r["id"]: r["dist"] for r in shortest_paths(edges, src, max_hops=1).collect()}
+    assert d1[4] == 100 and d1[2] == 10 and 3 not in d1
+
+
+def test_shortest_paths_multi_source_takes_nearest(spark):
+    from wicsmmiretl_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(1, 3, 50), (2, 3, 5)], "src long, dst long, w long"
+    )
+    src = spark.createDataFrame([(1,), (2,)], "id long")
+    got = {r["id"]: r["dist"] for r in shortest_paths(edges, src, max_hops=2).collect()}
+    assert got == {1: 0, 2: 0, 3: 5}
+    with pytest.raises(ValueError, match="max_hops"):
+        shortest_paths(edges, src, max_hops=-1)

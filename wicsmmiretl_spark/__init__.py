@@ -112,7 +112,7 @@ from wicsmmiretl_spark.operators.pruning import bloom_prune, bloom_semi_filter, 
 from wicsmmiretl_spark.operators.quality import dq_gate, dq_report, key_skew_profile
 from wicsmmiretl_spark.operators.packing import chunk_documents, pack_sequences
 from wicsmmiretl_spark.operators.ranking import association_pairs, bm25_rank, inverted_index, ndcg_at_k, rrf_fuse, tfidf_cosine_pairs
-from wicsmmiretl_spark.operators.graph import bfs_levels, connected_components, pagerank, triangle_stats
+from wicsmmiretl_spark.operators.graph import bfs_levels, connected_components, pagerank, shortest_paths, triangle_stats
 from wicsmmiretl_spark.operators.sampling import (
     cap_per_group,
     deterministic_sample,
@@ -240,6 +240,7 @@ __all__ = [
     "winnowing_overlap_pairs",
     "dup_clusters",
     "bfs_levels",
+    "shortest_paths",
     "connected_components",
     "pagerank",
     # similarity / ANN

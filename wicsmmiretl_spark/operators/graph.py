@@ -502,3 +502,77 @@ def bfs_levels(
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited.select(F.col("id").alias(id_col), F.col("level").cast("int"))
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    id_col: str = "id",
+) -> DataFrame:
+    """Multi-source weighted shortest paths over a directed edge list,
+    bounded at ``max_hops`` relaxation rounds (Bellman-Ford; public
+    literature) — the weighted completion of the graph family
+    (connected components, PageRank, triangles, BFS): minimum
+    cumulative weight from the nearest source to every node reachable
+    within the hop budget.
+
+    Round shape = one equi-join (current distances × edges, shuffled on
+    the source endpoint) + one groupBy-min per round — the standard
+    distributed relaxation; after h rounds every ≤h-hop shortest path is
+    final, so ``max_hops`` is both the correctness horizon and an
+    explicit wall-clock bound (negative cycles can't loop forever).
+    Like pagerank — and unlike the CC fixpoint loop — there is no
+    per-round driver action, so every checkpoint is LAZY: plan
+    truncation per round, one job cascade at the consuming action.
+
+    Determinism: weights must be integers (bigint sums — the suite's
+    exact-sum contract; pre-scale fractional weights upstream) and
+    non-negative for the min to be a true distance. The edge list is
+    hash-pinned on ``src`` once at an edge-count-sized width; distance
+    frames repartition on the node id at the same width, so per-round
+    joins add no extra exchange for the pinned side.
+
+    Output: (``id_col``, dist bigint) — one row per node reached
+    (sources at dist 0).
+    """
+    if max_hops < 0:
+        raise ValueError(f"shortest_paths: max_hops must be >= 0, got {max_hops}")
+    e0 = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull() & F.col("w").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e0.count()
+    session_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = min(session_parts, max(1, n_edges // 65_536 + 1))
+    e = e0.repartition(loop_parts, "src").localCheckpoint(eager=False)
+
+    dist = (
+        sources.select(F.col(id_col).alias("id"))
+        .filter(F.col("id").isNotNull())
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .repartition(loop_parts, "id")
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            dist.join(e, dist["id"] == e["src"])
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .repartition(loop_parts, "id")
+            .localCheckpoint(eager=False)
+        )
+    return dist.select(F.col("id").alias(id_col), "dist")

@@ -5697,6 +5697,51 @@ def q_user_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_chain_shortest_paths",
+    """
+    WITH capped AS (
+      SELECT event_id, user_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    c6 AS (SELECT * FROM capped WHERE rn <= 6)
+    SELECT event_id AS id,
+           CAST(epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id) AS BIGINT) AS dist
+    FROM c6
+    """,
+)
+def q_event_chain_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP (bounded-hop Bellman-Ford) over each user's first-6
+    event chain, weights = inter-event microsecond gaps, sources = chain
+    heads. The ORACLE exploits that chains are path graphs — the true
+    distance is exactly the prefix sum from the chain head (one window) —
+    while the OPERATOR computes it with the generic distributed
+    relaxation rounds, so the comparison certifies the algorithm, not a
+    special case (operators/graph.py:shortest_paths)."""
+    from wicsmmiretl_spark.operators.graph import shortest_paths
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    capped = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 6)
+        .withColumn("us", F.unix_micros("ts"))
+    )
+    edges = (
+        capped.select(
+            F.col("event_id").alias("src"),
+            F.lead("event_id").over(w).alias("dst"),
+            (F.lead("us").over(w) - F.col("us")).alias("w"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    sources = capped.filter(F.col("rn") == 1).select(F.col("event_id").alias("id"))
+    return shortest_paths(edges, sources, max_hops=5)
+
+
+@query(
     "doc_overlap_pairs",
     """
     WITH norm AS (
@@ -5824,6 +5869,7 @@ _DEFERRED_QUERIES = (
     "bm25_ndcg",                # ranking eval over bm25's output; doc_tfidf_similar_pairs in-window covers the tf/idf weighting
     "user_selfjoin_size_estimate", # CMS join-size estimate; event_type_skew_profile in-window covers join diagnostics
     "doc_overlap_pairs",        # winnowing overlap join; doc_winnowing_stats (in-window) verifies the same fingerprints
+    "event_chain_shortest_paths", # weighted SSSP; event_chain_bfs_levels (in-window) walks the same frontier loop
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
