@@ -70,3 +70,50 @@ def test_timestamp_bounds(spark):
     out = merge_intervals(df, ["k"], "s", "e").collect()
     assert len(out) == 1 and out[0].n_intervals == 2
     assert out[0].span_end - out[0].span_start == dt.timedelta(hours=3)
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join (banded equi-join)
+# ---------------------------------------------------------------------------
+
+def test_interval_overlap_join_matches_theta_semantics(spark):
+    from wicsmmiretl_spark.operators.intervals import interval_overlap_join
+
+    a_rows = [(1, 0, 100), (1, 500, 600), (2, 0, 50)]
+    b_rows = [(1, 90, 200), (1, 601, 700), (2, 300, 400), (3, 0, 10)]
+    a = spark.createDataFrame(a_rows, "k long, a_start long, a_end long")
+    b = spark.createDataFrame(b_rows, "k long, b_start long, b_end long")
+    # Tiny bucket relative to interval lengths: multi-bucket dedup path.
+    out = interval_overlap_join(a, b, ["k"], bucket=30)
+    got = {(r["k"], r["a_start"], r["b_start"]): r["overlap"] for r in out.collect()}
+    # Only [0,100]x[90,200] on key 1 overlaps (closed: 90<=100); overlap 10.
+    assert got == {(1, 0, 90): 10}
+    # Touching at a point counts with overlap 0.
+    b2 = spark.createDataFrame([(1, 100, 150)], "k long, b_start long, b_end long")
+    touch = interval_overlap_join(a, b2, ["k"], bucket=1000).collect()
+    assert len(touch) == 1 and touch[0]["overlap"] == 0
+
+
+def test_interval_overlap_join_bucket_invariance(spark):
+    import random
+
+    from wicsmmiretl_spark.operators.intervals import interval_overlap_join
+
+    rng = random.Random(5)
+    a_rows, b_rows = [], []
+    for k in range(4):
+        for _ in range(12):
+            s = rng.randint(0, 1000)
+            a_rows.append((k, s, s + rng.randint(0, 80)))
+            s = rng.randint(0, 1000)
+            b_rows.append((k, s, s + rng.randint(0, 80)))
+    a = spark.createDataFrame(a_rows, "k long, a_start long, a_end long")
+    b = spark.createDataFrame(b_rows, "k long, b_start long, b_end long")
+    results = []
+    for bucket in (7, 100, 5000):
+        rows = interval_overlap_join(a, b, ["k"], bucket=bucket).collect()
+        results.append(sorted(tuple(r) for r in rows))
+    assert results[0] == results[1] == results[2], "banding changed the result"
+    assert len(results[0]) > 0
+    with pytest.raises(ValueError, match="bucket"):
+        interval_overlap_join(a, b, ["k"], bucket=0)

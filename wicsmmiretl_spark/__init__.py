@@ -106,7 +106,7 @@ from wicsmmiretl_spark.operators.joins import (
 )
 from wicsmmiretl_spark.operators.bpe import bpe_encode, bpe_train
 from wicsmmiretl_spark.operators.cohorts import retention_cohorts, survival_curve
-from wicsmmiretl_spark.operators.intervals import merge_intervals
+from wicsmmiretl_spark.operators.intervals import interval_overlap_join, merge_intervals
 from wicsmmiretl_spark.operators.merge import merge_scd2, merge_upsert, point_in_time_join, snapshot_diff
 from wicsmmiretl_spark.operators.pruning import bloom_prune, bloom_semi_filter, bloom_words
 from wicsmmiretl_spark.operators.quality import dq_gate, dq_report, key_skew_profile
@@ -170,6 +170,7 @@ __all__ = [
     "bloom_prune",
     "bloom_semi_filter",
     "merge_intervals",
+    "interval_overlap_join",
     "retention_cohorts",
     "survival_curve",
     "transition_matrix",

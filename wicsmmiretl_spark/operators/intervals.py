@@ -75,3 +75,74 @@ def merge_intervals(
         )
         .drop("_island")
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: Sequence[str],
+    a_start: str = "a_start",
+    a_end: str = "a_end",
+    b_start: str = "b_start",
+    b_end: str = "b_end",
+    bucket: int = 600_000_000,
+) -> DataFrame:
+    """Find all overlapping interval pairs between two interval sets —
+    the banded equi-join form that ``range_join``'s docstring prescribes
+    for scale but Spark's theta join can't give you: each interval
+    explodes into the fixed-width buckets it covers, candidates meet on
+    an (key, bucket) EQUI-join, duplicates from multi-bucket overlaps
+    are removed, and the exact closed-interval predicate
+    (a.start ≤ b.end ∧ b.start ≤ a.end) verifies — so the plan is a hash
+    join however large the inputs, never a BroadcastNestedLoopJoin or a
+    cartesian shuffle.
+
+    Scale accounting: fanout per interval = length/``bucket`` + 1, so
+    choose ``bucket`` near the typical interval length (default 10 min
+    in microseconds — session-scale). Candidate volume per (key, bucket)
+    is |a-intervals touching it| × |b-intervals touching it| — bounded by
+    per-key concurrency, not corpus size; a pathological interval
+    spanning the whole timeline costs timeline/bucket candidate rows,
+    linear, not quadratic. Bounds must be integers (microseconds — the
+    suite's timestamp contract).
+
+    Output: key_cols + a_start, a_end, b_start, b_end, overlap
+    (bigint — ``min(ends) - max(starts)``, ≥ 0 for closed intervals;
+    0 means they touch at a point).
+    """
+    if bucket < 1:
+        raise ValueError(f"interval_overlap_join: bucket must be >= 1, got {bucket}")
+    for c in (*key_cols, a_start, a_end):
+        if c not in a.columns:
+            raise ValueError(f"interval_overlap_join: column {c!r} not in a {a.columns}")
+    for c in (*key_cols, b_start, b_end):
+        if c not in b.columns:
+            raise ValueError(f"interval_overlap_join: column {c!r} not in b {b.columns}")
+
+    def banded(df: DataFrame, s: str, e: str, sa: str, ea: str) -> DataFrame:
+        return df.select(
+            *key_cols,
+            F.col(s).cast("long").alias(sa),
+            F.col(e).cast("long").alias(ea),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s).cast("long") / bucket).cast("long"),
+                    F.floor(F.col(e).cast("long") / bucket).cast("long"),
+                )
+            ).alias("_bk"),
+        )
+
+    ba = banded(a, a_start, a_end, "a_start", "a_end")
+    bb = banded(b, b_start, b_end, "b_start", "b_end")
+    return (
+        ba.join(bb, [*key_cols, "_bk"])
+        .filter(
+            (F.col("a_start") <= F.col("b_end")) & (F.col("b_start") <= F.col("a_end"))
+        )
+        .drop("_bk")
+        .distinct()
+        .withColumn(
+            "overlap",
+            F.least("a_end", "b_end") - F.greatest("a_start", "b_start"),
+        )
+    )

@@ -5697,6 +5697,75 @@ def q_user_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "view_purchase_span_overlaps",
+    """
+    WITH pa AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 900000000 AS e
+                FROM events WHERE event_type IN ('view', 'click')
+                  AND user_id IS NOT NULL AND ts IS NOT NULL),
+    fa AS (SELECT user_id, s, e,
+             CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w THEN 1 ELSE 0 END AS ni
+           FROM pa WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    ia AS (SELECT user_id, s, e,
+             sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+           FROM fa),
+    sa AS (SELECT user_id, CAST(min(s) AS BIGINT) AS a_start, CAST(max(e) AS BIGINT) AS a_end
+           FROM ia GROUP BY user_id, isl),
+    pb AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 900000000 AS e
+                FROM events WHERE event_type IN ('purchase', 'signup')
+                  AND user_id IS NOT NULL AND ts IS NOT NULL),
+    fb AS (SELECT user_id, s, e,
+             CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w THEN 1 ELSE 0 END AS ni
+           FROM pb WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    ib AS (SELECT user_id, s, e,
+             sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+           FROM fb),
+    sb AS (SELECT user_id, CAST(min(s) AS BIGINT) AS b_start, CAST(max(e) AS BIGINT) AS b_end
+           FROM ib GROUP BY user_id, isl)
+    SELECT sa.user_id, a_start, a_end, b_start, b_end,
+           CAST(least(a_end, b_end) - greatest(a_start, b_start) AS BIGINT) AS overlap
+    FROM sa JOIN sb ON sa.user_id = sb.user_id
+                   AND a_start <= b_end AND b_start <= a_end
+    """,
+)
+def q_view_purchase_span_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap JOIN at scale: browse sessions (view/click,
+    15-min-reach islands) × transaction sessions (purchase/signup) per
+    user, every overlapping pair with its overlap length. The Spark side
+    uses the bucketized equi-join (10-min buckets + exact verify — a
+    hash join however large the inputs); the oracle runs the plain theta
+    join, so the comparison certifies the banding is lossless
+    (operators/intervals.py:interval_overlap_join)."""
+    from wicsmmiretl_spark.operators.intervals import (
+        interval_overlap_join,
+        merge_intervals,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+
+    def spans(types: list[str], s_name: str, e_name: str) -> DataFrame:
+        pts = ev.filter(F.col("event_type").isin(types)).select(
+            "user_id",
+            F.unix_micros("ts").alias("s"),
+            (F.unix_micros("ts") + F.lit(900_000_000)).alias("e"),
+        )
+        return merge_intervals(pts, ["user_id"], "s", "e").select(
+            "user_id",
+            F.col("span_start").alias(s_name),
+            F.col("span_end").alias(e_name),
+        )
+
+    a = spans(["view", "click"], "a_start", "a_end")
+    b = spans(["purchase", "signup"], "b_start", "b_end")
+    return interval_overlap_join(a, b, ["user_id"], bucket=600_000_000)
+
+
+@query(
     "event_chain_shortest_paths",
     """
     WITH capped AS (
@@ -5870,6 +5939,7 @@ _DEFERRED_QUERIES = (
     "user_selfjoin_size_estimate", # CMS join-size estimate; event_type_skew_profile in-window covers join diagnostics
     "doc_overlap_pairs",        # winnowing overlap join; doc_winnowing_stats (in-window) verifies the same fingerprints
     "event_chain_shortest_paths", # weighted SSSP; event_chain_bfs_levels (in-window) walks the same frontier loop
+    "view_purchase_span_overlaps", # banded interval-overlap join; click_purchase_interval_join (in-window) is the interval-predicate twin
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
