@@ -644,3 +644,37 @@ def test_winnowing_overlap_pairs_detects_planted_overlap(spark):
 
     with _pytest.raises(ValueError, match="max_df"):
         winnowing_overlap_pairs(df, "doc_id", "text", max_df=1)
+
+
+def test_lsh_probe_pairs_asymmetric_and_star_cap(spark):
+    from wicsmmiretl_spark.operators.dedup import lsh_probe_pairs, minhash_signatures
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (2, base),                       # probe (even)
+            (4, "completely different text with no shared shingles at all ok"),
+            (1, base),                       # corpus twin of 2
+            (3, base + " slight tail"),      # corpus near-twin
+            (5, "another unrelated corpus document entirely here now friend"),
+        ],
+        "doc_id long, text string",
+    )
+    probe = minhash_signatures(docs.filter("doc_id % 2 = 0"), "doc_id", "text")
+    index = minhash_signatures(docs.filter("doc_id % 2 = 1"), "doc_id", "text")
+    got = {
+        (r["probe_id"], r["index_id"]): r["is_star"]
+        for r in lsh_probe_pairs(probe, index, "doc_id").collect()
+    }
+    assert (2, 1) in got and got[(2, 1)] is False
+    assert all(p == 2 for p, _ in got), f"unrelated probe matched: {got}"
+    assert all(i in (1, 3) for _, i in got)
+
+    # Cap = 1: every corpus bucket with both twins collapses to min id 1,
+    # and the probe still links in exactly once, flagged as star.
+    capped = {
+        (r["probe_id"], r["index_id"]): r["is_star"]
+        for r in lsh_probe_pairs(probe, index, "doc_id", max_bucket_size=1).collect()
+    }
+    assert (2, 1) in capped
+    assert all(i == 1 for _, i in capped), f"capped bucket leaked members: {capped}"

@@ -87,6 +87,7 @@ from wicsmmiretl_spark.operators.dedup import (
     jaccard_pairs,
     jaccard_prefix_join,
     lsh_candidate_pairs,
+    lsh_probe_pairs,
     minhash_signatures,
     simhash_near_pairs,
     sorted_neighborhood_pairs,
@@ -234,6 +235,7 @@ __all__ = [
     "exact_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "lsh_probe_pairs",
     "jaccard_pairs",
     "simhash_near_pairs",
     "sorted_neighborhood_pairs",

@@ -709,3 +709,78 @@ def winnowing_overlap_pairs(
         .filter(F.col("n_shared") >= min_shared)
         .orderBy(F.desc("n_shared"), F.asc("id_a"), F.asc("id_b"))
     )
+
+
+def lsh_probe_pairs(
+    probe_sigs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Asymmetric LSH banding join — the PRODUCTION dedup shape: probe a
+    new ingest batch against an already-signed corpus without ever
+    self-joining the corpus. Same banding as ``lsh_candidate_pairs``
+    (docs sharing any band bucket become candidates), but the two sides
+    are distinct sets, so the equi-join is batch × corpus per bucket —
+    at 100 TB the corpus side is a static signed table (signatures are
+    tiny and incrementally appendable), and each daily batch pays only
+    its own banding plus one bucket-keyed join.
+
+    ``max_bucket_size`` caps pathological CORPUS buckets (boilerplate
+    shingle sets shared by ~everything): an oversized bucket is
+    represented by its minimum corpus id alone, so a probe doc still
+    links into the cluster with ONE row instead of |bucket| rows; such
+    pairs carry ``is_star = true`` so downstream exact-verify can exempt
+    them (same contract as the self-join form). A pair also found via a
+    normal bucket stays ``is_star = false``.
+
+    Output: distinct (probe_id, index_id, is_star). Probe and index id
+    spaces may overlap — the columns are kept separate, no ordering is
+    imposed between them.
+    """
+    rows_per_band = num_hashes // bands
+
+    def banded(sigs: DataFrame, out: str) -> DataFrame:
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+        return (
+            sigs.select(F.col(id_col).alias(out), F.explode(F.array(*band_cols)).alias("band"))
+            .select(out, "band.band_idx", "band.band_key")
+            .repartition("band_idx", "band_key")
+            .localCheckpoint(eager=False)
+        )
+
+    idx = banded(index_sigs, "index_id")
+    prb = banded(probe_sigs, "probe_id")
+    if max_bucket_size is not None:
+        oversized = F.broadcast(
+            idx.groupBy("band_idx", "band_key")
+            .agg(F.count("*").alias("_bsz"), F.min("index_id").alias("_bmin"))
+            .filter(F.col("_bsz") > max_bucket_size)
+            .select("band_idx", "band_key", "_bmin")
+        )
+        flagged = idx.join(oversized, ["band_idx", "band_key"], "left")
+        idx = flagged.select(
+            F.coalesce("_bmin", "index_id").alias("index_id"),
+            "band_idx",
+            "band_key",
+            F.col("_bmin").isNotNull().alias("is_star"),
+        ).distinct()
+    else:
+        idx = idx.withColumn("is_star", F.lit(False))
+    return (
+        prb.join(idx, ["band_idx", "band_key"])
+        .groupBy("probe_id", "index_id")
+        .agg(F.min("is_star").alias("is_star"))
+    )

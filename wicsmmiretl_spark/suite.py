@@ -5697,6 +5697,37 @@ def q_user_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_dedup_probe",
+    f"""
+    WITH {_SQL_MINHASH_BASE}
+    SELECT DISTINCT p.doc_id AS probe_id, i.doc_id AS index_id
+    FROM banded p JOIN banded i
+      ON p.band_idx = i.band_idx AND p.band_key = i.band_key
+     AND p.doc_id % 2 = 0 AND i.doc_id % 2 = 1
+    """,
+)
+def q_incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup shape: probe a new ingest batch (even doc ids)
+    against an already-signed corpus (odd ids) with the asymmetric LSH
+    banding join — batch × corpus per bucket, the corpus never
+    self-joined, signatures incrementally appendable. is_star is
+    all-false at this scale; dropped so the oracle schema is
+    (probe_id, index_id) (operators/dedup.py:lsh_probe_pairs)."""
+    from wicsmmiretl_spark.operators.dedup import lsh_probe_pairs, minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    probe = minhash_signatures(
+        docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", num_hashes=8, shingle_n=3
+    )
+    index = minhash_signatures(
+        docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", num_hashes=8, shingle_n=3
+    )
+    return lsh_probe_pairs(probe, index, "doc_id", num_hashes=8, bands=4).select(
+        "probe_id", "index_id"
+    )
+
+
+@query(
     "view_purchase_span_overlaps",
     """
     WITH pa AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 900000000 AS e
@@ -5940,6 +5971,7 @@ _DEFERRED_QUERIES = (
     "doc_overlap_pairs",        # winnowing overlap join; doc_winnowing_stats (in-window) verifies the same fingerprints
     "event_chain_shortest_paths", # weighted SSSP; event_chain_bfs_levels (in-window) walks the same frontier loop
     "view_purchase_span_overlaps", # banded interval-overlap join; click_purchase_interval_join (in-window) is the interval-predicate twin
+    "incremental_dedup_probe",  # asymmetric LSH probe; dedup_canonical + simhash_near_pairs (in-window) cover near-dup banding
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
