@@ -207,3 +207,20 @@ def test_auc_grouped_matches_per_group_brute_force(spark):
     for g in ("a", "b", "c"):
         pairs = [(y, s) for gg, y, s in rows if gg == g]
         assert got[g]["auc"] == pytest.approx(round(_auc_brute(pairs), 6), abs=1e-6), g
+
+
+def test_roc_curve_hand_computed_with_ties(spark):
+    from wicsmmiretl_spark.operators.aggregates import roc_curve
+
+    # scores: pos at 3,2,2 ; neg at 2,1 -> thresholds desc: 3, 2, 1
+    rows = [(True, 3.0), (True, 2.0), (True, 2.0), (False, 2.0), (False, 1.0)]
+    df = spark.createDataFrame(rows, "label boolean, score double")
+    got = {r["threshold"]: r for r in roc_curve(df, "label", "score").collect()}
+    assert (got[3.0]["tp"], got[3.0]["fp"]) == (1, 0)
+    assert (got[2.0]["tp"], got[2.0]["fp"]) == (3, 1)
+    assert (got[1.0]["tp"], got[1.0]["fp"]) == (3, 2)
+    assert got[2.0]["tpr"] == pytest.approx(1.0, abs=1e-6)
+    assert got[2.0]["fpr"] == pytest.approx(0.5, abs=1e-6)
+    # Single-class input: the absent class's rate is NULL, not an error.
+    pos_only = spark.createDataFrame([(True, 1.0), (True, 2.0)], "label boolean, score double")
+    assert all(r["fpr"] is None for r in roc_curve(pos_only, "label", "score").collect())

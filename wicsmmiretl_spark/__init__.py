@@ -70,6 +70,7 @@ from wicsmmiretl_spark.operators.aggregates import (
     incremental_agg_merge,
     binary_auc,
     calibration_curve,
+    roc_curve,
     grouped_ols,
     grouped_stats_matrix,
     quantile_transform,
@@ -192,6 +193,7 @@ __all__ = [
     "binary_auc",
     "spearman_corr",
     "calibration_curve",
+    "roc_curve",
     "quantile_transform",
     "seasonal_naive_error",
     "pmi_collocations",

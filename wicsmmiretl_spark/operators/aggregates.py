@@ -974,47 +974,64 @@ def category_entropy(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     ).orderBy("column")
 
 
-def _ordered_cumsum(
-    levels: DataFrame, order_col: str, weight_col: str, out_col: str = "cum"
+def _ordered_cumsums(
+    levels: DataFrame,
+    order_col: str,
+    weights: dict[str, str],
+    descending: bool = False,
 ) -> DataFrame:
-    """Running total of ``weight_col`` in ``order_col`` order, WITHOUT the
-    single-partition global window Spark would otherwise plan.
+    """Running totals of several weight columns in ``order_col`` order,
+    WITHOUT the single-partition global window Spark would otherwise plan.
 
     Same two-pass offsets pattern as ``sampling.stable_index``:
     range-repartition on the order column + local sort, one tiny
-    per-partition sum job (#partitions rows collected, broadcast back),
-    then a partition-LOCAL cumulative window + the broadcast offset.
+    per-partition sums job (#partitions rows collected, broadcast back),
+    then a partition-LOCAL cumulative window + the broadcast offsets.
     The heavy data is touched map-side only; global-order information
     travels entirely in the offsets. ``order_col`` values must be unique
-    per row (callers pass pre-aggregated distinct levels).
+    per row (callers pass pre-aggregated distinct levels). All weights
+    share the one partitioning/sums job — k running totals cost the same
+    two passes as one.
 
-    Output: input columns + ``out_col`` (running total INCLUDING the
-    current row).
+    ``weights`` maps weight column → output column (running total
+    INCLUDING the current row). ``descending`` orders high→low (the ROC
+    sweep direction).
     """
+    direction = F.desc(order_col) if descending else F.asc(order_col)
     parts = (
-        levels.repartitionByRange(F.asc(order_col))
-        .sortWithinPartitions(F.asc(order_col))
+        levels.repartitionByRange(direction)
+        .sortWithinPartitions(direction)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
-    sums = parts.groupBy("_pid").agg(F.sum(weight_col).alias("_n")).collect()
-    offsets, acc = {}, 0
+    sums = parts.groupBy("_pid").agg(
+        *[F.sum(w).alias(w) for w in weights]
+    ).collect()
+    offsets, acc = {}, {w: 0 for w in weights}
     for r in sorted(sums, key=lambda r: r["_pid"]):
-        offsets[r["_pid"]] = acc
-        acc += r["_n"]
+        offsets[r["_pid"]] = dict(acc)
+        for w in weights:
+            acc[w] += r[w]
     off_df = levels.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid: int, _off: bigint"
+        [(pid, *[off[w] for w in weights]) for pid, off in offsets.items()],
+        ", ".join(["_pid: int"] + [f"_off_{i}: bigint" for i in range(len(weights))]),
     )
     local = (
         Window.partitionBy("_pid")
-        .orderBy(F.asc(order_col))
+        .orderBy(direction)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        parts.join(F.broadcast(off_df), "_pid")
-        .withColumn(out_col, F.sum(weight_col).over(local) + F.col("_off"))
-        .drop("_pid", "_off")
-    )
+    out = parts.join(F.broadcast(off_df), "_pid")
+    for i, (w, out_col) in enumerate(weights.items()):
+        out = out.withColumn(out_col, F.sum(w).over(local) + F.col(f"_off_{i}"))
+    return out.drop("_pid", *[f"_off_{i}" for i in range(len(weights))])
+
+
+def _ordered_cumsum(
+    levels: DataFrame, order_col: str, weight_col: str, out_col: str = "cum"
+) -> DataFrame:
+    """Single-weight form of ``_ordered_cumsums`` (see there)."""
+    return _ordered_cumsums(levels, order_col, {weight_col: out_col})
 
 
 def binary_auc(
@@ -1369,3 +1386,51 @@ def cms_join_size(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
         )
     )
     return joined.agg(F.min("_ip").cast("long").alias("est_join_size"))
+
+
+def roc_curve(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+    """The empirical ROC curve behind ``binary_auc``'s scalar: one point
+    per distinct score threshold t (predict positive when score ≥ t),
+    with exact cumulative TP/FP counts and the TPR/FPR rates — what you
+    plot to CHOOSE an operating threshold after AUC says the ranking is
+    good.
+
+    Same distributed shape as the AUC: one groupBy to distinct score
+    levels, then ONE descending offsets-based cumulative pass computing
+    both running totals together (``_ordered_cumsums`` — two weights,
+    still two passes total, no single-partition window). Counts are
+    exact bigints; the two rate divisions round 6dp. NULL labels/scores
+    excluded; degenerate single-class inputs yield NULL rates for the
+    absent class.
+
+    Output: threshold (the score value), tp bigint, fp bigint,
+    tpr double, fpr double — |distinct scores| rows.
+    """
+    for c in (label_col, score_col):
+        if c not in df.columns:
+            raise ValueError(f"roc_curve: column {c!r} not in {df.columns}")
+    levels = (
+        df.filter(F.col(label_col).isNotNull() & F.col(score_col).isNotNull())
+        .select(
+            F.col(score_col).alias("threshold"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .groupBy("threshold")
+        .agg(
+            F.sum("_y").alias("_pos"),
+            (F.count("*") - F.sum("_y")).alias("_neg"),
+        )
+    )
+    cums = _ordered_cumsums(
+        levels, "threshold", {"_pos": "tp", "_neg": "fp"}, descending=True
+    )
+    totals = levels.agg(
+        F.sum("_pos").cast("long").alias("_np"), F.sum("_neg").cast("long").alias("_nn")
+    )
+    return cums.crossJoin(F.broadcast(totals)).select(
+        "threshold",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.when(F.col("_np") > 0, F.round(F.col("tp") / F.col("_np"), 6)).alias("tpr"),
+        F.when(F.col("_nn") > 0, F.round(F.col("fp") / F.col("_nn"), 6)).alias("fpr"),
+    )

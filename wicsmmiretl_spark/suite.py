@@ -5697,6 +5697,39 @@ def q_user_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "purchase_roc_points",
+    """
+    WITH lv AS (
+      SELECT value AS threshold, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1
+    ),
+    r AS (SELECT threshold,
+            sum(pos) OVER (ORDER BY threshold DESC) AS tp,
+            sum(cnt - pos) OVER (ORDER BY threshold DESC) AS fp
+          FROM lv),
+    t AS (SELECT CAST(sum(pos) AS BIGINT) AS np, CAST(sum(cnt) - sum(pos) AS BIGINT) AS nn FROM lv)
+    SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CASE WHEN np > 0 THEN round(CAST(tp AS DOUBLE) / np, 6) END AS tpr,
+           CASE WHEN nn > 0 THEN round(CAST(fp AS DOUBLE) / nn, 6) END AS fpr
+    FROM r CROSS JOIN t
+    """,
+)
+def q_purchase_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full empirical ROC curve behind purchase_auc: one exact
+    (threshold, TP, FP, TPR, FPR) point per distinct score. Both running
+    totals ride ONE descending offsets-based cumulative pass — two
+    weights, same two passes as one, no single-partition window
+    (operators/aggregates.py:roc_curve)."""
+    from wicsmmiretl_spark.operators.aggregates import roc_curve
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    labeled = ev.withColumn("is_purchase", (F.col("event_type") == "purchase").cast("int"))
+    return roc_curve(labeled, "is_purchase", "value")
+
+
+@query(
     "incremental_dedup_probe",
     f"""
     WITH {_SQL_MINHASH_BASE}
@@ -5972,6 +6005,7 @@ _DEFERRED_QUERIES = (
     "event_chain_shortest_paths", # weighted SSSP; event_chain_bfs_levels (in-window) walks the same frontier loop
     "view_purchase_span_overlaps", # banded interval-overlap join; click_purchase_interval_join (in-window) is the interval-predicate twin
     "incremental_dedup_probe",  # asymmetric LSH probe; dedup_canonical + simhash_near_pairs (in-window) cover near-dup banding
+    "purchase_roc_points",      # full ROC sweep; purchase_auc (in-window) is the same levels + rank machinery
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
