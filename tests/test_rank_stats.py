@@ -8,6 +8,7 @@ from __future__ import annotations
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from wicsmmiretl_spark.operators.aggregates import binary_auc, spearman_corr
 
@@ -224,3 +225,36 @@ def test_roc_curve_hand_computed_with_ties(spark):
     # Single-class input: the absent class's rate is NULL, not an error.
     pos_only = spark.createDataFrame([(True, 1.0), (True, 2.0)], "label boolean, score double")
     assert all(r["fpr"] is None for r in roc_curve(pos_only, "label", "score").collect())
+
+
+def test_histogram_quantiles_uniform_and_merge(spark):
+    from wicsmmiretl_spark.operators.aggregates import (
+        histogram,
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    h = histogram(df, "v", 0.0, 100.0, 10)
+    got = {r["q"]: r["value"] for r in histogram_quantiles(h, [0.25, 0.5, 1.0], 10).collect()}
+    # Uniform data: interpolation is exact at any q.
+    assert got[0.25] == pytest.approx(25.0, abs=1e-6)
+    assert got[0.5] == pytest.approx(50.0, abs=1e-6)
+    assert got[1.0] == pytest.approx(100.0, abs=1e-6)
+    # The mergeability claim: two half-histograms summed == one full pass.
+    h1 = histogram(df.filter("v < 50"), "v", 0.0, 100.0, 10)
+    h2 = histogram(df.filter("v >= 50"), "v", 0.0, 100.0, 10)
+    merged = h1.unionByName(h2).groupBy("bucket", "lo", "hi").agg(F.sum("n").alias("n"))
+    got_m = {r["q"]: r["value"] for r in histogram_quantiles(merged, [0.5], 10).collect()}
+    assert got_m[0.5] == got[0.5]
+
+
+def test_histogram_quantiles_out_of_range_saturates(spark):
+    from wicsmmiretl_spark.operators.aggregates import histogram, histogram_quantiles
+
+    # All mass below lo: every quantile saturates at the declared lo edge.
+    df = spark.createDataFrame([(-5.0,), (-1.0,)], "v double")
+    h = histogram(df, "v", 0.0, 10.0, 5)
+    out = {r["q"]: r["value"] for r in histogram_quantiles(h, [0.5], 5).collect()}
+    assert out[0.5] == pytest.approx(0.0, abs=1e-6)
+    with pytest.raises(ValueError, match="q must be"):
+        histogram_quantiles(h, [1.5], 5)

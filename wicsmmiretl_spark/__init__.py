@@ -59,6 +59,7 @@ from wicsmmiretl_spark.operators.aggregates import (
     cms_sketch,
     corr_matrix,
     histogram,
+    histogram_quantiles,
     hll_estimate,
     hll_merge,
     hll_sketch,
@@ -217,6 +218,7 @@ __all__ = [
     "incremental_agg_build",
     "incremental_agg_merge",
     "histogram",
+    "histogram_quantiles",
     "hll_sketch",
     "hll_merge",
     "hll_estimate",

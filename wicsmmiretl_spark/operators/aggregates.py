@@ -1434,3 +1434,56 @@ def roc_curve(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
         F.when(F.col("_np") > 0, F.round(F.col("tp") / F.col("_np"), 6)).alias("tpr"),
         F.when(F.col("_nn") > 0, F.round(F.col("fp") / F.col("_nn"), 6)).alias("fpr"),
     )
+
+
+def histogram_quantiles(hist: DataFrame, qs: Sequence[float], buckets: int) -> DataFrame:
+    """Approximate quantiles read off a fixed-bin ``histogram`` state —
+    the MERGEABLE 100 TB quantile path made concrete: histogram states
+    from any number of batches/partitions merge by adding bucket counts,
+    and this operator turns the merged state into quantile estimates by
+    linear interpolation inside the covering bucket. Error is bounded by
+    one bucket width — the explicit, inspectable trade the exact-sort
+    quantile (``quantile_bins``) can't make.
+
+    Entirely derived from the histogram's own columns (bucket edges are
+    in the state): the quantile's covering bucket is the first whose
+    running count reaches q·N, value = bucket_lo + width · (q·N −
+    cum_prev)/n, clamped to the bucket; the underflow bucket (-1)
+    resolves to the histogram's lo edge and the overflow bucket (index =
+    ``buckets``, passed explicitly — sparse states can't reveal it) to
+    hi — out-of-range mass counts toward ranks but its spread is
+    unknown, so the estimate saturates at the declared range (documented
+    behavior, not an error).
+
+    The running count rides a window over ≤ buckets+2 rows — a
+    deliberately tiny frame, not a data-sized one. Output: q double,
+    value double (6dp) — one row per requested quantile.
+    """
+    for q in qs:
+        if not 0 <= q <= 1:
+            raise ValueError(f"histogram_quantiles: q must be in [0, 1], got {q}")
+    missing = [c for c in ("bucket", "lo", "hi", "n") if c not in hist.columns]
+    if missing:
+        raise ValueError(f"histogram_quantiles: histogram state missing {missing}")
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hq = hist.withColumn("_cum", F.sum("n").over(w)).localCheckpoint(eager=False)
+    tot = hq.agg(F.sum("n").cast("long").alias("_N"))
+    qdf = hist.sparkSession.createDataFrame([(float(q),) for q in qs], "q: double")
+    cand = (
+        qdf.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(hq), F.col("_cum") >= F.col("q") * F.col("_N"))
+    )
+    pick = F.min(F.struct("bucket", "lo", "hi", "n", "_cum", "_N")).alias("_b")
+    sel = cand.groupBy("q").agg(pick).select("q", "_b.*")
+    interp = F.col("lo") + (
+        (F.col("q") * F.col("_N") - (F.col("_cum") - F.col("n"))) / F.col("n")
+    ) * (F.col("hi") - F.col("lo"))
+    return sel.select(
+        "q",
+        F.round(
+            F.when(F.col("bucket") == -1, F.col("hi"))
+            .when(F.col("bucket") == buckets, F.col("lo"))
+            .otherwise(F.least(F.greatest(interp, F.col("lo")), F.col("hi"))),
+            6,
+        ).alias("value"),
+    )

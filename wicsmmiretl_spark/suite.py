@@ -5697,6 +5697,46 @@ def q_user_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_value_hist_quantiles",
+    """
+    WITH h AS (
+      SELECT bucket, 0.0 + bucket * 25.0 AS lo, 0.0 + (bucket + 1) * 25.0 AS hi,
+             CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT CASE WHEN value < 0 THEN -1 WHEN value >= 500 THEN 20
+               ELSE least(CAST(floor((value - 0.0) / 25.0) AS INT), 19) END AS bucket
+        FROM events WHERE value IS NOT NULL) GROUP BY bucket
+    ),
+    hq AS (SELECT *, sum(n) OVER (ORDER BY bucket) AS cum FROM h),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM h),
+    qs AS (SELECT unnest(CAST([0.25, 0.5, 0.75, 0.95] AS DOUBLE[])) AS q),
+    cand AS (SELECT q, bucket, lo, hi, n, cum, ntot
+             FROM qs CROSS JOIN tot JOIN hq ON cum >= q * ntot),
+    sel AS (SELECT q, arg_min(bucket, bucket) AS bucket, arg_min(lo, bucket) AS blo,
+                   arg_min(hi, bucket) AS bhi, arg_min(n, bucket) AS bn,
+                   arg_min(cum, bucket) AS bcum, arg_min(ntot, bucket) AS btot
+            FROM cand GROUP BY q)
+    SELECT q, round(CASE WHEN bucket = -1 THEN bhi WHEN bucket = 20 THEN blo
+           ELSE least(greatest(blo + (q * btot - (bcum - bn)) / bn * (bhi - blo), blo), bhi)
+           END, 6) AS value
+    FROM sel
+    """,
+)
+def q_events_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable 100 TB quantile path made concrete: quantile
+    estimates read off the fixed-bin histogram STATE (bucket counts merge
+    across batches by addition) via linear interpolation in the covering
+    bucket, error bounded by one bucket width. The covering-bucket pick
+    is one min(struct) over ≤ buckets+2 rows per requested quantile
+    (operators/aggregates.py:histogram + histogram_quantiles)."""
+    from wicsmmiretl_spark.operators.aggregates import histogram, histogram_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    h = histogram(ev, "value", 0.0, 500.0, 20)
+    return histogram_quantiles(h, [0.25, 0.5, 0.75, 0.95], buckets=20)
+
+
+@query(
     "purchase_roc_points",
     """
     WITH lv AS (
@@ -6006,6 +6046,7 @@ _DEFERRED_QUERIES = (
     "view_purchase_span_overlaps", # banded interval-overlap join; click_purchase_interval_join (in-window) is the interval-predicate twin
     "incremental_dedup_probe",  # asymmetric LSH probe; dedup_canonical + simhash_near_pairs (in-window) cover near-dup banding
     "purchase_roc_points",      # full ROC sweep; purchase_auc (in-window) is the same levels + rank machinery
+    "events_value_hist_quantiles", # mergeable histogram quantiles; quantity_quantiles (in-window) is the exact twin
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
