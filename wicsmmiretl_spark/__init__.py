@@ -145,7 +145,7 @@ from wicsmmiretl_spark.operators.similarity import (
 )
 from wicsmmiretl_spark.multimodal.audio import audio_features, synth_wav
 from wicsmmiretl_spark.session import get_spark, stop_spark
-from wicsmmiretl_spark.streaming.windows import stream_cms_sketch, stream_hll_registers
+from wicsmmiretl_spark.streaming.windows import stream_cms_sketch, stream_histogram, stream_hll_registers
 
 __all__ = [
     # session / catalog
@@ -209,6 +209,7 @@ __all__ = [
     "stable_index",
     "stream_hll_registers",
     "stream_cms_sketch",
+    "stream_histogram",
     # aggregates
     "column_stats",
     "grouped_stats_matrix",

@@ -331,3 +331,63 @@ def stream_cms_sketch(
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     rows = sorted((j, b, c) for (j, b), c in counters.items())
     return spark.createDataFrame(rows, "j: int, bucket: int, cnt: bigint")
+
+
+def stream_histogram(
+    stream_df: DataFrame,
+    value_col: str,
+    spark: SparkSession,
+    lo: float,
+    hi: float,
+    buckets: int,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Fold a fixed-bin histogram over a stream: each micro-batch
+    aggregates to its own (bucket, lo, hi, n) table (≤ buckets+2 rows)
+    and ADDS into driver-held counters — the streaming producer for
+    ``aggregates.histogram_quantiles``' mergeable quantile path, with
+    O(buckets) memory and no stateful shuffle operator.
+
+    Addition-merged like the CMS fold (NOT idempotent like HLL maxima),
+    so at-least-once re-deliveries are skipped by batch id — the
+    standard foreachBatch idempotence recipe. The folded state equals
+    the batch histogram over the delivered rows, so a batch oracle
+    replays it exactly.
+
+    Returns the merged state as a batch DataFrame (bucket int, lo
+    double, hi double, n bigint).
+    """
+    from wicsmmiretl_spark.operators.aggregates import histogram
+
+    counters: dict[int, int] = {}
+    seen_batches: set[int] = set()
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in seen_batches:
+            return
+        seen_batches.add(batch_id)
+        for r in histogram(batch_df, value_col, lo, hi, buckets).collect():
+            b = int(r["bucket"])
+            counters[b] = counters.get(b, 0) + int(r["n"])
+
+    prev = (
+        spark.conf.get("spark.sql.shuffle.partitions")
+        if shuffle_partitions is not None
+        else None
+    )
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(fold)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    width = (hi - lo) / buckets
+    rows = sorted((b, lo + b * width, lo + (b + 1) * width, c) for b, c in counters.items())
+    return spark.createDataFrame(rows, "bucket: int, lo: double, hi: double, n: bigint")

@@ -5737,6 +5737,49 @@ def q_events_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "streaming_value_hist_quantiles",
+    """
+    WITH h AS (
+      SELECT bucket, 0.0 + bucket * 25.0 AS lo, 0.0 + (bucket + 1) * 25.0 AS hi,
+             CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT CASE WHEN value < 0 THEN -1 WHEN value >= 500 THEN 20
+               ELSE least(CAST(floor((value - 0.0) / 25.0) AS INT), 19) END AS bucket
+        FROM events WHERE value IS NOT NULL) GROUP BY bucket
+    ),
+    hq AS (SELECT *, sum(n) OVER (ORDER BY bucket) AS cum FROM h),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM h),
+    qs AS (SELECT unnest(CAST([0.25, 0.5, 0.75, 0.95] AS DOUBLE[])) AS q),
+    cand AS (SELECT q, bucket, lo, hi, n, cum, ntot
+             FROM qs CROSS JOIN tot JOIN hq ON cum >= q * ntot),
+    sel AS (SELECT q, arg_min(bucket, bucket) AS bucket, arg_min(lo, bucket) AS blo,
+                   arg_min(hi, bucket) AS bhi, arg_min(n, bucket) AS bn,
+                   arg_min(cum, bucket) AS bcum, arg_min(ntot, bucket) AS btot
+            FROM cand GROUP BY q)
+    SELECT q, round(CASE WHEN bucket = -1 THEN bhi WHEN bucket = 20 THEN blo
+           ELSE least(greatest(blo + (q * btot - (bcum - bn)) / bn * (bhi - blo), blo), bhi)
+           END, 6) AS value
+    FROM sel
+    """,
+)
+def q_streaming_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable quantile path driven OVER A STREAM: the events
+    drop-folder folds a per-micro-batch fixed-bin histogram into
+    addition-merged driver counters (batch-id replay protection — sums
+    are not idempotent), and quantiles interpolate off the folded state.
+    The fold equals the batch histogram, so the oracle replays the batch
+    computation (streaming/windows.py:stream_histogram +
+    operators/aggregates.py:histogram_quantiles)."""
+    from wicsmmiretl_spark.operators.aggregates import histogram_quantiles
+    from wicsmmiretl_spark.streaming.windows import read_event_stream, stream_histogram
+
+    d = _events_dropdir(spark, sf_dir)
+    stream = read_event_stream(spark, d).filter(F.col("value").isNotNull())
+    h = stream_histogram(stream, "value", spark, lo=0.0, hi=500.0, buckets=20)
+    return histogram_quantiles(h, [0.25, 0.5, 0.75, 0.95], buckets=20)
+
+
+@query(
     "purchase_roc_points",
     """
     WITH lv AS (
@@ -6047,6 +6090,7 @@ _DEFERRED_QUERIES = (
     "incremental_dedup_probe",  # asymmetric LSH probe; dedup_canonical + simhash_near_pairs (in-window) cover near-dup banding
     "purchase_roc_points",      # full ROC sweep; purchase_auc (in-window) is the same levels + rank machinery
     "events_value_hist_quantiles", # mergeable histogram quantiles; quantity_quantiles (in-window) is the exact twin
+    "streaming_value_hist_quantiles", # histogram fold over stream; streaming_tumbling (in-window) covers the streaming path
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
