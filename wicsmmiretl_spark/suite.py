@@ -6066,7 +6066,18 @@ _DEFERRED_QUERIES = (
     # flagship vocab_top100.
     # DEFERRED below: every name here has a green driver row from r07 or
     # r08 (rows+schema+hash) and stays oracle-checked every pytest run via
-    # tests/test_deferred_oracle.py and by tools/verify_local.py.
+    # tests/test_deferred_oracle.py and by tools/verify_local.py — EXCEPT
+    # the ten r9-born deferred-at-birth queries (daily_purchase_auc,
+    # bm25_ndcg, user_selfjoin_size_estimate, doc_overlap_pairs,
+    # event_chain_shortest_paths, view_purchase_span_overlaps,
+    # incremental_dedup_probe, purchase_roc_points,
+    # events_value_hist_quantiles, streaming_value_hist_quantiles), which
+    # have pytest + verify_local evidence only. r10 ROTATION GUIDANCE:
+    # swap those ten into the window for first-ever driver rows; their
+    # in-window family twins to swap out are named on each line below
+    # (e.g. purchase_auc ↔ purchase_roc_points, doc_winnowing_stats ↔
+    # doc_overlap_pairs, events_weekly_seasonality_error ↔
+    # events_value_hist_quantiles).
     #
     # -- green in CORRECTNESS_r07, deferred r9 to make window room for the
     # -- eight r9-born queries --
