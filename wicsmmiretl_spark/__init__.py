@@ -145,6 +145,7 @@ from wicsmmiretl_spark.operators.similarity import (
 )
 from wicsmmiretl_spark.multimodal.audio import audio_features, synth_wav
 from wicsmmiretl_spark.session import get_spark, stop_spark
+from wicsmmiretl_spark.sources.captions_source import CaptionListDataSource
 from wicsmmiretl_spark.streaming.windows import stream_cms_sketch, stream_histogram, stream_hll_registers
 
 __all__ = [
@@ -210,6 +211,7 @@ __all__ = [
     "stream_hll_registers",
     "stream_cms_sketch",
     "stream_histogram",
+    "CaptionListDataSource",
     # aggregates
     "column_stats",
     "grouped_stats_matrix",
