@@ -198,3 +198,52 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
 
     local = sorted(((pri(i, w), -i) for i, w in rows if w > 0), reverse=True)[:20]
     assert sorted(ids) == sorted(-ni for _p, ni in local)
+
+
+def test_kfold_assign_balanced_and_stable(spark):
+    """Balanced mode: per-stratum fold sizes differ by at most 1, folds are
+    partitioning-invariant, and match a local replay of the md5 rank chain.
+    Stateless mode: shuffle-free assignment matches hash % k."""
+    import hashlib
+
+    from wicsmmiretl_spark.operators.sampling import kfold_assign
+
+    rows = [(i, f"s{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, stratum string")
+
+    got = {
+        (r.id, r.fold)
+        for r in kfold_assign(df, 4, ["id"], stratum_col="stratum", seed=9).collect()
+    }
+    got_re = {
+        (r.id, r.fold)
+        for r in kfold_assign(
+            df.repartition(13, "id"), 4, ["id"], stratum_col="stratum", seed=9
+        ).collect()
+    }
+    assert got == got_re
+    # Per-stratum balance: max-min fold size <= 1.
+    from collections import Counter
+
+    per = {}
+    for (i, fold) in got:
+        per.setdefault(i % 3, Counter())[fold] += 1
+    for c in per.values():
+        assert set(c) == {0, 1, 2, 3}
+        assert max(c.values()) - min(c.values()) <= 1
+    # Local replay of the rank chain.
+    expect = set()
+    for s in range(3):
+        members = sorted(
+            (i for i, _ in rows if i % 3 == s),
+            key=lambda i: (hashlib.md5(f"{i}:9".encode()).hexdigest()[:8], i),
+        )
+        expect |= {(i, rank % 4) for rank, i in enumerate(members)}
+    assert got == expect
+
+    # Stateless mode: pure projection, matches hash % k.
+    flat = {(r.id, r.fold) for r in kfold_assign(df, 4, ["id"], balanced=False, seed=9).collect()}
+    expect_flat = {
+        (i, int(hashlib.md5(f"{i}:9".encode()).hexdigest()[:8], 16) % 4) for i, _ in rows
+    }
+    assert flat == expect_flat

@@ -121,6 +121,7 @@ from wicsmmiretl_spark.operators.sampling import (
     deterministic_sample,
     deterministic_shuffle,
     hash_split,
+    kfold_assign,
     mix_corpus,
     quantile_bins,
     stable_index,
@@ -233,6 +234,7 @@ __all__ = [
     "deterministic_sample",
     "train_test_split",
     "hash_split",
+    "kfold_assign",
     "top_k",
     "stratified_sample",
     "mix_corpus",

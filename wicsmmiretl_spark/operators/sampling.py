@@ -382,3 +382,53 @@ def stable_index(
         .withColumn(out_col, F.row_number().over(local) + F.col("_off") - 1)
         .drop("_pid", "_off")
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    k: int,
+    key_cols: Sequence[str],
+    stratum_col: str | None = None,
+    seed: int = 1312,
+    balanced: bool = True,
+    out_col: str = "fold",
+) -> DataFrame:
+    """Stratified k-fold assignment for cross-validation / sharded eval
+    (extends the reference's single train/test split artifact, SURVEY §1.1,
+    to the k-way form every evaluation harness needs).
+
+    Two assignment modes, one knob:
+
+    * ``balanced=True`` (default): within each stratum, rows are ranked by
+      their md5 hash prefix (:func:`_hash_prefix` — engine-reproducible,
+      repartition-stable) with the key columns as the total-order tiebreak,
+      and ``fold = (rank - 1) % k``. Fold sizes within every stratum differ
+      by at most 1 — the exactness property a small eval split needs. Cost:
+      ONE stratum-keyed window shuffle; a single mega-stratum serializes
+      into one task's window, so at 100 TB either provide a reasonable
+      ``stratum_col`` or flip to the stateless mode.
+    * ``balanced=False``: ``fold = first-32-hash-bits % k`` — a pure
+      map-side projection, no shuffle, binomially balanced (±√n noise).
+      The 100 TB default when exact per-stratum balance isn't worth a
+      shuffle.
+
+    Either way a row's fold depends only on (key, seed[, stratum]) — never
+    on partitioning or unrelated rows — so folds are stable across re-runs
+    and engine changes, and the hash chain is replayable in any SQL engine
+    with md5 (the audit property :func:`hash_split` established).
+
+    Adds ``out_col`` (int in [0, k)). NULL keys: hash prefix is NULL →
+    balanced mode ranks them last deterministically; stateless mode yields
+    NULL fold (surfaced, not silently bucketed).
+    """
+    if k < 2:
+        raise ValueError(f"kfold_assign: k must be >= 2, got {k}")
+    prefix = _hash_prefix(key_cols, seed)
+    if not balanced:
+        # conv(hex, 16, 10) on the 8-char prefix = the 32-bit int it encodes.
+        fold = F.pmod(F.conv(prefix, 16, 10).cast("long"), F.lit(k)).cast("int")
+        return df.withColumn(out_col, fold)
+    part = [stratum_col] if stratum_col is not None else [F.lit(0)]
+    order = [F.asc_nulls_last(prefix)] + [F.asc(c) for c in key_cols]
+    w = Window.partitionBy(*part).orderBy(*order)
+    return df.withColumn(out_col, ((F.row_number().over(w) - F.lit(1)) % F.lit(k)).cast("int"))

@@ -6046,6 +6046,39 @@ def q_user_selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "doc_kfold_counts",
+    """
+    WITH a AS (
+      SELECT lang,
+             CAST((row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8) ASC,
+                              doc_id ASC) - 1) % 5 AS INT) AS fold
+      FROM documents
+    )
+    SELECT lang, fold, CAST(count(*) AS BIGINT) AS n
+    FROM a GROUP BY lang, fold
+    """,
+)
+def q_doc_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 5-fold assignment (the k-way generalization of the
+    reference's train/test split artifact, SURVEY §1.1): per-language
+    md5-ranked round-robin, so fold sizes within every language differ by
+    at most one — verified by the oracle replaying the same rank chain.
+    One stratum-keyed window shuffle; the stateless mode
+    (balanced=False) is the shuffle-free 100 TB path
+    (operators/sampling.py:kfold_assign)."""
+    from wicsmmiretl_spark.operators.sampling import kfold_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        kfold_assign(docs, k=5, key_cols=["doc_id"], stratum_col="lang", seed=7)
+        .groupBy("lang", "fold")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -6092,6 +6125,7 @@ _DEFERRED_QUERIES = (
     "asof_next_purchase",       # forward as-of; asof_click_purchase (backward) + asof_tolerance_purchase stay in-window
     #
     # -- r9-born, deferred at birth (family in-window) --
+    "doc_kfold_counts",         # stratified k-fold; corpus_mix in-window covers seeded md5 assignment
     "daily_purchase_auc",       # grouped rank-sum AUC; purchase_auc in-window is the same estimator, global path
     "bm25_ndcg",                # ranking eval over bm25's output; doc_tfidf_similar_pairs in-window covers the tf/idf weighting
     "user_selfjoin_size_estimate", # CMS join-size estimate; event_type_skew_profile in-window covers join diagnostics
