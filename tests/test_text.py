@@ -214,3 +214,24 @@ def test_feature_hash_validates(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id: bigint, text: string")
     with pytest.raises(ValueError, match="num_features"):
         feature_hash(docs, num_features=1)
+
+
+def test_canonicalize_url_rules(spark):
+    """Each normalization rule fires: case, www, default vs explicit port,
+    trailing slash, fragment, tracking-param removal, param sort; schemeless
+    and hostless inputs yield NULL (surfaced, not passed through)."""
+    from wicsmmiretl_spark.functions.urls import canonicalize_url, url_host
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/A//?b=2&utm_source=x&a=1#f", "https://ex.com/A?a=1&b=2"),
+        ("http://ex.com:80/", "http://ex.com/"),
+        ("http://ex.com:8080", "http://ex.com:8080/"),
+        ("https://ex.com/p/?gclid=1&ref=z", "https://ex.com/p"),
+        ("ex.com/no-scheme", None),
+        ("http:///path-no-host", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    assert got == [c for _, c in cases]
+    hosts = [r.h for r in df.select(url_host("url").alias("h")).collect()]
+    assert hosts == ["ex.com", "ex.com", "ex.com", "ex.com", None, None]

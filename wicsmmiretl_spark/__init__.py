@@ -30,6 +30,7 @@ implementation detail. Quickstart::
 from wicsmmiretl_spark.catalog import TESTDATA_TABLES, load_table, load_tables
 from wicsmmiretl_spark.functions.repetition import repetition_stats
 from wicsmmiretl_spark.functions.scrub import scrub_pii
+from wicsmmiretl_spark.functions.urls import canonicalize_url, url_host
 from wicsmmiretl_spark.functions.strings import (
     add_punct,
     concat_corpus,
@@ -289,6 +290,8 @@ __all__ = [
     "repetition_stats",
     "bigram_surprisal",
     "scrub_pii",
+    "canonicalize_url",
+    "url_host",
     # strings
     "strip_control_chars",
     "add_punct",

@@ -6079,6 +6079,96 @@ def q_doc_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "url_canonical_dedup",
+    r"""
+    WITH raw AS (
+      SELECT (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'Http' END) || '://'
+             || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+             || source || '.Example.COM'
+             || (CASE WHEN doc_id % 2 = 0 THEN ':443'
+                      WHEN doc_id % 5 = 0 THEN ':8080' ELSE ':80' END)
+             || '/Docs/' || CAST(doc_id % 40 AS VARCHAR)
+             || (CASE WHEN doc_id % 4 = 0 THEN '//' ELSE '' END)
+             || '?b=2&utm_source=feed&a=1'
+             || (CASE WHEN doc_id % 6 = 0 THEN '&gclid=' || CAST(doc_id AS VARCHAR) ELSE '' END)
+             || '#s' || CAST(doc_id % 7 AS VARCHAR) AS url
+      FROM documents
+    ),
+    pieces AS (
+      SELECT lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
+      FROM raw
+    ),
+    comp AS (
+      SELECT scheme,
+             regexp_replace(lower(regexp_extract(regexp_extract(rest, '^([^/?]*)', 1), '^([^:]*)', 1)), '^www\.', '') AS host,
+             regexp_extract(regexp_extract(rest, '^([^/?]*)', 1), ':([0-9]+)$', 1) AS port,
+             regexp_extract(rest, '^[^/?]*([^?]*)', 1) AS path,
+             regexp_extract(rest, '\?(.*)$', 1) AS query
+      FROM pieces
+    ),
+    canon AS (
+      SELECT scheme || '://' || host
+             || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                        OR (scheme = 'https' AND port = '443')
+                 THEN '' ELSE ':' || port END)
+             || (CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+                 ELSE regexp_replace(path, '/+$', '') END)
+             || (CASE WHEN qj = '' THEN '' ELSE '?' || qj END) AS canonical_url
+      FROM (
+        SELECT *, array_to_string(list_sort(list_filter(
+                 string_split(query, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|dclid|mc_cid|mc_eid|igshid|ref|ref_src)='))), '&') AS qj
+        FROM comp
+      )
+    )
+    SELECT canonical_url, CAST(count(*) AS BIGINT) AS n
+    FROM canon GROUP BY 1
+    ORDER BY n DESC, canonical_url ASC LIMIT 100
+    """,
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup count — the normalization every
+    web-corpus pipeline runs before content dedup. Documents synthesize
+    deterministic spelling variants (case-shuffled scheme/host, www,
+    default vs explicit ports, trailing slashes, tracking params, shuffled
+    param order, fragments); the canonicalizer (pure Catalyst projection —
+    functions/urls.py) collapses them and the count per canonical form is
+    the dedup evidence. The oracle replays both the synthesis and every
+    normalization rule in DuckDB SQL. At 100 TB the canonicalizer is a
+    scan-side projection; the groupBy is the one hash shuffle exact URL
+    dedup always costs."""
+    from wicsmmiretl_spark.functions.urls import canonicalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("Http")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(d % 2 == 0, F.lit(":443"))
+        .when(d % 5 == 0, F.lit(":8080"))
+        .otherwise(F.lit(":80")),
+        F.lit("/Docs/"),
+        (d % 40).cast("string"),
+        F.when(d % 4 == 0, F.lit("//")).otherwise(F.lit("")),
+        F.lit("?b=2&utm_source=feed&a=1"),
+        F.when(d % 6 == 0, F.concat(F.lit("&gclid="), d.cast("string"))).otherwise(F.lit("")),
+        F.lit("#s"),
+        (d % 7).cast("string"),
+    )
+    return (
+        docs.select(canonicalize_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("canonical_url"))
+        .limit(100)
+    )
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -6126,6 +6216,7 @@ _DEFERRED_QUERIES = (
     #
     # -- r9-born, deferred at birth (family in-window) --
     "doc_kfold_counts",         # stratified k-fold; corpus_mix in-window covers seeded md5 assignment
+    "url_canonical_dedup",      # URL canonicalize+dedup; dedup_canonical in-window resolves the same hash-groupBy dedup
     "daily_purchase_auc",       # grouped rank-sum AUC; purchase_auc in-window is the same estimator, global path
     "bm25_ndcg",                # ranking eval over bm25's output; doc_tfidf_similar_pairs in-window covers the tf/idf weighting
     "user_selfjoin_size_estimate", # CMS join-size estimate; event_type_skew_profile in-window covers join diagnostics
