@@ -678,3 +678,35 @@ def test_lsh_probe_pairs_asymmetric_and_star_cap(spark):
     }
     assert (2, 1) in capped
     assert all(i == 1 for _, i in capped), f"capped bucket leaked members: {capped}"
+
+
+def test_semantic_dedup_min_id_survivor(spark):
+    """Planted near-identical vectors collapse to the lowest id; orthogonal
+    vectors all survive; output covers every input row exactly once and is
+    partitioning-invariant."""
+    from wicsmmiretl_spark.operators.dedup import semantic_dedup
+
+    rows = []
+    # Three near-identical copies of e0 (ids 10, 11, 12), two of e1 (20, 21),
+    # and singletons on other axes.
+    def unit(axis, eps, dim=8):
+        v = [eps] * dim
+        v[axis] = 1.0
+        return v
+
+    rows += [(10, unit(0, 0.00)), (11, unit(0, 0.01)), (12, unit(0, 0.02))]
+    rows += [(20, unit(1, 0.00)), (21, unit(1, 0.01))]
+    rows += [(30, unit(2, 0.0)), (40, unit(3, 0.0)), (50, unit(4, 0.0))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = {r.vec_id: r.keep for r in semantic_dedup(df, tau=0.95, k=4, iters=2, seed=3).collect()}
+    assert len(out) == len(rows)
+    assert out[10] and not out[11] and not out[12]
+    assert out[20] and not out[21]
+    assert out[30] and out[40] and out[50]
+
+    out_re = {
+        r.vec_id: r.keep
+        for r in semantic_dedup(df.repartition(7), tau=0.95, k=4, iters=2, seed=3).collect()
+    }
+    assert out == out_re

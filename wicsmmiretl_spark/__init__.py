@@ -92,6 +92,7 @@ from wicsmmiretl_spark.operators.dedup import (
     lsh_candidate_pairs,
     lsh_probe_pairs,
     minhash_signatures,
+    semantic_dedup,
     simhash_near_pairs,
     sorted_neighborhood_pairs,
     winnowing_fingerprints,
@@ -247,6 +248,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "lsh_probe_pairs",
     "jaccard_pairs",
+    "semantic_dedup",
     "simhash_near_pairs",
     "sorted_neighborhood_pairs",
     "winnowing_fingerprints",

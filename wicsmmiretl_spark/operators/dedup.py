@@ -784,3 +784,95 @@ def lsh_probe_pairs(
         .groupBy("probe_id", "index_id")
         .agg(F.min("is_star").alias("is_star"))
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    tau: float,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023, arXiv:2303.09540 — public): cluster with k-means,
+    then compare pairs only WITHIN a cluster and drop every vector that has
+    a τ-similar lower-id neighbor in its cell (the deterministic min-id
+    survivor variant of the paper's per-group keep-one rule; determinism is
+    what lets a SQL oracle replay the decision bit-for-bit).
+
+    Plan shape, and why it scales where naive semantic dedup can't:
+
+    * centroids come from :func:`~wicsmmiretl_spark.operators.similarity.
+      kmeans_train` — broadcast-Lloyd, k×dim driver traffic only;
+    * assignment is a map-side broadcast join + grouped min(struct) argmax
+      (one shuffle carrying n rows — identical machinery to ``ivf_topk``);
+    * the τ-compare is a cell-keyed self-join: pair volume is Σ C(|cell|,2),
+      bounded by the largest cell, never O(n²) over the corpus. The paper's
+      operating point is k large enough that cells hold ~10³-10⁴ vectors
+      (k ≈ n / cell_target); at 100 TB you raise ``k``, not the join.
+
+    Cosines are rounded to 6dp before the ≥ τ compare (the suite's
+    cross-engine determinism discipline). Output: ``id_col``, ``cell``
+    (int), ``keep`` (boolean) — one row per input vector; downstream the
+    kept set is ``filter(keep)``.
+    """
+    from wicsmmiretl_spark.operators.similarity import kmeans_train
+
+    cent = kmeans_train(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    v = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "nv", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+    cdot = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pick = F.struct(
+        (-F.col("ccos")).alias("_negc"),
+        F.col("cell").alias("cell"),
+        F.col("v").alias("v"),
+        F.col("nv").alias("nv"),
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", F.round(cdot / (F.col("nv") * F.col("nc")), 6))
+        .groupBy(id_col)
+        .agg(F.min(pick).alias("_s"))
+        .select(
+            F.col(id_col),
+            F.col("_s.cell").alias("cell"),
+            F.col("_s.v").alias("v"),
+            F.col("_s.nv").alias("nv"),
+        )
+        # Both the pair join's sides and the final keep join descend from
+        # this one assignment — pin it so the broadcast-argmax runs once.
+        .localCheckpoint(eager=False)
+    )
+    a = assigned.select(
+        F.col("cell"), F.col(id_col).alias("_ida"), F.col("v").alias("va"), F.col("nv").alias("na")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col(id_col).alias("_idb"), F.col("v").alias("vb"), F.col("nv").alias("nb")
+    )
+    pdot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    dropped = (
+        a.join(b, ["cell"])
+        .filter(F.col("_ida") < F.col("_idb"))
+        .withColumn("cos", F.round(pdot / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cos") >= tau)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return assigned.join(dropped, [id_col], "left").select(
+        F.col(id_col),
+        F.col("cell"),
+        F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+    )

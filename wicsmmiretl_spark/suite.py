@@ -6169,6 +6169,45 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "semantic_dedup_keep",
+    f"""
+    WITH {_kmeans_sql_cte(k=8, iters=3, seed=42)},
+    cn AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS nc FROM k3),
+    asg AS (
+      SELECT vec_id, v, nv, cell FROM (
+        SELECT a.vec_id, a.v, a.nv, c.cell,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, len(a.v) + 1), j -> a.v[j] * c.cv[j]))
+                               / (a.nv * c.nc), 6) DESC, c.cell ASC) AS rn
+        FROM vn a CROSS JOIN cn c
+      ) WHERE rn = 1
+    ),
+    drp AS (
+      SELECT DISTINCT b.vec_id
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), j -> a.v[j] * b.v[j]))
+                  / (a.nv * b.nv), 6) >= 0.4
+    )
+    SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell, (d.vec_id IS NULL) AS keep
+    FROM asg s LEFT JOIN drp d ON s.vec_id = d.vec_id
+    """,
+)
+def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-compare semantic dedup, arXiv:2303.09540):
+    k-means cells bound the τ-compare to within-cell pairs — the scale
+    path between exact O(n²) cosine (`embedding_near_dup`) and
+    LSH banding (`hyperplane_lsh_pairs`). The oracle replays the
+    deterministic Lloyd chain, the argmax assignment, and the min-id
+    survivor rule in SQL (operators/dedup.py:semantic_dedup)."""
+    from wicsmmiretl_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, tau=0.4, k=8, iters=3, seed=42)
+    return out.select("vec_id", F.col("cell").cast("long").alias("cell"), "keep")
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -6217,6 +6256,7 @@ _DEFERRED_QUERIES = (
     # -- r9-born, deferred at birth (family in-window) --
     "doc_kfold_counts",         # stratified k-fold; corpus_mix in-window covers seeded md5 assignment
     "url_canonical_dedup",      # URL canonicalize+dedup; dedup_canonical in-window resolves the same hash-groupBy dedup
+    "semantic_dedup_keep",      # SemDeDup cluster-then-compare; simhash_near_pairs + ivf family in-window cover near-dup + trained cells
     "daily_purchase_auc",       # grouped rank-sum AUC; purchase_auc in-window is the same estimator, global path
     "bm25_ndcg",                # ranking eval over bm25's output; doc_tfidf_similar_pairs in-window covers the tf/idf weighting
     "user_selfjoin_size_estimate", # CMS join-size estimate; event_type_skew_profile in-window covers join diagnostics
