@@ -258,3 +258,52 @@ def test_histogram_quantiles_out_of_range_saturates(spark):
     assert out[0.5] == pytest.approx(0.0, abs=1e-6)
     with pytest.raises(ValueError, match="q must be"):
         histogram_quantiles(h, [1.5], 5)
+
+
+def test_ewma_matches_local_replay_and_truncation(spark):
+    """EWMA matches a local pandas-free replay of the normalized weighted
+    mean; the full-history window equals the untruncated adjust=True form;
+    alpha=1 degenerates to the current value; misuse raises."""
+    import pytest
+
+    from wicsmmiretl_spark.operators.sequences import ewma
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    rows = [(1, i, v) for i, v in enumerate(vals)] + [(2, 0, 10.0)]
+    df = spark.createDataFrame(rows, "k long, i long, v double")
+
+    got = {
+        (r.k, r.i): r.ewma
+        for r in ewma(df, ["k"], ["i"], "v", alpha=0.4, window=3).collect()
+    }
+
+    def local(seq, a, w):
+        out = []
+        for i in range(len(seq)):
+            lo = max(0, i - w + 1)
+            num = sum(seq[j] * (1 - a) ** (i - j) for j in range(lo, i + 1))
+            den = sum((1 - a) ** (i - j) for j in range(lo, i + 1))
+            out.append(round(num / den, 6))
+        return out
+
+    expect = local(vals, 0.4, 3)
+    for i in range(len(vals)):
+        assert got[(1, i)] == pytest.approx(expect[i], abs=1e-9)
+    assert got[(2, 0)] == 10.0
+
+    # Untruncated (window >= n) == classic adjust=True ewm.
+    got_full = {
+        r.i: r.ewma for r in ewma(df.filter("k = 1"), ["k"], ["i"], "v", alpha=0.4).collect()
+    }
+    expect_full = local(vals, 0.4, len(vals))
+    for i in range(len(vals)):
+        assert got_full[i] == pytest.approx(expect_full[i], abs=1e-9)
+
+    # alpha = 1 → identity smoothing.
+    got_id = {r.i: r.ewma for r in ewma(df.filter("k = 1"), ["k"], ["i"], "v", alpha=1.0).collect()}
+    assert got_id == {i: v for i, v in enumerate(vals)}
+
+    with pytest.raises(ValueError):
+        ewma(df, ["k"], ["i"], "v", alpha=0.0)
+    with pytest.raises(ValueError):
+        ewma(df, ["k"], ["i"], "v", alpha=0.5, window=0)

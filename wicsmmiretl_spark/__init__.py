@@ -132,7 +132,7 @@ from wicsmmiretl_spark.operators.sampling import (
     train_test_split,
     weighted_sample,
 )
-from wicsmmiretl_spark.operators.sequences import transition_matrix
+from wicsmmiretl_spark.operators.sequences import ewma, transition_matrix
 from wicsmmiretl_spark.operators.sets import union_checked
 from wicsmmiretl_spark.operators.similarity import (
     cosine_pairs,
@@ -181,6 +181,7 @@ __all__ = [
     "retention_cohorts",
     "survival_curve",
     "transition_matrix",
+    "ewma",
     "dq_report",
     "dq_gate",
     "key_skew_profile",

@@ -65,3 +65,76 @@ def transition_matrix(
         "n",
         F.round(F.col("n") / F.sum("n").over(wf), 6).alias("p"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    window: int | None = None,
+    out_col: str = "ewma",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average over an ordered event
+    sequence — the smoothing pass behind metric-drift monitors and
+    per-entity trend features.
+
+    Semantics: the weight-normalized form (pandas ``ewm(adjust=True)``)
+    over the last ``window`` rows of the key's sequence:
+
+        ewma_i = Σ_{t=0..m-1} (1-α)^t · v_{i-t}  /  Σ_{t=0..m-1} (1-α)^t
+
+    where ``m = min(i+1, window)``. The truncation at ``window`` rows is
+    what makes the operator scale-safe AND exactly replayable: the naive
+    recursive form carries unbounded history (and needs either an
+    overflow-prone ``(1-α)^{-i}`` rescale or a sequential scan), while the
+    truncated window drops only tail weight ``(1-α)^window`` — below 1e-12
+    at the default window, far under the 6dp rounding the suite's
+    determinism discipline applies anyway. Default ``window`` is the
+    smallest W with ``(1-α)^W < 1e-12``.
+
+    Plan: ONE key-partitioned window shuffle (the same exchange every
+    sequence operator here pays); the weighted sum folds a
+    frame-ordered ``collect_list`` with higher-order functions — per-row
+    state is ``window`` doubles, JVM-side, no Python. Numerator and
+    denominator fold the same literal weight array in the same order, so
+    any engine replaying the plan adds identical doubles identically.
+
+    ``order_cols`` must be a total order per key (include a unique
+    tiebreak). Output: input columns + ``out_col`` (double, ``round_dp``).
+    """
+    import math
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"ewma: alpha must be in (0, 1], got {alpha}")
+    if window is None:
+        window = 1 if alpha == 1.0 else max(1, math.ceil(math.log(1e-12) / math.log(1.0 - alpha)))
+    if window < 1:
+        raise ValueError(f"ewma: window must be >= 1, got {window}")
+    decay = 1.0 - alpha
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(-(window - 1), 0)
+    )
+    lst = F.collect_list(F.col(value_col).cast("double")).over(w)
+    n = F.size(lst)
+    # Weights as a PRECOMPUTED literal array, not runtime pow(): one plan
+    # constant instead of `window` transcendental calls per row, and — the
+    # determinism point — the identical double literals appear in any
+    # engine's replay, so no cross-libm pow() ulp ever reaches the result.
+    weights = [decay**t for t in range(window)]
+    warr = F.array(*[F.lit(x) for x in weights])
+    num = F.aggregate(
+        F.zip_with(
+            lst,
+            F.sequence(F.lit(1), n),
+            lambda v, j: v * F.element_at(warr, (n - j + F.lit(1))),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(F.slice(warr, 1, n), F.lit(0.0), lambda acc, x: acc + x)
+    return df.withColumn(out_col, F.round(num / den, round_dp))

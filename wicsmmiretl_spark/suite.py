@@ -6208,6 +6208,53 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("cell").cast("long").alias("cell"), "keep")
 
 
+# EWMA weight table: the SAME Python-computed doubles the operator embeds
+# as its literal array (operators/sequences.py:ewma), rendered with repr()
+# so DuckDB parses bit-identical values — no cross-libm pow() in either
+# engine's hot path.
+_EWMA_SQL_W = "[" + ", ".join(repr(0.7**t) for t in range(78)) + "]"
+
+
+@query(
+    "user_value_ewma",
+    f"""
+    WITH o AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rdesc,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events,
+             list(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 77 PRECEDING AND CURRENT ROW) AS l
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT user_id, n_events,
+           round(list_sum(list_transform(range(1, len(l) + 1), j -> l[j] * w[len(l) - j + 1]))
+                 / list_sum(w[1:len(l)]), 6) AS ewma_value
+    FROM (SELECT *, {_EWMA_SQL_W} AS w FROM o)
+    WHERE rdesc = 1
+    """,
+)
+def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event value (α=0.3, 78-row truncated window — tail
+    weight < 1e-12), reporting each user's final smoothed value: the
+    per-entity trend feature a drift monitor carries. One user-keyed
+    window shuffle; weights are a shared literal array, so the oracle
+    folds bit-identical doubles in the identical order
+    (operators/sequences.py:ewma)."""
+    from wicsmmiretl_spark.operators.sequences import ewma
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sm = ewma(ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.3, out_col="ewma_value")
+    wdesc = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wcnt = Window.partitionBy("user_id")
+    return (
+        sm.withColumn("rdesc", F.row_number().over(wdesc))
+        .withColumn("n_events", F.count("*").over(wcnt).cast("long"))
+        .filter(F.col("rdesc") == 1)
+        .select("user_id", "n_events", "ewma_value")
+    )
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -6257,6 +6304,7 @@ _DEFERRED_QUERIES = (
     "doc_kfold_counts",         # stratified k-fold; corpus_mix in-window covers seeded md5 assignment
     "url_canonical_dedup",      # URL canonicalize+dedup; dedup_canonical in-window resolves the same hash-groupBy dedup
     "semantic_dedup_keep",      # SemDeDup cluster-then-compare; simhash_near_pairs + ivf family in-window cover near-dup + trained cells
+    "user_value_ewma",          # per-key EWMA; window_rank_events + event_funnel in-window cover user-keyed windows
     "daily_purchase_auc",       # grouped rank-sum AUC; purchase_auc in-window is the same estimator, global path
     "bm25_ndcg",                # ranking eval over bm25's output; doc_tfidf_similar_pairs in-window covers the tf/idf weighting
     "user_selfjoin_size_estimate", # CMS join-size estimate; event_type_skew_profile in-window covers join diagnostics
