@@ -275,3 +275,36 @@ def test_stream_cms_sketch_equals_batch_and_skips_replayed_batch(spark, event_di
         width=256,
     )
     assert _rows(got) == _rows(want)
+
+
+def test_stream_static_enrich_matches_batch_and_keeps_unmatched(spark, tmp_path):
+    """Stream-static left join: enriched stream aggregation equals the batch
+    twin, and facts without a dimension row survive with NULL attributes."""
+    from pyspark.sql import functions as F
+
+    from wicsmmiretl_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_static_enrich,
+    )
+
+    rows = [
+        ("2024-01-01 00:00:00", "a", 1.0),
+        ("2024-01-01 01:00:00", "a", 2.0),
+        ("2024-01-01 02:00:00", "b", 4.0),
+        ("2024-01-01 03:00:00", "zz", 8.0),  # no dim row
+    ]
+    batch = spark.createDataFrame(rows, "ts_s string, k string, v double").select(
+        F.to_timestamp("ts_s").alias("ts"), "k", "v"
+    )
+    src = str(tmp_path / "facts")
+    batch.write.parquet(src)
+    dim = spark.createDataFrame([("a", "A"), ("b", "B")], "k string, grp string")
+
+    stream = spark.readStream.schema("ts timestamp, k string, v double").parquet(src)
+    enr = stream_static_enrich(stream, dim, "k").withWatermark("ts", "1 hour")
+    agg = enr.groupBy("grp").agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+    got = {
+        (r.grp, r.n, r.sv)
+        for r in run_to_memory_sink(agg, "t_sse", spark, shuffle_partitions=4).collect()
+    }
+    assert got == {("A", 2, 3.0), ("B", 1, 4.0), (None, 1, 8.0)}

@@ -149,7 +149,7 @@ from wicsmmiretl_spark.operators.similarity import (
 from wicsmmiretl_spark.multimodal.audio import audio_features, synth_wav
 from wicsmmiretl_spark.session import get_spark, stop_spark
 from wicsmmiretl_spark.sources.captions_source import CaptionListDataSource
-from wicsmmiretl_spark.streaming.windows import stream_cms_sketch, stream_histogram, stream_hll_registers
+from wicsmmiretl_spark.streaming.windows import stream_cms_sketch, stream_histogram, stream_hll_registers, stream_static_enrich
 
 __all__ = [
     # session / catalog
@@ -215,6 +215,7 @@ __all__ = [
     "stream_hll_registers",
     "stream_cms_sketch",
     "stream_histogram",
+    "stream_static_enrich",
     "CaptionListDataSource",
     # aggregates
     "column_stats",

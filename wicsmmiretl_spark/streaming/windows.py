@@ -163,6 +163,33 @@ def interval_join(
     return l.join(r, cond)
 
 
+def stream_static_enrich(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: str | Sequence[str],
+    how: str = "left",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join — the most common production streaming
+    shape (attach dimension attributes to a fact stream before windowing).
+
+    Stateless by construction: Spark re-plans the STATIC side per
+    micro-batch, so no state store exists and no watermark is needed for
+    the join itself (only for any downstream aggregation). With
+    ``broadcast=True`` (default, correct for any dimension that fits an
+    executor) each micro-batch is a map-side hash join — the stream never
+    shuffles for the join. ``how='left'`` keeps unmatched facts (enrichment
+    must not drop rows — NULL attributes are a data-quality signal, not a
+    filter); inner is opt-in.
+
+    At 100 TB-of-stream the dimension refresh pattern matters more than the
+    join: re-read the dim per batch (this plan) gives eventual freshness;
+    a pinned dim needs an explicit re-broadcast cycle. Documented here
+    because both look identical in a small test."""
+    d = F.broadcast(dim_df) if broadcast else dim_df
+    return stream_df.join(d, on, how)
+
+
 def run_to_memory_sink(
     stream_df: DataFrame,
     name: str,

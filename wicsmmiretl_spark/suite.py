@@ -6255,6 +6255,60 @@ def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_static_enrich",
+    """
+    WITH dim(event_type, category) AS (VALUES
+      ('click', 'engagement'), ('view', 'engagement'),
+      ('purchase', 'conversion'), ('signup', 'conversion'),
+      ('error', 'fault'))
+    SELECT epoch_us(date_trunc('day', e.ts)) AS window_start_us, d.category,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(round(e.value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS sum_value
+    FROM events e LEFT JOIN dim d USING (event_type)
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment driven end to end: the event
+    stream left-joins a 5-row static dimension (event_type → category) —
+    stateless, map-side, re-planned per micro-batch — then a watermarked
+    tumbling day window aggregates per category. The oracle is the batch
+    twin over the same VALUES dimension
+    (streaming/windows.py:stream_static_enrich)."""
+    from wicsmmiretl_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory_sink,
+        stream_static_enrich,
+        tumbling_aggregate,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("error", "fault"),
+        ],
+        "event_type string, category string",
+    )
+    d = _events_dropdir(spark, sf_dir)
+    stream = read_event_stream(spark, d).withColumn(
+        "value", F.round(F.col("value") * 1000000).cast("long")
+    )
+    enriched = stream_static_enrich(stream, dim, "event_type")
+    agg = tumbling_aggregate(enriched, keys=("category",))
+    name = f"suite_static_enrich_{next(_STREAM_RUN_COUNTER)}"
+    out = run_to_memory_sink(agg, name, spark, shuffle_partitions=8)
+    return out.select(
+        "window_start_us",
+        "category",
+        "n",
+        F.round(F.col("sum_value").cast("double") / F.lit(1000000.0), 4).alias("sum_value"),
+    )
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -6305,6 +6359,7 @@ _DEFERRED_QUERIES = (
     "url_canonical_dedup",      # URL canonicalize+dedup; dedup_canonical in-window resolves the same hash-groupBy dedup
     "semantic_dedup_keep",      # SemDeDup cluster-then-compare; simhash_near_pairs + ivf family in-window cover near-dup + trained cells
     "user_value_ewma",          # per-key EWMA; window_rank_events + event_funnel in-window cover user-keyed windows
+    "streaming_static_enrich",  # stream-static broadcast join; streaming_tumbling in-window covers the streaming agg path
     "daily_purchase_auc",       # grouped rank-sum AUC; purchase_auc in-window is the same estimator, global path
     "bm25_ndcg",                # ranking eval over bm25's output; doc_tfidf_similar_pairs in-window covers the tf/idf weighting
     "user_selfjoin_size_estimate", # CMS join-size estimate; event_type_skew_profile in-window covers join diagnostics
