@@ -6309,6 +6309,55 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "part_entity_resolution",
+    """
+    WITH RECURSIVE r AS (
+      SELECT p_partkey, p_name,
+             row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS idx
+      FROM part WHERE p_name IS NOT NULL
+    ),
+    cand AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+      FROM r a JOIN r b ON b.idx BETWEEN a.idx + 1 AND a.idx + 3
+      WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    vertices AS (SELECT DISTINCT src AS id FROM edges),
+    walk(id, comp) AS (
+      SELECT id, id FROM vertices
+      UNION
+      SELECT e.dst, w.comp FROM walk w JOIN edges e ON w.id = e.src
+    ),
+    lab AS (SELECT id, CAST(min(comp) AS BIGINT) AS entity_id FROM walk GROUP BY id)
+    SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members
+    FROM lab GROUP BY entity_id
+    """,
+)
+def q_part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage capstone: sorted-neighborhood blocking (O(n·w)
+    candidates, distributed stable-index rank) → bounded-Levenshtein (<=3)
+    verify → connected-component resolution → entity id = min member key,
+    reported as entity sizes. The full entity-resolution pipeline as one
+    lazy composition of three existing operators; the oracle replays
+    blocking in SQL and resolves with a recursive reachability CTE
+    (operators/dedup.py:sorted_neighborhood_pairs + dup_clusters)."""
+    from wicsmmiretl_spark.operators.dedup import (
+        dup_clusters,
+        sorted_neighborhood_pairs,
+    )
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").isNotNull())
+    pairs = sorted_neighborhood_pairs(
+        part, "p_partkey", ["p_name", "p_partkey"], window=3, max_dist=3
+    )
+    clusters = dup_clusters(pairs)
+    return clusters.groupBy(F.col("cluster_id").alias("entity_id")).agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -6360,6 +6409,7 @@ _DEFERRED_QUERIES = (
     "semantic_dedup_keep",      # SemDeDup cluster-then-compare; simhash_near_pairs + ivf family in-window cover near-dup + trained cells
     "user_value_ewma",          # per-key EWMA; window_rank_events + event_funnel in-window cover user-keyed windows
     "streaming_static_enrich",  # stream-static broadcast join; streaming_tumbling in-window covers the streaming agg path
+    "part_entity_resolution",   # record-linkage capstone; part_name_neighborhood_pairs in-window is the blocking half
     "daily_purchase_auc",       # grouped rank-sum AUC; purchase_auc in-window is the same estimator, global path
     "bm25_ndcg",                # ranking eval over bm25's output; doc_tfidf_similar_pairs in-window covers the tf/idf weighting
     "user_selfjoin_size_estimate", # CMS join-size estimate; event_type_skew_profile in-window covers join diagnostics
