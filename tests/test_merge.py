@@ -195,3 +195,42 @@ def test_point_in_time_join_inner_and_validation(spark):
         point_in_time_join(facts, _pit_dim(spark), ["k"], "ts", how="full")
     with pytest.raises(ValueError, match="not in facts"):
         point_in_time_join(facts, _pit_dim(spark), ["nope"], "ts")
+
+
+def test_apply_cdc_latest_wins_and_deletes(spark):
+    """Latest change per key applies: update→delete deletes, delete→insert
+    survives, absent-key delete is a no-op, plain insert/update land, and
+    untouched rows pass through; schema misuse raises."""
+    import pytest
+
+    from wicsmmiretl_spark.operators.merge import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, name string, bal double",
+    )
+    chg = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, 1, "U"),   # update
+            (3, None, None, 1, "D"),   # delete
+            (4, "d2", 41.0, 1, "U"),   # update...
+            (4, None, None, 2, "D"),   # ...superseded by delete
+            (5, None, None, 1, "D"),   # delete then...
+            (5, "e", 50.0, 2, "I"),    # ...re-insert wins
+            (6, "f", 60.0, 1, "I"),    # plain insert
+            (9, None, None, 1, "D"),   # delete of absent key: no-op
+        ],
+        "id long, name string, bal double, seq long, op string",
+    )
+    got = sorted(tuple(r) for r in apply_cdc(base, chg, ["id"], "seq").collect())
+    assert got == [
+        (1, "a", 10.0),
+        (2, "b2", 21.0),
+        (5, "e", 50.0),
+        (6, "f", 60.0),
+    ]
+
+    with pytest.raises(ValueError):
+        apply_cdc(base, chg.drop("op"), ["id"], "seq")
+    with pytest.raises(ValueError):
+        apply_cdc(base, chg, ["nope"], "seq")

@@ -112,7 +112,7 @@ from wicsmmiretl_spark.operators.joins import (
 from wicsmmiretl_spark.operators.bpe import bpe_encode, bpe_train
 from wicsmmiretl_spark.operators.cohorts import retention_cohorts, survival_curve
 from wicsmmiretl_spark.operators.intervals import interval_overlap_join, merge_intervals
-from wicsmmiretl_spark.operators.merge import merge_scd2, merge_upsert, point_in_time_join, snapshot_diff
+from wicsmmiretl_spark.operators.merge import apply_cdc, merge_scd2, merge_upsert, point_in_time_join, snapshot_diff
 from wicsmmiretl_spark.operators.pruning import bloom_prune, bloom_semi_filter, bloom_words
 from wicsmmiretl_spark.operators.quality import dq_gate, dq_report, key_skew_profile
 from wicsmmiretl_spark.operators.packing import chunk_documents, pack_sequences
@@ -168,6 +168,7 @@ __all__ = [
     "asof_join",
     "salted_join",
     "merge_upsert",
+    "apply_cdc",
     "merge_scd2",
     "snapshot_diff",
     "point_in_time_join",

@@ -291,3 +291,67 @@ def point_in_time_join(
     return facts.join(dim, cond, how).select(
         *[facts[c] for c in facts.columns], *[dim[c] for c in dim_payload]
     )
+
+
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC change batch (insert/update/delete, latest-wins) to a
+    snapshot — the batch form of a Debezium/binlog consumer, and the piece
+    ``merge_upsert`` (SCD1, no deletes) deliberately leaves out.
+
+    ``changes`` carries the target's columns plus ``seq_col`` (the change
+    order — log offset / LSN; MUST be unique per key, the standard CDC
+    contract) and ``op_col`` (delete rows are identified by
+    ``delete_op``; any other marker means upsert, so producers can send
+    'I'/'U'/'c'/'u' unchanged). Within the batch only each key's LATEST
+    change applies: an update superseded by a delete deletes; a delete
+    superseded by a re-insert survives. Deletes of absent keys are no-ops.
+
+    Plan shape: latest-per-key is a grouped ``max(struct(seq, ...))`` —
+    partial-aggregated map-side, so a hot key's change storm collapses
+    BEFORE the shuffle (a window rank would shuffle every change row).
+    Then one full-outer null-safe key join against the snapshot — the same
+    single shuffle ``merge_upsert`` pays.
+
+    Returns the next snapshot in the target's column order.
+    """
+    t_cols = target.columns
+    expected = set(t_cols) | {seq_col, op_col}
+    if set(changes.columns) != expected:
+        raise ValueError(
+            f"apply_cdc: changes columns {sorted(changes.columns)} != target+seq+op {sorted(expected)}"
+        )
+    missing = [k for k in key_cols if k not in t_cols]
+    if missing:
+        raise ValueError(f"apply_cdc: key columns {missing} not in target schema")
+    if seq_col in t_cols or op_col in t_cols:
+        raise ValueError(f"apply_cdc: {seq_col!r}/{op_col!r} must not collide with target columns")
+
+    payload = [c for c in changes.columns if c not in key_cols and c != seq_col]
+    pick = F.struct(F.col(seq_col), *[F.col(c) for c in payload])
+    latest = (
+        changes.groupBy(*key_cols)
+        .agg(F.max(pick).alias("_s"))
+        .select(*key_cols, *[F.col(f"_s.{c}").alias(c) for c in payload])
+    )
+
+    tgt = target.alias("__ct__")
+    src = latest.withColumn(_MARK, F.lit(True)).alias("__cs__")
+    cond = [F.col(f"__ct__.{k}").eqNullSafe(F.col(f"__cs__.{k}")) for k in key_cols]
+    joined = tgt.join(src, cond, "full_outer")
+    is_change = F.col(f"__cs__.{_MARK}").isNotNull()
+    is_delete = is_change & (F.col(f"__cs__.{op_col}") == delete_op)
+    out = []
+    for c in t_cols:
+        s, t = F.col(f"__cs__.{c}"), F.col(f"__ct__.{c}")
+        if c in key_cols:
+            out.append(F.coalesce(s, t).alias(c))
+        else:
+            out.append(F.when(is_change, s).otherwise(t).alias(c))
+    return joined.filter(~is_delete).select(*out)

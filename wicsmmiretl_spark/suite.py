@@ -6358,6 +6358,95 @@ def q_part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_cdc_apply",
+    """
+    WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+    chg AS (
+      SELECT c_custkey AS k, c_name AS name, c_acctbal + 100 AS bal,
+             CAST(1 AS BIGINT) AS seq, 'U' AS op
+      FROM customer WHERE c_custkey % 10 = 5
+      UNION ALL
+      SELECT c_custkey, NULL, NULL, CAST(2 AS BIGINT), 'D'
+      FROM customer WHERE c_custkey % 20 = 15
+      UNION ALL
+      SELECT c_custkey + 1000000, 'new_' || CAST(c_custkey AS VARCHAR),
+             CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT), 'I'
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 2000000, NULL, NULL, CAST(1 AS BIGINT), 'D'
+      FROM customer WHERE c_custkey % 50 = 7
+    ),
+    latest AS (
+      SELECT k, name, bal, op FROM (
+        SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM chg
+      ) WHERE rn = 1
+    ),
+    merged AS (
+      SELECT coalesce(l.k, b.c_custkey) AS c_custkey,
+             CASE WHEN l.op IS NOT NULL THEN l.name ELSE b.c_name END AS c_name,
+             CASE WHEN l.op IS NOT NULL THEN l.bal ELSE b.c_acctbal END AS c_acctbal,
+             l.op AS _op
+      FROM base b FULL OUTER JOIN latest l ON b.c_custkey = l.k
+    )
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+    FROM merged WHERE coalesce(_op, '') <> 'D'
+    """,
+)
+def q_customer_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC batch apply with deletes, latest-wins (the binlog-consumer
+    MERGE shape `merge_upsert` leaves out): a synthetic change batch —
+    updates at seq 1, superseding deletes at seq 2, inserts, deletes of
+    absent keys — applied to the customer snapshot. Latest-per-key is a
+    partial-aggregated max(struct); the apply is one full-outer null-safe
+    key join; superseded updates vanish, absent-key deletes are no-ops
+    (operators/merge.py:apply_cdc)."""
+    from wicsmmiretl_spark.operators.merge import apply_cdc
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select("c_custkey", "c_name", "c_acctbal")
+    k = F.col("c_custkey")
+    chg = (
+        cust.filter(k % 10 == 5)
+        .select(
+            k.alias("c_custkey"),
+            F.col("c_name"),
+            (F.col("c_acctbal") + 100).alias("c_acctbal"),
+            F.lit(1).cast("long").alias("seq"),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            cust.filter(k % 20 == 15).select(
+                k.alias("c_custkey"),
+                F.lit(None).cast("string").alias("c_name"),
+                F.lit(None).cast("double").alias("c_acctbal"),
+                F.lit(2).cast("long").alias("seq"),
+                F.lit("D").alias("op"),
+            )
+        )
+        .unionByName(
+            cust.filter(k % 10 == 0).select(
+                (k + 1000000).alias("c_custkey"),
+                F.concat(F.lit("new_"), k.cast("string")).alias("c_name"),
+                F.lit(0.0).alias("c_acctbal"),
+                F.lit(1).cast("long").alias("seq"),
+                F.lit("I").alias("op"),
+            )
+        )
+        .unionByName(
+            cust.filter(k % 50 == 7).select(
+                (k + 2000000).alias("c_custkey"),
+                F.lit(None).cast("string").alias("c_name"),
+                F.lit(None).cast("double").alias("c_acctbal"),
+                F.lit(1).cast("long").alias("seq"),
+                F.lit("D").alias("op"),
+            )
+        )
+    )
+    nxt = apply_cdc(base, chg, ["c_custkey"], "seq", "op", delete_op="D")
+    return nxt.select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -6410,6 +6499,7 @@ _DEFERRED_QUERIES = (
     "user_value_ewma",          # per-key EWMA; window_rank_events + event_funnel in-window cover user-keyed windows
     "streaming_static_enrich",  # stream-static broadcast join; streaming_tumbling in-window covers the streaming agg path
     "part_entity_resolution",   # record-linkage capstone; part_name_neighborhood_pairs in-window is the blocking half
+    "customer_cdc_apply",       # CDC apply w/ deletes; orders_pit_attributes in-window covers merge-family validity joins
     "daily_purchase_auc",       # grouped rank-sum AUC; purchase_auc in-window is the same estimator, global path
     "bm25_ndcg",                # ranking eval over bm25's output; doc_tfidf_similar_pairs in-window covers the tf/idf weighting
     "user_selfjoin_size_estimate", # CMS join-size estimate; event_type_skew_profile in-window covers join diagnostics
