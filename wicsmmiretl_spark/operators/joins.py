@@ -411,3 +411,42 @@ def fuzzy_match(
         .filter(F.col("_best").isNotNull())
         .select(*df.columns, F.col("_best.probe").alias("probe"), F.col("_best.dist").alias("dist"))
     )
+
+
+def null_bypass_join(
+    left: DataFrame, right: DataFrame, keys: Sequence[str], how: str = "left"
+) -> DataFrame:
+    """Equi-join that routes NULL-key rows AROUND the shuffle — the classic
+    fix for null-key skew in fact-to-dimension enrichment.
+
+    SQL equality can never match a NULL key, yet a plain left join still
+    hashes every null-key fact into ONE shuffle partition (all NULLs share
+    a hash) before passing it through unmatched. In real fact streams the
+    "no dimension id" slice is routinely 10-30% of rows, so at 100 TB that
+    single partition IS the straggler. This operator splits the fact side
+    at the scan: non-null rows take the ordinary equi-join; null-key rows
+    skip the exchange entirely and come back with NULL dimension columns —
+    byte-identical output to the plain join (the oracle IS the plain
+    join), minus the hot partition. ``how='inner'`` simply drops them.
+
+    Both branches read one scan (Spark reuses it); the union is a no-shuffle
+    concatenation. Keys must exist on both sides (same-name equi-join).
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"null_bypass_join: how must be 'left' or 'inner', got {how!r}")
+    missing = [k for k in keys if k not in left.columns or k not in right.columns]
+    if missing:
+        raise ValueError(f"null_bypass_join: keys {missing} missing from a side")
+    any_null = None
+    for k in keys:
+        c = F.col(k).isNull()
+        any_null = c if any_null is None else (any_null | c)
+    matched = left.filter(~any_null).join(right, list(keys), how)
+    if how == "inner":
+        return matched
+    payload = [f for f in right.schema.fields if f.name not in keys]
+    bypass = left.filter(any_null).select(
+        *left.columns,
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in payload],
+    )
+    return matched.unionByName(bypass)

@@ -6447,6 +6447,50 @@ def q_customer_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nxt.select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
 
 
+@query(
+    "events_null_bypass_enrich",
+    """
+    WITH f AS (
+      SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS user_id, value
+      FROM events
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(round(f.value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS sum_value
+    FROM f LEFT JOIN customer c ON f.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_events_null_bypass_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-key skew enrichment: a seventh of the fact rows carry a NULL
+    dimension id (synthesized — the testdata has no nulls), and the
+    null-bypass join routes them around the shuffle instead of hashing
+    them all into one partition. The oracle is the PLAIN left join — the
+    bypass must be a pure optimization (operators/joins.py:
+    null_bypass_join). Grouped by the attached segment (NULL = bypassed
+    slice) with an exact scaled sum."""
+    from wicsmmiretl_spark.operators.joins import null_bypass_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "value",
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = null_bypass_join(ev, dim, ["user_id"], how="left")
+    return enriched.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            F.sum(F.round(F.col("value") * 1000000).cast("long")).cast("double")
+            / F.lit(1000000.0),
+            4,
+        ).alias("sum_value"),
+    )
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -6500,6 +6544,7 @@ _DEFERRED_QUERIES = (
     "streaming_static_enrich",  # stream-static broadcast join; streaming_tumbling in-window covers the streaming agg path
     "part_entity_resolution",   # record-linkage capstone; part_name_neighborhood_pairs in-window is the blocking half
     "customer_cdc_apply",       # CDC apply w/ deletes; orders_pit_attributes in-window covers merge-family validity joins
+    "events_null_bypass_enrich", # null-key skew bypass; large_quantity_orders + nation_trade_volume in-window cover J1 joins
     "daily_purchase_auc",       # grouped rank-sum AUC; purchase_auc in-window is the same estimator, global path
     "bm25_ndcg",                # ranking eval over bm25's output; doc_tfidf_similar_pairs in-window covers the tf/idf weighting
     "user_selfjoin_size_estimate", # CMS join-size estimate; event_type_skew_profile in-window covers join diagnostics
