@@ -838,3 +838,26 @@ def test_null_bypass_join_equals_plain_join(spark):
         null_bypass_join(facts, dim, ["k"], how="full")
     with pytest.raises(ValueError):
         null_bypass_join(facts, dim, ["missing"])
+
+
+def test_table_fingerprint_order_independent_and_sensitive(spark):
+    """The fingerprint triple is invariant under repartitioning/row order,
+    changes when any value, row, or duplicate multiplicity changes, and
+    distinguishes NULL from '' via the sentinel."""
+    from wicsmmiretl_spark.operators.aggregates import table_fingerprint
+
+    rows = [(1, "a"), (2, "b"), (3, None)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    fp = lambda d: tuple(table_fingerprint(d, ["id", "s"]).collect()[0])
+
+    base = fp(df)
+    assert base == fp(df.repartition(7)) == fp(df.orderBy("s"))
+    assert base != fp(spark.createDataFrame([(1, "a"), (2, "b"), (3, "")], "id long, s string"))
+    assert base != fp(spark.createDataFrame(rows[:2], "id long, s string"))
+    assert base != fp(spark.createDataFrame(rows + [(1, "a")], "id long, s string"))
+    assert base[0] == 3
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        table_fingerprint(df, ["nope"])

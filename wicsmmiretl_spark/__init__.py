@@ -80,6 +80,7 @@ from wicsmmiretl_spark.operators.aggregates import (
     spearman_corr,
     null_count,
     skew_report,
+    table_fingerprint,
     target_encode,
     trailing_aggregate,
 )
@@ -234,6 +235,7 @@ __all__ = [
     "hll_merge",
     "hll_estimate",
     "profile_table",
+    "table_fingerprint",
     "robust_outliers",
     "resample_ffill",
     # sampling / splits

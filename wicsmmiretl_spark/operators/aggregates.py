@@ -1487,3 +1487,39 @@ def histogram_quantiles(hist: DataFrame, qs: Sequence[float], buckets: int) -> D
             6,
         ).alias("value"),
     )
+
+
+def table_fingerprint(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Order-independent table checksum — the anti-entropy primitive for
+    cross-system reconciliation (does the migrated/replicated copy hold
+    EXACTLY these rows?) without moving or sorting any data.
+
+    Per row: md5 over the '\\x1f'-joined column values (NULL → a '\\x00'
+    sentinel no real cast produces, so NULL ≠ '' ≠ 'NULL'); the first 15
+    hex chars (60 bits) become an integer digest. Two commutative folds
+    summarize the multiset:
+
+    * ``checksum_sum`` — Σ digests in decimal(38) (no overflow before
+      ~10²⁰ rows);
+    * ``checksum_xor`` — XOR of digests (catches the pair-swap class sum
+      misses... and vice versa: XOR alone misses even-multiplicity dups).
+
+    Both folds are commutative+associative, so the result is independent
+    of partitioning, row order, and engine — comparing two (n_rows, sum,
+    xor) triples decides row-multiset equality with collision probability
+    ~n²/2⁶⁰ per fold, and the two folds fail independently. One scan, one
+    partial-aggregated reduce to a single row; at 100 TB the only bytes
+    that cross the wire are per-partition partial states.
+    """
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"table_fingerprint: columns {missing} not in {df.columns}")
+    joined = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in columns]
+    )
+    digest = F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+    return df.select(digest.alias("_d")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("_d").cast("decimal(38,0)")).alias("checksum_sum"),
+        F.bit_xor("_d").alias("checksum_xor"),
+    )

@@ -6491,6 +6491,42 @@ def q_events_null_bypass_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_table_fingerprint",
+    """
+    WITH d AS (
+      SELECT ('0x' || substr(md5(concat_ws(chr(31),
+               coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
+               coalesce(CAST(c_name AS VARCHAR), chr(0)),
+               coalesce(CAST(c_nationkey AS VARCHAR), chr(0)),
+               coalesce(CAST(c_acctbal AS VARCHAR), chr(0)),
+               coalesce(CAST(c_mktsegment AS VARCHAR), chr(0)))), 1, 15))::BIGINT AS d
+      FROM customer
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(d) AS DECIMAL(38,0)) AS checksum_sum,
+           bit_xor(d) AS checksum_xor
+    FROM d
+    """,
+)
+def q_customer_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum for cross-system reconciliation:
+    commutative sum + xor folds over per-row md5 digests, partitioning- and
+    engine-independent by construction — the oracle computing the SAME
+    triple from the same parquet IS the reconciliation protocol in action
+    (operators/aggregates.py:table_fingerprint).
+
+    Cross-engine cast note: c_acctbal renders via a double→string cast on
+    both engines; both produce the shortest round-trip decimal for these
+    values (pinned by the hash match)."""
+    from wicsmmiretl_spark.operators.aggregates import table_fingerprint
+
+    cust = _t(spark, sf_dir, "customer")
+    return table_fingerprint(
+        cust, ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    )
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -6545,6 +6581,7 @@ _DEFERRED_QUERIES = (
     "part_entity_resolution",   # record-linkage capstone; part_name_neighborhood_pairs in-window is the blocking half
     "customer_cdc_apply",       # CDC apply w/ deletes; orders_pit_attributes in-window covers merge-family validity joins
     "events_null_bypass_enrich", # null-key skew bypass; large_quantity_orders + nation_trade_volume in-window cover J1 joins
+    "customer_table_fingerprint", # reconciliation checksum; documents_profile family in-window covers one-pass table stats
     "daily_purchase_auc",       # grouped rank-sum AUC; purchase_auc in-window is the same estimator, global path
     "bm25_ndcg",                # ranking eval over bm25's output; doc_tfidf_similar_pairs in-window covers the tf/idf weighting
     "user_selfjoin_size_estimate", # CMS join-size estimate; event_type_skew_profile in-window covers join diagnostics
