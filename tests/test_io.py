@@ -264,3 +264,23 @@ def test_events_epoch_is_utc_even_from_non_utc_session(spark):
         "SELECT min(epoch_us(ts)) FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
     ).fetchone()[0]
     assert got == want
+
+
+def test_read_parquet_evolved_unions_additive_schemas(spark, tmp_path):
+    """Files written before and after a column addition read as one frame on
+    the union schema, old files yielding NULL for the new column; the plain
+    reader (no mergeSchema) would pick a single file's schema instead."""
+    from pyspark.sql import functions as F
+
+    from wicsmmiretl_spark.sources.io import read_parquet_evolved
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(v1)
+    spark.createDataFrame([(2, "b", 9.5)], "id long, s string, score double").write.parquet(v2)
+
+    df = read_parquet_evolved(spark, v1, v2)
+    assert set(df.columns) == {"id", "s", "score"}
+    rows = {(r.id, r.s, r.score) for r in df.collect()}
+    assert rows == {(1, "a", None), (2, "b", 9.5)}
+    assert df.filter(F.col("score").isNull()).count() == 1

@@ -79,6 +79,20 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """S4 with schema evolution: read parquet written across schema
+    versions (columns added over time) as ONE DataFrame on the union
+    schema — files missing a column yield NULLs for it.
+
+    ``mergeSchema`` is off by default in Spark because it footer-scans
+    every file at planning time; a long-lived 100 TB dataset turns that
+    into a real planning cost, so this entry point makes the trade
+    explicit instead of flipping the session default. Incompatible type
+    changes for a same-named column still (correctly) fail the read —
+    evolution here means ADDITIVE."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
     """S5: columnar sink. ``partition_by`` enables partition pruning at scale."""
     writer = df.write.mode(mode)
