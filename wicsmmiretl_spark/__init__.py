@@ -86,6 +86,7 @@ from wicsmmiretl_spark.operators.aggregates import (
 )
 from wicsmmiretl_spark.operators.decontaminate import ngram_contamination
 from wicsmmiretl_spark.operators.dedup import (
+    content_defined_chunks,
     dup_clusters,
     exact_dedup,
     jaccard_pairs,
@@ -251,6 +252,7 @@ __all__ = [
     "weighted_sample",
     # dedup
     "exact_dedup",
+    "content_defined_chunks",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "lsh_probe_pairs",

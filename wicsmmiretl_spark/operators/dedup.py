@@ -876,3 +876,83 @@ def semantic_dedup(
         F.col("cell"),
         F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
     )
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/FastCDC boundary scheme —
+    public literature: Muthitacharoen et al. 2001, Xia et al. 2016): cut a
+    chunk wherever the rolling ``k``-gram hash ≡ 0 (mod ``divisor``),
+    giving chunks of EXPECTED length ``divisor`` whose boundaries depend
+    only on local content. The property fixed-size chunking lacks: an
+    insertion shifts at most the chunk it lands in — every other boundary
+    re-synchronizes, so chunk-hash dedup finds shared content across
+    document revisions and near-copies at sub-document granularity.
+
+    Distributed shape: per-position k-gram hashing (the corpus-character
+    explode every shingling operator here pays) is a map-side filter that
+    keeps only the ~1/divisor boundary positions, so the ONE per-document
+    window (ordered lag to pair consecutive boundaries) shuffles boundary
+    rows, never text. Chunk text is cut AFTER an id-keyed join back to the
+    document — the corpus crosses that exchange once, as in any text
+    shuffle. Normalization mirrors winnowing (lowercase, strip
+    non-alphanumerics, first 2²⁰ chars — documented truncation).
+
+    No min/max chunk bound is enforced: FastCDC's min/max guards are
+    sequential per document; the pure content rule keeps every position
+    independent (the parallelism this operator exists for) at the price of
+    occasional short/long chunks — the standard trade, documented.
+
+    Output: id_col, chunk_idx (int, 0-based), chunk_hash (md5 hex of the
+    chunk text), chunk_len (int). Documents shorter than ``k`` normalized
+    chars emit nothing.
+    """
+    if k < 2:
+        raise ValueError(f"content_defined_chunks: k must be >= 2, got {k}")
+    if divisor < 2:
+        raise ValueError(f"content_defined_chunks: divisor must be >= 2, got {divisor}")
+    max_len = 1 << 20
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    base = (
+        df.select(F.col(id_col), F.substring(norm, 1, max_len).alias("_s"))
+        .withColumn("_len", F.length("_s").cast("long"))
+        .filter(F.col("_len") >= k)
+        # Feeds both the boundary scan and the final cut join — pin it so
+        # the normalization runs once.
+        .localCheckpoint(eager=False)
+    )
+    grams = base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("_len") - F.lit(k - 1))).alias("pos"),
+        "_s",
+    )
+    ghash = F.conv(
+        F.substring(F.md5(F.col("_s").substr(F.col("pos"), F.lit(k))), 1, 8), 16, 10
+    ).cast("long")
+    ends = (
+        grams.filter(ghash % divisor == 0)
+        .select(id_col, (F.col("pos") + F.lit(k - 1)).alias("_end"))
+        .union(base.select(id_col, F.col("_len").alias("_end")))
+        .distinct()
+    )
+    wl = Window.partitionBy(id_col).orderBy("_end")
+    spans = ends.select(
+        id_col,
+        "_end",
+        (F.coalesce(F.lag("_end").over(wl), F.lit(0)) + F.lit(1)).alias("_start"),
+        (F.row_number().over(wl) - F.lit(1)).cast("int").alias("chunk_idx"),
+    )
+    chunk = F.col("_s").substr(
+        F.col("_start").cast("int"), (F.col("_end") - F.col("_start") + 1).cast("int")
+    )
+    return spans.join(base, [id_col]).select(
+        id_col,
+        "chunk_idx",
+        F.md5(chunk).alias("chunk_hash"),
+        (F.col("_end") - F.col("_start") + 1).cast("int").alias("chunk_len"),
+    )

@@ -6527,6 +6527,63 @@ def q_customer_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_chunk_dedup_stats",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 1048576) AS s
+      FROM documents
+    ),
+    b AS (SELECT doc_id, s, CAST(len(s) AS BIGINT) AS L FROM norm WHERE len(s) >= 8),
+    g AS (SELECT doc_id, L, unnest(generate_series(1, L - 7)) AS pos, s FROM b),
+    e0 AS (
+      SELECT doc_id, pos + 7 AS e FROM g
+      WHERE ('0x' || substr(md5(substr(s, pos, 8)), 1, 8))::BIGINT % 64 = 0
+      UNION
+      SELECT doc_id, L FROM b
+    ),
+    sp AS (
+      SELECT doc_id, e,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS st
+      FROM e0
+    ),
+    ch AS (
+      SELECT md5(substr(s, CAST(st AS INT), CAST(e - st + 1 AS INT))) AS chunk_hash,
+             e - st + 1 AS chunk_len
+      FROM sp JOIN b USING (doc_id)
+    ),
+    hg AS (SELECT chunk_hash, CAST(count(*) AS BIGINT) AS cnt FROM ch GROUP BY 1)
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(count(*) FILTER (cnt > 1) AS BIGINT) AS n_dup_chunks,
+           CAST(max(cnt) AS BIGINT) AS max_dup,
+           CAST((SELECT sum(chunk_len) FROM ch) AS BIGINT) AS total_len
+    FROM hg
+    """,
+)
+def q_doc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (rsync/FastCDC boundaries, k=8, expected
+    chunk 64 chars) over the corpus, summarized as chunk-level dedup
+    evidence: total/distinct/duplicated chunk hashes and the hottest
+    chunk's multiplicity. The shift-resistant complement to winnowing:
+    boundaries re-synchronize after an edit, so shared spans dedup at
+    sub-document granularity (operators/dedup.py:content_defined_chunks)."""
+    from wicsmmiretl_spark.operators.dedup import content_defined_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = content_defined_chunks(docs, "doc_id", "text", k=8, divisor=64)
+    hg = ch.groupBy("chunk_hash").agg(F.count("*").alias("cnt"))
+    tot = ch.agg(F.sum("chunk_len").cast("long").alias("total_len"))
+    return hg.agg(
+        F.sum("cnt").cast("long").alias("n_chunks"),
+        F.count("*").cast("long").alias("n_distinct_chunks"),
+        F.count(F.when(F.col("cnt") > 1, 1)).cast("long").alias("n_dup_chunks"),
+        F.max("cnt").cast("long").alias("max_dup"),
+    ).crossJoin(tot).select(
+        "n_chunks", "n_distinct_chunks", "n_dup_chunks", "max_dup", "total_len"
+    )
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -6582,6 +6639,7 @@ _DEFERRED_QUERIES = (
     "customer_cdc_apply",       # CDC apply w/ deletes; orders_pit_attributes in-window covers merge-family validity joins
     "events_null_bypass_enrich", # null-key skew bypass; large_quantity_orders + nation_trade_volume in-window cover J1 joins
     "customer_table_fingerprint", # reconciliation checksum; documents_profile family in-window covers one-pass table stats
+    "doc_chunk_dedup_stats",    # content-defined chunking; doc_winnowing_stats in-window covers per-char k-gram fingerprints
     "daily_purchase_auc",       # grouped rank-sum AUC; purchase_auc in-window is the same estimator, global path
     "bm25_ndcg",                # ranking eval over bm25's output; doc_tfidf_similar_pairs in-window covers the tf/idf weighting
     "user_selfjoin_size_estimate", # CMS join-size estimate; event_type_skew_profile in-window covers join diagnostics
