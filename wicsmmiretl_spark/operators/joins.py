@@ -429,8 +429,12 @@ def null_bypass_join(
     byte-identical output to the plain join (the oracle IS the plain
     join), minus the hot partition. ``how='inner'`` simply drops them.
 
-    Both branches read one scan (Spark reuses it); the union is a no-shuffle
-    concatenation. Keys must exist on both sides (same-name equi-join).
+    Each branch scans the fact source with ITS OWN pushed-down null/not-null
+    predicate (verified: two parquet scans in the plan, not one reused scan
+    plus a post-filter) — row-group null-count stats let either scan skip
+    wholesale, which beats sharing one unfiltered scan. The union is a
+    no-shuffle concatenation. Keys must exist on both sides (same-name
+    equi-join).
     """
     if how not in ("left", "inner"):
         raise ValueError(f"null_bypass_join: how must be 'left' or 'inner', got {how!r}")
