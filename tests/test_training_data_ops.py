@@ -247,3 +247,50 @@ def test_kfold_assign_balanced_and_stable(spark):
         (i, int(hashlib.md5(f"{i}:9".encode()).hexdigest()[:8], 16) % 4) for i, _ in rows
     }
     assert flat == expect_flat
+
+
+def test_token_budget_sample_exact_and_monotone(spark):
+    """Per-source budgets hold exactly (kept size <= budget), under-budget
+    sources keep everything, zero budget drops a source, assignment is
+    partitioning-invariant, and raising a budget only ADDS rows."""
+    import pytest
+
+    from wicsmmiretl_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, f"s{i % 3}", 10 + (i * 7) % 50) for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, src string, sz long")
+
+    kept = token_budget_sample(
+        df, "src", "sz", {"s0": 100, "s1": 10**9}, ["id"], seed=3, default_budget=200
+    )
+    got = {r.id for r in kept.collect()}
+    got_re = {
+        r.id
+        for r in token_budget_sample(
+            df.repartition(11), "src", "sz", {"s0": 100, "s1": 10**9}, ["id"], seed=3,
+            default_budget=200,
+        ).collect()
+    }
+    assert got == got_re
+    sums = {}
+    for i, s, z in rows:
+        if i in got:
+            sums[s] = sums.get(s, 0) + z
+    assert sums["s0"] <= 100 and sums["s2"] <= 200
+    assert sums["s1"] == sum(z for i, s, z in rows if s == "s1")  # under budget
+
+    # Zero budget drops the source entirely.
+    none_kept = token_budget_sample(df, "src", "sz", {"s0": 0}, ["id"], seed=3)
+    assert none_kept.filter("src = 's0'").count() == 0
+
+    # Monotone: a bigger budget is a superset.
+    bigger = {
+        r.id
+        for r in token_budget_sample(
+            df, "src", "sz", {"s0": 300, "s1": 10**9}, ["id"], seed=3, default_budget=400
+        ).collect()
+    }
+    assert got <= bigger
+
+    with pytest.raises(ValueError):
+        token_budget_sample(df, "src", "sz", {"s0": -1}, ["id"])

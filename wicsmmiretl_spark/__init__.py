@@ -131,6 +131,7 @@ from wicsmmiretl_spark.operators.sampling import (
     quantile_bins,
     stable_index,
     stratified_sample,
+    token_budget_sample,
     top_k,
     train_test_split,
     weighted_sample,
@@ -248,6 +249,7 @@ __all__ = [
     "top_k",
     "stratified_sample",
     "mix_corpus",
+    "token_budget_sample",
     "cap_per_group",
     "weighted_sample",
     # dedup

@@ -432,3 +432,53 @@ def kfold_assign(
     order = [F.asc_nulls_last(prefix)] + [F.asc(c) for c in key_cols]
     w = Window.partitionBy(*part).orderBy(*order)
     return df.withColumn(out_col, ((F.row_number().over(w) - F.lit(1)) % F.lit(k)).cast("int"))
+
+
+def token_budget_sample(
+    df: DataFrame,
+    source_col: str,
+    size_col: str,
+    budgets: dict[str, int],
+    key_cols: Sequence[str],
+    seed: int = 1312,
+    default_budget: int = 0,
+) -> DataFrame:
+    """EXACT per-source budget sampling: keep a seeded-random prefix of each
+    source's rows whose cumulative ``size_col`` (tokens/chars/bytes) stays
+    within that source's budget — the "take N billion tokens of source X"
+    step of assembling a pretraining mixture, with a hard guarantee instead
+    of :func:`mix_corpus`'s in-expectation fractions.
+
+    Rule: rows are ordered per source by their md5 hash prefix (seeded,
+    repartition-stable, engine-replayable — :func:`_hash_prefix`) with
+    ``key_cols`` as the tiebreak; a row is kept iff the running total
+    INCLUDING it is ≤ the budget. Later rows never displace earlier ones,
+    so membership is stable under budget increases (a bigger budget only
+    ADDS rows — the property dataset versioning wants). A row larger than
+    the entire budget is dropped. Over-budget sources are cut exactly;
+    under-budget sources keep everything.
+
+    Cost: ONE source-keyed window shuffle (running sum). Hot-source skew:
+    a single source's rows land in one task's window — the same bound
+    every per-source operator here carries; with O(10) sources and 100 TB,
+    split hot sources upstream or mix with the fraction-based sampler.
+
+    Output: input columns unchanged, filtered.
+    """
+    if any(b < 0 for b in budgets.values()) or default_budget < 0:
+        raise ValueError("token_budget_sample: budgets must be >= 0")
+    prefix = _hash_prefix(key_cols, seed)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.asc(prefix), *[F.asc(c) for c in key_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col(size_col).cast("long")).over(w)
+    budget = F.lit(int(default_budget))
+    for s, b in sorted(budgets.items()):
+        budget = F.when(F.col(source_col) == s, F.lit(int(b))).otherwise(budget)
+    return (
+        df.withColumn("_cum", cum)
+        .filter(F.col("_cum") <= budget)
+        .drop("_cum")
+    )

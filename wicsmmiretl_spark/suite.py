@@ -6584,6 +6584,53 @@ def q_doc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "token_budget_mix",
+    """
+    WITH o AS (
+      SELECT source, n_chars,
+             sum(n_chars) OVER (PARTITION BY source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':5'), 1, 8) ASC, doc_id ASC
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    ),
+    k AS (
+      SELECT source, n_chars FROM o
+      WHERE cum <= CASE source WHEN 'src0' THEN 100000
+                               WHEN 'src1' THEN 0
+                               WHEN 'src2' THEN 2000
+                               ELSE 4000 END
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM k GROUP BY source
+    """,
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-source size budgets ("take N chars of source X"): seeded
+    md5-prefix order per source, keep while the running total fits — the
+    hard-guarantee complement to `corpus_mix`'s in-expectation
+    fractions. src0 is under budget (keeps everything), src1 is zeroed
+    out, src2 and the default are cut mid-stream. One source-keyed window
+    shuffle (operators/sampling.py:token_budget_sample)."""
+    from wicsmmiretl_spark.operators.sampling import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = token_budget_sample(
+        docs,
+        "source",
+        "n_chars",
+        budgets={"src0": 100000, "src1": 0, "src2": 2000},
+        key_cols=["doc_id"],
+        seed=5,
+        default_budget=4000,
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -6640,6 +6687,7 @@ _DEFERRED_QUERIES = (
     "events_null_bypass_enrich", # null-key skew bypass; large_quantity_orders + nation_trade_volume in-window cover J1 joins
     "customer_table_fingerprint", # reconciliation checksum; documents_profile family in-window covers one-pass table stats
     "doc_chunk_dedup_stats",    # content-defined chunking; doc_winnowing_stats in-window covers per-char k-gram fingerprints
+    "token_budget_mix",         # exact per-source budgets; corpus_mix in-window is the in-expectation form
     "daily_purchase_auc",       # grouped rank-sum AUC; purchase_auc in-window is the same estimator, global path
     "bm25_ndcg",                # ranking eval over bm25's output; doc_tfidf_similar_pairs in-window covers the tf/idf weighting
     "user_selfjoin_size_estimate", # CMS join-size estimate; event_type_skew_profile in-window covers join diagnostics
