@@ -88,6 +88,7 @@ from wicsmmiretl_spark.operators.decontaminate import ngram_contamination
 from wicsmmiretl_spark.operators.dedup import (
     content_defined_chunks,
     dup_clusters,
+    duplicated_span_stats,
     exact_dedup,
     jaccard_pairs,
     jaccard_prefix_join,
@@ -136,7 +137,8 @@ from wicsmmiretl_spark.operators.sampling import (
     train_test_split,
     weighted_sample,
 )
-from wicsmmiretl_spark.operators.sequences import ewma, transition_matrix
+from wicsmmiretl_spark.operators.sequences import ewma, frequent_sequences, transition_matrix
+from wicsmmiretl_spark.operators.skyline import skyline_2d
 from wicsmmiretl_spark.operators.sets import union_checked
 from wicsmmiretl_spark.operators.similarity import (
     cosine_pairs,
@@ -188,6 +190,9 @@ __all__ = [
     "survival_curve",
     "transition_matrix",
     "ewma",
+    "frequent_sequences",
+    "skyline_2d",
+    "duplicated_span_stats",
     "dq_report",
     "dq_gate",
     "key_skew_profile",

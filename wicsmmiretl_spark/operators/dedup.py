@@ -956,3 +956,97 @@ def content_defined_chunks(
         F.md5(chunk).alias("chunk_hash"),
         (F.col("_end") - F.col("_start") + 1).cast("int").alias("chunk_len"),
     )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Per-document EXACT duplicated-substring coverage at token-k-gram
+    granularity — the ExactSubstr half of training-data dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    public literature): a token position is "duplicated" if it lies
+    inside any k-token gram that also occurs in at least one OTHER
+    document. Overlapping/adjacent duplicated grams merge into maximal
+    spans, so the output is the per-document count of distinct copied
+    regions and the fraction of tokens they cover — the signal used to
+    drop or trim boilerplate-heavy documents.
+
+    * Cross-document only: a gram repeated solely within one document is
+      NOT duplication here (intra-doc repetition is ``repetition_stats``'
+      job). The duplicate test is min(doc) ≠ max(doc) per gram — exact
+      for the ≥2-distinct-docs predicate in ONE aggregation pass, no
+      count-distinct.
+    * Tokens are the suite-wide whitespace tokens; grams are md5'd over a
+      0x1F-joined window, so the join key is a fixed 32-char hash however
+      long the tokens are, and identical across engines.
+    * Documents with fewer than k tokens (or no cross-doc gram) surface
+      with zero spans — the operator reports on EVERY document.
+
+    100 TB shape: one explode to ~n_tokens gram rows (positions ride
+    along), one gram-keyed hash agg (partial agg collapses within-
+    partition repeats map-side), one gram-keyed semi join back, then the
+    islands merge via ``intervals.merge_intervals`` on the doc-keyed
+    window — the same exchange every per-doc operator pays. No driver
+    state, no per-row Python.
+
+    Output: id_col, n_tokens, n_dup_spans, dup_tokens bigint,
+    dup_frac double (6dp).
+    """
+    if k < 2:
+        raise ValueError(f"duplicated_span_stats: k must be >= 2, got {k}")
+    if id_col not in df.columns or text_col not in df.columns:
+        raise ValueError(
+            f"duplicated_span_stats: need {id_col!r}, {text_col!r} in {df.columns}"
+        )
+    from wicsmmiretl_spark.operators.intervals import merge_intervals
+
+    base = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), tokens(text_col).alias("_tk")
+    )
+    per_doc = base.select("_id", F.size("_tk").cast("bigint").alias("n_tokens"))
+    grams = base.filter(F.size("_tk") >= k).select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_tk") - k),
+                lambda i: F.struct(
+                    i.cast("bigint").alias("pos"),
+                    F.md5(
+                        F.concat_ws("\x1f", F.slice(F.col("_tk"), i + 1, k))
+                    ).alias("gram"),
+                ),
+            )
+        ).alias("_g"),
+    ).select("_id", F.col("_g.pos").alias("pos"), F.col("_g.gram").alias("gram"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.min("_id").alias("_a"), F.max("_id").alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .select("gram")
+    )
+    covered = grams.join(dup, "gram", "left_semi").select(
+        "_id", "pos", (F.col("pos") + k).alias("pos_end")  # half-open
+    )
+    spans = merge_intervals(covered, ["_id"], "pos", "pos_end").groupBy("_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+    )
+    return (
+        per_doc.join(spans, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+                )
+            )
+            .alias("dup_frac"),
+        )
+    )

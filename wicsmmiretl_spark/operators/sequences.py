@@ -138,3 +138,90 @@ def ewma(
     )
     den = F.aggregate(F.slice(warr, 1, n), F.lit(0.0), lambda acc, x: acc + x)
     return df.withColumn(out_col, F.round(num / den, round_dp))
+
+
+def frequent_sequences(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+    max_len: int = 3,
+    min_support: float = 0.01,
+    sep: str = ">",
+) -> DataFrame:
+    """Frequent CONTIGUOUS state sequences (lengths 2..max_len) with key
+    support — the sequential-pattern half of basket mining (contiguous
+    n-gram specialization of PrefixSpan, Pei et al. 2001, public
+    literature): which journeys ("view>click>purchase") a meaningful
+    fraction of users actually walk.
+
+    * Support = distinct keys whose ordered event stream contains the
+      sequence at least once, over all keys with ≥1 non-null event —
+      multiplicity within a key does NOT inflate support (the standard
+      sequence-mining definition).
+    * Order within a key is (ts, tiebreak) — the suite-wide total-order
+      contract, so equal timestamps cannot produce partition-dependent
+      successors.
+    * ``max_len`` is a plan-time constant (one lead() per extra position,
+      all over the SAME window spec → ONE shuffle keyed by ``key_col``,
+      the exchange sessionization/funnel/transition-matrix already pay).
+
+    100 TB shape: the only full-data operations are that one key-keyed
+    window and a (key, seq) distinct whose partial agg dedups map-side;
+    the support table is ≤ |states|^max_len rows. No driver loop, no
+    candidate generation — contiguity makes the Apriori lattice a
+    single scan.
+
+    Output: seq string, k int (sequence length), n_keys bigint,
+    support double (6dp), descending by n_keys then seq.
+    """
+    if max_len < 2:
+        raise ValueError(f"frequent_sequences: max_len must be >= 2, got {max_len}")
+    if not (0.0 <= min_support <= 1.0):
+        raise ValueError(
+            f"frequent_sequences: min_support must be in [0, 1], got {min_support}"
+        )
+    for c in (key_col, ts_col, state_col, tiebreak_col):
+        if c not in df.columns:
+            raise ValueError(f"frequent_sequences: column {c!r} not in {df.columns}")
+    base = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(state_col).isNotNull()
+    )
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(tiebreak_col))
+    steps = base.select(
+        F.col(key_col).alias("_k"),
+        F.col(state_col).alias("_s0"),
+        *[
+            F.lead(state_col, i).over(w).alias(f"_s{i}")
+            for i in range(1, max_len)
+        ],
+    )
+    grams = []
+    for k in range(2, max_len + 1):
+        cols = [F.col(f"_s{i}") for i in range(k)]
+        grams.append(
+            steps.filter(cols[-1].isNotNull()).select(
+                "_k",
+                F.concat_ws(sep, *cols).alias("seq"),
+                F.lit(k).alias("k"),
+            )
+        )
+    allg = grams[0]
+    for g in grams[1:]:
+        allg = allg.unionByName(g)
+    total = base.agg(F.countDistinct(key_col).alias("_n"))
+    counts = (
+        allg.dropDuplicates(["_k", "seq", "k"])
+        .groupBy("seq", "k")
+        .agg(F.count("*").alias("n_keys"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))  # 1-row denominator, lazy
+        .withColumn("support", F.round(F.col("n_keys") / F.col("_n"), 6))
+        .filter(F.col("support") >= min_support)
+        .drop("_n")
+        .orderBy(F.desc("n_keys"), F.asc("seq"))
+    )
