@@ -52,6 +52,8 @@ from wicsmmiretl_spark.functions.text import (
 from wicsmmiretl_spark.operators.aggregates import (
     ab_test_stats,
     category_entropy,
+    chi_square_independence,
+    weighted_quantiles,
     column_stats,
     cms_estimate,
     cms_heavy_hitters,
@@ -120,7 +122,7 @@ from wicsmmiretl_spark.operators.merge import apply_cdc, merge_scd2, merge_upser
 from wicsmmiretl_spark.operators.pruning import bloom_prune, bloom_semi_filter, bloom_words
 from wicsmmiretl_spark.operators.quality import dq_gate, dq_report, key_skew_profile
 from wicsmmiretl_spark.operators.packing import chunk_documents, pack_sequences
-from wicsmmiretl_spark.operators.ranking import association_pairs, bm25_rank, inverted_index, ndcg_at_k, rrf_fuse, tfidf_cosine_pairs
+from wicsmmiretl_spark.operators.ranking import association_pairs, bm25_rank, inverted_index, ndcg_at_k, retrieval_metrics, rrf_fuse, tfidf_cosine_pairs
 from wicsmmiretl_spark.operators.graph import bfs_levels, connected_components, pagerank, shortest_paths, triangle_stats
 from wicsmmiretl_spark.operators.sampling import (
     cap_per_group,
@@ -142,6 +144,7 @@ from wicsmmiretl_spark.operators.skyline import skyline_2d
 from wicsmmiretl_spark.operators.sets import union_checked
 from wicsmmiretl_spark.operators.similarity import (
     cosine_pairs,
+    random_projection,
     cosine_topk,
     hyperplane_lsh_topk,
     hyperplane_pairs,
@@ -193,6 +196,10 @@ __all__ = [
     "frequent_sequences",
     "skyline_2d",
     "duplicated_span_stats",
+    "chi_square_independence",
+    "weighted_quantiles",
+    "random_projection",
+    "retrieval_metrics",
     "dq_report",
     "dq_gate",
     "key_skew_profile",

@@ -1523,3 +1523,166 @@ def table_fingerprint(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         F.sum(F.col("_d").cast("decimal(38,0)")).alias("checksum_sum"),
         F.bit_xor("_d").alias("checksum_xor"),
     )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns (Pearson 1900, public literature) plus Cramér's V effect
+    size — the categorical×categorical leg of the stats family (the
+    Pearson matrix covers numeric×numeric, grouped OLS numeric←numeric,
+    Welch A/B numeric×binary).
+
+    χ² = Σ_cells (O − E)² / E over the FULL r×c contingency grid —
+    including zero-observation cells (their E-sized contribution is
+    where sparse-association signal lives); E = row_total·col_total/n.
+    Cramér's V = sqrt(χ² / (n · min(r−1, c−1))) ∈ [0, 1].
+
+    Determinism: observed counts and marginals are exact bigints; each
+    cell's contribution is computed in double FROM those integers with
+    the same expression in any engine, rounded to ``scale`` units and
+    summed as bigint — order-independent. E is (ra·cb)/n with the
+    product in double (marginal products overflow int64 at petabyte row
+    counts). V derives from the already-6dp-rounded χ².
+
+    100 TB shape: ONE full-data shuffle (the (a, b) hash agg, combiner-
+    backed). Marginals, the dense r·c grid (categorical cardinalities,
+    not data volume), and the final fold run on cell counts only. NULL
+    in either column excludes the row (no-information, not a level).
+
+    Output (one row): n bigint, r int, c int, dof int, chi2 double
+    (6dp), cramers_v double (6dp, NULL when dof = 0).
+    """
+    for c in (a_col, b_col):
+        if c not in df.columns:
+            raise ValueError(
+                f"chi_square_independence: column {c!r} not in {df.columns}"
+            )
+    obs = (
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+        .agg(F.count("*").alias("_o"))
+    )
+    ra = obs.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    cb = obs.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    tot = obs.agg(F.sum("_o").alias("_n"))
+    e = F.col("_ra").cast("double") * F.col("_cb") / F.col("_n")
+    grid = (
+        ra.crossJoin(cb)
+        .join(obs, ["_a", "_b"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("_n"),
+            F.coalesce("_o", F.lit(0)).alias("_o"),
+            e.alias("_e"),
+        )
+    )
+    contrib = F.round(
+        (F.col("_o") - F.col("_e")) * (F.col("_o") - F.col("_e"))
+        / F.col("_e") * scale
+    ).cast("long")
+    folded = grid.agg(
+        F.max("_n").alias("n"),
+        F.sum(contrib).alias("_sc"),
+    )
+    r_df = ra.agg(F.count("*").cast("int").alias("r"))
+    c_df = cb.agg(F.count("*").cast("int").alias("c"))
+    dof = (F.col("r") - 1) * (F.col("c") - 1)
+    chi2 = F.round(F.col("_sc") / scale, 6)
+    return (
+        folded.crossJoin(F.broadcast(r_df))
+        .crossJoin(F.broadcast(c_df))
+        .select(
+            "n",
+            "r",
+            "c",
+            dof.alias("dof"),
+            chi2.alias("chi2"),
+            F.when(
+                dof > 0,
+                F.round(
+                    F.sqrt(
+                        chi2
+                        / (
+                            F.col("n")
+                            * F.least(F.col("r") - 1, F.col("c") - 1)
+                        )
+                    ),
+                    6,
+                ),
+            ).alias("cramers_v"),
+        )
+    )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact weight-fraction quantiles: for each q, the smallest value v
+    such that rows with value ≤ v carry at least a q-fraction of the
+    total weight. The training-data form of a percentile — "what doc-
+    length cutoff keeps 90% of the CHARS" is a weighted quantile of
+    length by char count, not a row-count percentile (a handful of huge
+    docs can hold half the corpus mass).
+
+    Weights must be non-negative and integral (they are cast to bigint;
+    char/token/byte counts are the intended inputs) — the cumulative
+    sums are then exact, and the only doubles are the q·total thresholds
+    computed identically in any engine. Rows with NULL value/weight or
+    negative weight are excluded.
+
+    100 TB shape: ONE full-data shuffle (the value-level hash agg,
+    combiner-backed), then the offsets-pattern cumulative sum over the
+    distinct levels (range-repartition + partition-local window +
+    broadcast per-partition sums — no single-partition window), and one
+    final fold. All requested qs share the one cumsum.
+
+    Output: q double, value (input type) — ascending by q.
+    """
+    if not qs:
+        raise ValueError("weighted_quantiles: qs must be non-empty")
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"weighted_quantiles: q must be in (0, 1], got {q}")
+    for c in (value_col, weight_col):
+        if c not in df.columns:
+            raise ValueError(f"weighted_quantiles: column {c!r} not in {df.columns}")
+    w = F.col(weight_col).cast("long")
+    levels = (
+        df.filter(F.col(value_col).isNotNull() & w.isNotNull() & (w >= 0))
+        .groupBy(value_col)
+        .agg(F.sum(w).alias("_w"))
+    )
+    cum = _ordered_cumsum(levels, value_col, "_w", "cum")
+    total = cum.agg(F.max("cum").alias("_total"))
+    with_total = cum.crossJoin(F.broadcast(total))
+    picks = with_total.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.lit(float(q)) * F.col("_total"),
+                    F.col(value_col),
+                )
+            ).alias(f"_v{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    return picks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q"), F.col(f"_v{i}").alias("value")
+                    )
+                    for i, q in enumerate(qs)
+                ]
+            )
+        ).alias("_p")
+    ).select("_p.q", "_p.value").orderBy("q")

@@ -475,3 +475,74 @@ def ndcg_at_k(
             F.round(F.col("_dcg").cast("double") / F.col("_idcg"), 6),
         ).alias("ndcg"),
     )
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Binary-relevance retrieval metrics at k for ONE query: hits@k,
+    precision@k, recall@k, and reciprocal rank (MRR's single-query
+    numerator) — the set-based complement to ``ndcg_at_k``'s graded
+    ranking quality (standard IR eval, Manning/Raghavan/Schütze IIR
+    ch. 8, public literature).
+
+    ``relevant`` is the id-set of relevant documents (one column,
+    ``id_col``; extra columns ignored). Ties in ``score_col`` are broken
+    by ``id_col`` ascending — the suite-wide total-order contract.
+
+    Scale shape (mirrors ndcg_at_k): the ranking side is top-k by
+    construction (TakeOrderedAndProject — k rows cross the wire, never a
+    full sort); the k ranked ids broadcast into a semi-filter over the
+    relevance table, which is never shuffled or broadcast whole; n_rel
+    is one map-side count. Position assignment is a window over k rows.
+
+    Output (one row): k int, n_rel bigint, hits bigint, precision double,
+    recall double (NULL when n_rel = 0), rr double — all 6dp.
+    """
+    if k < 1:
+        raise ValueError(f"retrieval_metrics: k must be >= 1, got {k}")
+    for c, df_, nm in (
+        (id_col, ranked, "ranked"),
+        (score_col, ranked, "ranked"),
+        (id_col, relevant, "relevant"),
+    ):
+        if c not in df_.columns:
+            raise ValueError(
+                f"retrieval_metrics: column {c!r} not in {nm} {df_.columns}"
+            )
+    top = (
+        ranked.orderBy(F.desc(score_col), F.asc(id_col))
+        .limit(k)
+        .localCheckpoint(eager=False)
+    )
+    rel_ids = relevant.select(id_col).distinct()
+    rel_k = rel_ids.join(F.broadcast(top.select(id_col)), id_col, "left_semi")
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    marked = (
+        top.join(F.broadcast(rel_k.withColumn("_rel", F.lit(1))), id_col, "left")
+        .select(
+            F.row_number().over(w).alias("_pos"),
+            F.coalesce("_rel", F.lit(0)).alias("_rel"),
+        )
+    )
+    folded = marked.agg(
+        F.sum("_rel").cast("long").alias("hits"),
+        F.min(F.when(F.col("_rel") == 1, F.col("_pos"))).alias("_first"),
+    )
+    n_rel = rel_ids.agg(F.count("*").alias("n_rel"))
+    return folded.crossJoin(F.broadcast(n_rel)).select(
+        F.lit(k).alias("k"),
+        "n_rel",
+        "hits",
+        F.round(F.col("hits") / k, 6).alias("precision"),
+        F.when(
+            F.col("n_rel") > 0, F.round(F.col("hits") / F.col("n_rel"), 6)
+        ).alias("recall"),
+        F.round(
+            F.coalesce(1.0 / F.col("_first"), F.lit(0.0)), 6
+        ).alias("rr"),
+    )

@@ -855,3 +855,96 @@ def pq_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int = 16,
+    seed: int = 0,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Dimensionality reduction by a seeded ±1 random projection
+    (Johnson & Lindenstrauss 1984; Achlioptas 2003's database-friendly
+    sign matrices — public literature): project ``in_dim`` → ``out_dim``
+    with component_j = Σ_i sign(seed, j, i) · v_i. Pairwise distances/
+    cosines are preserved to (1 ± ε) w.h.p., which is the cheap front
+    half of every embedding pipeline here — shrink 64-dim vectors before
+    LSH banding, IVF training, or brute-force re-rank.
+
+    * Signs come from md5("{seed}_{j}_{i}") (first hex digit < 8 → +1),
+      so the matrix is a pure function of the seed — identical in any
+      engine, no stored model, re-runnable on any partitioning.
+    * The matrix enters the plan as ``out_dim`` LITERAL int arrays
+      (out_dim·in_dim plan constants), and each component is an exact
+      bigint fold of sign·round(v·scale) — no float-sum order
+      dependence, no shuffle: the projection is MAP-ONLY and whole-stage
+      codegen'd. At 1000 executors it scales embarrassingly.
+    * Vectors whose length ≠ ``in_dim`` fail the plan with an explicit
+      error (a silent zip_with truncation would corrupt geometry).
+
+    Output: id_col, j int (0..out_dim-1), comp double (6dp) — long
+    format, one row per output component.
+    """
+    import hashlib
+
+    if in_dim < 1 or out_dim < 1:
+        raise ValueError(
+            f"random_projection: dims must be >= 1, got in={in_dim} out={out_dim}"
+        )
+    for c in (id_col, vec_col):
+        if c not in df.columns:
+            raise ValueError(f"random_projection: column {c!r} not in {df.columns}")
+
+    def sign(j: int, i: int) -> int:
+        h = hashlib.md5(f"{seed}_{j}_{i}".encode()).hexdigest()
+        return 1 if int(h[0], 16) < 8 else -1
+
+    sign_rows = [
+        F.array(*[F.lit(sign(j, i)) for i in range(in_dim)])
+        for j in range(out_dim)
+    ]
+    checked = F.when(
+        F.size(vec_col) != in_dim,
+        F.raise_error(
+            F.concat(
+                F.lit(f"random_projection: expected {in_dim}-dim vector, got "),
+                F.size(vec_col).cast("string"),
+            )
+        ).cast(df.schema[vec_col].dataType),
+    ).otherwise(F.col(vec_col))
+    # float → double BEFORE the scale multiply, mirrored by an explicit
+    # CAST AS DOUBLE in any SQL oracle — float*int arithmetic would stay
+    # in float32 and round differently.
+    svec = F.transform(
+        checked, lambda v: F.round(v.cast("double") * scale).cast("long")
+    )
+    comps = [
+        F.aggregate(
+            F.zip_with(svec, sign_rows[j], lambda v, s: v * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"_c{j}")
+        for j in range(out_dim)
+    ]
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .select(id_col, *comps)
+        .select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.round(F.col(f"_c{j}") / scale, 6).alias("comp"),
+                        )
+                        for j in range(out_dim)
+                    ]
+                )
+            ).alias("_p"),
+        )
+        .select(id_col, "_p.j", "_p.comp")
+    )

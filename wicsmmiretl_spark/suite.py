@@ -6749,6 +6749,173 @@ def q_doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_stats(docs, "doc_id", "text", k=8)
 
 
+@query(
+    "doc_lang_source_chi2",
+    """
+    WITH obs AS (SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS o
+                 FROM documents
+                 WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+    ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM obs GROUP BY 1),
+    cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM obs GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+    grid AS (SELECT n, COALESCE(o, 0) AS o, CAST(ra.ra AS DOUBLE) * cb.cb / n AS e
+             FROM ra CROSS JOIN cb CROSS JOIN tot
+             LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b),
+    f AS (SELECT max(n) AS n,
+                 CAST(sum(CAST(round((o - e) * (o - e) / e * 1000000000)
+                               AS BIGINT)) AS BIGINT) AS sc
+          FROM grid),
+    rc AS (SELECT CAST(count(*) AS INT) AS r FROM ra),
+    cc AS (SELECT CAST(count(*) AS INT) AS c FROM cb)
+    SELECT n, r, c, CAST((r - 1) * (c - 1) AS INT) AS dof,
+           round(sc / 1000000000.0, 6) AS chi2,
+           CASE WHEN (r - 1) * (c - 1) > 0
+                THEN round(sqrt(round(sc / 1000000000.0, 6)
+                                / (n * least(r - 1, c - 1))), 6) END AS cramers_v
+    FROM f CROSS JOIN rc CROSS JOIN cc
+    """,
+)
+def q_doc_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test (+ Cramér's V) of document
+    language vs source — the categorical×categorical leg of the stats
+    family. The full r×c grid includes zero-observation cells (the
+    sf0.01 slice genuinely has three); per-cell contributions are
+    scaled-bigint-summed from exact integer marginals, so the statistic
+    is partition- and engine-independent
+    (operators/aggregates.py:chi_square_independence)."""
+    from wicsmmiretl_spark.operators.aggregates import chi_square_independence
+
+    docs = _t(spark, sf_dir, "documents")
+    return chi_square_independence(docs, "lang", "source")
+
+
+@query(
+    "doc_char_weighted_quantiles",
+    """
+    WITH lv AS (SELECT n_chars AS value, CAST(sum(n_chars) AS BIGINT) AS w
+                FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+                GROUP BY 1),
+    c AS (SELECT value, CAST(sum(w) OVER (ORDER BY value) AS BIGINT) AS cum FROM lv),
+    t AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM lv)
+    SELECT q, min(value) AS value
+    FROM c CROSS JOIN t
+         CROSS JOIN (SELECT unnest(CAST([0.25, 0.5, 0.75, 0.9, 0.99]
+                                        AS DOUBLE[])) AS q)
+    WHERE cum >= q * total
+    GROUP BY q ORDER BY q
+    """,
+)
+def q_doc_char_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-mass-weighted length quantiles: the smallest doc length whose
+    at-or-below population carries ≥ q of the corpus's total characters
+    — "what cutoff keeps 90% of the chars", the weighted percentile a
+    token-budgeted pipeline actually needs (a row-count percentile
+    under-weighs the huge-doc tail). Exact bigint cumsums via the
+    offsets pattern; all five qs share one pass
+    (operators/aggregates.py:weighted_quantiles)."""
+    from wicsmmiretl_spark.operators.aggregates import weighted_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_quantiles(
+        docs, "n_chars", "n_chars", qs=(0.25, 0.5, 0.75, 0.9, 0.99)
+    )
+
+
+@query(
+    "embedding_projection",
+    """
+    WITH u AS (SELECT vec_id, CAST(i AS INT) AS i,
+                      CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+                           AS BIGINT) AS sv
+               FROM embeddings, UNNEST(range(0, len(embedding))) AS r(i)
+               WHERE vec_id IS NOT NULL),
+    s AS (SELECT CAST(j AS INT) AS j, CAST(i AS INT) AS i,
+                 CASE WHEN substr(md5('0_' || j || '_' || i), 1, 1) <= '7'
+                      THEN 1 ELSE -1 END AS sg
+          FROM range(16) r1(j), range(64) r2(i))
+    SELECT u.vec_id, s.j,
+           round(CAST(sum(u.sv * s.sg) AS BIGINT) / 1000000.0, 6) AS comp
+    FROM u JOIN s USING (i)
+    GROUP BY 1, 2
+    """,
+)
+def q_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection of the 64-dim
+    embeddings to 16 components, long format: the md5-seeded sign
+    matrix is a plan literal, each component an exact bigint fold of
+    sign·round(v·1e6) — map-only, zero shuffle, whole-stage codegen'd
+    (the oracle pays an unnest join; the engine doesn't)
+    (operators/similarity.py:random_projection)."""
+    from wicsmmiretl_spark.operators.similarity import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return random_projection(emb, "vec_id", "embedding", in_dim=64, out_dim=16)
+
+
+@query(
+    "bm25_retrieval_metrics",
+    r"""
+    WITH toks AS (SELECT doc_id, {toks} AS toks FROM documents),
+    lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens),
+    tf AS (
+      SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT t.doc_id, l.dl, unnest(t.toks) AS token
+            FROM toks t JOIN lens l ON t.doc_id = l.doc_id)
+      WHERE token IN ('dup', 'vector', 'sort')
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             round( ln(1 + (n - df + 0.5) / (df + 0.5))
+                    * tf * (1.2 + 1)
+                    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl
+                                   / (CAST(sum_dl AS DOUBLE) / n))), 7) AS s
+      FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+    ),
+    ranked AS (
+      SELECT doc_id, CAST(sum(CAST(round(s * 10000000.0) AS BIGINT)) AS BIGINT)
+                     / 10000000.0 AS bm25
+      FROM scored GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    ),
+    topk AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS pos
+             FROM ranked ORDER BY bm25 DESC, doc_id ASC LIMIT 10),
+    rel AS (SELECT doc_id FROM toks
+            WHERE list_contains(toks, 'dup') AND list_contains(toks, 'vector')),
+    nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM rel),
+    m AS (SELECT CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS hits,
+                 min(CASE WHEN r.doc_id IS NOT NULL THEN pos END) AS first
+          FROM topk LEFT JOIN rel r USING (doc_id))
+    SELECT CAST(10 AS INT) AS k, n_rel, hits,
+           round(hits / 10.0, 6) AS "precision",
+           CASE WHEN n_rel > 0 THEN round(hits / CAST(n_rel AS DOUBLE), 6) END AS recall,
+           round(COALESCE(1.0 / first, 0.0), 6) AS rr
+    FROM m CROSS JOIN nr
+    """.replace("{toks}", _SQL_TOKS),
+)
+def q_bm25_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/hits@10 and reciprocal rank of the BM25@20
+    ranking for query (dup, vector, sort) against binary relevance =
+    "contains BOTH rare terms dup AND vector" (n_rel = 20 at sf0.01 —
+    non-degenerate: p@10 = 0.6, rr = 1/3). Completes the eval family:
+    AUC scores a score, calibration its meaning, NDCG a graded ranking,
+    this the binary set view
+    (operators/ranking.py:retrieval_metrics)."""
+    from wicsmmiretl_spark.operators.ranking import bm25_rank, retrieval_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    ranked = bm25_rank(docs, ["dup", "vector", "sort"], k=20)
+    tk = F.array_distinct(tokens("text"))
+    relevant = docs.filter(
+        F.array_contains(tk, "dup") & F.array_contains(tk, "vector")
+    ).select("doc_id")
+    return retrieval_metrics(ranked, relevant, k=10, id_col="doc_id", score_col="bm25")
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -6819,6 +6986,10 @@ _DEFERRED_QUERIES = (
     "part_size_price_skyline",  # 2-D Pareto front; window_rank_events + cheapest_supplier (rank-per-group) are the nearest in-window extremum ops
     "event_frequent_paths",     # contiguous sequence mining; event_transition_matrix (in-window) walks the same user-keyed lead() window
     "doc_dup_span_stats",       # exact substring-dedup coverage; doc_winnowing_stats (in-window) fingerprints the same k-gram stream
+    "doc_lang_source_chi2",     # categorical chi-square; events_category_entropy + lineitem_corr_matrix cover the stats family in-window
+    "doc_char_weighted_quantiles", # weight-fraction quantiles; doc_len_quantile_norm (in-window) is the rank-normalization twin
+    "embedding_projection",     # JL sign projection; embedding_centroids (in-window) covers exact vector arithmetic
+    "bm25_retrieval_metrics",   # binary IR eval; purchase_auc + purchase_calibration (in-window) cover the eval family
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
