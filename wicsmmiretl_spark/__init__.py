@@ -88,6 +88,7 @@ from wicsmmiretl_spark.operators.aggregates import (
 )
 from wicsmmiretl_spark.operators.decontaminate import ngram_contamination
 from wicsmmiretl_spark.operators.dedup import (
+    containment_pairs,
     content_defined_chunks,
     dup_clusters,
     duplicated_span_stats,
@@ -139,11 +140,12 @@ from wicsmmiretl_spark.operators.sampling import (
     train_test_split,
     weighted_sample,
 )
-from wicsmmiretl_spark.operators.sequences import ewma, frequent_sequences, transition_matrix
+from wicsmmiretl_spark.operators.sequences import ewma, frequent_sequences, time_weighted_avg, transition_matrix
 from wicsmmiretl_spark.operators.skyline import skyline_2d
 from wicsmmiretl_spark.operators.sets import union_checked
 from wicsmmiretl_spark.operators.similarity import (
     cosine_pairs,
+    kcenter_select,
     random_projection,
     cosine_topk,
     hyperplane_lsh_topk,
@@ -200,6 +202,9 @@ __all__ = [
     "weighted_quantiles",
     "random_projection",
     "retrieval_metrics",
+    "containment_pairs",
+    "time_weighted_avg",
+    "kcenter_select",
     "dq_report",
     "dq_gate",
     "key_skew_profile",

@@ -1050,3 +1050,106 @@ def duplicated_span_stats(
             .alias("dup_frac"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.6,
+    min_df: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """ASYMMETRIC set-containment pairs over word k-shingles (Broder
+    1997's containment coefficient, public literature): containment of A
+    in B = |shingles(A) ∩ shingles(B)| / |shingles(A)|. The quote/
+    excerpt detector Jaccard cannot be: a 50-token doc fully embedded in
+    a 5000-token doc has Jaccard ≈ 0.01 but containment 1.0 — exactly
+    the nested-duplication mode (quoted posts, boilerplate wrappers,
+    chapter-in-book) a training-data dedup pass must see.
+
+    * Candidate generation is an equi-join on shingle hash, banded by
+      document frequency: shingles with df < ``min_df`` pair with
+      nothing (dropped for free), shingles with df > ``max_df`` are
+      corpus boilerplate whose pair fan-out is df² — they are excluded
+      from BOTH the intersection and the candidate set, and the same
+      band is part of the operator's contract (an oracle applying it
+      reproduces results exactly; the df band is a semantic parameter,
+      not an approximation knob).
+    * Sizes |A| count ALL distinct shingles (pre-band) — containment
+      stays interpretable against the full document.
+    * A pair surfaces when EITHER direction reaches ``threshold``; both
+      directions are reported.
+
+    100 TB shape: one explode → distinct (doc, shingle) hash agg
+    (map-side dedup), one shingle-keyed df agg, one shingle-keyed
+    self-join whose fan-out is capped at max_df per shingle, one
+    (a, b) hash agg. No driver state; skew is bounded by construction.
+
+    Output: id_a < id_b, inter bigint, size_a, size_b bigint,
+    cont_a, cont_b double (6dp).
+    """
+    if k < 1:
+        raise ValueError(f"containment_pairs: k must be >= 1, got {k}")
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            f"containment_pairs: threshold must be in (0, 1], got {threshold}"
+        )
+    if min_df < 2 or max_df < min_df:
+        raise ValueError(
+            f"containment_pairs: need 2 <= min_df <= max_df, got {min_df}, {max_df}"
+        )
+    if id_col not in df.columns or text_col not in df.columns:
+        raise ValueError(
+            f"containment_pairs: need {id_col!r}, {text_col!r} in {df.columns}"
+        )
+    base = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), tokens(text_col).alias("_tk")
+    )
+    sh = (
+        base.filter(F.size("_tk") >= k)
+        .select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_tk") - k),
+                    lambda i: F.md5(F.concat_ws("\x1f", F.slice(F.col("_tk"), i + 1, k))),
+                )
+            ).alias("sh"),
+        )
+        .dropDuplicates(["_id", "sh"])
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
+    band = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("_df"))
+        .filter((F.col("_df") >= min_df) & (F.col("_df") <= max_df))
+        .select("sh")
+    )
+    banded = sh.join(band, "sh", "left_semi")
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), "sh")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = F.col("inter") / F.col("size_a")
+    cb = F.col("inter") / F.col("size_b")
+    return (
+        pairs.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("sz", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("sz", "size_b"), "id_b")
+        .filter(F.greatest(ca, cb) >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "size_a",
+            "size_b",
+            F.round(ca, 6).alias("cont_a"),
+            F.round(cb, 6).alias("cont_b"),
+        )
+    )

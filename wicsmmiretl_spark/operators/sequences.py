@@ -225,3 +225,73 @@ def frequent_sequences(
         .drop("_n")
         .orderBy(F.desc("n_keys"), F.asc("seq"))
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-key TIME-weighted average of an irregularly-sampled value —
+    the telemetry mean: each observation holds until the next one
+    (left-continuous step function), so a value that persisted for an
+    hour weighs 3600× one that lasted a second. The row-mean answers
+    "average of the readings"; this answers "average of the signal".
+
+    twa = Σ v_i · (t_{i+1} − t_i) / (t_last − t_first) over each key's
+    (ts, tiebreak)-ordered stream. The last observation of a key carries
+    no duration (nothing follows it) and keys with a single observation
+    (or zero total duration) are excluded — the operator reports
+    averages over INTERVALS, and those keys have none.
+
+    Determinism: values scale to bigints, durations are exact
+    microsecond bigints, and their products accumulate in decimal(38,0)
+    (value·duration can exceed int64 at month-long gaps) — one exact
+    division at the end, rounded 6dp.
+
+    100 TB shape: ONE shuffle keyed by ``key_col`` (the lead() window —
+    the same exchange sessionize/funnel/transition-matrix pay), then the
+    per-key agg rides the same partitioning (no second exchange).
+
+    Output: key_col, n_events bigint (observations, including the
+    closing one), twa double (6dp).
+    """
+    for c in (key_col, ts_col, value_col, tiebreak_col):
+        if c not in df.columns:
+            raise ValueError(f"time_weighted_avg: column {c!r} not in {df.columns}")
+    base = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    tu = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(F.asc(tu), F.asc(tiebreak_col))
+    stepped = base.select(
+        F.col(key_col).alias("_k"),
+        F.round(F.col(value_col).cast("double") * scale).cast("long").alias("_sv"),
+        (F.lead(tu).over(w) - tu).alias("_dt"),
+    )
+    agg = (
+        stepped.groupBy("_k")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_dt").isNotNull(),
+                    F.col("_sv").cast("decimal(38,0)") * F.col("_dt"),
+                )
+            ).alias("_num"),
+            F.sum("_dt").alias("_den"),
+            F.count("*").alias("n_events"),
+        )
+        .filter(F.col("_den") > 0)
+    )
+    return agg.select(
+        F.col("_k").alias(key_col),
+        "n_events",
+        F.round(
+            F.col("_num").cast("double") / F.col("_den") / scale, 6
+        ).alias("twa"),
+    )

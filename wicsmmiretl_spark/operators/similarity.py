@@ -948,3 +948,91 @@ def random_projection(
         )
         .select(id_col, "_p.j", "_p.comp")
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Greedy k-center (farthest-point-first) selection over an embedding
+    column — the classic 2-approximation to the k-center cover (Gonzalez
+    1985; used as core-set data selection, Sener & Savarese ICLR 2018 —
+    public literature): start from the smallest id, then repeatedly take
+    the point FARTHEST from everything chosen so far. The result is a
+    maximally-diverse size-k sample — the diversity complement to the
+    md5/weighted samplers (which are distribution-preserving, not
+    coverage-seeking).
+
+    * Distances are squared L2 over ``round(v·scale)`` bigints — exact
+      integer arithmetic, so the argmax (ties broken by smallest id) is
+      partition- and engine-independent, and an engine replaying the
+      same greedy rule reproduces the identical selection.
+    * The running state is ONE column: each point's min squared distance
+      to the chosen set, updated per round against only the NEWEST
+      center (min of mins — the standard incremental trick), then
+      localCheckpointed to truncate lineage. Per round: one map over the
+      points + one TakeOrderedAndProject(1) — a single row crosses the
+      driver per center, k·dim driver traffic total (the BPE/Lloyd
+      collect discipline).
+    * k is the iteration count by construction — 8-64 in practice; each
+      round is a full map scan, so cost is k·O(n/cores) with no shuffle
+      at all (the scan is map-only; the argmax is a top-1).
+
+    Output: step int (1..k, selection order), id_col — row 1 is the
+    seed, row i the point farthest from rows 1..i-1.
+    """
+    if k < 1:
+        raise ValueError(f"kcenter_select: k must be >= 1, got {k}")
+    for c in (id_col, vec_col):
+        if c not in df.columns:
+            raise ValueError(f"kcenter_select: column {c!r} not in {df.columns}")
+    pts = (
+        df.filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.transform(
+                vec_col, lambda v: F.round(v.cast("double") * scale).cast("long")
+            ).alias("_sv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    seed = pts.select(F.min("_id").alias("_id")).collect()[0]["_id"]
+    if seed is None:
+        return df.sparkSession.createDataFrame([], f"step: int, {id_col}: bigint")
+    chosen: list = [seed]
+    seed_vec = pts.filter(F.col("_id") == seed).collect()[0]["_sv"]
+
+    def d2_to(center: list) -> "F.Column":
+        carr = F.array(*[F.lit(int(x)) for x in center])
+        return F.aggregate(
+            F.zip_with(F.col("_sv"), carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    state = pts.select("_id", "_sv", d2_to(seed_vec).alias("_mind")).localCheckpoint(
+        eager=False
+    )
+    while len(chosen) < k:
+        far = (
+            state.filter(~F.col("_id").isin(chosen))
+            .orderBy(F.desc("_mind"), F.asc("_id"))
+            .limit(1)
+            .collect()
+        )
+        if not far:
+            break  # fewer distinct points than k
+        nxt, nxt_vec = far[0]["_id"], far[0]["_sv"]
+        chosen.append(nxt)
+        if len(chosen) < k:
+            state = state.select(
+                "_id", "_sv", F.least("_mind", d2_to(nxt_vec)).alias("_mind")
+            ).localCheckpoint(eager=False)
+    rows = [(i + 1, cid) for i, cid in enumerate(chosen)]
+    schema_id_type = df.schema[id_col].dataType.simpleString()
+    return df.sparkSession.createDataFrame(
+        rows, f"step: int, {id_col}: {schema_id_type}"
+    )

@@ -6916,6 +6916,125 @@ def q_bm25_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_metrics(ranked, relevant, k=10, id_col="doc_id", score_col="bm25")
 
 
+@query(
+    "doc_containment_pairs",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+               FROM documents WHERE doc_id IS NOT NULL),
+    sh AS (SELECT DISTINCT doc_id, md5(array_to_string(tk[i+1:i+3], chr(31))) AS sh
+           FROM t, UNNEST(range(0, len(tk) - 3 + 1)) AS r(i)),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+    band AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND 50),
+    f AS (SELECT s.doc_id, s.sh FROM sh s JOIN band USING (sh)),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(count(*) AS BIGINT) AS inter
+              FROM f a JOIN f b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+           round(inter / CAST(sa.sz AS DOUBLE), 6) AS cont_a,
+           round(inter / CAST(sb.sz AS DOUBLE), 6) AS cont_b
+    FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+    WHERE greatest(inter / CAST(sa.sz AS DOUBLE),
+                   inter / CAST(sb.sz AS DOUBLE)) >= 0.6
+    """,
+)
+def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric set-containment pairs over word 3-shingles — the
+    quote/excerpt detector Jaccard cannot be (a short doc fully embedded
+    in a long one has tiny Jaccard but containment 1.0). Candidates come
+    from a df-banded shingle equi-join (band [2, 50] caps per-shingle
+    fan-out and is part of the contract, mirrored by the oracle); sizes
+    count all distinct shingles pre-band
+    (operators/dedup.py:containment_pairs)."""
+    from wicsmmiretl_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.6, min_df=2, max_df=50
+    )
+
+
+@query(
+    "user_value_twa",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS tu,
+                      CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS sv,
+                      event_id
+               FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+    d AS (SELECT user_id, sv,
+                 lead(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) - tu AS dt
+          FROM e),
+    a AS (SELECT user_id,
+                 CAST(sum(CASE WHEN dt IS NOT NULL
+                               THEN CAST(sv AS HUGEINT) * dt END) AS HUGEINT) AS num,
+                 CAST(sum(dt) AS BIGINT) AS den,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM d GROUP BY 1)
+    SELECT user_id, n_events,
+           round(CAST(num AS DOUBLE) / den / 1000000.0, 6) AS twa
+    FROM a WHERE den > 0
+    """,
+)
+def q_user_value_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-weighted mean of the event value (left-continuous
+    step function: each reading holds until the next): the telemetry
+    mean a row-average misstates whenever sampling is irregular.
+    Value·duration products accumulate in decimal(38,0) from exact
+    scaled bigints; ONE user-keyed shuffle, the agg rides the window's
+    partitioning (operators/sequences.py:time_weighted_avg)."""
+    from wicsmmiretl_spark.operators.sequences import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "user_id", "ts", "value", "event_id")
+
+
+@query(
+    "embedding_kcenter",
+    """
+    WITH RECURSIVE
+    sel(step, ids) AS (
+      SELECT 1, [(SELECT min(vec_id) FROM embeddings)]
+      UNION ALL
+      SELECT step + 1, list_append(ids, (
+        SELECT e.vec_id
+        FROM embeddings e
+        WHERE NOT list_contains(sel.ids, e.vec_id)
+        ORDER BY (
+          SELECT min(list_sum(list_transform(list_zip(e.embedding, s.embedding),
+                     x -> (CAST(round(CAST(x[1] AS DOUBLE) * 1000000) AS BIGINT)
+                           - CAST(round(CAST(x[2] AS DOUBLE) * 1000000) AS BIGINT)) ** 2)))
+          FROM embeddings s
+          WHERE list_contains(sel.ids, s.vec_id)
+        ) DESC, e.vec_id ASC
+        LIMIT 1
+      ))
+      FROM sel
+      WHERE step < 8
+    ),
+    final AS (SELECT ids FROM sel ORDER BY step DESC LIMIT 1)
+    SELECT CAST(i + 1 AS INT) AS step, ids[i + 1] AS vec_id
+    FROM final, UNNEST(range(0, len(ids))) AS r(i)
+    ORDER BY step
+    """,
+)
+def q_embedding_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point-first) selection of 8 maximally-
+    diverse embeddings — core-set data selection, the diversity
+    complement to the distribution-preserving samplers. Exact scaled-
+    bigint squared-L2, smallest-id seed and tiebreaks, so the greedy
+    trajectory is engine-independent — the oracle replays it as a
+    recursive CTE. Per round: one map-only scan updating the running
+    min-distance column against the newest center + a top-1; one row
+    crosses the driver per center
+    (operators/similarity.py:kcenter_select)."""
+    from wicsmmiretl_spark.operators.similarity import kcenter_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kcenter_select(emb, "vec_id", "embedding", k=8)
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -6990,6 +7109,9 @@ _DEFERRED_QUERIES = (
     "doc_char_weighted_quantiles", # weight-fraction quantiles; doc_len_quantile_norm (in-window) is the rank-normalization twin
     "embedding_projection",     # JL sign projection; embedding_centroids (in-window) covers exact vector arithmetic
     "bm25_retrieval_metrics",   # binary IR eval; purchase_auc + purchase_calibration (in-window) cover the eval family
+    "doc_containment_pairs",    # asymmetric containment join; doc_tfidf_similar_pairs (in-window) is the df-banded token self-join twin
+    "user_value_twa",           # time-weighted mean; event_transition_matrix (in-window) pays the same user-keyed lead() window
+    "embedding_kcenter",        # greedy k-center coreset; kmeans_centroids + ivf_topk (in-window) cover iterative centroid loops
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
