@@ -140,6 +140,7 @@ from wicsmmiretl_spark.operators.sampling import (
     train_test_split,
     weighted_sample,
 )
+from wicsmmiretl_spark.operators.nb import nb_classify, nb_confusion, nb_train
 from wicsmmiretl_spark.operators.sequences import ewma, frequent_sequences, time_weighted_avg, transition_matrix
 from wicsmmiretl_spark.operators.skyline import skyline_2d
 from wicsmmiretl_spark.operators.sets import union_checked
@@ -205,6 +206,9 @@ __all__ = [
     "containment_pairs",
     "time_weighted_avg",
     "kcenter_select",
+    "nb_train",
+    "nb_classify",
+    "nb_confusion",
     "dq_report",
     "dq_gate",
     "key_skew_profile",

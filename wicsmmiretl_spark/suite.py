@@ -7035,6 +7035,52 @@ def q_embedding_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(emb, "vec_id", "embedding", k=8)
 
 
+@query(
+    "doc_lang_nb_confusion",
+    rf"""
+    WITH base AS (SELECT doc_id, lang, {_SQL_TOKS} AS tk FROM documents
+                  WHERE lang IS NOT NULL AND text IS NOT NULL AND doc_id IS NOT NULL),
+    tok AS (SELECT doc_id, lang, unnest(tk) AS token FROM base),
+    ntc AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n_tc FROM tok GROUP BY 1, 2),
+    nc AS (SELECT lang, CAST(sum(n_tc) AS BIGINT) AS n_c FROM ntc GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM ntc),
+    pr AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM base GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    linfo AS (SELECT nc.lang,
+                     CAST(round(ln(nd / CAST(n AS DOUBLE)) * 10000000) AS BIGINT) AS prior,
+                     CAST(round(ln(CAST(1 AS DOUBLE) / (n_c + v)) * 10000000) AS BIGINT) AS dflt
+              FROM nc JOIN pr USING (lang) CROSS JOIN tot CROSS JOIN v),
+    model AS (SELECT lang, token,
+                     CAST(round(ln((n_tc + 1) / CAST(n_c + v AS DOUBLE)) * 10000000) AS BIGINT) AS logp
+              FROM ntc JOIN nc USING (lang) CROSS JOIN v),
+    dt AS (SELECT doc_id, lang AS true_lang, token, CAST(count(*) AS BIGINT) AS cnt
+           FROM tok GROUP BY 1, 2, 3),
+    sc AS (SELECT d.doc_id, d.true_lang, li.lang AS cand,
+                  CAST(li.prior + sum(d.cnt * COALESCE(m.logp, li.dflt)) AS BIGINT) AS score
+           FROM dt d CROSS JOIN linfo li
+           LEFT JOIN model m ON m.lang = li.lang AND m.token = d.token
+           GROUP BY 1, 2, 3, li.prior),
+    pick AS (SELECT doc_id, true_lang, cand AS pred,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+             FROM sc)
+    SELECT true_lang, pred, CAST(count(*) AS BIGINT) AS n
+    FROM pick WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_doc_lang_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language classifier trained IN the engine
+    (add-1 smoothing, exact integer counts, scaled-bigint ln terms) and
+    resubstitution-evaluated as a confusion matrix over the documents'
+    lang labels — the cheap linear bag-of-words gate LLM curation
+    pipelines use for quality/language/domain filtering. Training = two
+    hash aggs; classification = one token-keyed equi-join with priors
+    and unseen-token defaults broadcast (operators/nb.py:nb_confusion)."""
+    from wicsmmiretl_spark.operators.nb import nb_confusion
+
+    docs = _t(spark, sf_dir, "documents")
+    return nb_confusion(docs, "lang", "text", "doc_id")
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -7112,6 +7158,7 @@ _DEFERRED_QUERIES = (
     "doc_containment_pairs",    # asymmetric containment join; doc_tfidf_similar_pairs (in-window) is the df-banded token self-join twin
     "user_value_twa",           # time-weighted mean; event_transition_matrix (in-window) pays the same user-keyed lead() window
     "embedding_kcenter",        # greedy k-center coreset; kmeans_centroids + ivf_topk (in-window) cover iterative centroid loops
+    "doc_lang_nb_confusion",    # in-engine NB classifier; lang_id + vocab_token_class (in-window) cover token-class signals
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
