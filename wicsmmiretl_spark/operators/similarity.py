@@ -321,10 +321,21 @@ def kmeans_train(
     Returns (cell int, cv array<double>, nc double) — ``nc`` is the L2 norm.
     """
     spark = embeddings.sparkSession
-    v = embeddings.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).withColumn("nv", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)))
+    # Lazy localCheckpoint: the normalized vector table is scanned once
+    # per Lloyd iteration plus the init job — pinning it makes every
+    # iteration read the materialized rows instead of re-deriving the
+    # source scan + cast chain (iters+1 upstream replays saved).
+    v = (
+        embeddings.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn(
+            "nv",
+            F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
+        )
+        .localCheckpoint(eager=False)
+    )
 
     init = (
         v.withColumn(
