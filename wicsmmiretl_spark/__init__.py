@@ -53,6 +53,7 @@ from wicsmmiretl_spark.operators.aggregates import (
     ab_test_stats,
     category_entropy,
     chi_square_independence,
+    ks_test,
     weighted_quantiles,
     column_stats,
     cms_estimate,
@@ -124,7 +125,7 @@ from wicsmmiretl_spark.operators.pruning import bloom_prune, bloom_semi_filter, 
 from wicsmmiretl_spark.operators.quality import dq_gate, dq_report, key_skew_profile
 from wicsmmiretl_spark.operators.packing import chunk_documents, pack_sequences
 from wicsmmiretl_spark.operators.ranking import association_pairs, bm25_rank, inverted_index, ndcg_at_k, retrieval_metrics, rrf_fuse, tfidf_cosine_pairs
-from wicsmmiretl_spark.operators.graph import bfs_levels, connected_components, pagerank, shortest_paths, triangle_stats
+from wicsmmiretl_spark.operators.graph import bfs_levels, connected_components, label_propagation, pagerank, shortest_paths, triangle_stats
 from wicsmmiretl_spark.operators.sampling import (
     cap_per_group,
     deterministic_sample,
@@ -209,6 +210,8 @@ __all__ = [
     "nb_train",
     "nb_classify",
     "nb_confusion",
+    "ks_test",
+    "label_propagation",
     "dq_report",
     "dq_gate",
     "key_skew_profile",

@@ -1698,3 +1698,82 @@ def weighted_quantiles(
             )
         ).alias("_p")
     ).select("_p.q", "_p.value").orderBy("q")
+
+
+def ks_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic (Kolmogorov 1933,
+    Smirnov 1939 — public literature): D = sup_x |F_a(x) − F_b(x)| over
+    the two groups' empirical CDFs — the DISTRIBUTION-shift detector
+    that completes the drift family (Welch A/B sees mean shifts, the
+    profiler sees marginals; KS sees shape: variance, bimodality, tail
+    moves, all of it).
+
+    Exact-arithmetic contract: per distinct value, both groups'
+    cumulative counts come from ONE shared offsets-pattern pass (two
+    weights, same partitioning job); D is maximized over the integer
+    cross-difference |cum_a·n_b − cum_b·n_a| — no float CDF anywhere.
+    The single divide by n_a·n_b happens once at the end (6dp). The
+    reported location is the SMALLEST value attaining the max (total
+    order, engine-independent). n_a·n_b must fit int64 — fine to ~3·10⁹
+    rows per group; beyond that the product moves to decimal(38,0)
+    naturally (documented headroom, not a today-problem).
+
+    100 TB shape: one full-data (value, group) hash agg (combiner-
+    backed), then the offsets cumsum over distinct values and one fold.
+    NULL values are excluded; rows in neither group are ignored.
+
+    Output (one row): n_a, n_b bigint, d double (6dp), d_at (value
+    type — the location of the supremum).
+    """
+    for c in (value_col, group_col):
+        if c not in df.columns:
+            raise ValueError(f"ks_test: column {c!r} not in {df.columns}")
+    if group_a == group_b:
+        raise ValueError("ks_test: group_a and group_b must differ")
+    lv = (
+        df.filter(
+            F.col(value_col).isNotNull()
+            & F.col(group_col).isin([group_a, group_b])
+        )
+        .groupBy(value_col)
+        .agg(
+            F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0)).alias("_ca"),
+            F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0)).alias("_cb"),
+        )
+    )
+    cum = _ordered_cumsums(lv, value_col, {"_ca": "_cuma", "_cb": "_cumb"})
+    tot = cum.agg(
+        F.max("_cuma").alias("_na"), F.max("_cumb").alias("_nb")
+    )
+    diff = F.abs(
+        F.col("_cuma") * F.col("_nb") - F.col("_cumb") * F.col("_na")
+    )
+    # argmax with smallest-value tiebreak via one grouped min(struct):
+    # (-diff, value) ascending == diff desc, ties to the smallest value.
+    pick = F.struct(
+        (-diff).alias("_negd"), F.col(value_col).alias("_at")
+    )
+    folded = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.min(pick).alias("_s"),
+    )
+    return folded.select(
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                (-F.col("_s._negd")).cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ),
+        ).alias("d"),
+        F.col("_s._at").alias("d_at"),
+    )

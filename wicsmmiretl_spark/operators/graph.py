@@ -576,3 +576,68 @@ def shortest_paths(
             .localCheckpoint(eager=False)
         )
     return dist.select(F.col("id").alias(id_col), "dist")
+
+
+def label_propagation(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    rounds: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007, public literature): every node starts as its
+    own community, then for a fixed number of rounds simultaneously
+    adopts the MODE of its neighbors' labels (ties to the smallest
+    label). Where connected components finds the coarsest partition,
+    LPA finds dense cores inside a component — the product-family /
+    user-cohort discovery pass over a co-occurrence graph.
+
+    Determinism: the fixed round count, the simple-graph dedup, and the
+    (count desc, label asc) tiebreak make the trajectory a pure function
+    of the edge set — synchronous LPA's usual run-to-run flakiness
+    (random order, random ties) is exactly what's removed, so an oracle
+    can replay every round.
+
+    100 TB shape: per round ONE neighbor equi-join (labels keyed by
+    node) + one (node, label) hash agg + one per-node argmax riding the
+    same partitioning — O(rounds · |E|) total, with ``localCheckpoint``
+    truncating lineage each round (the connected-components loop
+    discipline). Nodes appear only via edges, so every node has ≥1
+    neighbor and every round relabels every node.
+
+    Output: node (endpoint type), label — label is the community
+    representative after ``rounds`` rounds.
+    """
+    if rounds < 1:
+        raise ValueError(f"label_propagation: rounds must be >= 1, got {rounds}")
+    for c in (a_col, b_col):
+        if c not in edges.columns:
+            raise ValueError(f"label_propagation: column {c!r} not in {edges.columns}")
+    base = edges.filter(
+        F.col(a_col).isNotNull()
+        & F.col(b_col).isNotNull()
+        & (F.col(a_col) != F.col(b_col))
+    )
+    und = (
+        base.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(base.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        counts = (
+            und.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count("*").alias("_c"))
+        )
+        pick = F.struct((-F.col("_c")).alias("_negc"), F.col("label").alias("label"))
+        labels = (
+            counts.groupBy("node")
+            .agg(F.min(pick).alias("_s"))
+            .select("node", F.col("_s.label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -7081,6 +7081,100 @@ def q_doc_lang_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_confusion(docs, "lang", "text", "doc_id")
 
 
+@query(
+    "purchase_view_ks",
+    """
+    WITH lv AS (SELECT value AS v,
+                       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS ca,
+                       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS cb
+                FROM events
+                WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+                GROUP BY 1),
+    c AS (SELECT v, CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+                 CAST(sum(cb) OVER w AS BIGINT) AS cumb
+          FROM lv WINDOW w AS (ORDER BY v)),
+    t AS (SELECT CAST(max(cuma) AS BIGINT) AS na, CAST(max(cumb) AS BIGINT) AS nb FROM c),
+    d AS (SELECT v, abs(cuma * nb - cumb * na) AS diff FROM c CROSS JOIN t),
+    pick AS (SELECT v, diff, row_number() OVER (ORDER BY diff DESC, v ASC) AS rn FROM d)
+    SELECT na AS n_a, nb AS n_b,
+           round(CAST(diff AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6) AS d, v AS d_at
+    FROM pick CROSS JOIN t WHERE rn = 1
+    """,
+)
+def q_purchase_view_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    purchase and view event-value distributions — the distribution-SHAPE
+    drift detector completing the family (Welch sees means, profiles see
+    marginals). Both groups' CDFs come from ONE shared offsets-pattern
+    cumsum; D maximizes an integer cross-difference, no float CDF
+    anywhere (operators/aggregates.py:ks_test)."""
+    from wicsmmiretl_spark.operators.aggregates import ks_test
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_test(ev, "value", "event_type", "purchase", "view")
+
+
+@query(
+    "part_copurchase_communities",
+    """
+    WITH li AS (SELECT l.l_orderkey, l.l_partkey FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE o.o_orderpriority = '1-URGENT' GROUP BY 1, 2),
+    e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+    und AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM und),
+    c1 AS (SELECT und.u AS node, p.lbl, CAST(count(*) AS BIGINT) AS c
+           FROM und JOIN l0 p ON p.node = und.v GROUP BY 1, 2),
+    l1 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()
+             OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn FROM c1)
+           WHERE rn = 1),
+    c2 AS (SELECT und.u AS node, p.lbl, CAST(count(*) AS BIGINT) AS c
+           FROM und JOIN l1 p ON p.node = und.v GROUP BY 1, 2),
+    l2 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()
+             OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn FROM c2)
+           WHERE rn = 1),
+    c3 AS (SELECT und.u AS node, p.lbl, CAST(count(*) AS BIGINT) AS c
+           FROM und JOIN l2 p ON p.node = und.v GROUP BY 1, 2),
+    l3 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()
+             OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn FROM c3)
+           WHERE rn = 1)
+    SELECT node, lbl AS label FROM l3
+    """,
+)
+def q_part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (3 rounds, mode of
+    neighbor labels, ties to the smallest) over the URGENT co-purchase
+    part graph — 104 dense cores at sf0.01 where connected components
+    would see one blob. The deterministic tiebreaks make the whole
+    trajectory SQL-replayable; per round one neighbor join + one argmax
+    riding the same partitioning
+    (operators/graph.py:label_propagation)."""
+    from wicsmmiretl_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    lp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        lp.alias("a")
+        .join(lp.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
+        )
+        .distinct()
+    )
+    return label_propagation(edges, rounds=3)
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -7159,6 +7253,8 @@ _DEFERRED_QUERIES = (
     "user_value_twa",           # time-weighted mean; event_transition_matrix (in-window) pays the same user-keyed lead() window
     "embedding_kcenter",        # greedy k-center coreset; kmeans_centroids + ivf_topk (in-window) cover iterative centroid loops
     "doc_lang_nb_confusion",    # in-engine NB classifier; lang_id + vocab_token_class (in-window) cover token-class signals
+    "purchase_view_ks",         # two-sample KS; events_stats_by_type + customer_profile_drift cover distribution stats in-window
+    "part_copurchase_communities", # label-propagation cores; event_chain_bfs_levels (in-window) covers iterative frontier loops
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
