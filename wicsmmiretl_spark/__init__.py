@@ -53,6 +53,8 @@ from wicsmmiretl_spark.operators.aggregates import (
     ab_test_stats,
     category_entropy,
     chi_square_independence,
+    cusum_changepoint,
+    hll_intersect_estimate,
     ks_test,
     weighted_quantiles,
     column_stats,
@@ -149,6 +151,7 @@ from wicsmmiretl_spark.operators.similarity import (
     cosine_pairs,
     kcenter_select,
     random_projection,
+    simplified_silhouette,
     cosine_topk,
     hyperplane_lsh_topk,
     hyperplane_pairs,
@@ -212,6 +215,9 @@ __all__ = [
     "nb_confusion",
     "ks_test",
     "label_propagation",
+    "cusum_changepoint",
+    "hll_intersect_estimate",
+    "simplified_silhouette",
     "dq_report",
     "dq_gate",
     "key_skew_profile",

@@ -1777,3 +1777,113 @@ def ks_test(
         ).alias("d"),
         F.col("_s._at").alias("d_at"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Single mean-shift changepoint by the CUSUM criterion (Page 1954,
+    public literature): the split point t maximizing |Σ_{i≤t}(x_i − x̄)|
+    — equivalently the two-segment least-squares break — over a series
+    ordered by ``order_col`` (values must be unique per row: pass a
+    pre-aggregated series such as daily sums). The monitoring primitive
+    behind "when did this metric's level actually move".
+
+    Exact-arithmetic contract: with sx = round(x·scale) bigints,
+    n·S_t = n·cum_t − t·total is an exact integer for every prefix, so
+    the argmax (ties to the earliest point) is partition- and engine-
+    independent; segment means divide exact integers once at the end.
+    The last point is excluded as a candidate (a split must leave both
+    segments non-empty). |n·S| ≤ n·Σ|sx| — move to decimal(38,0) beyond
+    ~10⁹ rows × 10⁹ scaled mass; at that size the series is already
+    pre-aggregated far below it.
+
+    100 TB shape: one offsets-pattern pass over the series computing the
+    value cumsum AND the row index together (two weights, one
+    partitioning job), then a single fold. The full-data work happened
+    upstream in whatever aggregation built the series.
+
+    Output (one row): n bigint, t_at (order type), cusum double (6dp,
+    max |S_t| in value units), mean_before, mean_after double (6dp).
+    """
+    for c in (order_col, value_col):
+        if c not in df.columns:
+            raise ValueError(f"cusum_changepoint: column {c!r} not in {df.columns}")
+    pts = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(order_col).alias("_t"),
+        F.round(F.col(value_col).cast("double") * scale).cast("long").alias("_sx"),
+        F.lit(1).cast("long").alias("_one"),
+    )
+    cum = _ordered_cumsums(pts, "_t", {"_sx": "_cum", "_one": "_idx"})
+    # total = the cumulative at the LAST index (max_by, not max: with
+    # negative values the running sum is not monotone).
+    tot = cum.agg(
+        F.max("_idx").alias("_n"), F.max_by("_cum", "_idx").alias("_tot")
+    )
+    with_tot = cum.crossJoin(F.broadcast(tot)).filter(F.col("_idx") < F.col("_n"))
+    ns = F.col("_n") * F.col("_cum") - F.col("_idx") * F.col("_tot")  # n·S_t
+    pick = F.struct(
+        (-F.abs(ns)).alias("_nega"),
+        F.col("_t").alias("_t"),
+        F.col("_cum").alias("_cum"),
+        F.col("_idx").alias("_idx"),
+    )
+    folded = with_tot.agg(
+        F.max("_n").alias("n"), F.max("_tot").alias("_tot"), F.min(pick).alias("_s")
+    )
+    idx, cum_at = F.col("_s._idx"), F.col("_s._cum")
+    return folded.select(
+        "n",
+        F.col("_s._t").alias("t_at"),
+        F.round(
+            (-F.col("_s._nega")).cast("double") / F.col("n") / scale, 6
+        ).alias("cusum"),
+        F.round(cum_at.cast("double") / idx / scale, 6).alias("mean_before"),
+        F.round(
+            (F.col("_tot") - cum_at).cast("double") / (F.col("n") - idx) / scale, 6
+        ).alias("mean_after"),
+    )
+
+
+def hll_intersect_estimate(
+    a: DataFrame, b: DataFrame, p: int = 9
+) -> DataFrame:
+    """Intersection-cardinality estimate from two HLL register tables by
+    inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the
+    union sketch is the elementwise-max merge (exact for HLL — union is
+    the operation the sketch natively supports; the subtraction is the
+    standard derived estimate, noisier for small overlaps, clamped at 0).
+    Completes the sketch algebra: merge gives unions, this gives
+    overlaps — "how many users did BOTH" without a distinct-pair join.
+
+    Determinism: each of the three estimates is the 4dp-rounded output
+    of ``hll_estimate`` (integer harmonic sums); the combination
+    arithmetic runs on those already-rounded doubles, so any engine
+    replaying the sketches reproduces the result bit-for-bit.
+
+    Output (one row): est_a, est_b, est_union, est_intersection
+    (doubles, 4dp).
+    """
+    ea = hll_estimate(a, p).select(F.col("estimate").alias("est_a"))
+    eb = hll_estimate(b, p).select(F.col("estimate").alias("est_b"))
+    eu = hll_estimate(hll_merge(a, b), p).select(F.col("estimate").alias("est_union"))
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.greatest(
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0.0)
+                ),
+                4,
+            ).alias("est_intersection"),
+        )
+    )

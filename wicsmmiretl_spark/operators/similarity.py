@@ -1047,3 +1047,92 @@ def kcenter_select(
     return df.sparkSession.createDataFrame(
         rows, f"step: int, {id_col}: {schema_id_type}"
     )
+
+
+def simplified_silhouette(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-cell simplified silhouette of a k-means clustering under
+    cosine distance (the centroid-based silhouette of Hruschka et al.
+    2004, public literature — O(n·k) where the exact silhouette's
+    pairwise form is O(n²)): for each vector, a = distance to its OWN
+    centroid, b = distance to the nearest OTHER centroid,
+    s = (b − a) / max(a, b) ∈ [−1, 1]; the per-cell mean says which
+    clusters are tight (→1), overlapping (→0), or misassigned (<0) —
+    the model-quality readout for the IVF/SemDeDup training step.
+
+    ``centroids`` is ``kmeans_train``'s output (cell, cv, nc).
+    Distances use the same 6dp-rounded cosines as the assignment step,
+    so own-cell here IS the trained assignment; per-vector s rounds to
+    ``scale`` units and the cell means are exact integer sums. Vectors
+    equidistant at 0 from two centroids score 0 by convention.
+
+    100 TB shape: one map-side broadcast cross of n×k cosines, a per-id
+    top-2 over k collected structs (k is small by construction), one
+    cell-keyed agg. No shuffle beyond the id and cell hash aggs.
+
+    Output: cell bigint, n bigint, mean_sil double (6dp) — ascending.
+    """
+    for c in (id_col, vec_col):
+        if c not in embeddings.columns:
+            raise ValueError(
+                f"simplified_silhouette: column {c!r} not in {embeddings.columns}"
+            )
+    v = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "nv", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+    cdot = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = v.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("cell"),
+        F.round(cdot / (F.col("nv") * F.col("nc")), 6).alias("ccos"),
+    )
+    # Top-2 centroids per vector: cells are unique within the group, so
+    # element 2 is always the nearest OTHER centroid.
+    top2 = (
+        scored.groupBy(id_col)
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("ccos")).alias("_negc"),
+                            F.col("cell").alias("cell"),
+                        )
+                    )
+                ),
+                1,
+                2,
+            ).alias("_t")
+        )
+        .select(
+            F.col("_t")[0]["cell"].alias("cell"),
+            (F.lit(1.0) + F.col("_t")[0]["_negc"]).alias("_da"),
+            (F.lit(1.0) + F.col("_t")[1]["_negc"]).alias("_db"),
+        )
+    )
+    s = F.when(F.greatest("_da", "_db") == 0, F.lit(0).cast("long")).otherwise(
+        F.round(
+            (F.col("_db") - F.col("_da")) / F.greatest("_da", "_db") * scale
+        ).cast("long")
+    )
+    return (
+        top2.withColumn("_ss", s)
+        .groupBy(F.col("cell").cast("bigint").alias("cell"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("_ss").cast("double") / scale / F.count("*"), 6).alias(
+                "mean_sil"
+            ),
+        )
+        .orderBy("cell")
+    )

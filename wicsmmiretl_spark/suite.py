@@ -7175,6 +7175,177 @@ def q_part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     return label_propagation(edges, rounds=3)
 
 
+@query(
+    "events_daily_cusum",
+    """
+    WITH s AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                      CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sx
+               FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+               GROUP BY 1),
+    c AS (SELECT d, CAST(sum(sx) OVER (ORDER BY d) AS BIGINT) AS cum,
+                 CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS idx
+          FROM s),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS tot FROM s),
+    cand AS (SELECT d, cum, idx, abs(n * cum - idx * tot) AS a, n, tot
+             FROM c CROSS JOIN t WHERE idx < n),
+    pick AS (SELECT *, row_number() OVER (ORDER BY a DESC, d ASC) AS rn FROM cand)
+    SELECT n, d AS t_at,
+           round(CAST(a AS DOUBLE) / n / 1000000.0, 6) AS cusum,
+           round(CAST(cum AS DOUBLE) / idx / 1000000.0, 6) AS mean_before,
+           round(CAST(tot - cum AS DOUBLE) / (n - idx) / 1000000.0, 6) AS mean_after
+    FROM pick WHERE rn = 1
+    """,
+)
+def q_events_daily_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint over the daily event-value series:
+    the day that best splits the series into two level segments, with
+    the segment means. n·S_t is an exact integer for every prefix
+    (signed values handled — the total is the cumulative at the LAST
+    index, not a max), so the argmax is engine-independent; the series
+    itself is an exact scaled daily sum
+    (operators/aggregates.py:cusum_changepoint)."""
+    from wicsmmiretl_spark.operators.aggregates import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(
+            (F.sum(F.round(F.col("value") * 1000000).cast("long")) / 1000000.0).alias("x")
+        )
+    )
+    return cusum_changepoint(daily, "d", "x")
+
+
+def _sql_hll_est(pred: str) -> str:
+    """Scalar subquery: the p=9 md5-HLL estimate of distinct events.user_id
+    over rows matching ``pred`` (mirrors operators/aggregates.py:hll_sketch
+    + hll_estimate; constants inline for m=512)."""
+    return f"""(
+      WITH hh AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events
+                  WHERE user_id IS NOT NULL AND ({pred})),
+      hb AS (SELECT (('0x' || substr(h, 1, 4))::BIGINT) % 512 AS bucket,
+                    ('0x' || substr(h, 5, 8))::BIGINT AS w
+             FROM hh),
+      regs AS (SELECT bucket,
+                      max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(to_base(w, 2)) END) AS reg
+               FROM hb GROUP BY bucket),
+      ag AS (SELECT coalesce(sum(CAST(2 ** (33 - reg) AS BIGINT)), 0) AS sum_i,
+                    CAST(count(*) AS BIGINT) AS nonzero
+             FROM regs),
+      est AS (SELECT CASE WHEN (188686.82445861166
+                                / (CAST(sum_i AS DOUBLE) / 8589934592.0
+                                   + CAST(512 - nonzero AS DOUBLE))) <= 1280.0
+                           AND (512 - nonzero) > 0
+                     THEN 512.0 * ln(512.0 / CAST(512 - nonzero AS DOUBLE))
+                     ELSE 188686.82445861166
+                          / (CAST(sum_i AS DOUBLE) / 8589934592.0
+                             + CAST(512 - nonzero AS DOUBLE)) END AS e
+              FROM ag)
+      SELECT round(e, 4) FROM est
+    )"""
+
+
+@query(
+    "purchase_view_hll_intersect",
+    f"""
+    WITH e AS (SELECT {_sql_hll_est("event_type = 'purchase'")} AS est_a,
+                      {_sql_hll_est("event_type = 'view'")} AS est_b,
+                      {_sql_hll_est("event_type IN ('purchase', 'view')")} AS est_union),
+    x AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM (
+            SELECT user_id FROM events
+            WHERE user_id IS NOT NULL AND event_type IN ('purchase', 'view')
+            GROUP BY user_id
+            HAVING count(DISTINCT CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END) = 2))
+    SELECT est_a, est_b, est_union,
+           round(greatest(est_a + est_b - est_union, 0.0), 4) AS est_intersection,
+           exact_intersection
+    FROM e CROSS JOIN x
+    """,
+)
+def q_purchase_view_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-algebra overlap: |purchasers ∩ viewers| estimated by
+    inclusion-exclusion over three deterministic md5-HLL sketches (the
+    union sketch is the elementwise-max merge HLL supports natively),
+    beside the exact overlap — "how many users did BOTH" from mergeable
+    per-segment sketches, no distinct-pair join
+    (operators/aggregates.py:hll_intersect_estimate)."""
+    from wicsmmiretl_spark.operators.aggregates import (
+        hll_intersect_estimate,
+        hll_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    a = hll_sketch(ev.filter(F.col("event_type") == "purchase"), "user_id", p=9)
+    b = hll_sketch(ev.filter(F.col("event_type") == "view"), "user_id", p=9)
+    est = hll_intersect_estimate(a, b, p=9)
+    both = (
+        ev.filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isin(["purchase", "view"])
+        )
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("_k"))
+        .filter(F.col("_k") == 2)
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    return est.crossJoin(F.broadcast(both))
+
+
+# The silhouette oracle REUSES the kmeans oracle's unrolled-Lloyd CTE
+# chain verbatim (same seed/iters/rounding — the clustering being scored
+# must be the exact clustering trained) and replaces the final centroid
+# SELECT with the top-2-cosine silhouette fold.
+_KMEANS_FINAL_SELECT = "SELECT CAST(cell AS BIGINT) AS cell, pos, round(c, 6) AS c FROM kf3"
+_SIL_TAIL = """kn4 AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS nc FROM k3),
+    sc AS (SELECT a.vec_id, c.cell,
+                  round(list_sum(list_transform(range(1, len(a.v) + 1), j -> a.v[j] * c.cv[j]))
+                        / (a.nv * c.nc), 6) AS ccos
+           FROM vn a CROSS JOIN kn4 c),
+    rk AS (SELECT vec_id, cell, ccos,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+           FROM sc),
+    t2 AS (SELECT a.vec_id, a.cell AS own, (1 - a.ccos) AS da, (1 - b.ccos) AS db
+           FROM rk a JOIN rk b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+    sv AS (SELECT own AS cell,
+                  CASE WHEN greatest(da, db) = 0 THEN CAST(0 AS BIGINT)
+                       ELSE CAST(round((db - da) / greatest(da, db) * 1000000) AS BIGINT)
+                  END AS ss
+           FROM t2)
+    SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(ss) AS DOUBLE) / 1000000.0 / count(*), 6) AS mean_sil
+    FROM sv GROUP BY 1 ORDER BY 1"""
+
+
+def _sil_oracle() -> str:
+    head = ORACLES["kmeans_centroids"].rstrip()
+    if not head.endswith(_KMEANS_FINAL_SELECT):
+        raise AssertionError("kmeans_centroids oracle changed shape; update _SIL_TAIL")
+    return head[: -len(_KMEANS_FINAL_SELECT)].rstrip() + ",\n    " + _SIL_TAIL
+
+
+@query("kmeans_silhouette", None)
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell simplified silhouette of the trained k-means clustering
+    (a = cosine distance to own centroid, b = to the nearest other;
+    s = (b−a)/max(a,b)) — the O(n·k) cluster-quality readout for the
+    IVF/SemDeDup training step, scored on the EXACT clustering the
+    shared-seed Lloyd run produces. Top-2 over k collected structs per
+    vector, one cell-keyed agg
+    (operators/similarity.py:simplified_silhouette)."""
+    from wicsmmiretl_spark.operators.similarity import (
+        kmeans_train,
+        simplified_silhouette,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = kmeans_train(emb, k=8, iters=3)
+    return simplified_silhouette(emb, cent)
+
+
+ORACLES["kmeans_silhouette"] = _sil_oracle()
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -7255,6 +7426,9 @@ _DEFERRED_QUERIES = (
     "doc_lang_nb_confusion",    # in-engine NB classifier; lang_id + vocab_token_class (in-window) cover token-class signals
     "purchase_view_ks",         # two-sample KS; events_stats_by_type + customer_profile_drift cover distribution stats in-window
     "part_copurchase_communities", # label-propagation cores; event_chain_bfs_levels (in-window) covers iterative frontier loops
+    "events_daily_cusum",       # CUSUM changepoint; events_weekly_seasonality_error (in-window) covers the daily series family
+    "purchase_view_hll_intersect", # HLL inclusion-exclusion; hll_distinct_users (deferred, r8-green) is the single-sketch base
+    "kmeans_silhouette",        # cluster-quality eval; kmeans_centroids + ivf_topk (in-window) run the same Lloyd training
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
