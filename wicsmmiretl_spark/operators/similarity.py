@@ -891,8 +891,11 @@ def random_projection(
     * The matrix enters the plan as ``out_dim`` LITERAL int arrays
       (out_dim·in_dim plan constants), and each component is an exact
       bigint fold of sign·round(v·scale) — no float-sum order
-      dependence, no shuffle: the projection is MAP-ONLY and whole-stage
-      codegen'd. At 1000 executors it scales embarrassingly.
+      dependence, no shuffle: the projection plan is MAP-ONLY (zero
+      Exchange nodes — plan-asserted in pytest; the array folds
+      themselves sit outside whole-stage codegen, as Catalyst's
+      higher-order functions do). At 1000 executors it scales
+      embarrassingly.
     * Vectors whose length ≠ ``in_dim`` fail the plan with an explicit
       error (a silent zip_with truncation would corrupt geometry).
 

@@ -6843,8 +6843,8 @@ def q_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss ±1 random projection of the 64-dim
     embeddings to 16 components, long format: the md5-seeded sign
     matrix is a plan literal, each component an exact bigint fold of
-    sign·round(v·1e6) — map-only, zero shuffle, whole-stage codegen'd
-    (the oracle pays an unnest join; the engine doesn't)
+    sign·round(v·1e6) — map-only, zero Exchange nodes (plan-asserted in
+    pytest; the oracle pays an unnest join, the engine doesn't)
     (operators/similarity.py:random_projection)."""
     from wicsmmiretl_spark.operators.similarity import random_projection
 
