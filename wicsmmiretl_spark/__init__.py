@@ -55,6 +55,7 @@ from wicsmmiretl_spark.operators.aggregates import (
     chi_square_independence,
     cusum_changepoint,
     hll_intersect_estimate,
+    psi,
     ks_test,
     weighted_quantiles,
     column_stats,
@@ -149,6 +150,7 @@ from wicsmmiretl_spark.operators.skyline import skyline_2d
 from wicsmmiretl_spark.operators.sets import union_checked
 from wicsmmiretl_spark.operators.similarity import (
     cosine_pairs,
+    embedding_pair_profile,
     kcenter_select,
     random_projection,
     simplified_silhouette,
@@ -218,6 +220,8 @@ __all__ = [
     "cusum_changepoint",
     "hll_intersect_estimate",
     "simplified_silhouette",
+    "psi",
+    "embedding_pair_profile",
     "dq_report",
     "dq_gate",
     "key_skew_profile",

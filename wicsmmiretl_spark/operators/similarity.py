@@ -1139,3 +1139,91 @@ def simplified_silhouette(
         )
         .orderBy("cell")
     )
+
+
+def embedding_pair_profile(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 64,
+    seed: int = 0,
+    bins: int = 20,
+) -> DataFrame:
+    """Pairwise-cosine histogram over a seeded sample of the embedding
+    table — the embedding-health profile: a healthy corpus shows a broad
+    unimodal mass around its ambient angle; a spike near 1.0 means the
+    encoder collapsed (or the corpus is near-duplicate-saturated), a
+    spike near 0 with no tail means no neighborhood structure for ANN to
+    exploit. Run it BEFORE spending a cluster on LSH/IVF tuning.
+
+    * The sample is the ``sample`` ids with the smallest
+      md5("{seed}:{id}") — data-independent of physical order, identical
+      in any engine (the suite's seeded-sample discipline), and small
+      enough (default 64 → 2016 pairs) that the all-pairs compare is a
+      broadcast self-join, NOT a corpus cartesian.
+    * Cosines round to 6dp, then land in ``bins`` fixed-width buckets
+      over [-1, 1] (cos = 1.0 clamps into the last bucket). All bins are
+      emitted, zeros included — a profile with holes reads wrong.
+
+    Output: bin int (0..bins-1), lo double (bucket lower edge, 6dp),
+    n bigint — ascending by bin.
+    """
+    if sample < 2:
+        raise ValueError(f"embedding_pair_profile: sample must be >= 2, got {sample}")
+    if bins < 1:
+        raise ValueError(f"embedding_pair_profile: bins must be >= 1, got {bins}")
+    for c in (id_col, vec_col):
+        if c not in embeddings.columns:
+            raise ValueError(
+                f"embedding_pair_profile: column {c!r} not in {embeddings.columns}"
+            )
+    picked = (
+        embeddings.filter(F.col(id_col).isNotNull())
+        .withColumn(
+            "_r",
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
+        )
+        .orderBy("_r")
+        .limit(sample)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn(
+            "nv",
+            F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = picked.select(
+        F.col("_id").alias("id_a"), F.col("v").alias("va"), F.col("nv").alias("na")
+    )
+    b = picked.select(
+        F.col("_id").alias("id_b"), F.col("v").alias("vb"), F.col("nv").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    width = 2.0 / bins
+    cos = F.round(dot / (F.col("na") * F.col("nb")), 6)
+    bin_e = F.least(
+        F.floor((cos + 1.0) / width).cast("int"), F.lit(bins - 1)
+    )
+    counts = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy(bin_e.alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )
+    grid = embeddings.sparkSession.range(0, bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    return (
+        grid.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.round(F.lit(-1.0) + F.col("bin") * width, 6).alias("lo"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        )
+        .orderBy("bin")
+    )

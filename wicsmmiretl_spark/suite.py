@@ -7346,6 +7346,76 @@ def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["kmeans_silhouette"] = _sil_oracle()
 
 
+@query(
+    "purchase_view_psi",
+    """
+    WITH c AS (SELECT CASE WHEN value < 0.0e0 THEN -1
+                           WHEN value >= 100.0e0 THEN 10
+                           ELSE CAST(floor((value - 0.0e0) / 10.0e0) AS INT) END AS bin,
+                      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                           AS BIGINT) AS cr,
+                      CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                           AS BIGINT) AS cc
+               FROM events
+               WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+               GROUP BY 1),
+    g AS (SELECT CAST(i AS INT) AS bin FROM range(-1, 11) r(i)),
+    d AS (SELECT g.bin, COALESCE(cr, 0) AS cr, COALESCE(cc, 0) AS cc
+          FROM g LEFT JOIN c USING (bin)),
+    t AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(cc) AS BIGINT) AS nc FROM d)
+    SELECT nr AS n_ref, nc AS n_cur,
+           round(CAST(sum(CAST(round(
+                 ((cr + 0.5e0) / (nr + 6.0e0) - (cc + 0.5e0) / (nc + 6.0e0))
+                 * ln(((cr + 0.5e0) / (nr + 6.0e0)) / ((cc + 0.5e0) / (nc + 6.0e0)))
+                 * 1000000000) AS BIGINT)) AS BIGINT) / 1000000000.0, 6) AS psi
+    FROM d CROSS JOIN t GROUP BY 1, 2
+    """,
+)
+def q_purchase_view_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the purchase and view value
+    distributions over ten fixed-width [0,100) bins plus explicit under/
+    overflow — the actionable drift score (<0.1 stable, >0.25 shifted)
+    beside ks_test's exact statistic. Add-half smoothing keeps zero bins
+    finite with exact rationals; one group×bin hash agg touches the data
+    (operators/aggregates.py:psi)."""
+    from wicsmmiretl_spark.operators.aggregates import psi
+
+    ev = _t(spark, sf_dir, "events")
+    return psi(ev, "value", "event_type", "purchase", "view", lo=0.0, hi=100.0, bins=10)
+
+
+@query(
+    "embedding_pair_profile",
+    """
+    WITH s AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings WHERE vec_id IS NOT NULL
+               ORDER BY md5('0:' || CAST(vec_id AS VARCHAR)) LIMIT 64),
+    n AS (SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv FROM s),
+    p AS (SELECT round(list_sum(list_transform(range(1, len(a.v) + 1),
+                                               j -> a.v[j] * b.v[j]))
+                       / (a.nv * b.nv), 6) AS cos
+          FROM n a JOIN n b ON a.id < b.id),
+    c AS (SELECT least(CAST(floor((cos + 1.0e0) / 0.1e0) AS INT), 19) AS bin,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM p GROUP BY 1),
+    g AS (SELECT CAST(i AS INT) AS bin FROM range(0, 20) r(i))
+    SELECT g.bin, round(-1.0e0 + g.bin * 0.1e0, 6) AS lo, COALESCE(c.n, 0) AS n
+    FROM g LEFT JOIN c USING (bin) ORDER BY bin
+    """,
+)
+def q_embedding_pair_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine histogram over a 64-vector seeded md5 sample
+    (2016 pairs, broadcast self-join — never a corpus cartesian): the
+    embedding-health profile that says whether the corpus has
+    neighborhood structure worth ANN-tuning for, or collapsed mass near
+    1.0. All 20 bins emitted, zeros included
+    (operators/similarity.py:embedding_pair_profile)."""
+    from wicsmmiretl_spark.operators.similarity import embedding_pair_profile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_pair_profile(emb, sample=64, seed=0, bins=20)
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -7429,6 +7499,8 @@ _DEFERRED_QUERIES = (
     "events_daily_cusum",       # CUSUM changepoint; events_weekly_seasonality_error (in-window) covers the daily series family
     "purchase_view_hll_intersect", # HLL inclusion-exclusion; hll_distinct_users (deferred, r8-green) is the single-sketch base
     "kmeans_silhouette",        # cluster-quality eval; kmeans_centroids + ivf_topk (in-window) run the same Lloyd training
+    "purchase_view_psi",        # PSI drift score; events_value_histogram family + purchase_view_ks cover binned drift
+    "embedding_pair_profile",   # pairwise-cosine health profile; embedding_centroids (in-window) covers vector arithmetic
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
