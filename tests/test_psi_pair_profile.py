@@ -100,3 +100,33 @@ def test_pair_profile_detects_collapse(spark):
     assert got[4] == 45 and sum(got.values()) == 45
     with pytest.raises(ValueError, match="sample"):
         embedding_pair_profile(df, sample=1)
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    # counts = round(1000 / rank): a pure Zipf corpus -> slope ~ -1, r2 ~ 1.
+    from wicsmmiretl_spark.functions.text import zipf_fit
+
+    rows = []
+    for rank in range(1, 60):
+        tok = f"w{rank:03d}"
+        rows.extend([(tok + " ",)] * max(1, round(1000 / rank)))
+    docs = spark.createDataFrame([(" ".join(t for (t,) in rows),)], "text: string")
+    got = zipf_fit(docs, "text", top_n=100).collect()[0]
+    assert got["n_tokens"] == 59
+    assert -1.1 < got["slope"] < -0.9
+    assert got["r2"] > 0.99
+
+
+def test_zipf_fit_flat_corpus_and_validation(spark):
+    from wicsmmiretl_spark.functions.text import zipf_fit
+
+    # Uniform counts: zero x-variance in y -> slope 0, r2 NULL (vy = 0).
+    docs = spark.createDataFrame(
+        [("aa bb cc dd ee ff gg hh",)], "text: string"
+    )
+    got = zipf_fit(docs, "text", top_n=10).collect()[0]
+    assert got["slope"] == 0.0 and got["r2"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="top_n"):
+        zipf_fit(docs, "text", top_n=2)

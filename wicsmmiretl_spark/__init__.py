@@ -48,6 +48,7 @@ from wicsmmiretl_spark.functions.text import (
     quality_score,
     token_counts,
     vocab,
+    zipf_fit,
 )
 from wicsmmiretl_spark.operators.aggregates import (
     ab_test_stats,
@@ -222,6 +223,7 @@ __all__ = [
     "simplified_silhouette",
     "psi",
     "embedding_pair_profile",
+    "zipf_fit",
     "dq_report",
     "dq_gate",
     "key_skew_profile",

@@ -28,7 +28,7 @@ backend produces the full ``caption_metadata`` numeric schema (FIXTURES.md
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_SEP = r"\s+"
@@ -514,4 +514,81 @@ def feature_hash(
             F.transform("_e", lambda e: e["_b"]).alias("indices"),
             F.transform("_e", lambda e: e["_v"]).alias("values"),
         )
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary head (Zipf 1949, public
+    literature): OLS of ln(count) on ln(rank) for the ``top_n``
+    most-frequent tokens. Natural text sits near slope −1; templated or
+    machine-generated corpora flatten (slope → 0) or cliff (≪ −1), and a
+    collapsing r² says the rank curve isn't a power law at all — a
+    one-row corpus-health fingerprint for ingest gating.
+
+    * Ranks are (count desc, token asc) over the top-``top_n`` tokens —
+      a TakeOrderedAndProject (top_n rows cross the wire, never a full
+      vocab sort); the ranks 1..top_n are then assigned by a window over
+      those top_n rows only (bounded by construction, so the single
+      partition is fine and partitioning-independent).
+    * The OLS moments are exact bigint sums of round(ln(·)·scale) terms
+      in decimal(38,0) — the corpus-wide counts are exact integers, so
+      the whole fit replays identically in any engine.
+
+    100 TB shape: ONE token hash agg over the corpus (combiner-backed);
+    everything after runs on top_n rows.
+
+    Output (one row): n_tokens bigint (fitted points, ≤ top_n),
+    slope, intercept, r2 double (6dp).
+    """
+    if top_n < 3:
+        raise ValueError(f"zipf_fit: top_n must be >= 3, got {top_n}")
+    if text_col not in df.columns:
+        raise ValueError(f"zipf_fit: column {text_col!r} not in {df.columns}")
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    top = (
+        counts.orderBy(F.desc("c"), F.asc("t"))
+        .limit(top_n)
+        .localCheckpoint(eager=False)
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("t"))
+    pts = top.select(
+        F.round(F.log(F.row_number().over(w).cast("double")) * scale)
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * scale)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = cov / vx
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / (
+        F.col("n") * scale
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.when(
+            (vx > 0) & (vy > 0), F.round(cov * cov / (vx * vy), 6)
+        ).alias("r2"),
     )

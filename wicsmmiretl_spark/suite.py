@@ -7416,6 +7416,47 @@ def q_embedding_pair_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_pair_profile(emb, sample=64, seed=0, bins=20)
 
 
+@query(
+    "corpus_zipf_fit",
+    rf"""
+    WITH toks AS (SELECT unnest({_SQL_TOKS}) AS t FROM documents),
+    c AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+    top AS (SELECT t, c FROM c ORDER BY c DESC, t ASC LIMIT 1000),
+    pts AS (SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY c DESC, t ASC)
+                                      AS DOUBLE)) * 1000000000) AS HUGEINT) AS x,
+                   CAST(round(ln(CAST(c AS DOUBLE)) * 1000000000) AS HUGEINT) AS y
+            FROM top),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+          FROM pts)
+    SELECT n AS n_tokens,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / (n * 1000000000.0), 6) AS intercept,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           * CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS r2
+    FROM m
+    """,
+)
+def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the vocabulary head: OLS of ln(count) on
+    ln(rank) for the top-1000 tokens — natural text sits near slope −1;
+    flat or cliffed slopes (or a collapsing r²) fingerprint templated /
+    machine-generated corpora at ingest. One corpus token agg, then
+    exact scaled-ln moments over ≤1000 rows
+    (functions/text.py:zipf_fit)."""
+    from wicsmmiretl_spark.functions.text import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_fit(docs, "text", top_n=1000)
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -7501,6 +7542,7 @@ _DEFERRED_QUERIES = (
     "kmeans_silhouette",        # cluster-quality eval; kmeans_centroids + ivf_topk (in-window) run the same Lloyd training
     "purchase_view_psi",        # PSI drift score; events_value_histogram family + purchase_view_ks cover binned drift
     "embedding_pair_profile",   # pairwise-cosine health profile; embedding_centroids (in-window) covers vector arithmetic
+    "corpus_zipf_fit",          # Zipf-law corpus fingerprint; vocab_top100 (entry flagship) is the same token agg
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
