@@ -130,3 +130,32 @@ def test_zipf_fit_flat_corpus_and_validation(spark):
 
     with _pytest.raises(ValueError, match="top_n"):
         zipf_fit(docs, "text", top_n=2)
+
+
+def test_stream_psi_equals_batch_psi(spark, tmp_path):
+    # The streaming fold over two dropped files must equal the batch PSI.
+    import random as _random
+
+    from wicsmmiretl_spark.streaming.windows import stream_psi
+
+    rng = _random.Random(81)
+    cur_rows = [(round(rng.gauss(60, 20), 2),) for _ in range(300)]
+    ref_rows = [("r", round(rng.gauss(40, 15), 2)) for _ in range(300)]
+    d = tmp_path / "drop"
+    d.mkdir()
+    half = len(cur_rows) // 2
+    spark.createDataFrame(cur_rows[:half], "v: double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "f1"))
+    spark.createDataFrame(cur_rows[half:], "v: double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "f2"))
+    ref = spark.createDataFrame(ref_rows, "g: string, v: double")
+    stream = (
+        spark.readStream.schema("v double").option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    got = stream_psi(stream, "v", spark, ref, "v", lo=0.0, hi=100.0, bins=10).collect()[0]
+    both = ref_rows + [("c", v) for (v,) in cur_rows]
+    want = _psi_brute(both, "r", "c", 0.0, 100.0, 10)
+    assert (got["n_ref"], got["n_cur"], got["psi"]) == want

@@ -57,6 +57,8 @@ from wicsmmiretl_spark.operators.aggregates import (
     cusum_changepoint,
     hll_intersect_estimate,
     psi,
+    psi_bin_expr,
+    psi_from_binned,
     ks_test,
     weighted_quantiles,
     column_stats,
@@ -168,7 +170,7 @@ from wicsmmiretl_spark.operators.similarity import (
 from wicsmmiretl_spark.multimodal.audio import audio_features, synth_wav
 from wicsmmiretl_spark.session import get_spark, stop_spark
 from wicsmmiretl_spark.sources.captions_source import CaptionListDataSource
-from wicsmmiretl_spark.streaming.windows import stream_cms_sketch, stream_histogram, stream_hll_registers, stream_static_enrich
+from wicsmmiretl_spark.streaming.windows import stream_cms_sketch, stream_histogram, stream_hll_registers, stream_static_enrich, stream_psi
 
 __all__ = [
     # session / catalog
@@ -222,8 +224,11 @@ __all__ = [
     "hll_intersect_estimate",
     "simplified_silhouette",
     "psi",
+    "psi_bin_expr",
+    "psi_from_binned",
     "embedding_pair_profile",
     "zipf_fit",
+    "stream_psi",
     "dq_report",
     "dq_gate",
     "key_skew_profile",

@@ -1932,25 +1932,38 @@ def psi(
     for c in (value_col, group_col):
         if c not in df.columns:
             raise ValueError(f"psi: column {c!r} not in {df.columns}")
-    width = (hi - lo) / bins
-    v = F.col(value_col).cast("double")
-    bin_expr = (
-        F.when(v < lo, F.lit(-1))
-        .when(v >= hi, F.lit(bins))
-        .otherwise(F.floor((v - lo) / width).cast("int"))
-    )
     counts = (
         df.filter(
-            v.isNotNull() & F.col(group_col).isin([ref_group, cur_group])
+            F.col(value_col).cast("double").isNotNull()
+            & F.col(group_col).isin([ref_group, cur_group])
         )
-        .groupBy(bin_expr.alias("_bin"))
+        .groupBy(psi_bin_expr(value_col, lo, hi, bins).alias("_bin"))
         .agg(
             F.sum(F.when(F.col(group_col) == ref_group, 1).otherwise(0)).alias("_cr"),
             F.sum(F.when(F.col(group_col) == cur_group, 1).otherwise(0)).alias("_cc"),
         )
     )
+    return psi_from_binned(counts, bins, scale)
+
+
+def psi_bin_expr(value_col: str, lo: float, hi: float, bins: int) -> Column:
+    """The PSI bucket id for a value: -1 underflow, ``bins`` overflow,
+    else the fixed-width [lo, hi) bucket — shared by the batch operator
+    and the streaming fold so both paths bin identically."""
+    width = (hi - lo) / bins
+    v = F.col(value_col).cast("double")
+    return (
+        F.when(v < lo, F.lit(-1))
+        .when(v >= hi, F.lit(bins))
+        .otherwise(F.floor((v - lo) / width).cast("int"))
+    )
+
+
+def psi_from_binned(counts: DataFrame, bins: int, scale: int = 10**9) -> DataFrame:
+    """PSI fold from a (_bin, _cr, _cc) count table (see :func:`psi` for
+    the smoothing contract) — the merge target for streaming bin counts."""
     # Dense bin grid (-1 .. bins): missing bins carry the smoothing mass.
-    grid = df.sparkSession.range(-1, bins + 1).select(
+    grid = counts.sparkSession.range(-1, bins + 1).select(
         F.col("id").cast("int").alias("_bin")
     )
     b_total = bins + 2

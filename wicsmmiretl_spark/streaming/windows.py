@@ -418,3 +418,75 @@ def stream_histogram(
     width = (hi - lo) / buckets
     rows = sorted((b, lo + b * width, lo + (b + 1) * width, c) for b, c in counters.items())
     return spark.createDataFrame(rows, "bucket: int, lo: double, hi: double, n: bigint")
+
+
+def stream_psi(
+    stream_df: DataFrame,
+    value_col: str,
+    spark: SparkSession,
+    reference: DataFrame,
+    ref_value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+) -> DataFrame:
+    """Drift monitoring OVER A STREAM: fold the CURRENT distribution's
+    PSI bin counts micro-batch by micro-batch (addition-merged with
+    batch-id replay protection — the ``stream_histogram`` fold
+    discipline) and score them against a STATIC reference table's bin
+    counts. Bin counts are the natural mergeable state for PSI — the
+    streaming monitor costs O(bins) memory and no stateful shuffle
+    operator, and the folded state equals the batch bin counts over the
+    delivered rows, so a batch oracle replays the score exactly.
+
+    Both sides bin through ``aggregates.psi_bin_expr`` (the SAME literal
+    edges) and the score comes from ``aggregates.psi_from_binned`` (the
+    same smoothing), so batch and streaming PSI are one definition.
+
+    Returns a one-row batch DataFrame (n_ref, n_cur bigint, psi double).
+    """
+    from wicsmmiretl_spark.operators.aggregates import (
+        psi_bin_expr,
+        psi_from_binned,
+    )
+
+    counters: dict[int, int] = {}
+    seen_batches: set[int] = set()
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in seen_batches:
+            return
+        seen_batches.add(batch_id)
+        rows = (
+            batch_df.filter(F.col(value_col).cast("double").isNotNull())
+            .groupBy(psi_bin_expr(value_col, lo, hi, bins).alias("_bin"))
+            .agg(F.count("*").alias("_n"))
+            .collect()
+        )
+        for r in rows:
+            b = int(r["_bin"])
+            counters[b] = counters.get(b, 0) + int(r["_n"])
+
+    q = (
+        stream_df.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    cur = spark.createDataFrame(
+        [(b, n) for b, n in counters.items()] or [(-1, 0)],
+        "_bin: int, _cc: bigint",
+    ).groupBy("_bin").agg(F.sum("_cc").alias("_cc"))
+    ref = (
+        reference.filter(F.col(ref_value_col).cast("double").isNotNull())
+        .groupBy(psi_bin_expr(ref_value_col, lo, hi, bins).alias("_bin"))
+        .agg(F.count("*").alias("_cr"))
+    )
+    counts = ref.join(cur, "_bin", "full").select(
+        "_bin",
+        F.coalesce("_cr", F.lit(0)).alias("_cr"),
+        F.coalesce("_cc", F.lit(0)).alias("_cc"),
+    )
+    return psi_from_binned(counts, bins)

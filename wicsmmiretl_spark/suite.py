@@ -7457,6 +7457,47 @@ def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, "text", top_n=1000)
 
 
+@query(
+    "streaming_value_psi",
+    """
+    WITH c AS (SELECT CASE WHEN value < 0.0e0 THEN -1
+                           WHEN value >= 100.0e0 THEN 10
+                           ELSE CAST(floor((value - 0.0e0) / 10.0e0) AS INT) END AS bin,
+                      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                           AS BIGINT) AS cr,
+                      CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                           AS BIGINT) AS cc
+               FROM events
+               WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+               GROUP BY 1),
+    g AS (SELECT CAST(i AS INT) AS bin FROM range(-1, 11) r(i)),
+    d AS (SELECT g.bin, COALESCE(cr, 0) AS cr, COALESCE(cc, 0) AS cc
+          FROM g LEFT JOIN c USING (bin)),
+    t AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(cc) AS BIGINT) AS nc FROM d)
+    SELECT nr AS n_ref, nc AS n_cur,
+           round(CAST(sum(CAST(round(
+                 ((cr + 0.5e0) / (nr + 6.0e0) - (cc + 0.5e0) / (nc + 6.0e0))
+                 * ln(((cr + 0.5e0) / (nr + 6.0e0)) / ((cc + 0.5e0) / (nc + 6.0e0)))
+                 * 1000000000) AS BIGINT)) AS BIGINT) / 1000000000.0, 6) AS psi
+    FROM d CROSS JOIN t GROUP BY 1, 2
+    """,
+)
+def q_streaming_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PSI drift monitor driven OVER A STREAM: the view events
+    stream through the drop-folder and fold their bin counts into
+    addition-merged driver counters (batch-id replay protection), scored
+    against the static purchase reference through the SAME bin edges and
+    smoothing as the batch operator — one definition, two execution
+    modes; the oracle replays the batch computation
+    (streaming/windows.py:stream_psi)."""
+    from wicsmmiretl_spark.streaming.windows import read_event_stream, stream_psi
+
+    d = _events_dropdir(spark, sf_dir)
+    stream = read_event_stream(spark, d).filter(F.col("event_type") == "view")
+    ref = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return stream_psi(stream, "value", spark, ref, "value", lo=0.0, hi=100.0, bins=10)
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -7543,6 +7584,7 @@ _DEFERRED_QUERIES = (
     "purchase_view_psi",        # PSI drift score; events_value_histogram family + purchase_view_ks cover binned drift
     "embedding_pair_profile",   # pairwise-cosine health profile; embedding_centroids (in-window) covers vector arithmetic
     "corpus_zipf_fit",          # Zipf-law corpus fingerprint; vocab_top100 (entry flagship) is the same token agg
+    "streaming_value_psi",      # PSI fold over a stream; streaming_tumbling (in-window) covers the streaming path
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
