@@ -7498,6 +7498,124 @@ def q_streaming_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_psi(stream, "value", spark, ref, "value", lo=0.0, hi=100.0, bins=10)
 
 
+@query(
+    "corpus_curation_v3",
+    rf"""
+    WITH base AS (SELECT doc_id, lang, source, n_chars, {_SQL_TOKS} AS tk FROM documents
+                  WHERE doc_id IS NOT NULL AND lang IS NOT NULL AND text IS NOT NULL),
+    ds_g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                    array_to_string(tk[i+1:i+8], chr(31)) AS gram
+             FROM base, UNNEST(range(0, len(tk) - 8 + 1)) AS r(i)),
+    ds_dup AS (SELECT gram FROM ds_g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+    ds_c AS (SELECT doc_id, pos, pos + 8 AS e FROM ds_g
+             WHERE gram IN (SELECT gram FROM ds_dup)),
+    ds_o AS (SELECT doc_id, pos, e, max(e) OVER (PARTITION BY doc_id ORDER BY pos, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM ds_c),
+    ds_i AS (SELECT doc_id, pos, e,
+                    sum(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY pos, e) AS isl FROM ds_o),
+    ds_sp AS (SELECT doc_id, isl, min(pos) AS s, max(e) AS e2 FROM ds_i GROUP BY 1, 2),
+    ds_agg AS (SELECT doc_id, CAST(sum(e2 - s) AS BIGINT) AS dup_tokens
+               FROM ds_sp GROUP BY 1),
+    ds AS (SELECT b.doc_id,
+                  CASE WHEN len(b.tk) = 0 THEN 0.0
+                       ELSE round(COALESCE(a.dup_tokens, 0)
+                                  / CAST(len(b.tk) AS DOUBLE), 6) END AS dup_frac
+           FROM base b LEFT JOIN ds_agg a USING (doc_id)),
+    ct_sh AS (SELECT DISTINCT doc_id, md5(array_to_string(tk[i+1:i+3], chr(31))) AS sh
+              FROM base, UNNEST(range(0, len(tk) - 3 + 1)) AS r(i)),
+    ct_sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ct_sh GROUP BY 1),
+    ct_band AS (SELECT sh FROM ct_sh GROUP BY sh HAVING count(*) BETWEEN 2 AND 50),
+    ct_f AS (SELECT s.doc_id, s.sh FROM ct_sh s JOIN ct_band USING (sh)),
+    ct_p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(count(*) AS BIGINT) AS inter
+             FROM ct_f a JOIN ct_f b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    ct_drop AS (SELECT DISTINCT CASE WHEN sa.sz < sb.sz THEN id_a ELSE id_b END AS doc_id
+                FROM ct_p JOIN ct_sz sa ON sa.doc_id = id_a
+                          JOIN ct_sz sb ON sb.doc_id = id_b
+                WHERE greatest(inter / CAST(sa.sz AS DOUBLE),
+                               inter / CAST(sb.sz AS DOUBLE)) >= 0.8),
+    nb_tok AS (SELECT doc_id, lang, unnest(tk) AS token FROM base),
+    nb_ntc AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n_tc
+               FROM nb_tok GROUP BY 1, 2),
+    nb_nc AS (SELECT lang, CAST(sum(n_tc) AS BIGINT) AS n_c FROM nb_ntc GROUP BY 1),
+    nb_v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM nb_ntc),
+    nb_pr AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM base GROUP BY 1),
+    nb_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    nb_li AS (SELECT nb_nc.lang,
+                     CAST(round(ln(nd / CAST(n AS DOUBLE)) * 10000000) AS BIGINT) AS prior,
+                     CAST(round(ln(CAST(1 AS DOUBLE) / (n_c + v)) * 10000000) AS BIGINT) AS dflt
+              FROM nb_nc JOIN nb_pr USING (lang) CROSS JOIN nb_tot CROSS JOIN nb_v),
+    nb_m AS (SELECT lang, token,
+                    CAST(round(ln((n_tc + 1) / CAST(n_c + v AS DOUBLE)) * 10000000) AS BIGINT) AS logp
+             FROM nb_ntc JOIN nb_nc USING (lang) CROSS JOIN nb_v),
+    nb_dt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt
+              FROM nb_tok GROUP BY 1, 2),
+    nb_sc AS (SELECT d.doc_id, li.lang AS cand,
+                     CAST(li.prior + sum(d.cnt * COALESCE(m.logp, li.dflt)) AS BIGINT) AS score
+              FROM nb_dt d CROSS JOIN nb_li li
+              LEFT JOIN nb_m m ON m.lang = li.lang AND m.token = d.token
+              GROUP BY 1, 2, li.prior),
+    nb_pick AS (SELECT doc_id, cand AS pred,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, cand ASC) AS rn
+                FROM nb_sc)
+    SELECT b.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b.n_chars) AS BIGINT) AS sum_chars
+    FROM base b
+    JOIN ds ON ds.doc_id = b.doc_id AND ds.dup_frac <= 0.5
+    JOIN nb_pick p ON p.doc_id = b.doc_id AND p.rn = 1 AND p.pred = b.lang
+    WHERE b.doc_id NOT IN (SELECT doc_id FROM ct_drop)
+    GROUP BY 1
+    """,
+)
+def q_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation capstone v3, composing the session-4 operators into one
+    lazy plan: drop documents whose cross-doc duplicated-substring
+    coverage exceeds 50% (duplicated_span_stats), drop the CONTAINED
+    side of any ≥0.8-containment pair (containment_pairs — the
+    quote/excerpt rule; smaller doc loses, equal sizes lose the larger
+    id), and gate on self-consistency of the in-engine NB language
+    classifier (nb_train + nb_classify: predicted lang must equal the
+    label — the mislabel detector). Survivors aggregate per source."""
+    from wicsmmiretl_spark.operators.dedup import (
+        containment_pairs,
+        duplicated_span_stats,
+    )
+    from wicsmmiretl_spark.operators.nb import nb_classify, nb_train
+
+    docs = _t(spark, sf_dir, "documents")
+    d0 = docs.filter(
+        F.col("doc_id").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("text").isNotNull()
+    )
+    spans_ok = (
+        duplicated_span_stats(d0, "doc_id", "text", k=8)
+        .filter(F.col("dup_frac") <= 0.5)
+        .select("doc_id")
+    )
+    pairs = containment_pairs(d0, "doc_id", "text", k=3, threshold=0.8)
+    drop = pairs.select(
+        F.when(F.col("size_a") < F.col("size_b"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("doc_id")
+    ).distinct()
+    tl, li = nb_train(d0, "lang", "text")
+    preds = nb_classify(d0, tl, li, "doc_id", "text")
+    kept = (
+        d0.join(spans_ok, "doc_id")
+        .join(preds, "doc_id")
+        .filter(F.col("pred") == F.col("lang"))
+        .join(drop, "doc_id", "left_anti")
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -7591,6 +7709,7 @@ _DEFERRED_QUERIES = (
     "embedding_pair_profile",   # pairwise-cosine health profile; embedding_centroids (in-window) covers vector arithmetic
     "corpus_zipf_fit",          # Zipf-law corpus fingerprint; vocab_top100 (entry flagship) is the same token agg
     "streaming_value_psi",      # PSI fold over a stream; streaming_tumbling (in-window) covers the streaming path
+    "corpus_curation_v3",       # session-4 capstone; corpus_curation_v2 (deferred, r8-green) + etl_caption_pipeline (in-window) cover composition
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
