@@ -1,0 +1,121 @@
+"""information_gain and rolling_corr vs brute-force Python ground truth —
+perfect/zero dependence, window edges, constant series."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from wicsmmiretl_spark.operators.aggregates import information_gain
+from wicsmmiretl_spark.operators.sequences import rolling_corr
+
+SCALE = 10**9
+
+
+def _ig_brute(rows):
+    rows = [(x, y) for x, y in rows if x is not None and y is not None]
+    n = len(rows)
+    cx, cy, cxy = {}, {}, {}
+    for x, y in rows:
+        cx[x] = cx.get(x, 0) + 1
+        cy[y] = cy.get(y, 0) + 1
+        cxy[(x, y)] = cxy.get((x, y), 0) + 1
+    hy = sum(int(round(-(c / n) * math.log(c / n) * SCALE)) for c in cy.values())
+    hx = sum(int(round(-(c / n) * math.log(c / n) * SCALE)) for c in cx.values())
+    hyx = sum(
+        int(round(-(o / n) * math.log(o / cx[x]) * SCALE))
+        for (x, _), o in cxy.items()
+    )
+    gr = round((hy - hyx) / hx, 6) if hx > 0 else None
+    return (
+        n,
+        round(hy / SCALE, 6),
+        round(hyx / SCALE, 6),
+        round((hy - hyx) / SCALE, 6),
+        gr,
+    )
+
+
+def test_information_gain_matches_brute_force(spark):
+    rng = random.Random(91)
+    rows = []
+    for _ in range(500):
+        x = rng.choice("pqr")
+        y = rng.choice("ab" if x == "p" else "bc")  # partial dependence
+        rows.append((x, y))
+    rows += [(None, "a"), ("p", None)]
+    df = spark.createDataFrame(rows, "x: string, y: string")
+    got = information_gain(df, "y", "x").collect()[0]
+    assert (
+        got["n"], got["h_target"], got["h_conditional"], got["info_gain"], got["gain_ratio"]
+    ) == _ig_brute(rows)
+
+
+def test_information_gain_extremes(spark):
+    # Perfect dependence: H(Y|X) = 0, IG = H(Y).
+    rows = [("p", "a"), ("q", "b")] * 50
+    df = spark.createDataFrame(rows, "x: string, y: string")
+    got = information_gain(df, "y", "x").collect()[0]
+    assert got["h_conditional"] == 0.0 and got["info_gain"] == got["h_target"] > 0
+    # Single-valued feature: H(X) = 0 -> gain_ratio NULL, IG = 0.
+    rows = [("p", "a"), ("p", "b")] * 50
+    df = spark.createDataFrame(rows, "x: string, y: string")
+    got = information_gain(df, "y", "x").collect()[0]
+    assert got["info_gain"] == 0.0 and got["gain_ratio"] is None
+    with pytest.raises(ValueError, match="information_gain"):
+        information_gain(df, "y", "nope")
+
+
+def _rolling_corr_brute(rows, window, xs=10**6, ys=10**3):
+    out = {}
+    per_key = {}
+    for k, t, tb, x, y in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        per_key.setdefault(k, []).append((tb, int(round(x * xs)), int(round(y * ys))))
+    for k, seq in per_key.items():
+        for i in range(len(seq)):
+            fr = seq[max(0, i - window + 1) : i + 1]
+            n = len(fr)
+            sx = sum(a for _, a, _ in fr)
+            sy = sum(b for _, _, b in fr)
+            sxy = sum(a * b for _, a, b in fr)
+            sxx = sum(a * a for _, a, _ in fr)
+            syy = sum(b * b for _, _, b in fr)
+            vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+            c = None
+            if n >= 2 and vx > 0 and vy > 0:
+                c = round((n * sxy - sx * sy) / math.sqrt(float(vx) * float(vy)), 6)
+            out[(k, seq[i][0])] = c
+    return out
+
+
+def test_rolling_corr_matches_brute_force(spark):
+    rng = random.Random(93)
+    rows = [
+        (rng.randint(0, 4), rng.randint(0, 1000), i, round(rng.uniform(-5, 5), 3), round(rng.uniform(0, 100), 3))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k: bigint, t: int, tb: int, x: double, y: double")
+    got = {
+        (r["k"], r["tb"]): r["corr"]
+        for r in rolling_corr(df, "k", "t", "x", "y", "tb", window=10).collect()
+    }
+    assert got == _rolling_corr_brute(rows, 10)
+
+
+def test_rolling_corr_edges(spark):
+    # Perfectly linear inside the frame -> 1.0; constant series -> NULL.
+    rows = [(1, i, i, float(i), 2.0 * i + 3) for i in range(5)] + [
+        (2, i, 100 + i, float(i), 7.0) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "k: bigint, t: int, tb: int, x: double, y: double")
+    got = {
+        (r["k"], r["tb"]): r["corr"]
+        for r in rolling_corr(df, "k", "t", "x", "y", "tb", window=4).collect()
+    }
+    assert got[(1, 0)] is None  # single-row frame
+    assert all(got[(1, i)] == 1.0 for i in range(1, 5))
+    assert all(got[(2, 100 + i)] is None for i in range(5))  # zero y-variance
+    with pytest.raises(ValueError, match="window"):
+        rolling_corr(df, "k", "t", "x", "y", "tb", window=1)

@@ -56,6 +56,7 @@ from wicsmmiretl_spark.operators.aggregates import (
     chi_square_independence,
     cusum_changepoint,
     hll_intersect_estimate,
+    information_gain,
     psi,
     psi_bin_expr,
     psi_from_binned,
@@ -148,7 +149,7 @@ from wicsmmiretl_spark.operators.sampling import (
     weighted_sample,
 )
 from wicsmmiretl_spark.operators.nb import nb_classify, nb_confusion, nb_train
-from wicsmmiretl_spark.operators.sequences import ewma, frequent_sequences, time_weighted_avg, transition_matrix
+from wicsmmiretl_spark.operators.sequences import ewma, frequent_sequences, rolling_corr, time_weighted_avg, transition_matrix
 from wicsmmiretl_spark.operators.skyline import skyline_2d
 from wicsmmiretl_spark.operators.sets import union_checked
 from wicsmmiretl_spark.operators.similarity import (
@@ -224,6 +225,8 @@ __all__ = [
     "hll_intersect_estimate",
     "simplified_silhouette",
     "psi",
+    "information_gain",
+    "rolling_corr",
     "psi_bin_expr",
     "psi_from_binned",
     "embedding_pair_profile",

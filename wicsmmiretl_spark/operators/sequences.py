@@ -295,3 +295,77 @@ def time_weighted_avg(
             F.col("_num").cast("double") / F.col("_den") / scale, 6
         ).alias("twa"),
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    tiebreak_col: str,
+    window: int = 20,
+    x_scale: int = 10**6,
+    y_scale: int = 10**3,
+    out_col: str = "corr",
+) -> DataFrame:
+    """Per-key TRAILING Pearson correlation over the last ``window``
+    observations of two series — the local-association monitor ("has
+    value stopped tracking time / price stopped tracking volume in the
+    last N ticks") completing the time-series family beside EWMA
+    (level), trailing aggregates (mass), and CUSUM (global break).
+
+    Exact-arithmetic contract: x and y scale to bigints once; the five
+    frame sums (Σx, Σy, Σxy, Σx², Σy²) accumulate in decimal(38,0) over
+    the ROWS frame, so every frame's moments are exact integers on any
+    engine; the closed-form correlation divides once per row (6dp).
+    Rows with fewer than 2 frame observations, or zero variance in
+    either series, emit NULL (undefined, not 0).
+
+    100 TB shape: ONE shuffle keyed by ``key_col`` — all five window
+    sums share the single (ts, tiebreak)-ordered frame over the same
+    exchange every sequence operator here pays.
+
+    Output: key_col, tiebreak_col, out_col double — one row per input
+    observation (NULL-value rows excluded).
+    """
+    if window < 2:
+        raise ValueError(f"rolling_corr: window must be >= 2, got {window}")
+    for c in (key_col, ts_col, x_col, y_col, tiebreak_col):
+        if c not in df.columns:
+            raise ValueError(f"rolling_corr: column {c!r} not in {df.columns}")
+    base = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    ).select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(tiebreak_col),
+        F.round(F.col(x_col).cast("double") * x_scale)
+        .cast("decimal(38,0)")
+        .alias("_sx"),
+        F.round(F.col(y_col).cast("double") * y_scale)
+        .cast("decimal(38,0)")
+        .alias("_sy"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.asc(ts_col), F.asc(tiebreak_col))
+        .rowsBetween(-(window - 1), 0)
+    )
+    n = F.count("*").over(w).cast("decimal(38,0)")
+    sx = F.sum("_sx").over(w)
+    sy = F.sum("_sy").over(w)
+    sxy = F.sum(F.col("_sx") * F.col("_sy")).over(w)
+    sxx = F.sum(F.col("_sx") * F.col("_sx")).over(w)
+    syy = F.sum(F.col("_sy") * F.col("_sy")).over(w)
+    cov = (n * sxy - sx * sy).cast("double")
+    vx = (n * sxx - sx * sx).cast("double")
+    vy = (n * syy - sy * sy).cast("double")
+    corr = F.when(
+        (n >= 2) & (vx > 0) & (vy > 0),
+        F.round(cov / F.sqrt(vx * vy), 6),
+    )
+    return base.select(key_col, tiebreak_col, corr.alias(out_col))

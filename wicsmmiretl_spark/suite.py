@@ -7616,6 +7616,84 @@ def q_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_lang_source_infogain",
+    """
+    WITH obs AS (SELECT source AS x, lang AS y, CAST(count(*) AS BIGINT) AS o
+                 FROM documents
+                 WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+    cx AS (SELECT x, CAST(sum(o) AS BIGINT) AS cx FROM obs GROUP BY 1),
+    cy AS (SELECT y, CAST(sum(o) AS BIGINT) AS cy FROM obs GROUP BY 1),
+    t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+    hy AS (SELECT CAST(sum(CAST(round(-(cy / CAST(n AS DOUBLE))
+                 * ln(cy / CAST(n AS DOUBLE)) * 1000000000) AS BIGINT)) AS BIGINT) AS hy
+           FROM cy CROSS JOIN t),
+    hx AS (SELECT CAST(sum(CAST(round(-(cx / CAST(n AS DOUBLE))
+                 * ln(cx / CAST(n AS DOUBLE)) * 1000000000) AS BIGINT)) AS BIGINT) AS hx
+           FROM cx CROSS JOIN t),
+    hyx AS (SELECT CAST(sum(CAST(round(-(o / CAST(n AS DOUBLE))
+                  * ln(o / CAST(cx AS DOUBLE)) * 1000000000) AS BIGINT)) AS BIGINT) AS hyx
+            FROM obs JOIN cx USING (x) CROSS JOIN t)
+    SELECT n, round(hy / 1000000000.0, 6) AS h_target,
+           round(hyx / 1000000000.0, 6) AS h_conditional,
+           round((hy - hyx) / 1000000000.0, 6) AS info_gain,
+           CASE WHEN hx > 0 THEN round((hy - hyx) / CAST(hx AS DOUBLE), 6) END AS gain_ratio
+    FROM t CROSS JOIN hy CROSS JOIN hx CROSS JOIN hyx
+    """,
+)
+def q_doc_lang_source_infogain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain of source about language (mutual information +
+    Quinlan's gain ratio) — "how many bits does knowing the source buy
+    about the language", the feature-relevance readout beside the
+    chi-square significance test on the same contingency table. One
+    (x, y) hash agg; three scaled-ln bigint folds over cell counts
+    (operators/aggregates.py:information_gain)."""
+    from wicsmmiretl_spark.operators.aggregates import information_gain
+
+    docs = _t(spark, sf_dir, "documents")
+    return information_gain(docs, "lang", "source")
+
+
+@query(
+    "user_value_time_corr",
+    """
+    WITH e AS (SELECT user_id, event_id, ts,
+                      CAST(round(CAST(value AS DOUBLE) * 1000000) AS HUGEINT) AS sx,
+                      CAST(round(epoch_us(ts) / 1000000.0 * 1000) AS HUGEINT) AS sy
+               FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+    w AS (SELECT user_id, event_id,
+                 CAST(count(*) OVER fr AS HUGEINT) AS n,
+                 sum(sx) OVER fr AS sx, sum(sy) OVER fr AS sy,
+                 sum(sx * sy) OVER fr AS sxy,
+                 sum(sx * sx) OVER fr AS sxx,
+                 sum(sy * sy) OVER fr AS syy
+          FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id,
+           CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS corr
+    FROM w
+    """,
+)
+def q_user_value_time_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-20-event Pearson correlation of event value
+    against clock time — the local-trend monitor (corr near ±1 = the
+    user's values are drifting monotonically; near 0 = stationary). All
+    five frame moments are exact decimal(38) sums over ONE user-keyed
+    window (operators/sequences.py:rolling_corr)."""
+    from wicsmmiretl_spark.operators.sequences import rolling_corr
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "t_sec", F.unix_micros(F.col("ts").cast("timestamp")) / 1000000.0
+    )
+    return rolling_corr(
+        ev, "user_id", "ts", "value", "t_sec", "event_id", window=20
+    )
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -7710,6 +7788,8 @@ _DEFERRED_QUERIES = (
     "corpus_zipf_fit",          # Zipf-law corpus fingerprint; vocab_top100 (entry flagship) is the same token agg
     "streaming_value_psi",      # PSI fold over a stream; streaming_tumbling (in-window) covers the streaming path
     "corpus_curation_v3",       # session-4 capstone; corpus_curation_v2 (deferred, r8-green) + etl_caption_pipeline (in-window) cover composition
+    "doc_lang_source_infogain", # mutual information; events_category_entropy + doc_lang_source_chi2 cover the contingency family
+    "user_value_time_corr",     # trailing Pearson frames; window_rank_events (in-window) covers user-keyed window frames
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
