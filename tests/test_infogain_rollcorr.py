@@ -119,3 +119,45 @@ def test_rolling_corr_edges(spark):
     assert all(got[(2, 100 + i)] is None for i in range(5))  # zero y-variance
     with pytest.raises(ValueError, match="window"):
         rolling_corr(df, "k", "t", "x", "y", "tb", window=1)
+
+
+def _gini_brute(vals, scale=10**6):
+    sv = sorted(int(round(v * scale)) for v in vals if v is not None)
+    n = len(sv)
+    total = sum(sv)
+    # tie-averaged ranks via level grouping
+    from collections import Counter
+
+    levels = Counter(sv)
+    cum = 0
+    num = 0
+    for v in sorted(levels):
+        c = levels[v]
+        cum += c
+        num += (2 * cum - c - n) * v
+    g = round(num / (n * total), 6) if total > 0 else None
+    return n, round(total / scale, 6), g
+
+
+def test_gini_matches_brute_force(spark):
+    from wicsmmiretl_spark.operators.aggregates import gini_coefficient
+
+    vals = [random.Random(97).uniform(0, 100) for _ in range(300)] + [5.0] * 50
+    df = spark.createDataFrame([(round(v, 3),) for v in vals], "v: double")
+    got = gini_coefficient(df, "v").collect()[0]
+    assert (got["n"], got["total"], got["gini"]) == _gini_brute([round(v, 3) for v in vals])
+
+
+def test_gini_extremes(spark):
+    from wicsmmiretl_spark.operators.aggregates import gini_coefficient
+
+    # Uniform mass -> 0; one row holds everything -> (n-1)/n.
+    df = spark.createDataFrame([(10.0,)] * 20, "v: double")
+    assert gini_coefficient(df, "v").collect()[0]["gini"] == 0.0
+    df = spark.createDataFrame([(0.0,)] * 19 + [(100.0,)], "v: double")
+    assert gini_coefficient(df, "v").collect()[0]["gini"] == round(19 / 20, 6)
+    df = spark.createDataFrame([(0.0,)] * 5, "v: double")
+    assert gini_coefficient(df, "v").collect()[0]["gini"] is None
+    df = spark.createDataFrame([(-1.0,)], "v: double")
+    with pytest.raises(Exception, match="negative value"):
+        gini_coefficient(df, "v").collect()

@@ -55,6 +55,7 @@ from wicsmmiretl_spark.operators.aggregates import (
     category_entropy,
     chi_square_independence,
     cusum_changepoint,
+    gini_coefficient,
     hll_intersect_estimate,
     information_gain,
     psi,
@@ -227,6 +228,7 @@ __all__ = [
     "psi",
     "information_gain",
     "rolling_corr",
+    "gini_coefficient",
     "psi_bin_expr",
     "psi_from_binned",
     "embedding_pair_profile",

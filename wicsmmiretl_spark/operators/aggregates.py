@@ -2081,3 +2081,77 @@ def information_gain(
             ).alias("gain_ratio"),
         )
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Exact Gini coefficient of a non-negative quantity (Gini 1912,
+    public literature; the rank-covariance form G = Σ(2r̄_i − n − 1)·x_i
+    / (n·Σx) with average ranks over ties): how concentrated the mass
+    is — 0 = uniform, →1 = a few rows hold everything. The corpus
+    question it answers: "do a handful of domains/documents own most of
+    the characters?" — the inequality readout behind per-source caps
+    and token-budget decisions.
+
+    Exact-arithmetic contract: values scale to bigints; per distinct
+    level the tie-averaged twice-rank term (2·cum − c − n) is an exact
+    integer from the offsets-pattern cumulative count, so the numerator
+    is a decimal(38,0) sum of integer products and the single divide
+    happens once (6dp). Negative values are rejected in-plan (Gini is
+    undefined below zero; silently absorbing them flips signs).
+
+    100 TB shape: one value-level hash agg (combiner-backed), the
+    offsets cumsum over distinct levels, one fold.
+
+    Output (one row): n bigint, total double (6dp, unscaled Σx),
+    gini double (6dp; NULL when Σx = 0).
+    """
+    if value_col not in df.columns:
+        raise ValueError(f"gini_coefficient: column {value_col!r} not in {df.columns}")
+    v = F.col(value_col).cast("double")
+    checked = F.when(
+        v < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("gini_coefficient: negative value "), v.cast("string")
+            )
+        ).cast("double"),
+    ).otherwise(v)
+    levels = (
+        df.filter(v.isNotNull())
+        .select(F.round(checked * scale).cast("long").alias("_sv"))
+        .groupBy("_sv")
+        .agg(F.count("*").alias("_c"))
+    )
+    cum = _ordered_cumsum(levels, "_sv", "_c", "_cum")
+    tot = cum.agg(
+        F.max("_cum").alias("_n"),
+        F.sum(F.col("_sv").cast("decimal(38,0)") * F.col("_c")).alias("_sum"),
+    )
+    term = (
+        (2 * F.col("_cum") - F.col("_c") - F.col("_n")).cast("decimal(38,0)")
+        * F.col("_sv").cast("decimal(38,0)")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("_n").alias("n"),
+            F.max("_sum").alias("_s"),
+            F.sum(term).alias("_num"),
+        )
+        .select(
+            "n",
+            F.round(F.col("_s").cast("double") / scale, 6).alias("total"),
+            F.when(
+                F.col("_s") > 0,
+                F.round(
+                    F.col("_num").cast("double")
+                    / (F.col("n").cast("double") * F.col("_s").cast("double")),
+                    6,
+                ),
+            ).alias("gini"),
+        )
+    )

@@ -7694,6 +7694,35 @@ def q_user_value_time_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_char_gini",
+    """
+    WITH lv AS (SELECT CAST(round(CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT) AS sv,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+    cm AS (SELECT sv, c, CAST(sum(c) OVER (ORDER BY sv) AS BIGINT) AS cum FROM lv),
+    t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(CAST(sv AS HUGEINT) * c) AS HUGEINT) AS s FROM lv)
+    SELECT n, round(CAST(s AS DOUBLE) / 1000000.0, 6) AS total,
+           CASE WHEN s > 0
+                THEN round(CAST(sum(CAST(2 * cum - c - n AS HUGEINT) * sv) AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6) END AS gini
+    FROM cm CROSS JOIN t GROUP BY n, s
+    """,
+)
+def q_doc_char_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of the per-document character mass — "do a
+    few documents own most of the corpus?", the inequality readout
+    behind per-source caps and token budgets. Tie-averaged twice-ranks
+    from the offsets cumsum make the numerator an exact decimal(38)
+    integer sum; one divide at the end
+    (operators/aggregates.py:gini_coefficient)."""
+    from wicsmmiretl_spark.operators.aggregates import gini_coefficient
+
+    docs = _t(spark, sf_dir, "documents")
+    return gini_coefficient(docs, "n_chars")
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -7790,6 +7819,7 @@ _DEFERRED_QUERIES = (
     "corpus_curation_v3",       # session-4 capstone; corpus_curation_v2 (deferred, r8-green) + etl_caption_pipeline (in-window) cover composition
     "doc_lang_source_infogain", # mutual information; events_category_entropy + doc_lang_source_chi2 cover the contingency family
     "user_value_time_corr",     # trailing Pearson frames; window_rank_events (in-window) covers user-keyed window frames
+    "doc_char_gini",            # mass-concentration Gini; doc_char_weighted_quantiles + events_value_deciles cover rank machinery
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
