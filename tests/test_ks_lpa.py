@@ -97,3 +97,49 @@ def test_lpa_planted_communities(spark):
     assert got[0] != got[14]
     with pytest.raises(ValueError, match="rounds"):
         label_propagation(df, rounds=0)
+
+
+def _grouped_ks_brute(rows):
+    import math as _math
+
+    per_g = {}
+    allv = []
+    for g, v in rows:
+        if g is None or v is None:
+            continue
+        per_g.setdefault(g, []).append(v)
+        allv.append(v)
+    n = len(allv)
+    out = {}
+    for g, vs in per_g.items():
+        ng, nr = len(vs), n - len(vs)
+        if nr == 0:
+            continue
+        rest = [v for gg, v in rows if gg is not None and v is not None and gg != g]
+        best = None
+        for v in sorted(set(allv)):
+            cg = sum(1 for x in vs if x <= v)
+            cr = sum(1 for x in rest if x <= v)
+            diff = abs(cg * nr - cr * ng)
+            if best is None or diff > best[0]:
+                best = (diff, v)
+        out[g] = (ng, nr, round(best[0] / (ng * nr), 6), best[1])
+    return out
+
+
+def test_grouped_ks_matches_brute_force(spark):
+    from wicsmmiretl_spark.operators.aggregates import grouped_ks_report
+
+    rng = random.Random(101)
+    rows = [("a", round(rng.gauss(0, 1), 2)) for _ in range(200)]
+    rows += [("b", round(rng.gauss(2, 1), 2)) for _ in range(150)]
+    rows += [("c", round(rng.gauss(0, 3), 2)) for _ in range(100)]
+    df = spark.createDataFrame(rows, "g: string, v: double")
+    got = {
+        r["g"]: (r["n_g"], r["n_rest"], r["d"], r["d_at"])
+        for r in grouped_ks_report(df, "v", "g").collect()
+    }
+    assert got == _grouped_ks_brute(rows)
+    # the shifted group must be the top drifter
+    top = grouped_ks_report(df, "v", "g").collect()[0]
+    assert top["g"] == "b"

@@ -56,6 +56,7 @@ from wicsmmiretl_spark.operators.aggregates import (
     chi_square_independence,
     cusum_changepoint,
     gini_coefficient,
+    grouped_ks_report,
     hll_intersect_estimate,
     information_gain,
     psi,
@@ -229,6 +230,7 @@ __all__ = [
     "information_gain",
     "rolling_corr",
     "gini_coefficient",
+    "grouped_ks_report",
     "psi_bin_expr",
     "psi_from_binned",
     "embedding_pair_profile",

@@ -2155,3 +2155,97 @@ def gini_coefficient(
             ).alias("gini"),
         )
     )
+
+
+def grouped_ks_report(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """One-vs-rest KS drift report: for EVERY group, the exact
+    Kolmogorov-Smirnov statistic between that group's value distribution
+    and the rest of the table — "which source/segment drifted", the
+    per-slice fan-out of ``ks_test`` (same integer cross-difference
+    criterion, same tie/location rules).
+
+    Distributed shape: ONE (value, group) hash agg over the data, the
+    offsets-pattern cumsum over the GLOBAL distinct-value levels, and a
+    per-group window over (group, value) rows — the per-group side is
+    partitioned by group, so it parallelizes across groups instead of
+    serializing through one partition. F_rest at a group's value points
+    is (global cum − group cum)/(n − n_g): the rest's CDF only changes
+    at SOME value in the union, and every union value appears in the
+    global level table the group rows join to.
+
+    Caveat vs ``ks_test``: the supremum is evaluated at the group's own
+    observed values UNION the global steps via the join on the global
+    level table — identical to evaluating at all distinct values, since
+    both CDFs are right-continuous step functions constant between
+    global steps.
+
+    Output: group_col, n_g, n_rest bigint, d double (6dp), d_at (value
+    type) — one row per group with ≥1 value, descending by d then group.
+    """
+    for c in (value_col, group_col):
+        if c not in df.columns:
+            raise ValueError(f"grouped_ks_report: column {c!r} not in {df.columns}")
+    gv = (
+        df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("_g"), F.col(value_col).alias("_v"))
+        .agg(F.count("*").alias("_c"))
+    )
+    glob = gv.groupBy("_v").agg(F.sum("_c").alias("_ct"))
+    gcum = _ordered_cumsum(glob, "_v", "_ct", "_cumt")
+    n_tot = gcum.agg(F.max("_cumt").alias("_n"))
+    # Per-group cumulative at every GLOBAL step the group participates in
+    # is not enough — F_g is constant between its own steps, but F_rest
+    # moves. Expand: every (group, global value) pair where either side
+    # steps... a full |G|×|V| grid. Instead evaluate at global steps via
+    # the group's cum carried forward with a last_value window over the
+    # group-joined grid. Grid rows: |V| per group — bounded by |V|·|G|,
+    # the contingency size, NOT the data size.
+    groups = gv.select("_g").distinct()
+    grid = groups.crossJoin(glob.select("_v"))
+    w = (
+        Window.partitionBy("_g")
+        .orderBy(F.asc("_v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = (
+        grid.join(gv, ["_g", "_v"], "left")
+        .withColumn("_cumg", F.sum(F.coalesce("_c", F.lit(0))).over(w))
+        .join(gcum.select("_v", "_cumt"), "_v")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    ng_w = Window.partitionBy("_g")
+    with_ng = joined.withColumn("_ng", F.max("_cumg").over(ng_w)).filter(
+        F.col("_ng") > 0
+    )
+    # |F_g - F_rest| * ng * (n - ng), exact integers:
+    # cumg/ng - (cumt-cumg)/(n-ng) -> cumg*(n-ng) - (cumt-cumg)*ng, over
+    # the common denominator ng*(n-ng).
+    diff = F.abs(
+        F.col("_cumg") * (F.col("_n") - F.col("_ng"))
+        - (F.col("_cumt") - F.col("_cumg")) * F.col("_ng")
+    )
+    pick = F.struct((-diff).alias("_negd"), F.col("_v").alias("_at"))
+    folded = with_ng.groupBy("_g").agg(
+        F.max("_ng").alias("n_g"),
+        F.max(F.col("_n") - F.col("_ng")).alias("n_rest"),
+        F.min(pick).alias("_s"),
+    )
+    return (
+        folded.filter(F.col("n_rest") > 0)
+        .select(
+            F.col("_g").alias(group_col),
+            "n_g",
+            "n_rest",
+            F.round(
+                (-F.col("_s._negd")).cast("double")
+                / (F.col("n_g").cast("double") * F.col("n_rest")),
+                6,
+            ).alias("d"),
+            F.col("_s._at").alias("d_at"),
+        )
+        .orderBy(F.desc("d"), F.asc(group_col))
+    )

@@ -7723,6 +7723,49 @@ def q_doc_char_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_coefficient(docs, "n_chars")
 
 
+@query(
+    "event_type_ks_report",
+    """
+    WITH gv AS (SELECT event_type AS g, value AS v, CAST(count(*) AS BIGINT) AS c
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+    gl AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM gv GROUP BY 1),
+    gc AS (SELECT v, ct, CAST(sum(ct) OVER (ORDER BY v) AS BIGINT) AS cumt FROM gl),
+    t AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM gl),
+    grid AS (SELECT g, v FROM (SELECT DISTINCT g FROM gv) CROSS JOIN (SELECT v FROM gl)),
+    j AS (SELECT grid.g, grid.v,
+                 CAST(sum(COALESCE(gv.c, 0))
+                      OVER (PARTITION BY grid.g ORDER BY grid.v) AS BIGINT) AS cumg
+          FROM grid LEFT JOIN gv ON gv.g = grid.g AND gv.v = grid.v),
+    k AS (SELECT j.g, j.v, j.cumg, gc.cumt, n FROM j JOIN gc USING (v) CROSS JOIN t),
+    ng AS (SELECT g, CAST(max(cumg) AS BIGINT) AS ng FROM k GROUP BY 1),
+    d AS (SELECT k.g, k.v,
+                 abs(k.cumg * (n - ng.ng) - (k.cumt - k.cumg) * ng.ng) AS diff,
+                 ng.ng, n
+          FROM k JOIN ng USING (g) WHERE ng.ng > 0 AND n - ng.ng > 0),
+    p AS (SELECT g, v, diff, ng, n,
+                 row_number() OVER (PARTITION BY g ORDER BY diff DESC, v ASC) AS rn
+          FROM d)
+    SELECT g AS event_type, ng AS n_g, CAST(n - ng AS BIGINT) AS n_rest,
+           round(CAST(diff AS DOUBLE) / (CAST(ng AS DOUBLE) * (n - ng)), 6) AS d,
+           v AS d_at
+    FROM p WHERE rn = 1
+    ORDER BY d DESC, event_type ASC
+    """,
+)
+def q_event_type_ks_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest KS drift report per event type: which segment's value
+    distribution deviates most from everyone else's, with the exact D
+    and its location — the per-slice fan-out of ks_test. One
+    (value, group) hash agg, the offsets cumsum over global levels, and
+    a group-partitioned (parallel) window over the |G|×|V| grid
+    (operators/aggregates.py:grouped_ks_report)."""
+    from wicsmmiretl_spark.operators.aggregates import grouped_ks_report
+
+    ev = _t(spark, sf_dir, "events")
+    return grouped_ks_report(ev, "value", "event_type")
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -7820,6 +7863,7 @@ _DEFERRED_QUERIES = (
     "doc_lang_source_infogain", # mutual information; events_category_entropy + doc_lang_source_chi2 cover the contingency family
     "user_value_time_corr",     # trailing Pearson frames; window_rank_events (in-window) covers user-keyed window frames
     "doc_char_gini",            # mass-concentration Gini; doc_char_weighted_quantiles + events_value_deciles cover rank machinery
+    "event_type_ks_report",     # per-group KS fan-out; purchase_view_ks is the two-group base, event_type_skew_profile the diagnostic twin
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
