@@ -115,3 +115,30 @@ def test_silhouette_flags_misassignment_geometry(spark):
     assert got[1] > 0.4  # exact-match point: s = 1 ... midpoint lands in cell 1 too
     with pytest.raises(ValueError, match="simplified_silhouette"):
         simplified_silhouette(emb.drop("embedding"), cent)
+
+
+def test_benford_detects_organic_vs_uniform(spark):
+    import math
+    import random as _random
+
+    from wicsmmiretl_spark.operators.quality import benford_test
+
+    rng = _random.Random(103)
+    # Log-uniform magnitudes over 4 decades follow Benford closely.
+    organic = [(10 ** rng.uniform(0, 4),) for _ in range(4000)]
+    df = spark.createDataFrame(organic, "v: double")
+    rows = benford_test(df, "v").collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert sum(r["n"] for r in rows) == 4000
+    assert max(abs(r["dev"]) for r in rows) < 0.03
+    assert rows[0]["p_benford"] == round(math.log10(2.0), 6)
+    # Uniform values on [10, 100): every first digit 1..9 equally likely
+    # -> digit 1 is hugely under Benford's 0.301.
+    uni = [(rng.uniform(10, 100),) for _ in range(4000)]
+    df = spark.createDataFrame(uni, "v: double")
+    rows = {r["digit"]: r for r in benford_test(df, "v").collect()}
+    assert rows[1]["dev"] < -0.1
+    # zeros/NULLs excluded; negatives contribute magnitude
+    df = spark.createDataFrame([(0.0,), (None,), (-20.0,)], "v: double")
+    rows = {r["digit"]: r["n"] for r in benford_test(df, "v").collect()}
+    assert rows[2] == 1 and sum(rows.values()) == 1

@@ -190,3 +190,63 @@ def key_skew_profile(
         )
         .orderBy(F.desc("n_rows"), F.asc("key"))
     )
+
+
+def benford_test(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law (Newcomb
+    1881 / Benford 1938, public literature) — the forensic DQ check:
+    organically-generated magnitudes follow P(d) = log10(1 + 1/d), while
+    fabricated, synthetic, or truncated data usually doesn't. A large
+    deviation is a flag on the SOURCE, not a correctness failure.
+
+    * Values are scaled to integers first (default cents), and the first
+      digit comes from the INTEGER's decimal rendering — bigint→string
+      is engine-identical, where double→string is not (the determinism
+      trap this parameterization exists to avoid). Zero/NULL values are
+      excluded; negatives contribute their magnitude.
+    * Expected probabilities enter the plan as Python-computed double
+      literals, so any engine compares against bit-identical constants.
+
+    100 TB shape: one combiner-backed digit hash agg; the comparison
+    table is 9 rows.
+
+    Output: digit int (1-9), n bigint, p_obs double (6dp),
+    p_benford double (6dp), dev double (6dp, p_obs − p_benford) —
+    ascending by digit, all nine digits present.
+    """
+    import math
+
+    if value_col not in df.columns:
+        raise ValueError(f"benford_test: column {value_col!r} not in {df.columns}")
+    sv = F.abs(F.round(F.col(value_col).cast("double") * scale).cast("long"))
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(sv.alias("_sv"))
+        .filter(F.col("_sv") > 0)
+        .groupBy(
+            F.substring(F.col("_sv").cast("string"), 1, 1).cast("int").alias("digit")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    spark = df.sparkSession
+    bens = [(d, round(math.log10(1.0 + 1.0 / d), 6)) for d in range(1, 10)]
+    grid = spark.createDataFrame(bens, "digit: int, p_benford: double")
+    tot = counts.agg(F.sum("n").alias("_t"))
+    return (
+        grid.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.round(F.coalesce("n", F.lit(0)) / F.col("_t"), 6).alias("p_obs"),
+            "p_benford",
+            F.round(
+                F.coalesce("n", F.lit(0)) / F.col("_t") - F.col("p_benford"), 6
+            ).alias("dev"),
+        )
+        .orderBy("digit")
+    )

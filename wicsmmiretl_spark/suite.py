@@ -7766,6 +7766,40 @@ def q_event_type_ks_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_ks_report(ev, "value", "event_type")
 
 
+@query(
+    "lineitem_price_benford",
+    """
+    WITH sv AS (SELECT abs(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100)
+                              AS BIGINT)) AS s
+                FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    c AS (SELECT CAST(substr(CAST(s AS VARCHAR), 1, 1) AS INT) AS digit,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM sv WHERE s > 0 GROUP BY 1),
+    g AS (SELECT CAST(d AS INT) AS digit,
+                 round(log10(1.0e0 + 1.0e0 / d), 6) AS p_benford
+          FROM range(1, 10) r(d)),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+    SELECT g.digit, COALESCE(c.n, 0) AS n,
+           round(COALESCE(c.n, 0) / CAST(t AS DOUBLE), 6) AS p_obs,
+           g.p_benford,
+           round(COALESCE(c.n, 0) / CAST(t AS DOUBLE) - g.p_benford, 6) AS dev
+    FROM g LEFT JOIN c USING (digit) CROSS JOIN t
+    ORDER BY g.digit
+    """,
+)
+def q_lineitem_price_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of lineitem extended prices — the
+    forensic DQ check: organic magnitudes follow log10(1+1/d), while
+    fabricated or truncated feeds don't (synthetic uniform prices WILL
+    deviate — the per-digit dev column shows exactly how). First digits
+    come from the scaled INTEGER's decimal rendering, never from
+    double→string (operators/quality.py:benford_test)."""
+    from wicsmmiretl_spark.operators.quality import benford_test
+
+    li = _t(spark, sf_dir, "lineitem")
+    return benford_test(li, "l_extendedprice", scale=100)
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -7864,6 +7898,7 @@ _DEFERRED_QUERIES = (
     "user_value_time_corr",     # trailing Pearson frames; window_rank_events (in-window) covers user-keyed window frames
     "doc_char_gini",            # mass-concentration Gini; doc_char_weighted_quantiles + events_value_deciles cover rank machinery
     "event_type_ks_report",     # per-group KS fan-out; purchase_view_ks is the two-group base, event_type_skew_profile the diagnostic twin
+    "lineitem_price_benford",   # Benford first-digit audit; orders_dq_report (deferred, r8-green) covers the DQ family
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
