@@ -271,3 +271,61 @@ def test_shortest_paths_multi_source_takes_nearest(spark):
     assert got == {1: 0, 2: 0, 3: 5}
     with pytest.raises(ValueError, match="max_hops"):
         shortest_paths(edges, src, max_hops=-1)
+
+
+class TestButterflyStats:
+    def test_complete_2x2_plus_tail(self, spark):
+        # K_{2,2} on (a,b)x(x,y) = exactly one butterfly; c-x is a tail.
+        edges = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"), ("c", "x")]
+        from wicsmmiretl_spark.operators.graph import butterfly_stats
+
+        df = spark.createDataFrame(edges, ["l", "r"])
+        row = butterfly_stats(df, "l", "r").first()
+        assert row["n_left"] == 3
+        assert row["n_right"] == 2
+        assert row["n_edges"] == 5
+        # wedges centred on left: deg(a)=2 -> 1, deg(b)=2 -> 1, deg(c)=1 -> 0
+        assert row["n_wedges_left"] == 2
+        # wedges centred on right: deg(x)=3 -> 3, deg(y)=2 -> 1
+        assert row["n_wedges_right"] == 4
+        assert row["n_butterflies"] == 1
+
+    def test_pivot_invariance_and_brute_force(self, spark):
+        # Random bipartite graph vs O(n^4) brute force; run both pivots by
+        # transposing the edge list — counts must agree.
+        import itertools
+        import random as _rnd
+
+        from pyspark.sql import functions as F
+
+        from wicsmmiretl_spark.operators.graph import butterfly_stats
+
+        rng = _rnd.Random(7)
+        L, R = range(8), range(6)
+        edges = sorted({(l, r) for l in L for r in R if rng.random() < 0.45})
+        adj = {l: {r for (l2, r) in edges if l2 == l} for l in L}
+        expected = sum(
+            1
+            for l1, l2 in itertools.combinations(L, 2)
+            for r1, r2 in itertools.combinations(R, 2)
+            if r1 in adj[l1] and r2 in adj[l1] and r1 in adj[l2] and r2 in adj[l2]
+        )
+        df = spark.createDataFrame(edges, ["l", "r"])
+        fwd = butterfly_stats(df, "l", "r").first()
+        rev = butterfly_stats(
+            df.select(F.col("r").alias("rr"), F.col("l").alias("ll")), "rr", "ll"
+        ).first()
+        assert fwd["n_butterflies"] == expected
+        assert rev["n_butterflies"] == expected
+        assert fwd["n_wedges_left"] == rev["n_wedges_right"]
+        assert fwd["n_edges"] == rev["n_edges"] == len(edges)
+
+    def test_dedup_and_nulls(self, spark):
+        from wicsmmiretl_spark.operators.graph import butterfly_stats
+
+        edges = [("a", "x"), ("a", "x"), ("a", None), (None, "y"), ("b", "x")]
+        row = butterfly_stats(
+            spark.createDataFrame(edges, ["l", "r"]), "l", "r"
+        ).first()
+        assert row["n_edges"] == 2
+        assert row["n_butterflies"] == 0

@@ -108,3 +108,67 @@ def test_zorder_layout_tightens_per_file_bounding_boxes(spark, tmp_path):
         return total
 
     assert hits(zb) * 3 <= hits(nb) * 2, (hits(zb), hits(nb))
+
+
+class TestZonemapPruningReport:
+    """zonemap_pruning_report on a 64x64 integer grid, 64 files: the
+    linear layout is 64 stripes of the first column (prunes col-a
+    predicates to the stripe count, never prunes col-b); the Z layout
+    must prune BOTH single-column predicates."""
+
+    def _grid(self, spark):
+        rows = [(a, b, a * 64 + b) for a in range(64) for b in range(64)]
+        return spark.createDataFrame(rows, ["a", "b", "tb"])
+
+    def _report(self, spark):
+        from wicsmmiretl_spark.operators.layout import zonemap_pruning_report
+
+        return {
+            (r["strategy"], r["predicate"]): r
+            for r in zonemap_pruning_report(
+                self._grid(spark),
+                cols=["a", "b"],
+                n_files=64,
+                predicates=[
+                    ("a_band", {"a": (10, 13)}),
+                    ("b_band", {"b": (10, 13)}),
+                    ("both", {"a": (10, 13), "b": (10, 13)}),
+                ],
+                tiebreak=["tb"],
+            ).collect()
+        }
+
+    def test_linear_prunes_only_sort_key(self, spark):
+        rep = self._report(spark)
+        # 64 files over 64 'a' stripes: a-band of width 4 reads 4 files
+        r = rep[("linear", "a_band")]
+        assert r["n_files"] == 64
+        assert r["files_read"] == 4
+        assert r["rows_read"] == 4 * 64
+        # b is unsorted within every stripe: zero pruning
+        assert rep[("linear", "b_band")]["files_read"] == 64
+        assert rep[("linear", "b_band")]["prune_fraction"] == 0.0
+        # conjunction can't beat the best single dimension
+        assert rep[("linear", "both")]["files_read"] <= 4
+
+    def test_zorder_prunes_both_dimensions(self, spark):
+        rep = self._report(spark)
+        for pred in ("a_band", "b_band"):
+            r = rep[("zorder", pred)]
+            assert r["files_read"] < 32, (pred, r["files_read"])
+            assert r["rows_read"] >= 4 * 64
+        assert (
+            rep[("zorder", "both")]["files_read"]
+            <= rep[("zorder", "a_band")]["files_read"]
+        )
+        # totals are invariant across every report row
+        assert {r["rows_total"] for r in rep.values()} == {64 * 64}
+
+    def test_matches_duckdb_oracle_shape(self, spark):
+        # arithmetic cross-check of one exactly-known cell: the 64x64 grid
+        # under linear layout puts file k = stripe a=k-1, so min/max zone
+        # maps are (lo_a=hi_a=k-1, lo_b=0, hi_b=63)
+        rep = self._report(spark)
+        r = rep[("linear", "a_band")]
+        assert r["files_pruned"] == 60
+        assert abs(r["prune_fraction"] - 0.9375) < 1e-9

@@ -86,3 +86,133 @@ def cluster_by_zorder(
     """
     zdf, z = zorder_value(df, cols, bits)
     return zdf.repartitionByRange(num_partitions, z).sortWithinPartitions(z)
+
+
+def zonemap_pruning_report(
+    df: DataFrame,
+    cols: Sequence[str],
+    n_files: int,
+    predicates: Sequence[tuple[str, dict[str, tuple[int, int]]]],
+    tiebreak: Sequence[str],
+    bits: int = 8,
+) -> DataFrame:
+    """Measure file-level min/max (zone-map) pruning under two layout
+    strategies — the quantified follow-up to ``cluster_by_zorder``: not
+    "z-order should prune" but "this layout reads N of M files for THIS
+    predicate".
+
+    Strategies: ``linear`` (sort by ``cols[0]`` — what a naive writer
+    does) and ``zorder`` (Morton interleave of all ``cols``). Rows are
+    assigned to ``n_files`` contiguous "files" with ``ntile`` over the
+    layout order; per-file min/max of every predicate column is the
+    simulated parquet footer, and a file is READ iff every predicate
+    interval overlaps its [min, max]. Each (strategy, predicate) pair
+    yields one report row.
+
+    Determinism contract (what makes this oracle-checkable): ``ntile``
+    over (layout key, *tiebreak) stands in for ``repartitionByRange``,
+    whose reservoir-sampled boundaries are not reproducible across
+    engines, and ALL rank math is exact integer arithmetic —
+    ``((c - lo) * top) div (hi - lo)`` on bigints — so the layout is
+    bit-identical in Spark and a SQL oracle (no float rounding at bucket
+    edges, unlike ``zorder_value``'s double scaling, which this function
+    deliberately does not share). ``cols`` must be integral; NULL ranks 0.
+
+    Cost honesty: one column-pruned bounds aggregate (2 scalars per
+    column), then ONE global-sort window per strategy (the inherent cost
+    of any total layout order — a real write amortizes it into the
+    write), pinned with a lazy localCheckpoint so the per-predicate
+    report rows reuse the n_files-row zone map instead of re-sorting.
+    """
+    if not cols:
+        raise ValueError("zonemap_pruning_report: need at least one layout column")
+    if bits * len(cols) > 62:
+        raise ValueError(
+            f"zonemap_pruning_report: {bits} bits x {len(cols)} cols "
+            "exceeds a 63-bit long"
+        )
+    if not predicates:
+        raise ValueError("zonemap_pruning_report: need at least one predicate")
+    pred_cols = sorted({c for _, box in predicates for c in box})
+    for _, box in predicates:
+        for c in box:
+            if c not in df.columns:
+                raise ValueError(f"zonemap_pruning_report: predicate column {c!r} missing")
+
+    from pyspark.sql import Window
+
+    bounds = df.agg(
+        *[F.min(c).cast("long").alias(f"min_{c}") for c in cols],
+        *[F.max(c).cast("long").alias(f"max_{c}") for c in cols],
+    ).first()
+    top = (1 << bits) - 1
+    ranks = []
+    for c in cols:
+        lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
+        if lo is None or hi is None or hi == lo:
+            ranks.append(F.lit(0).cast("long"))
+        else:
+            ranks.append(
+                F.coalesce(
+                    F.expr(
+                        f"((cast(`{c}` as bigint) - {lo}L) * {top}L) div {hi - lo}L"
+                    ),
+                    F.lit(0),
+                )
+            )
+    n = len(cols)
+    terms = [
+        F.shiftleft(F.shiftright(rk, b).bitwiseAND(F.lit(1)), b * n + i)
+        for b in range(bits)
+        for i, rk in enumerate(ranks)
+    ]
+    zcol = reduce(lambda acc, t: acc.bitwiseOR(t), terms)
+
+    tb = [F.col(t) for t in tiebreak]
+    out = []
+    for strategy, key in (("linear", F.col(cols[0]).cast("long")), ("zorder", zcol)):
+        assigned = df.withColumn(
+            "_file", F.ntile(n_files).over(Window.orderBy(key, *tb))
+        )
+        zonemap = (
+            assigned.groupBy("_file")
+            .agg(
+                F.count("*").alias("_n"),
+                *[F.min(c).cast("long").alias(f"_lo_{c}") for c in pred_cols],
+                *[F.max(c).cast("long").alias(f"_hi_{c}") for c in pred_cols],
+            )
+            .localCheckpoint(eager=False)
+        )
+        for pname, box in predicates:
+            read = F.lit(True)
+            for c, (lo, hi) in box.items():
+                read = (
+                    read
+                    & (F.col(f"_hi_{c}") >= F.lit(int(lo)))
+                    & (F.col(f"_lo_{c}") <= F.lit(int(hi)))
+                )
+            out.append(
+                zonemap.agg(
+                    F.count("*").alias("n_files"),
+                    F.sum(F.when(read, 1).otherwise(0)).cast("long").alias("files_read"),
+                    F.sum(F.when(read, F.col("_n")).otherwise(0))
+                    .cast("long")
+                    .alias("rows_read"),
+                    F.sum("_n").cast("long").alias("rows_total"),
+                ).select(
+                    F.lit(strategy).alias("strategy"),
+                    F.lit(pname).alias("predicate"),
+                    F.col("n_files"),
+                    "files_read",
+                    (F.col("n_files") - F.col("files_read")).alias("files_pruned"),
+                    "rows_total",
+                    "rows_read",
+                    F.round(
+                        F.lit(1.0) - F.col("files_read") / F.col("n_files"), 6
+                    ).alias("prune_fraction"),
+                )
+            )
+    res = out[0]
+    for r in out[1:]:
+        res = res.unionByName(r)
+    return res.orderBy("strategy", "predicate")

@@ -7800,6 +7800,176 @@ def q_lineitem_price_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_test(li, "l_extendedprice", scale=100)
 
 
+@query(
+    "copurchase_butterflies",
+    """
+    WITH hi AS (SELECT o_orderkey, o_custkey FROM orders
+                WHERE o_orderpriority = '2-HIGH'),
+    e AS (SELECT hi.o_custkey AS c, l.l_partkey AS p
+          FROM hi JOIN lineitem l ON l.l_orderkey = hi.o_orderkey
+          GROUP BY 1, 2),
+    dl AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+    dr AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+    w AS (SELECT e1.p AS p1, e2.p AS p2, CAST(count(*) AS BIGINT) AS w
+          FROM e e1 JOIN e e2 ON e1.c = e2.c AND e1.p < e2.p
+          GROUP BY 1, 2),
+    bf AS (SELECT CAST(coalesce(sum(w * (w - 1) / 2), 0) AS BIGINT)
+                  AS n_butterflies FROM w),
+    sl AS (SELECT CAST(count(*) AS BIGINT) AS n_left,
+                  CAST(coalesce(sum(d * (d - 1) / 2), 0) AS BIGINT)
+                  AS n_wedges_left FROM dl),
+    sr AS (SELECT CAST(count(*) AS BIGINT) AS n_right,
+                  CAST(coalesce(sum(d * (d - 1) / 2), 0) AS BIGINT)
+                  AS n_wedges_right FROM dr),
+    te AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+    SELECT n_left, n_right, n_edges, n_wedges_left, n_wedges_right,
+           n_butterflies
+    FROM sl, sr, te, bf
+    """,
+)
+def q_copurchase_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite butterfly census of the customer x part co-purchase
+    graph (HIGH-priority orders — the slice bound keeps wedge volume at
+    bench scale, same device as the triangle query's URGENT slice): the
+    2x2-biclique count is the bipartite analogue of the triangle and the
+    standard cohesion motif for two-mode graphs. The operator pivots
+    wedge generation on whichever side has the smaller sum C(d,2) at
+    plan-build (two scalars to the driver; data-dependent — the part
+    side wins on the small fixtures, the customer side as baskets
+    repeat), so the hotter side's quadratic wedge blow-up never runs
+    (operators/graph.py:butterfly_stats)."""
+    from wicsmmiretl_spark.operators.graph import butterfly_stats
+
+    hi = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "2-HIGH")
+        .select(F.col("o_orderkey").alias("l_orderkey"), F.col("o_custkey").alias("c"))
+    )
+    e = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", F.col("l_partkey").alias("p"))
+        .join(hi, "l_orderkey")
+        .select("c", "p")
+    )
+    return butterfly_stats(e, "c", "p")
+
+
+# Zone-map audit constants: day offsets from the 1995-01-01 anchor for the
+# [1996-03-01, 1996-03-31] ship-date window (365 + 31 + 29 = 425 .. +30),
+# and the $30k..$40k extended-price band in exact cents.
+_ZM_D_LO, _ZM_D_HI = 425, 455
+_ZM_PC_LO, _ZM_PC_HI = 3_000_000, 4_000_000
+_ZM_PREDS = (
+    ("date_and_price", f"hi_d >= {_ZM_D_LO} AND lo_d <= {_ZM_D_HI} "
+                       f"AND hi_pc >= {_ZM_PC_LO} AND lo_pc <= {_ZM_PC_HI}"),
+    ("date_window", f"hi_d >= {_ZM_D_LO} AND lo_d <= {_ZM_D_HI}"),
+    ("price_band", f"hi_pc >= {_ZM_PC_LO} AND lo_pc <= {_ZM_PC_HI}"),
+)
+
+
+def _zonemap_oracle_sql() -> str:
+    """DuckDB twin of zonemap_pruning_report over lineitem: identical
+    exact-integer rank math ('//' floor division == Spark's 'div' on the
+    non-negative ranks), the same Morton interleave (generated, not
+    hand-typed), and the same ntile file assignment with the unique
+    (l_orderkey, l_linenumber) tiebreak."""
+    interleave = " | ".join(
+        f"((({r} >> {b}) & 1) << {b * 2 + i})"
+        for b in range(8)
+        for i, r in enumerate(("rd", "rpc"))
+    )
+    reports = []
+    for zm, strategy in (("zml", "linear"), ("zmz", "zorder")):
+        for pname, cond in _ZM_PREDS:
+            reports.append(f"""
+    SELECT '{strategy}' AS strategy, '{pname}' AS predicate,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+           CAST(count(*) - sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_pruned,
+           CAST(sum(n) AS BIGINT) AS rows_total,
+           CAST(sum(CASE WHEN {cond} THEN n ELSE 0 END) AS BIGINT) AS rows_read,
+           round(1.0e0 - sum(CASE WHEN {cond} THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS prune_fraction
+    FROM {zm}""")
+    union = "\n    UNION ALL".join(reports)
+    return f"""
+    WITH base AS (
+      SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))
+                  AS BIGINT) AS d,
+             CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS pc,
+             l_orderkey, l_linenumber
+      FROM lineitem
+      WHERE l_shipdate IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    b AS (SELECT min(d) AS blo_d, max(d) AS bhi_d,
+                 min(pc) AS blo_pc, max(pc) AS bhi_pc FROM base),
+    r AS (SELECT base.d, base.pc, base.l_orderkey, base.l_linenumber,
+                 ((base.d - b.blo_d) * 255) // (b.bhi_d - b.blo_d) AS rd,
+                 ((base.pc - b.blo_pc) * 255) // (b.bhi_pc - b.blo_pc) AS rpc
+          FROM base CROSS JOIN b),
+    z AS (SELECT d, pc, l_orderkey, l_linenumber, {interleave} AS zv FROM r),
+    lin AS (SELECT d, pc,
+                   ntile(64) OVER (ORDER BY d, l_orderkey, l_linenumber) AS f
+            FROM z),
+    zo AS (SELECT d, pc,
+                  ntile(64) OVER (ORDER BY zv, l_orderkey, l_linenumber) AS f
+           FROM z),
+    zml AS (SELECT f, CAST(count(*) AS BIGINT) AS n,
+                   min(d) AS lo_d, max(d) AS hi_d,
+                   min(pc) AS lo_pc, max(pc) AS hi_pc
+            FROM lin GROUP BY f),
+    zmz AS (SELECT f, CAST(count(*) AS BIGINT) AS n,
+                   min(d) AS lo_d, max(d) AS hi_d,
+                   min(pc) AS lo_pc, max(pc) AS hi_pc
+            FROM zo GROUP BY f)
+    {union}
+    ORDER BY strategy, predicate
+    """
+
+
+@query("lineitem_zonemap_pruning", _zonemap_oracle_sql())
+def q_lineitem_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning audit: how many of 64 simulated parquet files a
+    min/max-pruning scan reads under a linear (ship-date-sorted) layout
+    vs a Z-order layout over (ship-date, price) — for a date-only
+    predicate, a price-only predicate, and their conjunction. The linear
+    layout prunes ONLY its sort key (price_band reads all 64 files); the
+    Morton layout prunes both dimensions — the measured version of the
+    cluster_by_zorder docstring's claim. All rank math is exact integer
+    arithmetic so the file assignment is bit-identical to the oracle
+    (operators/layout.py:zonemap_pruning_report)."""
+    from wicsmmiretl_spark.operators.layout import zonemap_pruning_report
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull() & F.col("l_extendedprice").isNotNull())
+        .select(
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.to_date(F.lit("1995-01-01"))
+            )
+            .cast("long")
+            .alias("d"),
+            F.round(F.col("l_extendedprice").cast("double") * 100)
+            .cast("long")
+            .alias("pc"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    return zonemap_pruning_report(
+        li,
+        cols=["d", "pc"],
+        n_files=64,
+        predicates=[
+            ("date_and_price", {"d": (_ZM_D_LO, _ZM_D_HI), "pc": (_ZM_PC_LO, _ZM_PC_HI)}),
+            ("date_window", {"d": (_ZM_D_LO, _ZM_D_HI)}),
+            ("price_band", {"pc": (_ZM_PC_LO, _ZM_PC_HI)}),
+        ],
+        tiebreak=["l_orderkey", "l_linenumber"],
+    )
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -7899,6 +8069,8 @@ _DEFERRED_QUERIES = (
     "doc_char_gini",            # mass-concentration Gini; doc_char_weighted_quantiles + events_value_deciles cover rank machinery
     "event_type_ks_report",     # per-group KS fan-out; purchase_view_ks is the two-group base, event_type_skew_profile the diagnostic twin
     "lineitem_price_benford",   # Benford first-digit audit; orders_dq_report (deferred, r8-green) covers the DQ family
+    "copurchase_butterflies",   # bipartite 4-cycle census; part_copurchase_triangles (deferred, r8-green) is the one-mode twin
+    "lineitem_zonemap_pruning", # zone-map prune audit; events_value_deciles (in-window) pays the same ntile global sort, layout pytest covers Z-order
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
