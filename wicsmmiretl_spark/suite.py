@@ -8001,9 +8001,9 @@ _DEFERRED_QUERIES = (
     # in-window family twins to swap out are named on each line below
     # (e.g. purchase_auc ↔ purchase_roc_points, doc_winnowing_stats ↔
     # doc_overlap_pairs, events_weekly_seasonality_error ↔
-    # events_value_hist_quantiles). SESSION-4 ADDENDUM: nineteen more
-    # deferred-at-birth queries now exist (part_size_price_skyline ...
-    # streaming_value_psi — the whole block after
+    # events_value_hist_quantiles). SESSION-4/5 ADDENDUM: twenty-eight
+    # more deferred-at-birth queries now exist (part_size_price_skyline
+    # ... lineitem_zonemap_pruning — the whole block after
     # streaming_value_hist_quantiles below), all verify_local-green at
     # sf0.01 and pytest-oracled; they queue BEHIND the ten above for
     # rotation (prefer first-ever rows for the oldest unrotated cohort
