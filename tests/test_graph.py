@@ -329,3 +329,51 @@ class TestButterflyStats:
         ).first()
         assert row["n_edges"] == 2
         assert row["n_butterflies"] == 0
+
+
+class TestDegreeProfile:
+    def test_star_graph_is_perfectly_disassortative(self, spark):
+        # hub 0 connected to 5 leaves: every edge pairs deg 5 with deg 1
+        from wicsmmiretl_spark.operators.graph import degree_profile
+
+        edges = [(0, i) for i in range(1, 6)]
+        row = degree_profile(spark.createDataFrame(edges, ["src", "dst"])).first()
+        assert row["n_vertices"] == 6
+        assert row["n_edges"] == 5
+        assert (row["min_degree"], row["max_degree"]) == (1, 5)
+        assert abs(row["assortativity"] - (-1.0)) < 1e-9
+
+    def test_regular_graph_has_null_assortativity(self, spark):
+        # 4-cycle: every degree is 2 — zero variance, correlation undefined
+        from wicsmmiretl_spark.operators.graph import degree_profile
+
+        edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+        row = degree_profile(spark.createDataFrame(edges, ["src", "dst"])).first()
+        assert row["assortativity"] is None
+        assert row["avg_degree"] == 2.0
+
+    def test_matches_numpy_pearson_on_random_graph(self, spark):
+        import random as _rnd
+
+        import numpy as np
+
+        from wicsmmiretl_spark.operators.graph import degree_profile
+
+        rng = _rnd.Random(11)
+        edges = sorted({tuple(sorted(rng.sample(range(12), 2))) for _ in range(30)})
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        xs = [deg[a] for a, b in edges] + [deg[b] for a, b in edges]
+        ys = [deg[b] for a, b in edges] + [deg[a] for a, b in edges]
+        expected = float(np.corrcoef(xs, ys)[0, 1])
+        row = degree_profile(spark.createDataFrame(edges, ["src", "dst"])).first()
+        assert abs(row["assortativity"] - round(expected, 6)) < 2e-6
+        assert row["n_edges"] == len(edges)
+        # canonicalization: reversed duplicate edges must not change anything
+        rev = [(b, a) for a, b in edges]
+        row2 = degree_profile(
+            spark.createDataFrame(edges + rev, ["src", "dst"])
+        ).first()
+        assert row2 == row

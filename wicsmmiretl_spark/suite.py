@@ -7970,6 +7970,68 @@ def q_lineitem_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "part_copurchase_assortativity",
+    """
+    WITH li AS (SELECT l.l_orderkey, l.l_partkey FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE o.o_orderpriority = '1-URGENT' GROUP BY 1, 2),
+    e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                              AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+    stubs AS (SELECT u AS a, v AS b FROM e0
+              UNION ALL SELECT v AS a, u AS b FROM e0),
+    deg AS (SELECT a AS x, CAST(count(*) AS BIGINT) AS d FROM stubs GROUP BY 1),
+    j AS (SELECT da.d AS dx, db.d AS dy
+          FROM stubs s JOIN deg da ON da.x = s.a JOIN deg db ON db.x = s.b),
+    m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                 sum(dx) AS sx, sum(dy) AS sy,
+                 sum(dx * dx) AS sxx, sum(dy * dy) AS syy,
+                 sum(dx * dy) AS sxy
+          FROM j),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+                 CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+                 CAST(min(d) AS BIGINT) AS min_degree,
+                 CAST(max(d) AS BIGINT) AS max_degree,
+                 round(avg(CAST(d AS DOUBLE)), 6) AS avg_degree
+          FROM deg)
+    SELECT n_vertices, n_edges, min_degree, max_degree, avg_degree,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS assortativity
+    FROM m, t
+    """,
+)
+def q_part_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-structure fingerprint of the URGENT part co-purchase graph
+    (the exact edge set the triangle census walks, so the two reports
+    compose into one graph-health read): Newman degree assortativity
+    from exact decimal(38) stub moments, plus degree extremes/mean. A
+    negative value warns that downstream graph ops face hub-and-spoke
+    skew; positive means hub-hub cores (operators/graph.py:
+    degree_profile)."""
+    from wicsmmiretl_spark.operators.graph import degree_profile
+
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(urgent, "l_orderkey")
+        .distinct()
+    )
+    a = li.withColumnsRenamed({"l_partkey": "p1"})
+    b = li.withColumnsRenamed({"l_partkey": "p2"})
+    edges = a.join(b, "l_orderkey").filter(F.col("p1") < F.col("p2")).select("p1", "p2")
+    return degree_profile(edges, "p1", "p2")
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -8001,9 +8063,9 @@ _DEFERRED_QUERIES = (
     # in-window family twins to swap out are named on each line below
     # (e.g. purchase_auc ↔ purchase_roc_points, doc_winnowing_stats ↔
     # doc_overlap_pairs, events_weekly_seasonality_error ↔
-    # events_value_hist_quantiles). SESSION-4/5 ADDENDUM: twenty-eight
+    # events_value_hist_quantiles). SESSION-4/5 ADDENDUM: twenty-nine
     # more deferred-at-birth queries now exist (part_size_price_skyline
-    # ... lineitem_zonemap_pruning — the whole block after
+    # ... part_copurchase_assortativity — the whole block after
     # streaming_value_hist_quantiles below), all verify_local-green at
     # sf0.01 and pytest-oracled; they queue BEHIND the ten above for
     # rotation (prefer first-ever rows for the oldest unrotated cohort
@@ -8071,6 +8133,7 @@ _DEFERRED_QUERIES = (
     "lineitem_price_benford",   # Benford first-digit audit; orders_dq_report (deferred, r8-green) covers the DQ family
     "copurchase_butterflies",   # bipartite 4-cycle census; part_copurchase_triangles (deferred, r8-green) is the one-mode twin
     "lineitem_zonemap_pruning", # zone-map prune audit; events_value_deciles (in-window) pays the same ntile global sort, layout pytest covers Z-order
+    "part_copurchase_assortativity", # degree fingerprint; part_copurchase_triangles (deferred, r8-green) walks the same edges
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
