@@ -377,3 +377,122 @@ class TestDegreeProfile:
             spark.createDataFrame(edges + rev, ["src", "dst"])
         ).first()
         assert row2 == row
+
+
+class TestHits:
+    def _local_hits(self, edges, iters, scale=10**9):
+        nodes = sorted({x for e in edges for x in e})
+        hub = {n: 1.0 for n in nodes}
+        auth = {n: 0.0 for n in nodes}
+        for _ in range(iters):
+            ar = {n: 0 for n in nodes}
+            for s, d in edges:
+                ar[d] += round(hub[s] * scale)
+            na = sum(ar.values())
+            auth = {n: (ar[n] / na if na > 0 else 0.0) for n in nodes}
+            hr = {n: 0 for n in nodes}
+            for s, d in edges:
+                hr[s] += round(auth[d] * scale)
+            nh = sum(hr.values())
+            hub = {n: (hr[n] / nh if nh > 0 else 0.0) for n in nodes}
+        return hub, auth
+
+    def test_matches_local_power_iteration_bitexact(self, spark):
+        from wicsmmiretl_spark.operators.graph import hits
+
+        random.seed(5)
+        edges = sorted({(random.randint(1, 12), random.randint(100, 112)) for _ in range(60)})
+        hub, auth = self._local_hits(edges, iters=3)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.id: (r.hub, r.auth) for r in hits(df, iters=3).collect()}
+        assert set(got) == set(hub)
+        for n in hub:
+            # scaled-int sums + exact-int norms make the scores bit-exact,
+            # not merely close — that is the oracle contract.
+            assert got[n][0] == hub[n], f"hub mismatch at {n}"
+            assert got[n][1] == auth[n], f"auth mismatch at {n}"
+
+    def test_authority_concentrates_on_shared_sink(self, spark):
+        from wicsmmiretl_spark.operators.graph import hits
+
+        # Every hub points at part 100; only hub 1 also points at 101.
+        edges = [(1, 100), (2, 100), (3, 100), (1, 101)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = {r.id: r for r in hits(df, iters=2).collect()}
+        assert out[100].auth > out[101].auth
+        # Sources have no in-edges → auth 0; sinks no out-edges → hub 0.
+        assert out[1].auth == 0.0 and out[100].hub == 0.0
+        # Hub 1 endorses both parts, hubs 2/3 only one.
+        assert out[1].hub > out[2].hub == out[3].hub
+
+    def test_validates(self, spark):
+        from wicsmmiretl_spark.operators.graph import hits
+
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError, match="iters"):
+            hits(df, iters=0)
+        with pytest.raises(ValueError, match="column"):
+            hits(df, src_col="nope")
+
+
+class TestKcore:
+    def _local_kcore(self, edges, k):
+        es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        while True:
+            deg = {}
+            for u, v in es:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            keep = {x for x, d in deg.items() if d >= k}
+            nxt = {(u, v) for u, v in es if u in keep and v in keep}
+            if nxt == es:
+                break
+            es = nxt
+        deg = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        return deg
+
+    def _run(self, spark, edges, k):
+        from wicsmmiretl_spark.operators.graph import kcore
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {r.id: r.deg for r in kcore(df, k=k).collect()}
+
+    def test_clique_with_pendant_tail(self, spark):
+        # K5 (degree 4 everywhere) with a pendant path hanging off it:
+        # the 3-core is exactly the clique, and peeling the path takes
+        # multiple cascade rounds (each round only exposes the next node).
+        clique = [(i, j) for i in range(1, 6) for j in range(i + 1, 6)]
+        tail = [(5, 10), (10, 11), (11, 12)]
+        got = self._run(spark, clique + tail, k=3)
+        assert got == {i: 4 for i in range(1, 6)}
+
+    def test_matches_local_peeling_on_random_graph(self, spark):
+        random.seed(11)
+        edges = sorted({tuple(sorted((random.randint(1, 30), random.randint(1, 30))))
+                        for _ in range(120)})
+        edges = [e for e in edges if e[0] != e[1]]
+        for k in (2, 4, 6):
+            assert self._run(spark, edges, k) == self._local_kcore(edges, k)
+
+    def test_empty_core_and_whole_graph_core(self, spark):
+        tri = [(1, 2), (2, 3), (1, 3)]
+        assert self._run(spark, tri, k=3) == {}          # collapses entirely
+        assert self._run(spark, tri, k=2) == {1: 2, 2: 2, 3: 2}  # round-1 fixpoint
+
+    def test_canonicalizes_input(self, spark):
+        # Duplicates, reversed duplicates and self-loops must not inflate
+        # degrees: (1,2) twice + (2,1) is ONE edge.
+        edges = [(1, 2), (1, 2), (2, 1), (2, 2), (2, 3), (1, 3)]
+        assert self._run(spark, edges, k=2) == {1: 2, 2: 2, 3: 2}
+
+    def test_validates(self, spark):
+        from wicsmmiretl_spark.operators.graph import kcore
+
+        df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        with pytest.raises(ValueError, match="k must"):
+            kcore(df, k=0)
+        with pytest.raises(ValueError, match="column"):
+            kcore(df, k=2, a_col="nope")

@@ -134,7 +134,7 @@ from wicsmmiretl_spark.operators.pruning import bloom_prune, bloom_semi_filter, 
 from wicsmmiretl_spark.operators.quality import benford_test, dq_gate, dq_report, key_skew_profile
 from wicsmmiretl_spark.operators.packing import chunk_documents, pack_sequences
 from wicsmmiretl_spark.operators.ranking import association_pairs, bm25_rank, inverted_index, ndcg_at_k, retrieval_metrics, rrf_fuse, tfidf_cosine_pairs
-from wicsmmiretl_spark.operators.graph import bfs_levels, butterfly_stats, connected_components, degree_profile, label_propagation, pagerank, shortest_paths, triangle_stats
+from wicsmmiretl_spark.operators.graph import bfs_levels, butterfly_stats, connected_components, degree_profile, hits, kcore, label_propagation, pagerank, shortest_paths, triangle_stats
 from wicsmmiretl_spark.operators.sampling import (
     cap_per_group,
     deterministic_sample,
@@ -267,6 +267,8 @@ __all__ = [
     "triangle_stats",
     "butterfly_stats",
     "degree_profile",
+    "hits",
+    "kcore",
     "quantile_bins",
     "stable_index",
     "stream_hll_registers",

@@ -802,3 +802,210 @@ def degree_profile(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             F.when(denom > 0, F.round(num / denom, 6)).alias("assortativity"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 10**9,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, "Authoritative sources
+    in a hyperlinked environment" — public literature) over a directed
+    edge list, fixed-iteration power method with L1 normalization:
+
+        auth'(v) = Σ_{u→v} hub(u) / ‖·‖₁      hub'(u) = Σ_{u→v} auth'(v) / ‖·‖₁
+
+    The bipartite twin of ``pagerank``: on a customer→part purchase graph
+    the authority side ranks parts by the quality of the customers buying
+    them and the hub side ranks customers by the quality of their basket —
+    mutually reinforcing, unlike raw degree.
+
+    Determinism contract (same discipline as ``pagerank``): every
+    per-node inbound/outbound sum is a scaled-integer sum
+    (``round(x * scale)`` bigints), and the L1 norm is the exact integer
+    sum of those per-node integers (decimal(38,0), so it can't hit the
+    ANSI long-overflow guard). Scores are produced by ONE double division
+    of two exact integers — at sf0.01 both fit in 2^53, so a SQL oracle
+    replays every iteration bit-for-bit. L1 (not the textbook L2) keeps
+    normalization inside integer space; the ranking is identical because
+    normalization is a positive scalar per side.
+
+    Scale shape per iteration: two partial-aggregated groupBys (one per
+    side) + two single-row norm broadcasts + two left joins back to the
+    node list, all pinned to an edge-count-sized plan-local partitioning;
+    lineage truncated per iteration with lazy ``localCheckpoint`` (no
+    per-iteration driver action, the pagerank r9 lesson). Degree skew
+    (a hub customer's basket, a hot part's buyers) is bounded by map-side
+    combine. Nothing is collected.
+
+    Output: (id, hub double, auth double) for every node in ``edges``.
+    Source-only nodes carry auth 0; sink-only nodes carry hub 0.
+    """
+    if iters < 1:
+        raise ValueError(f"hits: iters must be >= 1, got {iters}")
+    for c in (src_col, dst_col):
+        if c not in edges.columns:
+            raise ValueError(f"hits: column {c!r} not in {edges.columns}")
+    e0 = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    session_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_edges = e0.count()
+    if n_edges == 0:
+        raise ValueError("hits: empty edge set")
+    loop_parts = min(session_parts, max(1, n_edges // 65_536 + 1))
+    e = e0.repartition(loop_parts, "src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition(loop_parts, "id")
+        .localCheckpoint(eager=True)
+    )
+    dec = "decimal(38,0)"
+    hub = nodes.select("id", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.round(F.col("hub") * scale).cast("long")).alias("ar"))
+        )
+        norm_a = a_raw.agg(
+            F.coalesce(F.sum(F.col("ar").cast(dec)), F.lit(0).cast(dec)).alias("na")
+        )
+        auth = (
+            nodes.join(a_raw, nodes["id"] == a_raw["dst"], "left")
+            .join(F.broadcast(norm_a))
+            .select(
+                nodes["id"],
+                F.when(
+                    F.col("na") > 0,
+                    F.coalesce(F.col("ar"), F.lit(0)).cast("double")
+                    / F.col("na").cast("double"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("auth"),
+            )
+            .repartition(loop_parts, "id")
+            .localCheckpoint(eager=False)
+        )
+        h_raw = (
+            e.join(auth.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum(F.round(F.col("auth") * scale).cast("long")).alias("hr"))
+        )
+        norm_h = h_raw.agg(
+            F.coalesce(F.sum(F.col("hr").cast(dec)), F.lit(0).cast(dec)).alias("nh")
+        )
+        hub = (
+            nodes.join(h_raw, nodes["id"] == h_raw["src"], "left")
+            .join(F.broadcast(norm_h))
+            .select(
+                nodes["id"],
+                F.when(
+                    F.col("nh") > 0,
+                    F.coalesce(F.col("hr"), F.lit(0)).cast("double")
+                    / F.col("nh").cast("double"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("hub"),
+            )
+            .repartition(loop_parts, "id")
+            .localCheckpoint(eager=False)
+        )
+    return hub.join(auth, "id").select("id", "hub", "auth")
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """k-core of an undirected graph: the maximal subgraph in which every
+    vertex has degree ≥ k (Seidman 1983, "Network structure and minimum
+    degree" — public literature), by synchronous distributed peeling
+    (the Montresor/De Pellegrini/Miorandi MapReduce formulation): each
+    round drops every vertex whose CURRENT degree is < k together with
+    its incident edges, until the edge set stops changing.
+
+    Where ``label_propagation`` finds dense cores by neighbor voting and
+    ``triangle_stats`` measures closure, the k-core is the standard
+    *cohesion floor*: the k-core of a co-purchase graph is the product
+    family that keeps recommending itself, and of a near-dup candidate
+    graph the cluster that survives any k-1 false-positive edges.
+
+    Determinism: peeling is a monotone set operation — the surviving
+    edge set is a pure function of (edges, k), independent of round
+    batching or partitioning, so a SQL oracle can replay it with the
+    round count unrolled (extra unrolled rounds past the fixpoint are
+    no-ops by monotonicity; the two engines need not converge in the
+    same round).
+
+    Scale shape per round: one stub-side degree agg (partial-agged hash
+    groupBy) + two left-semi joins back onto the edge set, pinned to an
+    edge-count-sized plan-local partitioning; the fixpoint probe is a
+    row count riding the materialization job itself via ``Observation``
+    (the connected-components r9 pattern — one job per round, no second
+    action). Rounds are bounded by ``max_rounds`` and raise loudly on
+    exhaustion; the edge set only ever shrinks, so per-round cost is
+    non-increasing. Nothing is collected.
+
+    Output: (id, deg bigint) for every vertex of the k-core, ``deg`` the
+    within-core degree (≥ k by construction). Empty output = no k-core.
+    """
+    if k < 1:
+        raise ValueError(f"kcore: k must be >= 1, got {k}")
+    for c in (a_col, b_col):
+        if c not in edges.columns:
+            raise ValueError(f"kcore: column {c!r} not in {edges.columns}")
+    u, v = F.col(a_col), F.col(b_col)
+    e = (
+        edges.filter(u.isNotNull() & v.isNotNull() & (u != v))
+        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    session_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    prev_n = e.count()
+    loop_parts = min(session_parts, max(1, prev_n // 65_536 + 1))
+    for _ in range(max_rounds):
+        if prev_n == 0:
+            break
+        deg = (
+            e.select(F.explode(F.array("u", "v")).alias("x"))
+            .groupBy("x")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("x")
+        obs = Observation()
+        e = (
+            e.join(keep.withColumnRenamed("x", "u"), "u", "semi")
+            .join(keep.withColumnRenamed("x", "v"), "v", "semi")
+            .select("u", "v")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .repartition(loop_parts, "u")
+            .localCheckpoint(eager=True)
+        )
+        cur_n = obs.get["n"]
+        if cur_n == prev_n:
+            break
+        prev_n = cur_n
+    else:
+        raise RuntimeError(
+            f"kcore: peeling did not reach a fixpoint within max_rounds="
+            f"{max_rounds}; raise max_rounds (each round deletes at least "
+            "one vertex, so rounds are bounded by the peel depth)."
+        )
+    return (
+        e.select(F.explode(F.array("u", "v")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )

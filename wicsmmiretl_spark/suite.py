@@ -8032,6 +8032,148 @@ def q_part_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFra
     return degree_profile(edges, "p1", "p2")
 
 
+def _hits_sql(iters: int) -> str:
+    """Unrolled CTE chain replaying operators/graph.py:hits on the
+    customer→part purchase graph: per iteration one scaled-int inbound
+    sum + exact-integer L1 norm per side, one double division. All
+    integers stay below 2^53 at sf0.01, so the hugeint→double casts are
+    exact and both engines produce bit-identical scores."""
+    sql = """
+    he AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    hn AS (SELECT DISTINCT id FROM (SELECT src AS id FROM he UNION ALL SELECT dst FROM he)),
+    hub0 AS (SELECT id, 1.0 AS hub FROM hn)"""
+    for i in range(1, iters + 1):
+        p = i - 1
+        sql += f""",
+    ar{i} AS (
+      SELECT dst, sum(CAST(round(hub * 1000000000) AS BIGINT)) AS ar
+      FROM he JOIN hub{p} ON he.src = hub{p}.id GROUP BY dst
+    ),
+    na{i} AS (SELECT sum(ar) AS na FROM ar{i}),
+    auth{i} AS (
+      SELECT hn.id,
+             CASE WHEN na > 0
+                  THEN CAST(coalesce(ar, 0) AS DOUBLE) / CAST(na AS DOUBLE)
+                  ELSE 0.0 END AS auth
+      FROM hn LEFT JOIN ar{i} ON hn.id = ar{i}.dst CROSS JOIN na{i}
+    ),
+    hr{i} AS (
+      SELECT src, sum(CAST(round(auth * 1000000000) AS BIGINT)) AS hr
+      FROM he JOIN auth{i} ON he.dst = auth{i}.id GROUP BY src
+    ),
+    nh{i} AS (SELECT sum(hr) AS nh FROM hr{i}),
+    hub{i} AS (
+      SELECT hn.id,
+             CASE WHEN nh > 0
+                  THEN CAST(coalesce(hr, 0) AS DOUBLE) / CAST(nh AS DOUBLE)
+                  ELSE 0.0 END AS hub
+      FROM hn LEFT JOIN hr{i} ON hn.id = hr{i}.src CROSS JOIN nh{i}
+    )"""
+    return sql
+
+
+@query(
+    "purchase_graph_hits",
+    f"""
+    WITH {_hits_sql(3)}
+    SELECT h.id AS id, round(h.hub, 9) AS hub, round(a.auth, 9) AS auth
+    FROM hub3 h JOIN auth3 a ON h.id = a.id
+    ORDER BY auth DESC, h.id ASC LIMIT 30
+    """,
+)
+def q_purchase_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutually-reinforcing ranking on the customer→part purchase graph:
+    3 HITS iterations, top-30 authorities — a part ranks high when bought
+    by customers whose baskets rank high, the signal raw purchase counts
+    can't see. Scaled-int sums + exact L1 norms keep every score
+    engine-exact (operators/graph.py:hits)."""
+    from wicsmmiretl_spark.operators.graph import hits
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(li.select("l_orderkey", "l_partkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst"))
+    )
+    h = hits(edges, iters=3)
+    return (
+        h.select("id", F.round("hub", 9).alias("hub"), F.round("auth", 9).alias("auth"))
+        .orderBy(F.desc("auth"), F.asc("id"))
+        .limit(30)
+    )
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled peeling replaying operators/graph.py:kcore on the URGENT
+    part co-purchase graph. Peeling is monotone, so unrolled rounds past
+    the fixpoint are no-ops — the oracle only needs rounds ≥ the sf0.01
+    peel depth (measured 7 at k=14; 12 unrolled), not equality with the
+    Spark loop's round count."""
+    sql = """
+    ke0 AS MATERIALIZED (
+      WITH kli AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      )
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                      greatest(a.l_partkey, b.l_partkey) AS v
+      FROM kli a JOIN kli b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )"""
+    for i in range(1, rounds + 1):
+        p = i - 1
+        sql += f""",
+    kd{i} AS MATERIALIZED (
+      SELECT x, count(*) AS d
+      FROM (SELECT u AS x FROM ke{p} UNION ALL SELECT v FROM ke{p}) GROUP BY x
+    ),
+    ke{i} AS MATERIALIZED (
+      SELECT u, v FROM ke{p}
+      WHERE u IN (SELECT x FROM kd{i} WHERE d >= {k})
+        AND v IN (SELECT x FROM kd{i} WHERE d >= {k})
+    )"""
+    return sql
+
+
+@query(
+    "part_copurchase_kcore",
+    f"""
+    WITH {_kcore_sql(14, 12)}
+    SELECT x AS id, CAST(count(*) AS BIGINT) AS deg
+    FROM (SELECT u AS x FROM ke12 UNION ALL SELECT v FROM ke12) GROUP BY x
+    """,
+)
+def q_part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohesion floor of the URGENT part co-purchase graph (the same edge
+    set the triangle census and assortativity fingerprint walk): the
+    14-core — every surviving part co-purchased with ≥14 other survivors —
+    found by synchronous distributed peeling, ~7 cascade rounds at sf0.01.
+    The k-core is what's left after any ≤13-edge noise is stripped: the
+    product families that keep recommending themselves
+    (operators/graph.py:kcore)."""
+    from wicsmmiretl_spark.operators.graph import kcore
+
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(urgent, "l_orderkey")
+        .distinct()
+    )
+    a = li.withColumnsRenamed({"l_partkey": "p1"})
+    b = li.withColumnsRenamed({"l_partkey": "p2"})
+    edges = a.join(b, "l_orderkey").filter(F.col("p1") < F.col("p2")).select("p1", "p2")
+    return kcore(edges, k=14, a_col="p1", b_col="p2", max_rounds=60)
+
+
 _DEFERRED_QUERIES = (
     # r9 rotation. IN-window this round (the 50 = registry minus this
     # tuple): the 3 queries whose r8 driver rows crashed on array-column
@@ -8134,6 +8276,10 @@ _DEFERRED_QUERIES = (
     "copurchase_butterflies",   # bipartite 4-cycle census; part_copurchase_triangles (deferred, r8-green) is the one-mode twin
     "lineitem_zonemap_pruning", # zone-map prune audit; events_value_deciles (in-window) pays the same ntile global sort, layout pytest covers Z-order
     "part_copurchase_assortativity", # degree fingerprint; part_copurchase_triangles (deferred, r8-green) walks the same edges
+    #
+    # -- session-6 additions, deferred at birth (family in-window) --
+    "purchase_graph_hits",      # HITS power iterations; event_chain_bfs_levels (in-window) covers iterative loops, order_graph_pagerank (deferred, r8-green) is the power-method twin
+    "part_copurchase_kcore",    # k-core peeling; event_chain_bfs_levels (in-window) covers iterative frontier loops, part_copurchase_triangles (deferred, r8-green) walks the same edges
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
