@@ -8032,6 +8032,58 @@ def q_part_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFra
     return degree_profile(edges, "p1", "p2")
 
 
+_BUCKET_RUN_COUNTER = iter(range(10**9))
+
+
+@query(
+    "bucketed_customer_revenue",
+    f"""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {_sql_exact_sum("o_totalprice", 2, "total_revenue")}
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_bucketed_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/storage-layout companion: the pay-the-shuffle-ONCE big-big join.
+    Customer and orders are written as bucketed+sorted tables (16 buckets
+    on the join key, one file per bucket via a matching pre-repartition),
+    then joined with a merge hint: the scan's bucket layout satisfies the
+    join's clustering requirement, so the sort-merge join runs with ZERO
+    exchanges (plan-asserted in tests/test_plan_shapes_session6.py; the
+    per-bucket in-memory Sort nodes remain because Spark ≥3.0 ignores the
+    bucket sort metadata unless the legacy sorted-scan flag is set — the
+    network shuffle is what the layout removes). At 100 TB this is the standard
+    fact-fact strategy: every subsequent join on the bucket key amortizes
+    the one write-time shuffle. The oracle is the plain join+agg — the
+    layout must not change a single row (sources/io.py:write_bucketed)."""
+    from wicsmmiretl_spark.sources.io import write_bucketed
+
+    n = next(_BUCKET_RUN_COUNTER)
+    tc, to = f"bkt_customer_{n}", f"bkt_orders_{n}"
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .repartition(16, "c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .repartition(16, "o_custkey")
+    )
+    write_bucketed(cust, tc, ["c_custkey"], 16, sort_cols=["c_custkey"],
+                   path=f"/tmp/wicsmmiretl_bkt/{tc}")
+    write_bucketed(orders, to, ["o_custkey"], 16, sort_cols=["o_custkey"],
+                   path=f"/tmp/wicsmmiretl_bkt/{to}")
+    bc, bo = spark.table(tc), spark.table(to)
+    joined = bc.hint("merge").join(bo, bc["c_custkey"] == bo["o_custkey"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        _exact_sum(F.col("o_totalprice"), 2, "total_revenue"),
+    )
+
+
 def _hits_sql(iters: int) -> str:
     """Unrolled CTE chain replaying operators/graph.py:hits on the
     customer→part purchase graph: per iteration one scaled-int inbound
@@ -8280,6 +8332,7 @@ _DEFERRED_QUERIES = (
     # -- session-6 additions, deferred at birth (family in-window) --
     "purchase_graph_hits",      # HITS power iterations; event_chain_bfs_levels (in-window) covers iterative loops, order_graph_pagerank (deferred, r8-green) is the power-method twin
     "part_copurchase_kcore",    # k-core peeling; event_chain_bfs_levels (in-window) covers iterative frontier loops, part_copurchase_triangles (deferred, r8-green) walks the same edges
+    "bucketed_customer_revenue", # bucketed SMB join; nation_trade_volume (in-window) is the same join+agg through the shuffle path
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
