@@ -106,3 +106,19 @@ def test_pq_pure_adc_recall_floor(planted):
     emb, _q, exact = planted
     out = pq_topk(emb, k=K, dim=DIM, m=4, train_k=16, iters=2)
     assert _recall(out, exact) >= 0.5
+
+
+def test_sq8_recall_at_production_params(planted, spark):
+    """SQ8's quantization error at 8 bits/coordinate is far below the
+    planted-cluster separation, so even the PURE ADC ranking (no rerank)
+    must be near-perfect — a cheap grid-param or dequant regression gate.
+    Measured 1.00."""
+    from wicsmmiretl_spark.operators.similarity import sq8_topk
+
+    emb, _q, exact = planted
+    got: dict[int, set[int]] = {}
+    for r in sq8_topk(emb, k=K, dim=DIM, query_max_id=10).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    recall = hits / (len(exact) * K)
+    assert recall >= 0.9, f"SQ8 ADC recall@{K} = {recall:.2f}"

@@ -757,3 +757,62 @@ def test_content_defined_chunks_resynchronize_after_edit(spark):
         content_defined_chunks(df, k=1)
     with pytest.raises(ValueError):
         content_defined_chunks(df, divisor=1)
+
+
+class TestSq8:
+    def test_encode_codes_are_bytes_and_round_trip_error_is_bounded(self, spark):
+        import math
+        import random as rnd
+
+        from wicsmmiretl_spark.operators.similarity import sq8_encode, sq8_train
+
+        rnd.seed(3)
+        rows = [(i, [rnd.uniform(-2.0, 2.0) for _ in range(8)]) for i in range(40)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        mins, maxs = sq8_train(emb, dim=8)
+        enc = {r.vec_id: r.codes for r in sq8_encode(emb, mins, maxs).collect()}
+        orig = {i: v for i, v in rows}
+        for vid, codes in enc.items():
+            assert all(-128 <= c <= 127 for c in codes)
+            for j, c in enumerate(codes):
+                step = (maxs[j] - mins[j]) / 255.0
+                xq = mins[j] + (c + 128) * step
+                # float32 storage of the original adds its own epsilon;
+                # the grid error bound is step/2.
+                assert abs(xq - orig[vid][j]) <= step / 2 + 1e-3, (vid, j)
+
+    def test_zero_range_dimension_encodes_as_code_zero(self, spark):
+        from wicsmmiretl_spark.operators.similarity import sq8_encode, sq8_train
+
+        rows = [(i, [1.5, float(i)]) for i in range(5)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        mins, maxs = sq8_train(emb, dim=2)
+        assert mins[0] == maxs[0]
+        enc = sq8_encode(emb, mins, maxs).collect()
+        assert all(r.codes[0] == -128 for r in enc)  # code 0, shifted
+
+    def test_train_validates_dim(self, spark):
+        from wicsmmiretl_spark.operators.similarity import sq8_train
+
+        emb = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id long, embedding array<float>")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="dimensions"):
+            sq8_train(emb, dim=16)
+
+    def test_rerank_output_matches_exact_on_shortlist(self, spark):
+        """With rerank >= corpus size the output IS the exact top-k."""
+        import random as rnd
+
+        from wicsmmiretl_spark.operators.similarity import cosine_topk, sq8_topk
+
+        rnd.seed(9)
+        rows = [(i, [rnd.uniform(-1.0, 1.0) for _ in range(8)]) for i in range(30)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = emb.filter("vec_id < 3")
+        exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=4).collect()}
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in sq8_topk(emb, k=4, dim=8, query_max_id=3, rerank=40).collect()
+        }
+        assert got == exact

@@ -167,6 +167,9 @@ from wicsmmiretl_spark.operators.similarity import (
     kmeans_train,
     knn_classify,
     pq_encode,
+    sq8_encode,
+    sq8_topk,
+    sq8_train,
     pq_topk,
     pq_train,
 )
@@ -331,6 +334,9 @@ __all__ = [
     "ivf_topk",
     "knn_classify",
     "pq_train",
+    "sq8_encode",
+    "sq8_topk",
+    "sq8_train",
     "pq_encode",
     "pq_topk",
     # ranking / packing / decontamination / layout

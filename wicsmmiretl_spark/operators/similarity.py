@@ -1227,3 +1227,185 @@ def embedding_pair_profile(
         )
         .orderBy("bin")
     )
+
+
+def sq8_train(
+    embeddings: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[float]]:
+    """Train a scalar (SQ8) quantizer: per-dimension min/max over the
+    corpus, the 2·dim doubles that define a uniform 256-level grid per
+    coordinate (the classic FAISS ``SQ8``-style codec — public
+    literature; Gray & Neuhoff, "Quantization", 1998, for the theory).
+
+    One posexplode + hash agg over the corpus — dim·n rows, partial-agged
+    map-side, and exactly 2·dim doubles cross the driver. At 100 TB the
+    same pass runs once at ingest and the params ship with the table.
+    """
+    rows = (
+        embeddings.select(
+            F.posexplode(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("pos", "x")
+        )
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    if len(rows) != dim:
+        raise ValueError(
+            f"sq8_train: expected {dim} dimensions, corpus has {len(rows)}"
+        )
+    return [r["mn"] for r in rows], [r["mx"] for r in rows]
+
+
+def sq8_encode(
+    embeddings: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against a trained SQ8 grid: per coordinate,
+    ``code = round((x - mn) * 255 / (mx - mn))`` stored as a SIGNED byte
+    (shifted by -128), so a 64-dim float vector becomes 64 bytes — 4×
+    smaller than the floats, the compressed-domain scan unit. A
+    zero-range dimension encodes as 0. Pure Catalyst (one ``transform``
+    with the 2·dim grid params inlined as literal arrays); nothing
+    shuffles.
+
+    Output: (id_col, codes array<tinyint>).
+    """
+    mn_arr = F.array(*[F.lit(float(v)) for v in mins])
+    mx_arr = F.array(*[F.lit(float(v)) for v in maxs])
+
+    def _code(x, i):
+        mn = F.element_at(mn_arr, i + 1)
+        mx = F.element_at(mx_arr, i + 1)
+        c = F.when(
+            mx > mn,
+            F.round((x.cast("double") - mn) * F.lit(255) / (mx - mn)).cast("int"),
+        ).otherwise(F.lit(0))
+        return (c - 128).cast("byte")
+
+    return embeddings.select(
+        F.col(id_col), F.transform(F.col(vec_col), _code).alias("codes")
+    )
+
+
+def _sq8_dequant_expr(codes_col, mn_arr, mx_arr):
+    """codes → reconstruction: xq_i = mn_i + c_i * ((mx_i - mn_i) / 255.0),
+    with the byte shift undone. The expression SHAPE is shared with the
+    SQL oracle so the doubles match bit-for-bit."""
+
+    def _deq(c, i):
+        mn = F.element_at(mn_arr, i + 1)
+        mx = F.element_at(mx_arr, i + 1)
+        return mn + (c.cast("int") + 128) * ((mx - mn) / F.lit(255.0))
+
+    return F.transform(codes_col, _deq)
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_max_id: int = 10,
+    rerank: int | None = None,
+    scale: int = 10**9,
+) -> DataFrame:
+    """SQ8 ANN with asymmetric scoring: candidates are ranked by the
+    cosine between the EXACT query vector and each candidate's
+    dequantized reconstruction — the scalar-quantization sibling of
+    ``pq_topk`` (coarse trained cells: ``ivf_topk``; binary sketches:
+    ``hyperplane_lsh_topk``; this: max-resolution per-coordinate codes).
+    The corpus-side scan touches only the 1-byte/dim codes; the grid
+    params ride along as 2·dim literal doubles.
+
+    Determinism contract: the per-pair dot and both squared norms are
+    per-element scaled-integer sums (``round(x·y · scale)`` folded in
+    array order), so the ADC score is partition- and engine-exact and a
+    SQL oracle replays the full ranking. With ``rerank=r`` the ADC
+    shortlist of r is re-scored with exact cosines fetched for the
+    shortlist only (broadcast semi-probe, the ``pq_topk`` two-stage
+    layout).
+
+    Output: query_id, neighbor_id, adc_cosine — or exact ``cosine`` when
+    reranking.
+    """
+    mins, maxs = sq8_train(embeddings, dim=dim, vec_col=vec_col)
+    mn_arr = F.array(*[F.lit(float(v)) for v in mins])
+    mx_arr = F.array(*[F.lit(float(v)) for v in maxs])
+    codes = sq8_encode(embeddings, mins, maxs, id_col=id_col, vec_col=vec_col)
+
+    queries = embeddings.filter(F.col(id_col) < query_max_id)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    cand = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        _sq8_dequant_expr(F.col("codes"), mn_arr, mx_arr).alias("xq"),
+    )
+
+    def _iprod(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: F.round(x * y * scale).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _iprod(F.col("qv"), F.col("xq")).alias("dot_i"),
+            _iprod(F.col("xq"), F.col("xq")).alias("nd_i"),
+            _iprod(F.col("qv"), F.col("qv")).alias("nq_i"),
+        )
+        .withColumn(
+            "adc_cosine",
+            F.round(
+                (F.col("dot_i") / F.lit(float(scale)))
+                / (
+                    F.sqrt(F.col("nd_i") / F.lit(float(scale)))
+                    * F.sqrt(F.col("nq_i") / F.lit(float(scale)))
+                ),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "adc_cosine")
+    )
+
+    from wicsmmiretl_spark.operators.sampling import cap_per_group
+
+    shortlist = rerank if rerank is not None else k
+    top = cap_per_group(
+        scored, "query_id", shortlist, [F.desc("adc_cosine"), F.asc("neighbor_id")]
+    )
+    if rerank is None:
+        return top
+
+    c_full = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv_full"),
+    )
+    q_full = q.withColumnRenamed("qv", "qv_full")
+    exact = (
+        c_full.join(F.broadcast(top), "neighbor_id")
+        .join(F.broadcast(q_full), "query_id")
+        .withColumn("cosine", F.round(_cosine_expr(F.col("qv_full"), F.col("cv_full")), 6))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
