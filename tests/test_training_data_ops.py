@@ -294,3 +294,62 @@ def test_token_budget_sample_exact_and_monotone(spark):
 
     with pytest.raises(ValueError):
         token_budget_sample(df, "src", "sz", {"s0": -1}, ["id"])
+
+
+class TestNegativeSamples:
+    def _tables(self, spark):
+        # 3 users; user 1 bought items 1-8 of 10 (heavily provisioned),
+        # user 2 bought item 1 only, user 3 bought nothing (absent).
+        pos = [(1, i) for i in range(1, 9)] + [(2, 1)]
+        positives = spark.createDataFrame(pos, "user long, item long")
+        items = spark.createDataFrame([(i,) for i in range(1, 11)], "item long")
+        return positives, items
+
+    def test_negatives_never_collide_with_positives(self, spark):
+        from wicsmmiretl_spark.operators.sampling import negative_samples
+
+        positives, items = self._tables(spark)
+        out = negative_samples(
+            positives, items, "user", "item", n_candidates=8, n_keep=3
+        ).collect()
+        pos = {(1, i) for i in range(1, 9)} | {(2, 1)}
+        for r in out:
+            assert (r.user, r.item) not in pos
+            assert 1 <= r.item <= 10
+        by_user = {}
+        for r in out:
+            by_user.setdefault(r.user, []).append(r.item)
+        # Only users WITH positives are sampled; per-user cap respected;
+        # no duplicate negatives within a user.
+        assert set(by_user) <= {1, 2}
+        for u, its in by_user.items():
+            assert len(its) <= 3
+            assert len(set(its)) == len(its)
+
+    def test_draw_is_deterministic_and_seed_sensitive(self, spark):
+        from wicsmmiretl_spark.operators.sampling import negative_samples
+
+        positives, items = self._tables(spark)
+
+        def run(seed):
+            return sorted(
+                (r.user, r.slot, r.item)
+                for r in negative_samples(
+                    positives, items, "user", "item",
+                    n_candidates=8, n_keep=3, seed=seed,
+                ).collect()
+            )
+
+        a, b = run(42), run(42)
+        assert a == b
+        assert run(43) != a  # a different seed must move the draw
+
+    def test_validates_keep_bounds(self, spark):
+        from wicsmmiretl_spark.operators.sampling import negative_samples
+
+        positives, items = self._tables(spark)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="n_keep"):
+            negative_samples(positives, items, "user", "item",
+                             n_candidates=2, n_keep=3)

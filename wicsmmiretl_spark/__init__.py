@@ -142,6 +142,7 @@ from wicsmmiretl_spark.operators.sampling import (
     hash_split,
     kfold_assign,
     mix_corpus,
+    negative_samples,
     quantile_bins,
     stable_index,
     stratified_sample,
@@ -305,6 +306,7 @@ __all__ = [
     "top_k",
     "stratified_sample",
     "mix_corpus",
+    "negative_samples",
     "token_budget_sample",
     "cap_per_group",
     "weighted_sample",

@@ -482,3 +482,94 @@ def token_budget_sample(
         .filter(F.col("_cum") <= budget)
         .drop("_cum")
     )
+
+
+def negative_samples(
+    positives: DataFrame,
+    items: DataFrame,
+    user_col: str,
+    item_col: str,
+    n_candidates: int = 6,
+    n_keep: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic negative sampling: for every user with at least one
+    positive (user, item) interaction, draw ``n_keep`` items the user has
+    NOT interacted with — the negative side of a contrastive training
+    pair (word2vec/SimCLR-style negatives; Mikolov 2013 — public
+    literature), as one lazy plan.
+
+    Each user gets ``n_candidates`` deterministic candidate slots
+    (``md5(user:slot:seed)`` mapped onto the item-id range), the user's
+    true positives are anti-joined out, duplicate candidate items keep
+    their smallest slot, and the first ``n_keep`` surviving slots win.
+    Seeded md5 (not ``rand()``) keeps the draw identical on any cluster
+    layout AND replayable by a SQL oracle. Under-provisioned users — more
+    than ``n_candidates - n_keep`` candidates colliding with positives or
+    each other — surface fewer than ``n_keep`` rows (deterministically)
+    rather than biasing the draw; size ``n_candidates`` generously, it
+    costs one exploded row each.
+
+    Assumes a dense 1..max(item) id space (TPC-H-style keys). For sparse
+    id spaces, remap ordinals through a distributed stable index
+    (``with_stable_index``) first — same plan shape, one extra join.
+
+    Scale shape: one distinct over positives (hash agg), one explode to
+    |users|·n_candidates rows, one broadcast of the single-row max-id, one
+    anti-join against the positive pairs on (user, item) — partial-agged
+    and equi-keyed end to end; nothing collects.
+
+    Output: (user_col, slot int, item_col) — ``slot`` the surviving
+    candidate ordinal, ≤ ``n_keep`` rows per user.
+    """
+    if not 1 <= n_keep <= n_candidates:
+        raise ValueError(
+            f"negative_samples: need 1 <= n_keep <= n_candidates, got "
+            f"{n_keep}/{n_candidates}"
+        )
+    pos = positives.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("i")
+    ).distinct()
+    max_item = items.agg(F.max(item_col).alias("mx"))
+    cand = (
+        pos.select("u")
+        .distinct()
+        .select("u", F.explode(F.sequence(F.lit(1), F.lit(n_candidates))).alias("slot"))
+        .join(F.broadcast(max_item))
+        .select(
+            "u",
+            "slot",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("u").cast("string"),
+                                F.lit(":"),
+                                F.col("slot").cast("string"),
+                                F.lit(f":{seed}"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("mx")
+                + 1
+            ).alias("i"),
+        )
+    )
+    survivors = cand.join(pos, ["u", "i"], "anti")
+    deduped = survivors.groupBy("u", "i").agg(F.min("slot").alias("slot"))
+    w = Window.partitionBy("u").orderBy("slot")
+    return (
+        deduped.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_keep)
+        .select(
+            F.col("u").alias(user_col),
+            F.col("slot").cast("int").alias("slot"),
+            F.col("i").alias(item_col),
+        )
+    )

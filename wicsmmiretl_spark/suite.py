@@ -8033,6 +8033,58 @@ def q_part_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "purchase_negative_samples",
+    """
+    WITH npos AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    nmx AS (SELECT max(p_partkey) AS mx FROM part),
+    ncand AS (
+      SELECT u, slot,
+             ('0x' || substr(md5(CAST(u AS VARCHAR) || ':' || CAST(slot AS VARCHAR) || ':42'), 1, 8))::BIGINT
+               % mx + 1 AS i
+      FROM (SELECT DISTINCT u FROM npos), range(1, 7) t(slot), nmx
+    ),
+    nsurv AS (
+      SELECT c.u, c.i, min(c.slot) AS slot
+      FROM ncand c
+      WHERE NOT EXISTS (SELECT 1 FROM npos p WHERE p.u = c.u AND p.i = c.i)
+      GROUP BY c.u, c.i
+    )
+    SELECT u AS o_custkey, CAST(slot AS INT) AS slot, i AS l_partkey FROM (
+      SELECT u, slot, i,
+             row_number() OVER (PARTITION BY u ORDER BY slot) AS rn
+      FROM nsurv) WHERE rn <= 4
+    """,
+)
+def q_purchase_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negatives: for every customer, 4 parts they
+    never purchased, drawn by seeded md5 over the dense part-key range and
+    anti-joined against their true purchase set — the negative-pair half
+    of a recommendation/embedding training table, cluster-deterministic by
+    construction (operators/sampling.py:negative_samples)."""
+    from wicsmmiretl_spark.operators.sampling import negative_samples
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    positives = orders.select("o_orderkey", "o_custkey").join(
+        li.select("l_orderkey", "l_partkey"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select("o_custkey", "l_partkey")
+    return negative_samples(
+        positives,
+        part.select(F.col("p_partkey").alias("l_partkey")),
+        "o_custkey",
+        "l_partkey",
+        n_candidates=6,
+        n_keep=4,
+        seed=42,
+    )
+
+
+@query(
     "sq8_adc_topk",
     """
     WITH sqv AS MATERIALIZED (
@@ -8405,6 +8457,7 @@ _DEFERRED_QUERIES = (
     "part_copurchase_kcore",    # k-core peeling; event_chain_bfs_levels (in-window) covers iterative frontier loops, part_copurchase_triangles (deferred, r8-green) walks the same edges
     "bucketed_customer_revenue", # bucketed SMB join; nation_trade_volume (in-window) is the same join+agg through the shuffle path
     "sq8_adc_topk",             # SQ8 quantized ANN; ivf_topk + kmeans_centroids (in-window) cover quantized retrieval, pq_adc_topk (deferred, r8-green) is the ADC twin
+    "purchase_negative_samples", # contrastive negatives; corpus_mix (in-window) covers seeded md5 draws, customers_without_orders (in-window) the anti-join
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
