@@ -861,3 +861,76 @@ def test_table_fingerprint_order_independent_and_sensitive(spark):
 
     with pytest.raises(ValueError):
         table_fingerprint(df, ["nope"])
+
+
+class TestResampleInterpolate:
+    def _run(self, spark, rows):
+        from wicsmmiretl_spark.operators.aggregates import resample_interpolate
+
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        out = resample_interpolate(df, "ts", ["k"], "v", unit="day")
+        return sorted(
+            (r.k, str(r.tick)[:10], r.n_obs, r.value, r.interpolated)
+            for r in out.collect()
+        )
+
+    def test_interior_gap_is_linear(self, spark):
+        import datetime as dt
+
+        rows = [
+            ("a", dt.datetime(2024, 1, 1, 5), 10.0),
+            ("a", dt.datetime(2024, 1, 4, 9), 40.0),
+        ]
+        got = self._run(spark, rows)
+        # Days 2 and 3 are empty → linear between 10 (day 1) and 40 (day 4).
+        assert got == [
+            ("a", "2024-01-01", 1, 10.0, False),
+            ("a", "2024-01-02", 0, 20.0, True),
+            ("a", "2024-01-03", 0, 30.0, True),
+            ("a", "2024-01-04", 1, 40.0, False),
+        ]
+
+    def test_observed_tick_uses_exact_mean_not_interpolation(self, spark):
+        import datetime as dt
+
+        rows = [
+            ("a", dt.datetime(2024, 1, 1), 0.0),
+            ("a", dt.datetime(2024, 1, 2, 1), 100.0),
+            ("a", dt.datetime(2024, 1, 2, 2), 200.0),
+            ("a", dt.datetime(2024, 1, 3), 0.0),
+        ]
+        got = self._run(spark, rows)
+        assert ("a", "2024-01-02", 2, 150.0, False) in got
+
+    def test_grid_edges_are_observations_no_dangling_fill(self, spark):
+        import datetime as dt
+
+        rows = [
+            ("a", dt.datetime(2024, 1, 5), 7.0),
+            ("b", dt.datetime(2024, 2, 1), 1.0),
+            ("b", dt.datetime(2024, 2, 3), 3.0),
+        ]
+        got = self._run(spark, rows)
+        # Key a: single observation → single-tick grid, nothing to fill.
+        assert [g for g in got if g[0] == "a"] == [("a", "2024-01-05", 1, 7.0, False)]
+        assert [g for g in got if g[0] == "b"] == [
+            ("b", "2024-02-01", 1, 1.0, False),
+            ("b", "2024-02-02", 0, 2.0, True),
+            ("b", "2024-02-03", 1, 3.0, False),
+        ]
+
+    def test_validates_unit_and_collisions(self, spark):
+        import datetime as dt
+
+        import pytest as _pytest
+
+        from wicsmmiretl_spark.operators.aggregates import resample_interpolate
+
+        df = spark.createDataFrame(
+            [("a", dt.datetime(2024, 1, 1), 1.0)], "k string, ts timestamp, v double"
+        )
+        with _pytest.raises(ValueError, match="unit"):
+            resample_interpolate(df, "ts", ["k"], "v", unit="minute")
+        clash = df.withColumn("tick", F.lit(1))
+        with _pytest.raises(ValueError, match="collide"):
+            resample_interpolate(clash, "ts", ["k"], "v")

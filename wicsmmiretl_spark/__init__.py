@@ -79,6 +79,7 @@ from wicsmmiretl_spark.operators.aggregates import (
     profile_drift,
     profile_table,
     resample_ffill,
+    resample_interpolate,
     robust_outliers,
     incremental_agg_build,
     incremental_agg_merge,
@@ -297,6 +298,7 @@ __all__ = [
     "table_fingerprint",
     "robust_outliers",
     "resample_ffill",
+    "resample_interpolate",
     # sampling / splits
     "deterministic_shuffle",
     "deterministic_sample",

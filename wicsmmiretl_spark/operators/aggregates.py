@@ -656,6 +656,108 @@ def resample_ffill(
     )
 
 
+def resample_interpolate(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    unit: str = "day",
+    value_scale: int = 10**6,
+) -> DataFrame:
+    """Time-series resampling with LINEAR interpolation — the gap-filling
+    upgrade of ``resample_ffill``: per key, one row per ``unit`` tick from
+    the key's first to last observation; observed ticks carry their exact
+    in-tick mean, empty ticks the linear interpolation between the
+    surrounding observed ticks:
+
+        v(t) = v_prev + (v_next - v_prev) * (t - t_prev) / (t_next - t_prev)
+
+    Determinism contract: in-tick means are scaled-integer sums divided
+    once (engine-exact), tick distances are integer day/hour offsets, and
+    the interpolation is ONE double expression whose shape a SQL oracle
+    shares — so filled values match bit-for-bit. Grid edges cannot dangle
+    (the grid spans first..last observation per key), so prev/next always
+    exist for an empty tick.
+
+    Plan shape: the ``resample_ffill`` grid build (tick-grain aggregates +
+    one left join), then TWO windows per key (last-non-null backward,
+    first-non-null forward) riding the same key partitioning — still
+    never O(rows × ticks). At 100 TB a year of hourly ticks per key is
+    ~9k rows per key-partition: window-safe.
+
+    Output: key_cols..., tick (timestamp), n_obs (bigint), value (double,
+    observed-mean or interpolated, 6dp), interpolated (boolean).
+    """
+    if unit not in _TRUNC_UNITS:
+        raise ValueError(
+            f"resample_interpolate: unit must be one of {sorted(_TRUNC_UNITS)}"
+        )
+    clash = {"_tick", "_lo", "_hi", "_x", "_mean", "n_obs", "tick", "value",
+             "interpolated"} & set(df.columns) - {value_col}
+    if clash:
+        raise ValueError(
+            f"resample_interpolate: input columns {sorted(clash)} collide with "
+            "the operator's working/output columns; rename them."
+        )
+    keys = list(key_cols)
+    tick = F.date_trunc(unit, F.col(ts_col))
+    per_tick = (
+        df.withColumn("_tick", tick)
+        .groupBy(*keys, "_tick")
+        .agg(
+            F.count(value_col).alias("n_obs"),
+            (
+                (
+                    F.sum(F.round(F.col(value_col) * value_scale).cast("long"))
+                    / F.lit(float(value_scale))
+                )
+                / F.count(value_col)
+            ).alias("_mean"),
+        )
+        .filter(F.col("n_obs") > 0)
+    )
+    bounds = per_tick.groupBy(*keys).agg(
+        F.min("_tick").alias("_lo"), F.max("_tick").alias("_hi")
+    )
+    grid = bounds.select(
+        *keys,
+        F.col("_lo"),
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL 1 {unit}"))
+        ).alias("_tick"),
+    )
+    joined = grid.join(per_tick, [*keys, "_tick"], "left").withColumn(
+        "_x",
+        (F.unix_micros(F.col("_tick")) - F.unix_micros(F.col("_lo"))).cast("double"),
+    )
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy("_tick")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(*keys)
+        .orderBy("_tick")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_v = F.when(F.col("_mean").isNotNull(), F.col("_mean"))
+    obs_x = F.when(F.col("_mean").isNotNull(), F.col("_x"))
+    pv = F.last(obs_v, ignorenulls=True).over(w_prev)
+    px = F.last(obs_x, ignorenulls=True).over(w_prev)
+    nv = F.first(obs_v, ignorenulls=True).over(w_next)
+    nx = F.first(obs_x, ignorenulls=True).over(w_next)
+    filled = F.when(F.col("_mean").isNotNull(), F.col("_mean")).otherwise(
+        pv + (nv - pv) * ((F.col("_x") - px) / (nx - px))
+    )
+    return joined.select(
+        *keys,
+        F.col("_tick").alias("tick"),
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        F.round(filled, 6).alias("value"),
+        F.col("_mean").isNull().alias("interpolated"),
+    )
+
+
 def profile_drift(
     old: DataFrame,
     new: DataFrame,

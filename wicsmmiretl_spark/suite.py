@@ -8033,6 +8033,72 @@ def q_part_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "events_daily_interpolate",
+    """
+    WITH ief AS (
+      SELECT * FROM events
+      WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::INT % 29 = 0
+    ),
+    ipt AS (
+      SELECT event_type, date_trunc('day', ts) AS tick,
+             CAST(count(value) AS BIGINT) AS n_obs,
+             (CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0)
+               / count(value) AS mean_v
+      FROM ief GROUP BY 1, 2
+    ),
+    ib AS (SELECT event_type, min(tick) AS lo, max(tick) AS hi FROM ipt GROUP BY 1),
+    igrid AS (SELECT event_type, lo,
+                     unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS tick
+              FROM ib),
+    ij AS (SELECT g.event_type, g.tick,
+                  CAST(epoch_us(g.tick) - epoch_us(g.lo) AS DOUBLE) AS x,
+                  p.n_obs, p.mean_v
+           FROM igrid g LEFT JOIN ipt p
+             ON g.event_type = p.event_type AND g.tick = p.tick),
+    iwf AS (
+      SELECT event_type, tick, n_obs, mean_v, x,
+             last_value(mean_v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN mean_v IS NOT NULL THEN x END IGNORE NULLS) OVER wp AS px,
+             first_value(mean_v IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN mean_v IS NOT NULL THEN x END IGNORE NULLS) OVER wn AS nx
+      FROM ij
+      WINDOW wp AS (PARTITION BY event_type ORDER BY tick
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY event_type ORDER BY tick
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, epoch_us(tick) AS tick_us,
+           CAST(coalesce(n_obs, 0) AS BIGINT) AS n_obs,
+           round(CASE WHEN mean_v IS NOT NULL THEN mean_v
+                      ELSE pv + (nv - pv) * ((x - px) / (nx - px)) END, 6) AS value,
+           (mean_v IS NULL) AS interpolated
+    FROM iwf
+    """,
+)
+def q_events_daily_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling resample: a 1/29 md5 slice of the event stream (sparse
+    enough to leave real day-gaps per type) regularized onto a daily grid
+    with exact in-tick means and LINEAR interpolation across empty days —
+    the feature-engineering upgrade of events_daily_resample's forward
+    fill. Scaled-int means + integer tick offsets keep every filled value
+    engine-exact (operators/aggregates.py:resample_interpolate)."""
+    from wicsmmiretl_spark.operators.aggregates import resample_interpolate
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 29 == 0
+    )
+    out = resample_interpolate(ev, "ts", ["event_type"], "value", unit="day")
+    return out.select(
+        "event_type",
+        F.unix_micros("tick").alias("tick_us"),
+        "n_obs",
+        "value",
+        "interpolated",
+    )
+
+
+@query(
     "purchase_negative_samples",
     """
     WITH npos AS (
@@ -8458,6 +8524,7 @@ _DEFERRED_QUERIES = (
     "bucketed_customer_revenue", # bucketed SMB join; nation_trade_volume (in-window) is the same join+agg through the shuffle path
     "sq8_adc_topk",             # SQ8 quantized ANN; ivf_topk + kmeans_centroids (in-window) cover quantized retrieval, pq_adc_topk (deferred, r8-green) is the ADC twin
     "purchase_negative_samples", # contrastive negatives; corpus_mix (in-window) covers seeded md5 draws, customers_without_orders (in-window) the anti-join
+    "events_daily_interpolate", # linear gap-fill; events_daily_resample (deferred, r8-green) is the ffill twin, tumbling_daily (in-window) the grid
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
