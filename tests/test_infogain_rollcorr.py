@@ -161,3 +161,50 @@ def test_gini_extremes(spark):
     df = spark.createDataFrame([(-1.0,)], "v: double")
     with pytest.raises(Exception, match="negative value"):
         gini_coefficient(df, "v").collect()
+
+
+class TestGroupedTheilSen:
+    def test_recovers_slope_on_clean_line_and_resists_outliers(self, spark):
+        from wicsmmiretl_spark.operators.aggregates import grouped_theil_sen
+
+        # y = 3x + 1 exactly; one gross outlier. The median of pairwise
+        # slopes must stay 3.0 where OLS would be dragged.
+        rows = [("g", float(i), 3.0 * i + 1.0, i) for i in range(1, 40)]
+        rows.append(("g", 40.0, 100000.0, 40))
+        df = spark.createDataFrame(rows, "k string, x double, y double, id long")
+        out = grouped_theil_sen(df, ["k"], "x", "y", "id").collect()
+        assert len(out) == 1
+        assert abs(out[0].slope - 3.0) < 0.5
+        assert out[0].n_pairs <= 40
+
+    def test_deterministic_and_seed_sensitive(self, spark):
+        import random as rnd
+
+        from wicsmmiretl_spark.operators.aggregates import grouped_theil_sen
+
+        rnd.seed(2)
+        rows = [
+            ("g", float(i), 2.0 * i + rnd.uniform(-5, 5), i) for i in range(1, 60)
+        ]
+        df = spark.createDataFrame(rows, "k string, x double, y double, id long")
+
+        def run(seed):
+            r = grouped_theil_sen(df, ["k"], "x", "y", "id", seed=seed).collect()[0]
+            return (r.slope, r.n_pairs)
+
+        assert run(7) == run(7)
+        # A different pairing permutation moves the sampled median
+        # (same underlying trend, different finite sample).
+        assert run(7) != run(8) or run(7)[0] != run(9)[0]
+
+    def test_constant_x_group_yields_null_slope(self, spark):
+        from wicsmmiretl_spark.operators.aggregates import grouped_theil_sen
+
+        df = spark.createDataFrame(
+            [("g", 1.0, float(v), v) for v in range(5)],
+            "k string, x double, y double, id long",
+        )
+        out = grouped_theil_sen(df, ["k"], "x", "y", "id").collect()
+        # Every pair shares x → filtered out → group disappears (no valid
+        # evidence for a slope, not slope=0).
+        assert out == []

@@ -87,6 +87,7 @@ from wicsmmiretl_spark.operators.aggregates import (
     calibration_curve,
     roc_curve,
     grouped_ols,
+    grouped_theil_sen,
     grouped_stats_matrix,
     quantile_transform,
     seasonal_naive_error,
@@ -256,6 +257,7 @@ __all__ = [
     "corr_matrix",
     "profile_drift",
     "grouped_ols",
+    "grouped_theil_sen",
     "binary_auc",
     "spearman_corr",
     "calibration_curve",

@@ -8033,6 +8033,87 @@ def q_part_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "event_value_theilsen",
+    """
+    WITH tsb AS (
+      SELECT event_type, CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0 AS x,
+             CAST(value AS DOUBLE) AS y, event_id AS id
+      FROM events
+    ),
+    ta AS (SELECT event_type, x, y, id,
+                  row_number() OVER (PARTITION BY event_type ORDER BY x, id) AS rn
+           FROM tsb),
+    tb AS (SELECT event_type, x AS x2, y AS y2,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY md5('7:' || CAST(id AS VARCHAR)), id) AS rn
+           FROM tsb),
+    tp AS (SELECT a.event_type, (b.y2 - a.y) / (b.x2 - a.x) AS slope
+           FROM ta a JOIN tb b ON a.event_type = b.event_type AND a.rn = b.rn
+           WHERE a.x <> b.x2)
+    SELECT event_type, round(quantile_cont(slope, 0.5), 6) AS slope,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM tp GROUP BY event_type
+    """,
+)
+def q_event_value_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type value trend: sampled-pair Theil-Sen slope
+    (value per DAY) — the outlier-proof twin of event_value_trend_by_type's
+    OLS: a handful of spike values move the OLS slope but not the median
+    of pairwise slopes. Deterministic md5 pairing, exact interpolated
+    median (operators/aggregates.py:grouped_theil_sen)."""
+    from wicsmmiretl_spark.operators.aggregates import grouped_theil_sen
+
+    ev = _t(spark, sf_dir, "events")
+    x = F.unix_micros("ts").cast("double") / F.lit(86400000000.0)
+    return grouped_theil_sen(
+        ev, ["event_type"], x, "value", "event_id", seed=7
+    )
+
+
+@query(
+    "user_running_distinct_types",
+    """
+    WITH rdt AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS distinct_so_far,
+           (is_first = 1) AS is_new
+    FROM rdt
+    """,
+)
+def q_user_running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-count per user: for every event, how many DISTINCT
+    event types the user has produced up to and including it — the
+    behavioral-breadth feature. A naive collect_set-over-window carries
+    the whole set per row; this is the scalable form: a first-occurrence
+    flag (one rank window on (user, type)) summed by a second running
+    window on the user — two windows, zero set state."""
+    ev = _t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.withColumn(
+        "is_first", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("is_first").over(w_run).cast("long").alias("distinct_so_far"),
+        (F.col("is_first") == 1).alias("is_new"),
+    )
+
+
+@query(
     "events_daily_interpolate",
     """
     WITH ief AS (
@@ -8525,6 +8606,8 @@ _DEFERRED_QUERIES = (
     "sq8_adc_topk",             # SQ8 quantized ANN; ivf_topk + kmeans_centroids (in-window) cover quantized retrieval, pq_adc_topk (deferred, r8-green) is the ADC twin
     "purchase_negative_samples", # contrastive negatives; corpus_mix (in-window) covers seeded md5 draws, customers_without_orders (in-window) the anti-join
     "events_daily_interpolate", # linear gap-fill; events_daily_resample (deferred, r8-green) is the ffill twin, tumbling_daily (in-window) the grid
+    "user_running_distinct_types", # running distinct via first-occurrence flags; window_rank_events + event_funnel (in-window) cover user windows
+    "event_value_theilsen",     # robust sampled-pair trend; event_value_trend_by_type (deferred, r8-green) is the OLS twin, quantity_quantiles (in-window) the exact-median machinery
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
