@@ -113,3 +113,44 @@ def test_key_skew_profile_validates(spark):
         key_skew_profile(df, "k", top_k=0)
     with pytest.raises(ValueError, match="not in"):
         key_skew_profile(df, "nope")
+
+
+class TestFdCheck:
+    def test_holding_and_failing_fd(self, spark):
+        from wicsmmiretl_spark.operators.quality import fd_check
+
+        df = spark.createDataFrame(
+            [("a", 1, "x"), ("a", 1, "y"), ("b", 2, "x"), ("c", 2, "x"), ("c", 3, "x")],
+            "det string, dep int, other string",
+        )
+        holds = fd_check(df, ["det", "dep"], "other").collect()[0]
+        # (a,1)->{x,y} violates; the other three (det,dep) groups map to one.
+        assert holds.fd == "det,dep->other"
+        assert holds.n_groups == 4 and holds.n_violating == 1
+        assert holds.max_dependents == 2 and holds.rows_in_violating == 2
+        assert holds.holds is False
+
+        ok = fd_check(df.filter("other = 'x'"), ["det"], "other").collect()[0]
+        assert ok.holds is True and ok.n_violating == 0
+        assert ok.violation_rate == 0.0
+
+    def test_null_dependents_are_not_values(self, spark):
+        from wicsmmiretl_spark.operators.quality import fd_check
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", None), ("b", None)], "det string, dep string"
+        )
+        r = fd_check(df, ["det"], "dep").collect()[0]
+        # 'a' maps to one non-NULL value, 'b' to zero — FD holds.
+        assert r.holds is True and r.max_dependents == 1
+
+    def test_validates(self, spark):
+        import pytest as _pytest
+
+        from wicsmmiretl_spark.operators.quality import fd_check
+
+        df = spark.createDataFrame([("a", 1)], "det string, dep int")
+        with _pytest.raises(ValueError, match="non-empty"):
+            fd_check(df, [], "dep")
+        with _pytest.raises(ValueError, match="column"):
+            fd_check(df, ["nope"], "dep")

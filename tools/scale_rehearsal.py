@@ -104,6 +104,24 @@ REHEARSAL_QUERIES = (
     "doc_overlap_pairs",
     "user_selfjoin_size_estimate",
     "bm25_ndcg",
+    # Session-6 r9 additions. hits/kcore: lineitem copies share order/part
+    # keys, so the DISTINCT edge set is unchanged — the exponents isolate
+    # the edge-dedup stage plus the fixed iteration/peel rounds (the
+    # butterfly-census precedent). sq8: embeddings scale 10x genuinely —
+    # train pass + ADC scan are the measured thing. negatives: users are
+    # byte-copied (constant), measures the positives-dedup + anti-join.
+    # interpolate/running-distinct/theilsen: events scale 10x genuinely —
+    # tick grid is calendar-bounded, the windows/rank joins carry the 10x.
+    # bucketed: customer/orders byte-copied — measures the write+read
+    # fixed cost of the layout itself.
+    "purchase_graph_hits",
+    "part_copurchase_kcore",
+    "sq8_adc_topk",
+    "purchase_negative_samples",
+    "events_daily_interpolate",
+    "user_running_distinct_types",
+    "event_value_theilsen",
+    "bucketed_customer_revenue",
 )
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"

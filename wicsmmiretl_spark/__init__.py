@@ -133,7 +133,7 @@ from wicsmmiretl_spark.operators.cohorts import retention_cohorts, survival_curv
 from wicsmmiretl_spark.operators.intervals import interval_overlap_join, merge_intervals
 from wicsmmiretl_spark.operators.merge import apply_cdc, merge_scd2, merge_upsert, point_in_time_join, snapshot_diff
 from wicsmmiretl_spark.operators.pruning import bloom_prune, bloom_semi_filter, bloom_words
-from wicsmmiretl_spark.operators.quality import benford_test, dq_gate, dq_report, key_skew_profile
+from wicsmmiretl_spark.operators.quality import benford_test, dq_gate, dq_report, fd_check, key_skew_profile
 from wicsmmiretl_spark.operators.packing import chunk_documents, pack_sequences
 from wicsmmiretl_spark.operators.ranking import association_pairs, bm25_rank, inverted_index, ndcg_at_k, retrieval_metrics, rrf_fuse, tfidf_cosine_pairs
 from wicsmmiretl_spark.operators.graph import bfs_levels, butterfly_stats, connected_components, degree_profile, hits, kcore, label_propagation, pagerank, shortest_paths, triangle_stats
@@ -244,6 +244,7 @@ __all__ = [
     "zipf_fit",
     "stream_psi",
     "dq_report",
+    "fd_check",
     "dq_gate",
     "key_skew_profile",
     "bpe_train",

@@ -250,3 +250,55 @@ def benford_test(
         )
         .orderBy("digit")
     )
+
+
+def fd_check(
+    df: DataFrame,
+    determinants: Sequence[str],
+    dependent: str,
+    label: str | None = None,
+) -> DataFrame:
+    """Functional-dependency profile: does ``determinants → dependent``
+    hold, and if not, how badly? The schema-discovery primitive behind
+    normalization checks, dimension-table conformance, and silently-
+    denormalized-join detection (Huhtala et al., "TANE", 1999, for the
+    discovery framing — public literature; this is the single-FD check a
+    profiler runs per candidate).
+
+    A determinant group violates the FD when it maps to MORE THAN ONE
+    distinct non-NULL dependent value. NULL dependents don't count as a
+    value (SQL-aggregate style); NULL determinants form their own group
+    like any GROUP BY.
+
+    Scale shape: one (determinants) hash agg computing per-group distinct
+    dependents — partial-agged, one shuffle on the determinant key — then
+    one scalar roll-up. Nothing collects; the report is one row.
+
+    Output (one row): fd string, n_groups bigint, n_violating bigint,
+    violation_rate double (6dp, violating/groups), max_dependents bigint,
+    rows_in_violating bigint, holds boolean.
+    """
+    dets = list(determinants)
+    if not dets:
+        raise ValueError("fd_check: determinants must be non-empty")
+    for c in [*dets, dependent]:
+        if c not in df.columns:
+            raise ValueError(f"fd_check: column {c!r} not in {df.columns}")
+    name = label or f"{','.join(dets)}->{dependent}"
+    per_group = df.groupBy(*dets).agg(
+        F.countDistinct(dependent).alias("_nd"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return per_group.agg(
+        F.lit(name).alias("fd"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0)).cast("long").alias("n_violating"),
+        F.round(
+            F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("violation_rate"),
+        F.max("_nd").cast("long").alias("max_dependents"),
+        F.coalesce(
+            F.sum(F.when(F.col("_nd") > 1, F.col("_n"))), F.lit(0)
+        ).cast("long").alias("rows_in_violating"),
+        (F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0)) == 0).alias("holds"),
+    )

@@ -8032,6 +8032,51 @@ def q_part_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFra
     return degree_profile(edges, "p1", "p2")
 
 
+_FD_ROLLUP_SQL = """
+  SELECT '{name}' AS fd,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) / count(*), 6) AS violation_rate,
+         CAST(max(nd) AS BIGINT) AS max_dependents,
+         CAST(coalesce(sum(CASE WHEN nd > 1 THEN n END), 0) AS BIGINT) AS rows_in_violating,
+         (sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0) AS holds
+  FROM (SELECT {det}, count(DISTINCT {dep}) AS nd, count(*) AS n FROM fdbase GROUP BY {det})
+"""
+
+
+@query(
+    "orders_fd_report",
+    f"""
+    WITH fdbase AS MATERIALIZED (
+      SELECT o.o_custkey, o.o_orderpriority, c.c_nationkey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    {_FD_ROLLUP_SQL.format(name="o_custkey->c_nationkey", det="o_custkey", dep="c_nationkey")}
+    UNION ALL
+    {_FD_ROLLUP_SQL.format(name="o_custkey->o_orderpriority", det="o_custkey", dep="o_orderpriority")}
+    """,
+)
+def q_orders_fd_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling on a DENORMALIZED fact (the join a
+    warehouse ships downstream): custkey→nationkey must HOLD in
+    orders⋈customer — a broken join or a double-loaded dimension shows up
+    here first — while custkey→orderpriority fails wholesale (customers
+    order at every priority). The holding/failing pair is what a profiler
+    reports before anyone trusts the denormalization
+    (operators/quality.py:fd_check)."""
+    from wicsmmiretl_spark.operators.quality import fd_check
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    base = orders.select("o_custkey", "o_orderpriority").join(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+        "o_custkey",
+    )
+    return fd_check(base, ["o_custkey"], "c_nationkey").unionByName(
+        fd_check(base, ["o_custkey"], "o_orderpriority")
+    )
+
+
 @query(
     "event_value_theilsen",
     """
@@ -8608,6 +8653,7 @@ _DEFERRED_QUERIES = (
     "events_daily_interpolate", # linear gap-fill; events_daily_resample (deferred, r8-green) is the ffill twin, tumbling_daily (in-window) the grid
     "user_running_distinct_types", # running distinct via first-occurrence flags; window_rank_events + event_funnel (in-window) cover user windows
     "event_value_theilsen",     # robust sampled-pair trend; event_value_trend_by_type (deferred, r8-green) is the OLS twin, quantity_quantiles (in-window) the exact-median machinery
+    "orders_fd_report",         # FD profiling; orders_dq_report (deferred, r8-green) covers the DQ-report family, documents_profile the profiler
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
