@@ -816,3 +816,64 @@ class TestSq8:
             for r in sq8_topk(emb, k=4, dim=8, query_max_id=3, rerank=40).collect()
         }
         assert got == exact
+
+
+class TestMmr:
+    def _emb(self, spark):
+        # Query 0 at the origin-ish; ids 1,2 nearly identical high-relevance
+        # pair; id 3 slightly less relevant but orthogonal to 1/2; id 4 far.
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.99, 0.14, 0.0]),
+            (2, [0.99, 0.141, 0.0]),
+            (3, [0.8, -0.6, 0.0]),
+            (4, [0.0, 0.0, 1.0]),
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_diversity_displaces_the_near_duplicate(self, spark):
+        from wicsmmiretl_spark.operators.similarity import mmr_topk
+
+        emb = self._emb(spark)
+        out = sorted(
+            (r.rank, r.neighbor_id) for r in
+            mmr_topk(emb, k=3, pool=4, lam=0.5, query_id=0).collect()
+        )
+        # Rank 1 is the most relevant (id 1 ties id 2 by cosine? id 1 wins
+        # ties by smallest id). Rank 2 must NOT be its near-twin 2 — the
+        # diversity penalty pushes the orthogonal id 3 ahead of it.
+        assert out[0][1] in (1, 2)
+        assert out[1][1] == 3
+
+    def test_lambda_one_is_pure_relevance(self, spark):
+        from wicsmmiretl_spark.operators.similarity import cosine_topk, mmr_topk
+
+        emb = self._emb(spark)
+        q = emb.filter("vec_id = 0")
+        rel_order = [
+            r.neighbor_id
+            for r in cosine_topk(emb, q, k=4).orderBy(
+                "query_id", "cosine", ascending=[True, False]
+            ).collect()
+        ]
+        mmr_order = [
+            r.neighbor_id
+            for r in mmr_topk(emb, k=4, pool=4, lam=1.0, query_id=0)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert mmr_order == sorted(rel_order, key=rel_order.index)[: len(mmr_order)] or \
+            set(mmr_order) == set(rel_order)
+
+    def test_validates(self, spark):
+        import pytest as _pytest
+
+        from wicsmmiretl_spark.operators.similarity import mmr_topk
+
+        emb = self._emb(spark)
+        with _pytest.raises(ValueError, match="k <= pool"):
+            mmr_topk(emb, k=5, pool=3)
+        with _pytest.raises(ValueError, match="max_pool"):
+            mmr_topk(emb, k=2, pool=500, max_pool=256)
+        with _pytest.raises(ValueError, match="not found"):
+            mmr_topk(emb, k=2, pool=3, query_id=999)

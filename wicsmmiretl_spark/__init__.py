@@ -169,6 +169,7 @@ from wicsmmiretl_spark.operators.similarity import (
     ivf_topk,
     kmeans_train,
     knn_classify,
+    mmr_topk,
     pq_encode,
     sq8_encode,
     sq8_topk,
@@ -340,6 +341,7 @@ __all__ = [
     "kmeans_train",
     "ivf_topk",
     "knn_classify",
+    "mmr_topk",
     "pq_train",
     "sq8_encode",
     "sq8_topk",

@@ -1409,3 +1409,131 @@ def sq8_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    max_pool: int = 256,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998 —
+    public literature): diversified top-k. Greedily pick the candidate
+    maximizing
+
+        score = lam * rel(q, i) - (1 - lam) * max_{j in selected} sim(i, j)
+
+    — the serving-side diversity knob (a dedup-aware retrieval: the
+    second-best near-duplicate of an already-selected result scores
+    near zero).
+
+    Scale split: the EXPENSIVE work is distributed — relevance over the
+    whole corpus (map-only scan against the broadcast query vector) and
+    the top-``pool`` cut (TakeOrdered); the greedy loop then runs on the
+    pool's (pool + pool²) relevance/similarity cells, which are collected
+    ONCE (bounded: ``pool <= max_pool``, default 256 → ≤64k cells — the
+    union-find bounded-collect discipline) rather than paying k driver
+    round-trip jobs of one row each.
+
+    Determinism: vectors are scaled to exact integer grids, every cosine
+    is exact-int dot / exact-int norms rounded to 9dp, and the greedy
+    rule tie-breaks on the smallest id — a SQL oracle replays the
+    selection decision-for-decision. ``lam`` and ``1-lam`` must be passed
+    to the oracle as the SAME python doubles (repr), not re-derived.
+
+    Output: rank int (1-based selection order), neighbor_id, relevance
+    double, score double (the MMR objective at selection time).
+    """
+    if not 1 <= k <= pool:
+        raise ValueError(f"mmr_topk: need 1 <= k <= pool, got k={k} pool={pool}")
+    if pool > max_pool:
+        raise ValueError(
+            f"mmr_topk: pool={pool} exceeds max_pool={max_pool} (the bounded-"
+            "collect cap; raise max_pool deliberately if you mean it)"
+        )
+    spark = embeddings.sparkSession
+    ivec = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+    base = embeddings.select(F.col(id_col).alias("id"), ivec.alias("vi"))
+    nsq = F.aggregate(
+        F.transform(F.col("vi"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    q_row = base.filter(F.col("id") == query_id).select("vi").first()
+    if q_row is None:
+        raise ValueError(f"mmr_topk: query id {query_id} not found")
+    qv = list(q_row["vi"])
+    qn = sum(x * x for x in qv)
+    qv_arr = F.array(*[F.lit(int(x)) for x in qv])
+    dot_q = F.aggregate(
+        F.zip_with(F.col("vi"), qv_arr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    rel = F.round(
+        dot_q.cast("double")
+        / (F.sqrt(nsq.cast("double")) * F.sqrt(F.lit(float(qn)))),
+        9,
+    )
+    pool_df = (
+        base.filter(F.col("id") != query_id)
+        .select("id", "vi", rel.alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("id"))
+        .limit(pool)
+        .localCheckpoint(eager=False)
+    )
+    a = pool_df.select(F.col("id").alias("ia"), F.col("vi").alias("va"))
+    b = pool_df.select(F.col("id").alias("ib"), F.col("vi").alias("vb"))
+    dot_ab = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    nsq_of = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    sims = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(
+                dot_ab.cast("double")
+                / (F.sqrt(nsq_of(F.col("va")).cast("double"))
+                   * F.sqrt(nsq_of(F.col("vb")).cast("double"))),
+                9,
+            ).alias("sim"),
+        )
+    )
+    cand = {r["id"]: r["rel"] for r in pool_df.select("id", "rel").collect()}
+    sim = {}
+    for r in sims.collect():
+        sim[(r["ia"], r["ib"])] = r["sim"]
+        sim[(r["ib"], r["ia"])] = r["sim"]
+    onem = 1 - lam
+    selected: list[tuple[int, int, float, float]] = []
+    maxsim = {i: 0.0 for i in cand}
+    remaining = set(cand)
+    for rank in range(1, k + 1):
+        best = max(
+            remaining,
+            key=lambda i: (lam * cand[i] - onem * maxsim[i], -float(i)),
+        )
+        selected.append(
+            (rank, best, cand[best], lam * cand[best] - onem * maxsim[best])
+        )
+        remaining.discard(best)
+        for i in remaining:
+            s = sim.get((i, best), 0.0)
+            if s > maxsim[i]:
+                maxsim[i] = s
+    return spark.createDataFrame(
+        selected, "rank int, neighbor_id long, relevance double, score double"
+    )

@@ -8347,6 +8347,73 @@ def q_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_topk(emb, k=5, dim=64, query_max_id=8, rerank=20)
 
 
+def _mmr_sql(dim: int, qid: int, pool: int, k: int, lam: float) -> str:
+    """Replay operators/similarity.py:mmr_topk in DuckDB: exact-int cosine
+    grids, the top-pool cut, then the greedy selection unrolled one CTE
+    pair per rank. ``lam``/``1-lam`` are rendered from the SAME python
+    doubles the operator uses (repr), so the objective arithmetic is
+    bit-identical."""
+    l, o = repr(float(lam)), repr(1 - float(lam))
+    sql = f"""
+    mv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vi
+      FROM embeddings),
+    mn AS MATERIALIZED (SELECT vec_id, list_sum(list_transform(vi, x -> x * x)) AS nsq FROM mv),
+    mq AS (SELECT vi AS qv FROM mv WHERE vec_id = {qid}),
+    mqn AS (SELECT nsq AS qn FROM mn WHERE vec_id = {qid}),
+    mrel AS MATERIALIZED (
+      SELECT m.vec_id AS id,
+             round(CAST(list_sum(list_transform(range(1, {dim + 1}), j -> m.vi[j] * q.qv[j])) AS DOUBLE)
+                   / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(qn.qn AS DOUBLE))), 9) AS rel
+      FROM mv m JOIN mn n USING (vec_id) CROSS JOIN mq q CROSS JOIN mqn qn
+      WHERE m.vec_id <> {qid}),
+    mpool AS MATERIALIZED (SELECT id, rel FROM mrel ORDER BY rel DESC, id ASC LIMIT {pool}),
+    msim AS MATERIALIZED (
+      SELECT a.id AS ia, b.id AS ib,
+             round(CAST(list_sum(list_transform(range(1, {dim + 1}), j -> va.vi[j] * vb.vi[j])) AS DOUBLE)
+                   / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))), 9) AS sim
+      FROM mpool a JOIN mpool b ON a.id < b.id
+      JOIN mv va ON va.vec_id = a.id JOIN mv vb ON vb.vec_id = b.id
+      JOIN mn na ON na.vec_id = a.id JOIN mn nb ON nb.vec_id = b.id),
+    msym AS MATERIALIZED (SELECT ia, ib, sim FROM msim UNION ALL SELECT ib, ia, sim FROM msim),
+    mp1 AS (SELECT id, rel, 0.0 AS ms FROM mpool)"""
+    for i in range(1, k + 1):
+        sql += f""",
+    msel{i} AS (SELECT id, rel, {l} * rel - {o} * ms AS score FROM mp{i}
+                ORDER BY {l} * rel - {o} * ms DESC, id ASC LIMIT 1)"""
+        if i < k:
+            sql += f""",
+    mp{i + 1} AS (
+      SELECT p.id, p.rel, greatest(p.ms, coalesce(m.sim, 0.0)) AS ms
+      FROM mp{i} p JOIN msel{i} s ON p.id <> s.id
+      LEFT JOIN msym m ON m.ia = p.id AND m.ib = s.id)"""
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS rank, id AS neighbor_id, rel AS relevance, score FROM msel{i}"
+        for i in range(1, k + 1)
+    )
+    return sql + f"\n    {union}"
+
+
+@query(
+    "embedding_mmr_topk",
+    f"""
+    WITH {_mmr_sql(dim=64, qid=0, pool=20, k=5, lam=0.7)}
+    """,
+)
+def q_embedding_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: MMR top-5 for query vector 0 over a
+    relevance top-20 pool — each pick trades relevance against similarity
+    to what's already picked (λ=0.7), the dedup-aware serving layer on
+    top of the ANN family. Corpus scoring and the pool cut are
+    distributed; the greedy runs on the bounded pool² cells
+    (operators/similarity.py:mmr_topk)."""
+    from wicsmmiretl_spark.operators.similarity import mmr_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_topk(emb, k=5, pool=20, lam=0.7, query_id=0)
+
+
 _BUCKET_RUN_COUNTER = iter(range(10**9))
 
 
@@ -8654,6 +8721,7 @@ _DEFERRED_QUERIES = (
     "user_running_distinct_types", # running distinct via first-occurrence flags; window_rank_events + event_funnel (in-window) cover user windows
     "event_value_theilsen",     # robust sampled-pair trend; event_value_trend_by_type (deferred, r8-green) is the OLS twin, quantity_quantiles (in-window) the exact-median machinery
     "orders_fd_report",         # FD profiling; orders_dq_report (deferred, r8-green) covers the DQ-report family, documents_profile the profiler
+    "embedding_mmr_topk",       # MMR diversified retrieval; cosine_topk + embedding_kcenter (deferred, r8-green/verify-green) cover relevance + diversity halves
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
