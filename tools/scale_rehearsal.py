@@ -122,6 +122,11 @@ REHEARSAL_QUERIES = (
     "user_running_distinct_types",
     "event_value_theilsen",
     "bucketed_customer_revenue",
+    # fd: orders byte-copied -- measures the join+agg fixed cost. mmr:
+    # embeddings scale 10x genuinely -- the corpus relevance scan is the
+    # measured thing, the pool greedy is constant by construction.
+    "orders_fd_report",
+    "embedding_mmr_topk",
 )
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
