@@ -496,3 +496,64 @@ class TestKcore:
             kcore(df, k=0)
         with pytest.raises(ValueError, match="column"):
             kcore(df, k=2, a_col="nope")
+
+
+class TestPersonalizedPagerank:
+    def _local_ppr(self, edges, seeds, iters, d=0.85, scale=10**12):
+        nodes = sorted({x for e in edges for x in e})
+        outdeg = {}
+        for s, _t in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        ns = len(seeds)
+        tele = {n: (1.0 / ns if n in seeds else 0.0) for n in nodes}
+        pr = dict(tele)
+        for _ in range(iters):
+            inb = {n: 0 for n in nodes}
+            for s, t in edges:
+                inb[t] += round((pr[s] / outdeg[s]) * scale)
+            dang = sum(round(pr[n] * scale) for n in nodes if n not in outdeg)
+            pr = {
+                n: (1.0 - d) * tele[n]
+                + d * (inb[n] / scale + (dang / scale) * tele[n])
+                for n in nodes
+            }
+        return pr
+
+    def test_matches_local_replication_bitexact(self, spark):
+        from wicsmmiretl_spark.operators.graph import personalized_pagerank
+
+        random.seed(13)
+        edges = sorted({(random.randint(1, 15), random.randint(1, 15)) for _ in range(40)})
+        edges = [e for e in edges if e[0] != e[1]]
+        seeds = {1, 2, 3}
+        expect = self._local_ppr(edges, seeds, iters=3)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        sdf = spark.createDataFrame([(s,) for s in seeds], "id long")
+        got = {r.id: r.rank for r in personalized_pagerank(df, sdf, iters=3).collect()}
+        assert set(got) == set(expect)
+        for n in expect:
+            assert got[n] == expect[n], f"rank mismatch at node {n}"
+
+    def test_mass_stays_near_seeds(self, spark):
+        from wicsmmiretl_spark.operators.graph import personalized_pagerank
+
+        # Two disjoint chains; seeds only in the first — the second chain
+        # must converge to rank 0 everywhere.
+        edges = [(1, 2), (2, 3), (10, 11), (11, 12)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        seeds = spark.createDataFrame([(1,)], "id long")
+        got = {r.id: r.rank for r in personalized_pagerank(df, seeds, iters=4).collect()}
+        assert got[1] > 0 and got[2] > 0 and got[3] > 0
+        assert got[10] == got[11] == got[12] == 0.0
+
+    def test_validates(self, spark):
+        import pytest as _pytest
+
+        from wicsmmiretl_spark.operators.graph import personalized_pagerank
+
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        seeds = spark.createDataFrame([(1,)], "id long")
+        with _pytest.raises(ValueError, match="iters"):
+            personalized_pagerank(df, seeds, iters=0)
+        with _pytest.raises(ValueError, match="column"):
+            personalized_pagerank(df, seeds, seed_col="nope")

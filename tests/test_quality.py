@@ -154,3 +154,41 @@ class TestFdCheck:
             fd_check(df, [], "dep")
         with _pytest.raises(ValueError, match="column"):
             fd_check(df, ["nope"], "dep")
+
+
+class TestKAnonymity:
+    def test_profile_counts(self, spark):
+        from wicsmmiretl_spark.operators.quality import k_anonymity
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (1, "a"), (2, "a"), (2, "a"), (3, "b")],
+            "age int, zip string",
+        )
+        r = k_anonymity(df, ["age", "zip"], k=2).collect()[0]
+        assert r.n_rows == 6 and r.n_classes == 3
+        assert r.min_class_size == 1 and r.rows_below_k == 1
+        assert r.anonymous is False
+        r2 = k_anonymity(df.filter("age < 3"), ["age", "zip"], k=2).collect()[0]
+        assert r2.anonymous is True and r2.rows_below_k == 0
+
+    def test_nulls_group_together(self, spark):
+        from wicsmmiretl_spark.operators.quality import k_anonymity
+
+        df = spark.createDataFrame(
+            [(None, "a"), (None, "a"), (1, "a")], "age int, zip string"
+        )
+        r = k_anonymity(df, ["age", "zip"], k=2).collect()[0]
+        # The two NULL-age rows form one class of 2; the lone age=1 row
+        # is the exposure.
+        assert r.n_classes == 2 and r.min_class_size == 1 and r.rows_below_k == 1
+
+    def test_validates(self, spark):
+        import pytest as _pytest
+
+        from wicsmmiretl_spark.operators.quality import k_anonymity
+
+        df = spark.createDataFrame([(1,)], "age int")
+        with _pytest.raises(ValueError, match="non-empty"):
+            k_anonymity(df, [], 5)
+        with _pytest.raises(ValueError, match="k must"):
+            k_anonymity(df, ["age"], 0)

@@ -353,3 +353,56 @@ class TestNegativeSamples:
         with _pytest.raises(ValueError, match="n_keep"):
             negative_samples(positives, items, "user", "item",
                              n_candidates=2, n_keep=3)
+
+
+class TestTemperatureMix:
+    def _docs(self, spark):
+        # 90% source 'big', 10% source 'small', unit sizes.
+        rows = [(i, "big", 1) for i in range(90)] + [(100 + i, "small", 1) for i in range(10)]
+        return spark.createDataFrame(rows, "doc_id long, src string, sz int")
+
+    def test_t2_flattens_toward_rare_sources(self, spark):
+        from wicsmmiretl_spark.operators.sampling import temperature_mix
+
+        docs = self._docs(spark)
+        out = temperature_mix(
+            docs, "src", budget=40.0, size_col="sz", key_cols=["doc_id"],
+            temperature=2.0,
+        )
+        got = {r.src: 0 for r in out.collect()}
+        for r in out.collect():
+            got[r.src] = got.get(r.src, 0) + 1
+        # Proportional (T=1) would give small ~4 of 40; sqrt weights give
+        # small a 25% share (sqrt(.1)/(sqrt(.9)+sqrt(.1))) → expected ~10,
+        # i.e. its entire supply at fraction 1.0.
+        assert got.get("small", 0) == 10
+        assert 0 < got.get("big", 0) < 90
+
+    def test_deterministic_and_temperature_one_is_proportional(self, spark):
+        from wicsmmiretl_spark.operators.sampling import temperature_mix
+
+        docs = self._docs(spark)
+
+        def counts(t):
+            out = temperature_mix(
+                docs, "src", budget=40.0, size_col="sz", key_cols=["doc_id"],
+                temperature=t,
+            ).collect()
+            d = {}
+            for r in out:
+                d[r.src] = d.get(r.src, 0) + 1
+            return d
+
+        assert counts(2.0) == counts(2.0)
+        c1 = counts(1.0)
+        # T=1: expected small ≈ 40 * 0.1 = 4 — clearly below the T=2 reading.
+        assert c1.get("small", 0) < 10
+
+    def test_validates(self, spark):
+        import pytest as _pytest
+
+        from wicsmmiretl_spark.operators.sampling import temperature_mix
+
+        docs = self._docs(spark)
+        with _pytest.raises(ValueError, match="temperature"):
+            temperature_mix(docs, "src", 10.0, "sz", ["doc_id"], temperature=0)

@@ -133,10 +133,10 @@ from wicsmmiretl_spark.operators.cohorts import retention_cohorts, survival_curv
 from wicsmmiretl_spark.operators.intervals import interval_overlap_join, merge_intervals
 from wicsmmiretl_spark.operators.merge import apply_cdc, merge_scd2, merge_upsert, point_in_time_join, snapshot_diff
 from wicsmmiretl_spark.operators.pruning import bloom_prune, bloom_semi_filter, bloom_words
-from wicsmmiretl_spark.operators.quality import benford_test, dq_gate, dq_report, fd_check, key_skew_profile
+from wicsmmiretl_spark.operators.quality import benford_test, dq_gate, dq_report, fd_check, k_anonymity, key_skew_profile
 from wicsmmiretl_spark.operators.packing import chunk_documents, pack_sequences
 from wicsmmiretl_spark.operators.ranking import association_pairs, bm25_rank, inverted_index, ndcg_at_k, retrieval_metrics, rrf_fuse, tfidf_cosine_pairs
-from wicsmmiretl_spark.operators.graph import bfs_levels, butterfly_stats, connected_components, degree_profile, hits, kcore, label_propagation, pagerank, shortest_paths, triangle_stats
+from wicsmmiretl_spark.operators.graph import bfs_levels, butterfly_stats, connected_components, degree_profile, hits, kcore, label_propagation, pagerank, personalized_pagerank, shortest_paths, triangle_stats
 from wicsmmiretl_spark.operators.sampling import (
     cap_per_group,
     deterministic_sample,
@@ -145,6 +145,7 @@ from wicsmmiretl_spark.operators.sampling import (
     kfold_assign,
     mix_corpus,
     negative_samples,
+    temperature_mix,
     quantile_bins,
     stable_index,
     stratified_sample,
@@ -246,6 +247,7 @@ __all__ = [
     "stream_psi",
     "dq_report",
     "fd_check",
+    "k_anonymity",
     "dq_gate",
     "key_skew_profile",
     "bpe_train",
@@ -313,6 +315,7 @@ __all__ = [
     "stratified_sample",
     "mix_corpus",
     "negative_samples",
+    "temperature_mix",
     "token_budget_sample",
     "cap_per_group",
     "weighted_sample",
@@ -333,6 +336,7 @@ __all__ = [
     "shortest_paths",
     "connected_components",
     "pagerank",
+    "personalized_pagerank",
     # similarity / ANN
     "cosine_topk",
     "cosine_pairs",

@@ -302,3 +302,51 @@ def fd_check(
         ).cast("long").alias("rows_in_violating"),
         (F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0)) == 0).alias("holds"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity profile (Sweeney 2002 — public literature): how
+    re-identifiable are rows given a set of quasi-identifier columns? A
+    row is k-anonymous when at least k-1 OTHER rows share its full
+    quasi-identifier tuple; the table's k-anonymity is the minimum
+    equivalence-class size. The privacy gate a training-data pipeline
+    runs before releasing joined/user-level tables.
+
+    Scale shape: one hash agg on the quasi-identifier tuple (partial-
+    agged), then a scalar roll-up — the ``fd_check`` cost class. NULLs
+    group together (SQL GROUP BY), which is the conservative reading: a
+    shared NULL pattern IS an identifying pattern.
+
+    Output (one row): quasi string, k_threshold int, n_rows bigint,
+    n_classes bigint, min_class_size bigint, rows_below_k bigint,
+    frac_below_k double (6dp), anonymous boolean (min_class_size >= k).
+    """
+    qs = list(quasi_cols)
+    if not qs:
+        raise ValueError("k_anonymity: quasi_cols must be non-empty")
+    if k < 1:
+        raise ValueError(f"k_anonymity: k must be >= 1, got {k}")
+    for c in qs:
+        if c not in df.columns:
+            raise ValueError(f"k_anonymity: column {c!r} not in {df.columns}")
+    classes = df.groupBy(*qs).agg(F.count(F.lit(1)).alias("_n"))
+    return classes.agg(
+        F.lit(",".join(qs)).alias("quasi"),
+        F.lit(k).cast("int").alias("k_threshold"),
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("_n").cast("long").alias("min_class_size"),
+        F.coalesce(
+            F.sum(F.when(F.col("_n") < k, F.col("_n"))), F.lit(0)
+        ).cast("long").alias("rows_below_k"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("_n") < k, F.col("_n"))), F.lit(0))
+            / F.sum("_n"),
+            6,
+        ).alias("frac_below_k"),
+        (F.min("_n") >= k).alias("anonymous"),
+    )

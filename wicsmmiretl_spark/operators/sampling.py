@@ -573,3 +573,60 @@ def negative_samples(
             F.col("i").alias(item_col),
         )
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    budget: float,
+    size_col: str,
+    key_cols: Sequence[str],
+    temperature: float = 2.0,
+    seed: int = 1312,
+    w_scale: int = 10**12,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling: source weights derived from the
+    DATA as ``w_s ∝ share_s^(1/T)`` — the multilingual/multi-domain
+    rebalancing knob (T>1 flattens the mixture toward rare sources, T=1
+    is proportional; the mBERT/XLM-R exponent-smoothing recipe — public
+    literature), where ``mix_corpus`` takes the weights as config, this
+    derives them.
+
+    Cross-engine exactness: with the default T=2 the exponent is a
+    ``sqrt`` — correctly rounded IEEE in both python and SQL — and the
+    weight normalization is an exact integer sum of ``floor(sqrt(share) ·
+    w_scale)`` grid points, so the per-source thresholds replay
+    bit-for-bit in an oracle. Other temperatures go through ``pow``,
+    which is NOT correctly rounded across libms — the result is still
+    deterministic per engine, but a cross-engine oracle may differ in the
+    last ulp of a threshold (a ~2⁻³² row-boundary risk); stick to T=2
+    when oracle-exactness matters.
+
+    Same scale shape as ``mix_corpus``: one |sources|-row aggregate
+    collected (mixture configs are O(10) sources), then a stratified
+    hash-threshold filter — the corpus never shuffles.
+    """
+    import math
+
+    if temperature <= 0:
+        raise ValueError(f"temperature_mix: temperature must be > 0, got {temperature}")
+    totals = {
+        r["s"]: int(r["tot"])
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(size_col).cast("long").alias("tot"))
+        .collect()
+    }
+    n_total = sum(totals.values())
+    if n_total <= 0:
+        raise ValueError("temperature_mix: corpus has no mass in size_col")
+    alpha = 1.0 / temperature
+    w_int = {}
+    for s in sorted(totals):
+        share = totals[s] / n_total
+        w = math.sqrt(share) if temperature == 2.0 else math.pow(share, alpha)
+        w_int[s] = int(w * w_scale)
+    tw = sum(w_int.values())
+    fractions = {
+        s: min(1.0, (budget * (w_int[s] / tw)) / totals[s]) for s in sorted(w_int)
+    }
+    return stratified_sample(df, source_col, fractions, key_cols, seed)

@@ -8347,6 +8347,161 @@ def q_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_topk(emb, k=5, dim=64, query_max_id=8, rerank=20)
 
 
+@query(
+    "customer_kanonymity",
+    """
+    SELECT 'c_nationkey,c_mktsegment' AS quasi, CAST(5 AS INT) AS k_threshold,
+           CAST(sum(n) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(n) AS BIGINT) AS min_class_size,
+           CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT) AS rows_below_k,
+           round(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) / sum(n), 6) AS frac_below_k,
+           (min(n) >= 5) AS anonymous
+    FROM (SELECT c_nationkey, c_mktsegment, count(*) AS n
+          FROM customer GROUP BY 1, 2)
+    """,
+)
+def q_customer_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy gate: k-anonymity of the customer table under the
+    (nationkey, mktsegment) quasi-identifier pair — the release check a
+    training-data pipeline runs before shipping user-level joins (min
+    equivalence-class size, rows at re-identification risk)
+    (operators/quality.py:k_anonymity)."""
+    from wicsmmiretl_spark.operators.quality import k_anonymity
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+@query(
+    "temperature_corpus_mix",
+    """
+    WITH ttot AS (SELECT lang AS s, CAST(sum(n_chars) AS BIGINT) AS tot
+                  FROM documents GROUP BY 1),
+    tn AS (SELECT CAST(sum(tot) AS BIGINT) AS n FROM ttot),
+    twi AS (SELECT s, tot,
+                   CAST(floor(sqrt(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))
+                              * 1000000000000) AS BIGINT) AS wi
+            FROM ttot CROSS JOIN tn),
+    tws AS (SELECT CAST(sum(wi) AS BIGINT) AS tw FROM twi),
+    tfr AS (SELECT s, least(1.0, (60000.0 * (CAST(wi AS DOUBLE) / CAST(tw AS DOUBLE)))
+                                 / CAST(tot AS DOUBLE)) AS frac
+            FROM twi CROSS JOIN tws),
+    tthr AS (SELECT s, CASE WHEN frac >= 1.0 THEN 'g'
+                            ELSE printf('%08x', least(CAST(floor(frac * 4294967296) AS BIGINT),
+                                                      4294967295)) END AS threshold
+             FROM tfr)
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN tthr ON d.lang = tthr.s
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':1312'), 1, 8) < threshold
+    """,
+)
+def q_temperature_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture (T=2): per-language sampling weights
+    derived from the corpus itself as sqrt(share) — rare languages
+    upsampled toward parity, the exponent-smoothing recipe — then applied
+    as the same md5-threshold stratified filter corpus_mix uses. sqrt is
+    correctly-rounded IEEE in both engines, so the derived thresholds
+    replay bit-for-bit (operators/sampling.py:temperature_mix)."""
+    from wicsmmiretl_spark.operators.sampling import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_mix(
+        docs, "lang", budget=60000.0, size_col="n_chars", key_cols=["doc_id"]
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def _ppr_sql(iters: int) -> str:
+    """Unrolled CTE chain replaying operators/graph.py:personalized_pagerank
+    on the order→customer→nation graph with the BUILDING-segment customers
+    as the teleport set. Same scaled-int discipline as _pagerank_sql; the
+    teleport constant is (CAST(1.0 AS DOUBLE) - 0.85) for the same
+    last-ulp reason."""
+    sql = """
+    ppe AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT o_orderkey AS src, o_custkey + 1000000000 AS dst FROM orders
+        UNION ALL
+        SELECT c_custkey + 1000000000 AS src,
+               CAST(c_nationkey AS BIGINT) + 2000000000 AS dst FROM customer
+      )
+    ),
+    ppn AS (SELECT DISTINCT id FROM (SELECT src AS id FROM ppe UNION ALL SELECT dst FROM ppe)),
+    ppdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM ppe GROUP BY src),
+    pps AS (SELECT DISTINCT c_custkey + 1000000000 AS id FROM customer
+            WHERE c_mktsegment = 'BUILDING'),
+    ppns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM pps),
+    ptel AS MATERIALIZED (
+      SELECT ppn.id,
+             CASE WHEN pps.id IS NOT NULL THEN 1.0 / CAST(ns AS DOUBLE) ELSE 0.0 END AS tele
+      FROM ppn LEFT JOIN pps ON ppn.id = pps.id CROSS JOIN ppns
+    ),
+    ppr0 AS (SELECT id, tele AS rank FROM ptel)"""
+    for i in range(1, iters + 1):
+        p = f"ppr{i - 1}"
+        sql += f""",
+    pctb{i} AS (
+      SELECT dst,
+             CAST(sum(CAST(round((rank / outdeg) * 1000000000000) AS BIGINT)) AS DOUBLE)
+               / 1000000000000.0 AS inb
+      FROM ppe JOIN {p} ON ppe.src = {p}.id JOIN ppdeg ON ppe.src = ppdeg.src
+      GROUP BY dst
+    ),
+    pdng{i} AS (
+      SELECT coalesce(sum(CAST(round(rank * 1000000000000) AS BIGINT)), 0) AS dang_i
+      FROM {p} LEFT JOIN ppdeg ON {p}.id = ppdeg.src WHERE ppdeg.src IS NULL
+    ),
+    ppr{i} AS (
+      SELECT t.id,
+             (CAST(1.0 AS DOUBLE) - 0.85) * t.tele
+             + 0.85 * (coalesce(inb, 0.0)
+                       + (CAST(dang_i AS DOUBLE) / 1000000000000.0) * t.tele)
+               AS rank
+      FROM ptel t LEFT JOIN pctb{i} ON t.id = pctb{i}.dst CROSS JOIN pdng{i}
+    )"""
+    return sql
+
+
+@query(
+    "segment_personalized_pagerank",
+    f"""
+    WITH {_ppr_sql(4)}
+    SELECT id, round(rank, 9) AS rank FROM ppr4
+    WHERE rank > 0 ORDER BY rank DESC, id ASC LIMIT 30
+    """,
+)
+def q_segment_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph recommendation: PageRank personalized to the BUILDING-segment
+    customers over the order→customer→nation graph — "which nodes matter
+    FROM THIS SEGMENT'S point of view", the seed-teleport variant the
+    uniform pagerank can't express (mass returns to the seeds, unreachable
+    nodes converge to 0 and are filtered). Top-30 by rank
+    (operators/graph.py:personalized_pagerank)."""
+    from wicsmmiretl_spark.operators.graph import personalized_pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    edges = orders.select(
+        F.col("o_orderkey").alias("src"),
+        (F.col("o_custkey") + F.lit(10**9)).alias("dst"),
+    ).unionByName(
+        cust.select(
+            (F.col("c_custkey") + F.lit(10**9)).alias("src"),
+            (F.col("c_nationkey").cast("long") + F.lit(2 * 10**9)).alias("dst"),
+        )
+    )
+    seeds = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        (F.col("c_custkey") + F.lit(10**9)).alias("id")
+    )
+    pr = personalized_pagerank(edges, seeds, iters=4)
+    return (
+        pr.filter(F.col("rank") > 0)
+        .select("id", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(30)
+    )
+
+
 def _mmr_sql(dim: int, qid: int, pool: int, k: int, lam: float) -> str:
     """Replay operators/similarity.py:mmr_topk in DuckDB: exact-int cosine
     grids, the top-pool cut, then the greedy selection unrolled one CTE
@@ -8722,6 +8877,9 @@ _DEFERRED_QUERIES = (
     "event_value_theilsen",     # robust sampled-pair trend; event_value_trend_by_type (deferred, r8-green) is the OLS twin, quantity_quantiles (in-window) the exact-median machinery
     "orders_fd_report",         # FD profiling; orders_dq_report (deferred, r8-green) covers the DQ-report family, documents_profile the profiler
     "embedding_mmr_topk",       # MMR diversified retrieval; cosine_topk + embedding_kcenter (deferred, r8-green/verify-green) cover relevance + diversity halves
+    "segment_personalized_pagerank", # seed-teleport PPR; order_graph_pagerank (deferred, r8-green) is the uniform twin on the same graph
+    "customer_kanonymity",      # k-anonymity gate; orders_dq_report + documents_profile cover the one-agg profiling family
+    "temperature_corpus_mix",   # data-derived sqrt(share) mixture; corpus_mix (in-window) is the config-weight twin on the same threshold filter
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
