@@ -21,8 +21,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -83,6 +85,64 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         _update,
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_DISTINCT_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_distinct_types", LongType()),
+    ]
+)
+
+_DISTINCT_STATE_SCHEMA = StructType(
+    [StructField("seen", ArrayType(StringType()))]
+)
+
+_DISTINCT_STATE_CAP = 100_000
+
+
+def _update_distinct(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    seen = set(state.get[0]) if state.exists else set()
+    for pdf in pdfs:
+        seen.update(pdf["event_type"].dropna().astype(str))
+    if len(seen) > _DISTINCT_STATE_CAP:
+        raise ValueError(
+            f"running_user_distinct: per-key distinct state exceeded "
+            f"{_DISTINCT_STATE_CAP} values — this exact-set operator is for "
+            "bounded domains; switch to the HLL stream fold for unbounded ones."
+        )
+    state.update((sorted(seen),))
+    yield pd.DataFrame({"user_id": [key[0]], "n_distinct_types": [len(seen)]})
+
+
+def running_user_distinct(events: DataFrame) -> DataFrame:
+    """Per-user running EXACT distinct event-type count as an
+    arbitrary-state operator: the streaming twin of the batch
+    ``user_running_distinct_types`` windows (there, first-occurrence
+    flags; here, the seen-set IS the state, persisted across
+    micro-batches, one updated snapshot row per touched user per batch).
+
+    Exact-set state is the right tool only for BOUNDED domains (event
+    types, countries, product tiers — cardinalities in the hundreds); the
+    state size guard raises at 100k values per key, above which the
+    mergeable-sketch path (``stream_hll_registers``) is the 100 TB
+    answer — this operator trades that approximation away where the
+    domain allows it. On a batch DataFrame the same semantics degenerate
+    to ``countDistinct`` — the unified batch/stream testing pattern.
+    """
+    if not events.isStreaming:
+        from pyspark.sql import functions as F
+
+        return events.groupBy("user_id").agg(
+            F.count_distinct("event_type").cast("long").alias("n_distinct_types")
+        )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_distinct,
+        outputStructType=_DISTINCT_OUT_SCHEMA,
+        stateStructType=_DISTINCT_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -8348,6 +8348,34 @@ def q_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_user_distinct",
+    """
+    SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct_types
+    FROM events GROUP BY user_id
+    """,
+)
+def q_streaming_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming exact distinct: per-user running distinct
+    event-type count via applyInPandasWithState (seen-set state, update
+    mode), reduced to the final snapshot per user (the count is monotone
+    across batches). The streaming twin of user_running_distinct_types'
+    batch windows; the oracle is the batch countDistinct
+    (streaming/stateful.py:running_user_distinct)."""
+    from wicsmmiretl_spark.streaming.stateful import running_user_distinct
+    from wicsmmiretl_spark.streaming.windows import read_event_stream, run_to_memory_sink
+
+    d = _events_dropdir(spark, sf_dir)
+    stream = read_event_stream(spark, d)
+    name = f"suite_user_distinct_{next(_STREAM_RUN_COUNTER)}"
+    snap = run_to_memory_sink(
+        running_user_distinct(stream), name, spark, output_mode="update", shuffle_partitions=8
+    )
+    return snap.groupBy("user_id").agg(
+        F.max("n_distinct_types").cast("long").alias("n_distinct_types")
+    )
+
+
+@query(
     "customer_kanonymity",
     """
     SELECT 'c_nationkey,c_mktsegment' AS quasi, CAST(5 AS INT) AS k_threshold,
@@ -8879,6 +8907,7 @@ _DEFERRED_QUERIES = (
     "embedding_mmr_topk",       # MMR diversified retrieval; cosine_topk + embedding_kcenter (deferred, r8-green/verify-green) cover relevance + diversity halves
     "segment_personalized_pagerank", # seed-teleport PPR; order_graph_pagerank (deferred, r8-green) is the uniform twin on the same graph
     "customer_kanonymity",      # k-anonymity gate; orders_dq_report + documents_profile cover the one-agg profiling family
+    "streaming_user_distinct",  # stateful exact distinct over stream; streaming_user_state (deferred, r8-green) is the same applyInPandasWithState path
     "temperature_corpus_mix",   # data-derived sqrt(share) mixture; corpus_mix (in-window) is the config-weight twin on the same threshold filter
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
