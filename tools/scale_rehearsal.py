@@ -127,6 +127,14 @@ REHEARSAL_QUERIES = (
     # measured thing, the pool greedy is constant by construction.
     "orders_fd_report",
     "embedding_mmr_topk",
+    # ppr: orders/customer byte-copied -- fixed-iteration cost on a
+    # constant graph. kanonymity: one hash agg, class-count bounded.
+    # temperature mix: one totals agg + threshold filter over 10x docs.
+    # streaming distinct: per-key state bounded by the type domain.
+    "segment_personalized_pagerank",
+    "customer_kanonymity",
+    "temperature_corpus_mix",
+    "streaming_user_distinct",
 )
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
