@@ -557,3 +557,53 @@ class TestPersonalizedPagerank:
             personalized_pagerank(df, seeds, iters=0)
         with _pytest.raises(ValueError, match="column"):
             personalized_pagerank(df, seeds, seed_col="nope")
+
+
+class TestLinkPrediction:
+    def _run(self, spark, edges, **kw):
+        from wicsmmiretl_spark.operators.graph import link_prediction
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {
+            (r.u, r.w): (r.cn, r.jaccard, r.ra)
+            for r in link_prediction(df, **kw).collect()
+        }
+
+    def test_square_predicts_both_diagonals(self, spark):
+        # Square 1-2-3-4-1: diagonals (1,3) and (2,4) each share two
+        # degree-2 common neighbors → cn=2, jaccard=2/(2+2-2)=1.0,
+        # ra=2*(1/2)=1.0. Adjacent pairs must NOT appear.
+        got = self._run(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+        assert got == {(1, 3): (2, 1.0, 1.0), (2, 4): (2, 1.0, 1.0)}
+
+    def test_hub_center_contributes_little_ra(self, spark):
+        # z is a hub joined to 1..5; pair (1,2) also shares a degree-2
+        # friend f. RA through the hub = 1/6 each; through f = 1/2.
+        hub = [(100, i) for i in range(1, 6)] + [(100, 6)]
+        friend = [(50, 1), (50, 2)]
+        got = self._run(spark, hub + friend)
+        cn, jac, ra = got[(1, 2)]
+        assert cn == 2
+        assert ra == round(1.0 / 6 + 1.0 / 2, 6)
+        # Pairs sharing ONLY the hub score the minimum ra.
+        assert got[(3, 4)][2] == round(1.0 / 6, 6)
+
+    def test_center_degree_cap_prunes_hub_wedges(self, spark):
+        hub = [(100, i) for i in range(1, 6)] + [(100, 6)]
+        friend = [(50, 1), (50, 2)]
+        got = self._run(spark, hub + friend, max_center_degree=3)
+        # The degree-6 hub is pruned AS A CENTER: (3,4)-style pairs that
+        # existed only through it vanish, and (1,2)'s count drops to the
+        # single low-degree center f. Pairs INVOLVING the hub still form
+        # through low-degree centers (nodes 1/2 connect 50 and 100).
+        assert set(got) == {(1, 2), (50, 100)}
+        assert got[(1, 2)][0] == 1
+
+    def test_validates(self, spark):
+        import pytest as _pytest
+
+        from wicsmmiretl_spark.operators.graph import link_prediction
+
+        df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        with _pytest.raises(ValueError, match="column"):
+            link_prediction(df, a_col="nope")

@@ -136,7 +136,7 @@ from wicsmmiretl_spark.operators.pruning import bloom_prune, bloom_semi_filter, 
 from wicsmmiretl_spark.operators.quality import benford_test, dq_gate, dq_report, fd_check, k_anonymity, key_skew_profile
 from wicsmmiretl_spark.operators.packing import chunk_documents, pack_sequences
 from wicsmmiretl_spark.operators.ranking import association_pairs, bm25_rank, inverted_index, ndcg_at_k, retrieval_metrics, rrf_fuse, tfidf_cosine_pairs
-from wicsmmiretl_spark.operators.graph import bfs_levels, butterfly_stats, connected_components, degree_profile, hits, kcore, label_propagation, pagerank, personalized_pagerank, shortest_paths, triangle_stats
+from wicsmmiretl_spark.operators.graph import bfs_levels, butterfly_stats, connected_components, degree_profile, hits, kcore, label_propagation, link_prediction, pagerank, personalized_pagerank, shortest_paths, triangle_stats
 from wicsmmiretl_spark.operators.sampling import (
     cap_per_group,
     deterministic_sample,
@@ -231,6 +231,7 @@ __all__ = [
     "nb_confusion",
     "ks_test",
     "label_propagation",
+    "link_prediction",
     "cusum_changepoint",
     "hll_intersect_estimate",
     "simplified_silhouette",

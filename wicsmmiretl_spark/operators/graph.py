@@ -1136,3 +1136,85 @@ def personalized_pagerank(
             .localCheckpoint(eager=False)
         )
     return pr
+
+
+def link_prediction(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_center_degree: int | None = None,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Local link prediction over an undirected graph: for every
+    non-adjacent pair at distance 2, the three classic common-neighbor
+    scores (Liben-Nowell & Kleinberg 2003; Zhou, Lü & Zhang 2009 —
+    public literature):
+
+    * ``cn``       — common-neighbor count,
+    * ``jaccard``  — cn / (deg_u + deg_w − cn),
+    * ``ra``       — resource allocation, Σ_z 1/deg(z) over common
+      neighbors z (the top performer of the local family in Zhou 2009;
+      chosen over Adamic-Adar's 1/ln(deg) because 1/d is a rational the
+      scaled-integer contract makes engine-exact, while ln() is not
+      guaranteed correctly-rounded across libms).
+
+    Determinism: per-center weights are ``round(scale/d)`` bigints summed
+    exactly; jaccard is one double division of exact ints, 6dp.
+
+    Scale shape: wedge volume is Σ C(d,2) over CENTER degrees — the
+    triangle-census quantity. A hub center contributes quadratically
+    while its RA weight (1/d) approaches zero, so ``max_center_degree``
+    prunes centers above a degree cap BEFORE wedge generation: the
+    standard accuracy-neutral cost lever (weight loss ≤ wedges·1/cap).
+    Everything is equi-joins + partial aggs; the adjacency exclusion is
+    one anti-join on the canonical pair key.
+
+    Output: (u, w, cn bigint, jaccard double 6dp, ra double 6dp) for
+    u < w, non-adjacent, cn ≥ 1.
+    """
+    for c in (a_col, b_col):
+        if c not in edges.columns:
+            raise ValueError(f"link_prediction: column {c!r} not in {edges.columns}")
+    ua, vb = F.col(a_col), F.col(b_col)
+    e0 = (
+        edges.filter(ua.isNotNull() & vb.isNotNull() & (ua != vb))
+        .select(F.least(ua, vb).alias("u"), F.greatest(ua, vb).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    stubs = e0.select(F.col("u").alias("z"), F.col("v").alias("x")).unionByName(
+        e0.select(F.col("v").alias("z"), F.col("u").alias("x"))
+    )
+    deg = stubs.groupBy("z").agg(F.count("*").alias("d")).localCheckpoint(eager=False)
+    centers = stubs.join(deg, "z")
+    if max_center_degree is not None:
+        centers = centers.filter(F.col("d") <= max_center_degree)
+    w1 = centers.select("z", F.col("x").alias("a"), F.col("d"))
+    w2 = centers.select("z", F.col("x").alias("b"))
+    pairs = (
+        w1.join(w2, "z")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("cn"),
+            F.sum(F.round(F.lit(float(scale)) / F.col("d")).cast("long")).alias("ra_i"),
+        )
+    )
+    non_adjacent = pairs.join(
+        e0.withColumnsRenamed({"u": "a", "v": "b"}), ["a", "b"], "anti"
+    )
+    da = deg.withColumnsRenamed({"z": "a", "d": "da"})
+    db = deg.withColumnsRenamed({"z": "b", "d": "db"})
+    return (
+        non_adjacent.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("w"),
+            "cn",
+            F.round(
+                F.col("cn") / (F.col("da") + F.col("db") - F.col("cn")), 6
+            ).alias("jaccard"),
+            F.round(F.col("ra_i") / F.lit(float(scale)), 6).alias("ra"),
+        )
+    )

@@ -8348,6 +8348,63 @@ def q_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_link_prediction",
+    """
+    WITH lpe AS MATERIALIZED (
+      WITH lpi AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      )
+      SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS u,
+                      greatest(x.l_partkey, y.l_partkey) AS v
+      FROM lpi x JOIN lpi y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    lps AS MATERIALIZED (SELECT u AS z, v AS x FROM lpe UNION ALL SELECT v AS z, u AS x FROM lpe),
+    lpd AS MATERIALIZED (SELECT z, count(*) AS d FROM lps GROUP BY z),
+    lpp AS MATERIALIZED (
+      SELECT a.x AS pa, b.x AS pb, CAST(count(*) AS BIGINT) AS cn,
+             sum(CAST(round(1000000000000.0 / d.d) AS BIGINT)) AS ra_i
+      FROM lps a JOIN lps b ON a.z = b.z AND a.x < b.x
+      JOIN lpd d ON d.z = a.z
+      GROUP BY 1, 2
+    ),
+    lpna AS (SELECT p.* FROM lpp p
+             WHERE NOT EXISTS (SELECT 1 FROM lpe e WHERE e.u = p.pa AND e.v = p.pb))
+    SELECT pa AS u, pb AS w, cn,
+           round(cn / (da.d + db.d - cn), 6) AS jaccard,
+           round(CAST(ra_i AS DOUBLE) / 1000000000000.0, 6) AS ra
+    FROM lpna JOIN lpd da ON da.z = pa JOIN lpd db ON db.z = pb
+    ORDER BY ra DESC, u ASC, w ASC LIMIT 30
+    """,
+)
+def q_part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph recommendation, link-prediction form: the 30 strongest
+    NOT-yet-co-purchased part pairs of the URGENT co-purchase graph by
+    resource-allocation score (with common-neighbor count and Jaccard
+    alongside) — "customers who bought both X and Z also bought Y", the
+    local-similarity complement to the PPR random-walk view
+    (operators/graph.py:link_prediction)."""
+    from wicsmmiretl_spark.operators.graph import link_prediction
+
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(urgent, "l_orderkey")
+        .distinct()
+    )
+    a = li.withColumnsRenamed({"l_partkey": "p1"})
+    b = li.withColumnsRenamed({"l_partkey": "p2"})
+    edges = a.join(b, "l_orderkey").filter(F.col("p1") < F.col("p2")).select("p1", "p2")
+    scores = link_prediction(edges, "p1", "p2")
+    return scores.orderBy(F.desc("ra"), F.asc("u"), F.asc("w")).limit(30)
+
+
+@query(
     "streaming_user_distinct",
     """
     SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct_types
@@ -8908,6 +8965,7 @@ _DEFERRED_QUERIES = (
     "segment_personalized_pagerank", # seed-teleport PPR; order_graph_pagerank (deferred, r8-green) is the uniform twin on the same graph
     "customer_kanonymity",      # k-anonymity gate; orders_dq_report + documents_profile cover the one-agg profiling family
     "streaming_user_distinct",  # stateful exact distinct over stream; streaming_user_state (deferred, r8-green) is the same applyInPandasWithState path
+    "part_link_prediction",     # RA/Jaccard/CN link scores; part_copurchase_triangles (deferred, r8-green) walks the same wedges, part_association_rules the pair stats
     "temperature_corpus_mix",   # data-derived sqrt(share) mixture; corpus_mix (in-window) is the config-weight twin on the same threshold filter
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
