@@ -8348,6 +8348,69 @@ def q_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "purchase_linear_attribution",
+    """
+    WITH mtp AS (
+      SELECT event_id AS pid, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    mtt AS (
+      SELECT event_id AS tid, user_id, ts, event_type AS touch_type FROM events
+      WHERE event_type IN ('view', 'click')
+    ),
+    mtj AS (
+      SELECT p.pid, p.value, t.tid, t.touch_type,
+             count(*) OVER (PARTITION BY p.pid) AS n
+      FROM mtp p JOIN mtt t
+        ON p.user_id = t.user_id
+       AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY
+    ),
+    mtc AS (
+      SELECT touch_type, tid,
+             CAST(round((value / n) * 1000000) AS BIGINT) AS credit_i
+      FROM mtj
+    )
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS n_credits,
+           CAST(count(DISTINCT tid) AS BIGINT) AS n_touches,
+           round(CAST(sum(credit_i) AS DOUBLE) / 1000000.0, 4) AS total_credit
+    FROM mtc GROUP BY touch_type
+    """,
+)
+def q_purchase_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution — the fairness counterpart to
+    purchase_last_touch's winner-takes-all: every view/click by the same
+    user in the 7 days before a purchase gets an equal 1/n share of the
+    purchase value (exact scaled-int credit shares, so the rollup is
+    engine-exact). One user-keyed shuffle; per-user pair volume is
+    bounded by events-per-user — the banded-join family."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("u"),
+        F.col("ts").alias("pts"), "value",
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"), F.col("user_id").alias("u"),
+        F.col("ts").alias("tts"), F.col("event_type").alias("touch_type"),
+    )
+    j = p.join(t, "u").filter(
+        (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAY"))
+    )
+    n = F.count("*").over(Window.partitionBy("pid"))
+    credited = j.withColumn("n", n).select(
+        "touch_type",
+        "tid",
+        F.round((F.col("value") / F.col("n")) * 1000000).cast("long").alias("credit_i"),
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count("*").cast("long").alias("n_credits"),
+        F.countDistinct("tid").cast("long").alias("n_touches"),
+        F.round(F.sum("credit_i").cast("double") / F.lit(1000000.0), 4).alias("total_credit"),
+    )
+
+
+@query(
     "part_link_prediction",
     """
     WITH lpe AS MATERIALIZED (
@@ -8966,6 +9029,7 @@ _DEFERRED_QUERIES = (
     "customer_kanonymity",      # k-anonymity gate; orders_dq_report + documents_profile cover the one-agg profiling family
     "streaming_user_distinct",  # stateful exact distinct over stream; streaming_user_state (deferred, r8-green) is the same applyInPandasWithState path
     "part_link_prediction",     # RA/Jaccard/CN link scores; part_copurchase_triangles (deferred, r8-green) walks the same wedges, part_association_rules the pair stats
+    "purchase_linear_attribution", # multi-touch 1/n credits; purchase_last_touch (deferred, r8-green) is the as-of winner-takes-all twin
     "temperature_corpus_mix",   # data-derived sqrt(share) mixture; corpus_mix (in-window) is the config-weight twin on the same threshold filter
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
