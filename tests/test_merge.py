@@ -234,3 +234,41 @@ def test_apply_cdc_latest_wins_and_deletes(spark):
         apply_cdc(base, chg.drop("op"), ["id"], "seq")
     with pytest.raises(ValueError):
         apply_cdc(base, chg, ["nope"], "seq")
+
+
+class TestGoldenRecord:
+    def test_per_field_latest_non_null_wins(self, spark):
+        from wicsmmiretl_spark.operators.merge import golden_record
+
+        rows = [
+            (1, 1, "alice", 10.0),
+            (1, 2, None, 20.0),     # name gap must NOT erase 'alice'
+            (1, 3, "alicia", None), # balance gap must NOT erase 20.0
+            (2, 1, None, None),     # all-null entity stays null
+        ]
+        df = spark.createDataFrame(rows, "k long, seq int, name string, bal double")
+        got = {r.k: (r.n_versions, r.name, r.bal)
+               for r in golden_record(df, ["k"], "seq", ["name", "bal"]).collect()}
+        assert got[1] == (3, "alicia", 20.0)
+        assert got[2] == (1, None, None)
+
+    def test_fields_resolve_independently_not_per_row(self, spark):
+        from wicsmmiretl_spark.operators.merge import golden_record
+
+        # The survivor row need not equal ANY input row: name from seq 2,
+        # bal from seq 1.
+        rows = [(1, 1, None, 5.0), (1, 2, "bob", None)]
+        df = spark.createDataFrame(rows, "k long, seq int, name string, bal double")
+        r = golden_record(df, ["k"], "seq", ["name", "bal"]).collect()[0]
+        assert (r.name, r.bal) == ("bob", 5.0)
+
+    def test_validates(self, spark):
+        import pytest as _pytest
+
+        from wicsmmiretl_spark.operators.merge import golden_record
+
+        df = spark.createDataFrame([(1, 1, "a")], "k long, seq int, name string")
+        with _pytest.raises(ValueError, match="non-empty"):
+            golden_record(df, [], "seq", ["name"])
+        with _pytest.raises(ValueError, match="column"):
+            golden_record(df, ["k"], "seq", ["nope"])

@@ -406,3 +406,51 @@ class TestTemperatureMix:
         docs = self._docs(spark)
         with _pytest.raises(ValueError, match="temperature"):
             temperature_mix(docs, "src", 10.0, "sz", ["doc_id"], temperature=0)
+
+
+class TestReferentialSample:
+    def test_subset_is_closed_under_the_fk(self, spark, sf_dir):
+        from wicsmmiretl_spark.catalog import load_table
+        from wicsmmiretl_spark.operators.sampling import referential_sample
+
+        orders = load_table(spark, "orders", sf_dir)
+        li = load_table(spark, "lineitem", sf_dir)
+        kp, kc = referential_sample(orders, li, "o_orderkey", "l_orderkey", 0.2)
+        n_parent = kp.count()
+        assert 0 < n_parent < orders.count()
+        # Zero orphans: every kept lineitem's parent survived.
+        orphans = kc.join(
+            kp.selectExpr("o_orderkey as l_orderkey"), "l_orderkey", "anti"
+        ).count()
+        assert orphans == 0
+        # And the cut is genuinely the child-side closure, not a child
+        # sample: every kept parent's lineitems are ALL kept.
+        full_of_kept = li.join(
+            kp.selectExpr("o_orderkey as l_orderkey"), "l_orderkey", "semi"
+        ).count()
+        assert kc.count() == full_of_kept > 0
+
+    def test_deterministic_and_seed_sensitive(self, spark, sf_dir):
+        from wicsmmiretl_spark.catalog import load_table
+        from wicsmmiretl_spark.operators.sampling import referential_sample
+
+        orders = load_table(spark, "orders", sf_dir)
+        li = load_table(spark, "lineitem", sf_dir)
+
+        def keys(seed):
+            kp, _ = referential_sample(orders, li, "o_orderkey", "l_orderkey", 0.2, seed=seed)
+            return {r.o_orderkey for r in kp.select("o_orderkey").collect()}
+
+        assert keys(1) == keys(1)
+        assert keys(1) != keys(2)
+
+    def test_validates_fraction(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from wicsmmiretl_spark.catalog import load_table
+        from wicsmmiretl_spark.operators.sampling import referential_sample
+
+        orders = load_table(spark, "orders", sf_dir)
+        li = load_table(spark, "lineitem", sf_dir)
+        with _pytest.raises(ValueError, match="fraction"):
+            referential_sample(orders, li, "o_orderkey", "l_orderkey", 0.0)

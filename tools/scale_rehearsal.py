@@ -135,6 +135,10 @@ REHEARSAL_QUERIES = (
     "customer_kanonymity",
     "temperature_corpus_mix",
     "streaming_user_distinct",
+    # link prediction: distinct-edge-bounded wedges like triangles.
+    # attribution: one user-keyed band join over 10x events.
+    "part_link_prediction",
+    "purchase_linear_attribution",
 )
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"

@@ -131,7 +131,7 @@ from wicsmmiretl_spark.operators.joins import (
 from wicsmmiretl_spark.operators.bpe import bpe_encode, bpe_train
 from wicsmmiretl_spark.operators.cohorts import retention_cohorts, survival_curve
 from wicsmmiretl_spark.operators.intervals import interval_overlap_join, merge_intervals
-from wicsmmiretl_spark.operators.merge import apply_cdc, merge_scd2, merge_upsert, point_in_time_join, snapshot_diff
+from wicsmmiretl_spark.operators.merge import apply_cdc, golden_record, merge_scd2, merge_upsert, point_in_time_join, snapshot_diff
 from wicsmmiretl_spark.operators.pruning import bloom_prune, bloom_semi_filter, bloom_words
 from wicsmmiretl_spark.operators.quality import benford_test, dq_gate, dq_report, fd_check, k_anonymity, key_skew_profile
 from wicsmmiretl_spark.operators.packing import chunk_documents, pack_sequences
@@ -145,6 +145,7 @@ from wicsmmiretl_spark.operators.sampling import (
     kfold_assign,
     mix_corpus,
     negative_samples,
+    referential_sample,
     temperature_mix,
     quantile_bins,
     stable_index,
@@ -202,6 +203,7 @@ __all__ = [
     "null_bypass_join",
     "merge_upsert",
     "apply_cdc",
+    "golden_record",
     "merge_scd2",
     "snapshot_diff",
     "point_in_time_join",
@@ -316,6 +318,7 @@ __all__ = [
     "stratified_sample",
     "mix_corpus",
     "negative_samples",
+    "referential_sample",
     "temperature_mix",
     "token_budget_sample",
     "cap_per_group",

@@ -16,6 +16,8 @@ snapshot and write the next snapshot. Spark-first shape:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -355,3 +357,46 @@ def apply_cdc(
         else:
             out.append(F.when(is_change, s).otherwise(t).alias(c))
     return joined.filter(~is_delete).select(*out)
+
+
+def golden_record(
+    records: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Survivorship resolution (the MDM "golden record"): collapse
+    conflicting duplicate records of one entity into a single row where
+    each attribute independently takes its LATEST NON-NULL observation
+    by ``seq_col`` — the standard per-field last-write-wins rule after
+    entity resolution has clustered the duplicates (this is the
+    consume-side of ``dup_clusters``/``part_entity_resolution``).
+
+    Per field: ``max(struct(seq, value))`` over rows where the value is
+    non-null — one partial-aggregated hash agg for ALL fields at once,
+    one shuffle on the entity key, no window and no per-field passes.
+    ``seq_col`` must order observations totally per entity (ties resolve
+    by the struct's value comparison — deterministic but arbitrary; feed
+    a unique sequence for full control).
+
+    Output: key_cols..., n_versions bigint, then one column per
+    value_col carrying the surviving value (NULL only if every
+    observation was NULL).
+    """
+    keys = list(key_cols)
+    vals = list(value_cols)
+    if not keys or not vals:
+        raise ValueError("golden_record: key_cols and value_cols must be non-empty")
+    for c in [*keys, seq_col, *vals]:
+        if c not in records.columns:
+            raise ValueError(f"golden_record: column {c!r} not in {records.columns}")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_versions")]
+    for c in vals:
+        picked = F.max(
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(F.col(seq_col).alias("s"), F.col(c).alias("v")),
+            )
+        )
+        aggs.append(picked["v"].alias(c))
+    return records.groupBy(*keys).agg(*aggs)

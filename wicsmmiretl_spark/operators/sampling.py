@@ -630,3 +630,46 @@ def temperature_mix(
         s: min(1.0, (budget * (w_int[s] / tw)) / totals[s]) for s in sorted(w_int)
     }
     return stratified_sample(df, source_col, fractions, key_cols, seed)
+
+
+def referential_sample(
+    parent: DataFrame,
+    child: DataFrame,
+    parent_key: str,
+    child_fk: str,
+    fraction: float,
+    seed: int = 1312,
+) -> tuple[DataFrame, DataFrame]:
+    """Referential-integrity-preserving subsetting: sample the PARENT
+    table by a seeded md5 threshold on its key, then keep exactly the
+    child rows whose foreign key survived — the dev-fixture/staging
+    subset every pipeline needs (a naive per-table row sample breaks
+    every join: ~f² of child rows keep their parent, the rest dangle).
+
+    By construction the child subset has zero orphans and the parent
+    subset has zero childless-by-truncation artifacts — the sample is a
+    closed sub-database under this FK. Deterministic (md5, not rand), so
+    the same (fraction, seed) cuts the identical subset on any cluster —
+    and on the NEXT data load: the subset is stable under appends that
+    don't touch sampled keys.
+
+    Scale shape: the parent filter is a map-side predicate (no shuffle);
+    the child cut is ONE left-semi join on the FK. Chain it per FK edge
+    to walk a whole schema (orders→lineitem here; customer→orders→
+    lineitem by calling twice).
+
+    Returns (sampled_parent, sampled_child) as lazy plans.
+    """
+    if not 0 < fraction <= 1:
+        raise ValueError(f"referential_sample: fraction must be in (0, 1], got {fraction}")
+    if parent_key not in parent.columns:
+        raise ValueError(f"referential_sample: {parent_key!r} not in parent columns")
+    if child_fk not in child.columns:
+        raise ValueError(f"referential_sample: {child_fk!r} not in child columns")
+    prefix = F.substring(
+        F.md5(F.concat(F.col(parent_key).cast("string"), F.lit(f":{seed}"))), 1, 8
+    )
+    kept_parent = parent.filter(prefix < F.lit(_frac_threshold(fraction)))
+    kept_keys = kept_parent.select(F.col(parent_key).alias(child_fk))
+    kept_child = child.join(kept_keys, child_fk, "semi")
+    return kept_parent, kept_child

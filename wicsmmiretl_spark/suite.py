@@ -8348,6 +8348,105 @@ def q_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_referential_subset",
+    f"""
+    WITH rthr AS (SELECT printf('%08x', CAST(floor(0.1 * 4294967296) AS BIGINT)) AS t),
+    rk AS (SELECT o_orderkey FROM orders, rthr
+           WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || ':1312'), 1, 8) < t),
+    rl AS (SELECT l.* FROM lineitem l
+           WHERE l.l_orderkey IN (SELECT o_orderkey FROM rk))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM rk) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST((SELECT count(*) FROM rl x
+                 WHERE x.l_orderkey NOT IN (SELECT o_orderkey FROM rk)) AS BIGINT) AS n_orphans,
+           {_sql_exact_sum("l_extendedprice", 2, "revenue")}
+    FROM rl
+    """,
+)
+def q_orders_referential_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity-preserving subset: a seeded 10% md5 cut of
+    ORDERS pulls exactly its own lineitems (one map-side parent filter +
+    one semi join) — the dev-fixture sampler that, unlike per-table row
+    sampling, leaves zero dangling foreign keys. The report row carries
+    the orphan count (must be 0 — the closure property, checked by the
+    oracle, not assumed) and the exact revenue of the cut
+    (operators/sampling.py:referential_sample)."""
+    from wicsmmiretl_spark.operators.sampling import referential_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    kp, kc = referential_sample(orders, li, "o_orderkey", "l_orderkey", 0.1, seed=1312)
+    n_orders = kp.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    orphans = kc.join(
+        kp.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "anti"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+    return (
+        kc.agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            _exact_sum(F.col("l_extendedprice"), 2, "revenue"),
+        )
+        .join(F.broadcast(n_orders))
+        .join(F.broadcast(orphans))
+        .select("n_orders", "n_lineitems", "n_orphans", "revenue")
+    )
+
+
+@query(
+    "customer_golden_record",
+    """
+    WITH gsrc AS (
+      SELECT c_custkey, 1 AS seq, c_name, c_acctbal, c_mktsegment FROM customer
+      UNION ALL
+      SELECT c_custkey, 2,
+             CASE WHEN c_custkey % 2 = 0 THEN c_name || '#v2' END,
+             CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 3, CAST(NULL AS VARCHAR), c_acctbal + 25, 'MOVED'
+      FROM customer WHERE c_custkey % 5 = 0
+    )
+    SELECT c_custkey,
+           CAST(count(*) AS BIGINT) AS n_versions,
+           arg_max(c_name, seq) FILTER (WHERE c_name IS NOT NULL) AS c_name,
+           arg_max(c_acctbal, seq) FILTER (WHERE c_acctbal IS NOT NULL) AS c_acctbal,
+           arg_max(c_mktsegment, seq) FILTER (WHERE c_mktsegment IS NOT NULL) AS c_mktsegment
+    FROM gsrc GROUP BY c_custkey
+    """,
+)
+def q_customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship (MDM golden record): three conflicting synthesized
+    versions per customer — a sparse v2 rename, a v3 balance correction
+    with a segment move for every fifth key — collapse so each FIELD
+    independently keeps its latest non-null observation. One hash agg
+    resolves every field at once; the consume-side of entity resolution
+    (operators/merge.py:golden_record)."""
+    from wicsmmiretl_spark.operators.merge import golden_record
+
+    cust = _t(spark, sf_dir, "customer")
+    v1 = cust.select(
+        "c_custkey", F.lit(1).alias("seq"), "c_name", "c_acctbal", "c_mktsegment"
+    )
+    v2 = cust.select(
+        "c_custkey",
+        F.lit(2).alias("seq"),
+        F.when(F.col("c_custkey") % 2 == 0, F.concat("c_name", F.lit("#v2"))).alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    v3 = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit(3).alias("seq"),
+        F.lit(None).cast("string").alias("c_name"),
+        (F.col("c_acctbal") + 25).alias("c_acctbal"),
+        F.lit("MOVED").alias("c_mktsegment"),
+    )
+    versions = v1.unionByName(v2).unionByName(v3)
+    return golden_record(
+        versions, ["c_custkey"], "seq", ["c_name", "c_acctbal", "c_mktsegment"]
+    )
+
+
+@query(
     "purchase_linear_attribution",
     """
     WITH mtp AS (
@@ -9030,6 +9129,8 @@ _DEFERRED_QUERIES = (
     "streaming_user_distinct",  # stateful exact distinct over stream; streaming_user_state (deferred, r8-green) is the same applyInPandasWithState path
     "part_link_prediction",     # RA/Jaccard/CN link scores; part_copurchase_triangles (deferred, r8-green) walks the same wedges, part_association_rules the pair stats
     "purchase_linear_attribution", # multi-touch 1/n credits; purchase_last_touch (deferred, r8-green) is the as-of winner-takes-all twin
+    "customer_golden_record",   # per-field survivorship; customer_merge_upsert (deferred, r8-green) + customer_scd2_merge cover the merge family
+    "orders_referential_subset", # FK-closed sampling; corpus_mix (in-window) covers md5-threshold cuts, customers_with_orders_semi the semi join
     "temperature_corpus_mix",   # data-derived sqrt(share) mixture; corpus_mix (in-window) is the config-weight twin on the same threshold filter
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
