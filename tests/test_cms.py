@@ -376,3 +376,49 @@ def test_cms_join_size_cross_streams(spark):
 
     with _pytest.raises(ValueError, match="missing columns"):
         cms_join_size(a, skb)
+
+
+class TestPoissonBootstrap:
+    def test_ci_brackets_the_truth_and_is_deterministic(self, spark):
+        from wicsmmiretl_spark.operators.aggregates import poisson_bootstrap_ci
+
+        import random as rnd
+
+        rnd.seed(4)
+        rows = [(i, 100.0 + rnd.uniform(-10, 10)) for i in range(2000)]
+        df = spark.createDataFrame(rows, "k long, v double")
+        r1 = poisson_bootstrap_ci(df, "v", "k", n_replicas=32).collect()[0]
+        r2 = poisson_bootstrap_ci(df, "v", "k", n_replicas=32).collect()[0]
+        assert (r1.ci_low, r1.ci_high) == (r2.ci_low, r2.ci_high)
+        assert r1.n_rows == 2000 and r1.n_replicas == 32
+        # True mean ~100, sd ~5.8 → se ~0.13; the CI must bracket the
+        # sample mean and be plausibly narrow.
+        assert r1.ci_low < r1.point < r1.ci_high
+        assert 0.05 < (r1.ci_high - r1.ci_low) < 2.0
+
+    def test_width_shrinks_with_sample_size(self, spark):
+        from wicsmmiretl_spark.operators.aggregates import poisson_bootstrap_ci
+
+        import random as rnd
+
+        rnd.seed(5)
+        big = [(i, 50.0 + rnd.uniform(-5, 5)) for i in range(4000)]
+        small = big[:250]
+
+        def width(rows):
+            df = spark.createDataFrame(rows, "k long, v double")
+            r = poisson_bootstrap_ci(df, "v", "k", n_replicas=32).collect()[0]
+            return r.ci_high - r.ci_low
+
+        assert width(big) < width(small)
+
+    def test_validates(self, spark):
+        import pytest as _pytest
+
+        from wicsmmiretl_spark.operators.aggregates import poisson_bootstrap_ci
+
+        df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+        with _pytest.raises(ValueError, match="n_replicas"):
+            poisson_bootstrap_ci(df, "v", "k", n_replicas=4)
+        with _pytest.raises(ValueError, match="lo < hi"):
+            poisson_bootstrap_ci(df, "v", "k", lo=0.9, hi=0.1)

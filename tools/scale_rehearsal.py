@@ -139,6 +139,11 @@ REHEARSAL_QUERIES = (
     # attribution: one user-keyed band join over 10x events.
     "part_link_prediction",
     "purchase_linear_attribution",
+    # golden record: one hash agg over 3x customer versions (byte-copied
+    # dim -- fixed). referential subset: map filter + semi join over 10x
+    # lineitem.
+    "customer_golden_record",
+    "orders_referential_subset",
 )
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"

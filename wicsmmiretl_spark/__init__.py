@@ -59,6 +59,7 @@ from wicsmmiretl_spark.operators.aggregates import (
     grouped_ks_report,
     hll_intersect_estimate,
     information_gain,
+    poisson_bootstrap_ci,
     psi,
     psi_bin_expr,
     psi_from_binned,
@@ -237,6 +238,7 @@ __all__ = [
     "cusum_changepoint",
     "hll_intersect_estimate",
     "simplified_silhouette",
+    "poisson_bootstrap_ci",
     "psi",
     "information_gain",
     "rolling_corr",

@@ -2413,3 +2413,114 @@ def grouped_ks_report(
         )
         .orderBy(F.desc("d"), F.asc(group_col))
     )
+
+
+_POISSON1_CDF = (
+    ("0.367879441", 0),
+    ("0.735758882", 1),
+    ("0.919698603", 2),
+    ("0.981011843", 3),
+    ("0.996340153", 4),
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_replicas: int = 64,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    seed: int = 9,
+    scale: int = 10**2,
+) -> DataFrame:
+    """Distributed uncertainty for the mean via the POISSON bootstrap
+    (Chamandy et al., "Estimating uncertainty for massive data streams",
+    Google 2012 — public literature): the classic resample-with-
+    replacement bootstrap needs n draws per replicate (a shuffle per
+    replica); the Poisson approximation gives each row an independent
+    Poisson(1) multiplicity per replica, so ALL replicas compute in ONE
+    pass as a (replica → weighted partial agg) fan-out — the only
+    bootstrap that works on data too big to index.
+
+    Determinism: multiplicities come from a seeded md5 uniform pushed
+    through the Poisson(1) inverse CDF written as LITERAL cumulative
+    thresholds (no exp() at runtime — libm-free), capped at 5
+    (P[X>5] ≈ 1/2445, a bias far below CI resolution at any real n);
+    replicate means are scaled-integer sums divided once; the CI bounds
+    are the exact interpolated quantiles both engines share.
+
+    Scale shape: one explode to n·B rows (map-side), one hash agg keyed
+    by replica (B groups — partial-agged, so the map side reduces each
+    partition to B rows before the shuffle), one B-row quantile. The
+    point estimate rides the same pass shape on the unexploded input.
+
+    Output (one row): n_rows bigint, n_replicas int, point double,
+    ci_low double, ci_high double (all 6dp).
+    """
+    if n_replicas < 8:
+        raise ValueError(f"poisson_bootstrap_ci: n_replicas must be >= 8, got {n_replicas}")
+    if not 0 < lo < hi < 1:
+        raise ValueError("poisson_bootstrap_ci: need 0 < lo < hi < 1")
+    for c in (value_col, key_col):
+        if c not in df.columns:
+            raise ValueError(f"poisson_bootstrap_ci: column {c!r} not in {df.columns}")
+    vc = F.round(F.col(value_col) * scale).cast("long")
+    base = df.select(F.col(key_col).alias("_k"), vc.alias("_v"))
+    reps = base.select(
+        "_k", "_v", F.explode(F.sequence(F.lit(1), F.lit(n_replicas))).alias("_r")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("_k").cast("string"),
+                    F.lit(":"),
+                    F.col("_r").cast("string"),
+                    F.lit(f":{seed}"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") / F.lit(4294967296.0)
+    cnt = F.lit(5)
+    for thr, k in reversed(_POISSON1_CDF):
+        cnt = F.when(u < F.lit(float(thr)), F.lit(k)).otherwise(cnt)
+    means = (
+        reps.withColumn("_c", cnt)
+        .groupBy("_r")
+        .agg(
+            F.sum(F.col("_c") * F.col("_v")).alias("_sv"),
+            F.sum("_c").alias("_sc"),
+        )
+        .filter(F.col("_sc") > 0)
+        .select(
+            (
+                (F.col("_sv").cast("double") / F.lit(float(scale)))
+                / F.col("_sc")
+            ).alias("_m")
+        )
+    )
+    point = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (
+            (F.sum("_v").cast("double") / F.lit(float(scale))) / F.count(F.lit(1))
+        ).alias("_point"),
+    )
+    ci = means.agg(
+        F.round(F.percentile("_m", F.lit(lo)), 6).alias("ci_low"),
+        F.round(F.percentile("_m", F.lit(hi)), 6).alias("ci_high"),
+    )
+    return (
+        point.join(F.broadcast(ci))
+        .select(
+            "n_rows",
+            F.lit(n_replicas).cast("int").alias("n_replicas"),
+            F.round("_point", 6).alias("point"),
+            "ci_low",
+            "ci_high",
+        )
+    )

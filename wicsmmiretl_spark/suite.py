@@ -8348,6 +8348,58 @@ def q_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_bootstrap_ci",
+    """
+    WITH bb AS (
+      SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    br AS (
+      SELECT k, v, r,
+             ('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(r AS VARCHAR) || ':9'), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM bb, range(1, 65) t(r)
+    ),
+    bc AS (
+      SELECT r, v,
+             CASE WHEN u < 0.367879441 THEN 0
+                  WHEN u < 0.735758882 THEN 1
+                  WHEN u < 0.919698603 THEN 2
+                  WHEN u < 0.981011843 THEN 3
+                  WHEN u < 0.996340153 THEN 4
+                  ELSE 5 END AS c
+      FROM br
+    ),
+    bm AS (
+      SELECT r, (CAST(sum(c * v) AS DOUBLE) / 100.0) / sum(c) AS m
+      FROM bc GROUP BY r HAVING sum(c) > 0
+    ),
+    bp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             (CAST(sum(v) AS DOUBLE) / 100.0) / count(*) AS p
+      FROM bb
+    )
+    SELECT n_rows, CAST(64 AS INT) AS n_replicas, round(p, 6) AS point,
+           round(quantile_cont(m, 0.025), 6) AS ci_low,
+           round(quantile_cont(m, 0.975), 6) AS ci_high
+    FROM bp CROSS JOIN bm GROUP BY n_rows, p
+    """,
+)
+def q_orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty at scale: a 95% Poisson-bootstrap CI for the mean
+    order price — 64 resample replicas computed in ONE pass via seeded
+    md5 Poisson(1) multiplicities (literal inverse-CDF thresholds, no
+    libm), replicate means exact, CI = interpolated quantiles over the
+    64 means (operators/aggregates.py:poisson_bootstrap_ci)."""
+    from wicsmmiretl_spark.operators.aggregates import poisson_bootstrap_ci
+
+    orders = _t(spark, sf_dir, "orders")
+    return poisson_bootstrap_ci(
+        orders, "o_totalprice", "o_orderkey", n_replicas=64, seed=9
+    )
+
+
+@query(
     "orders_referential_subset",
     f"""
     WITH rthr AS (SELECT printf('%08x', CAST(floor(0.1 * 4294967296) AS BIGINT)) AS t),
@@ -9131,6 +9183,7 @@ _DEFERRED_QUERIES = (
     "purchase_linear_attribution", # multi-touch 1/n credits; purchase_last_touch (deferred, r8-green) is the as-of winner-takes-all twin
     "customer_golden_record",   # per-field survivorship; customer_merge_upsert (deferred, r8-green) + customer_scd2_merge cover the merge family
     "orders_referential_subset", # FK-closed sampling; corpus_mix (in-window) covers md5-threshold cuts, customers_with_orders_semi the semi join
+    "orders_bootstrap_ci",      # Poisson-bootstrap CI; purchase_click_ab_stats (deferred, r8-green) covers inference, quantity_quantiles the quantile parity
     "temperature_corpus_mix",   # data-derived sqrt(share) mixture; corpus_mix (in-window) is the config-weight twin on the same threshold filter
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
