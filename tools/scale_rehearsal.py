@@ -144,6 +144,9 @@ REHEARSAL_QUERIES = (
     # lineitem.
     "customer_golden_record",
     "orders_referential_subset",
+    # bootstrap: the 64-replica explode over 10x orders is the honest
+    # linear budget; the replica agg is B-group bounded.
+    "orders_bootstrap_ci",
 )
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
