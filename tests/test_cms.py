@@ -422,3 +422,35 @@ class TestPoissonBootstrap:
             poisson_bootstrap_ci(df, "v", "k", n_replicas=4)
         with _pytest.raises(ValueError, match="lo < hi"):
             poisson_bootstrap_ci(df, "v", "k", lo=0.9, hi=0.1)
+
+
+class TestGroupedTrimmedStats:
+    def test_trimming_kills_the_spike(self, spark):
+        from wicsmmiretl_spark.operators.aggregates import grouped_trimmed_stats
+
+        vals = [float(v) for v in range(1, 20)] + [10000.0]
+        df = spark.createDataFrame([("g", v) for v in vals], "k string, v double")
+        r = grouped_trimmed_stats(df, ["k"], "v", trim=0.1).collect()[0]
+        plain_mean = sum(vals) / len(vals)
+        assert plain_mean > 500          # the spike dominates the plain mean
+        assert r.trimmed_mean < 20       # ...and is gone from the trimmed one
+        assert r.winsorized_mean < 25    # ...and clamped in the winsorized one
+        assert r.n == 20 and r.n_trimmed >= 2
+        assert r.fence_lo <= r.trimmed_mean <= r.fence_hi
+
+    def test_no_outliers_means_agree_with_plain_mean(self, spark):
+        from wicsmmiretl_spark.operators.aggregates import grouped_trimmed_stats
+
+        df = spark.createDataFrame([("g", 5.0)] * 10, "k string, v double")
+        r = grouped_trimmed_stats(df, ["k"], "v").collect()[0]
+        assert r.trimmed_mean == r.winsorized_mean == 5.0
+        assert r.n_trimmed == 0
+
+    def test_validates_trim(self, spark):
+        import pytest as _pytest
+
+        from wicsmmiretl_spark.operators.aggregates import grouped_trimmed_stats
+
+        df = spark.createDataFrame([("g", 1.0)], "k string, v double")
+        with _pytest.raises(ValueError, match="trim"):
+            grouped_trimmed_stats(df, ["k"], "v", trim=0.5)

@@ -89,6 +89,7 @@ from wicsmmiretl_spark.operators.aggregates import (
     roc_curve,
     grouped_ols,
     grouped_theil_sen,
+    grouped_trimmed_stats,
     grouped_stats_matrix,
     quantile_transform,
     seasonal_naive_error,
@@ -267,6 +268,7 @@ __all__ = [
     "profile_drift",
     "grouped_ols",
     "grouped_theil_sen",
+    "grouped_trimmed_stats",
     "binary_auc",
     "spearman_corr",
     "calibration_curve",

@@ -2524,3 +2524,64 @@ def poisson_bootstrap_ci(
             "ci_high",
         )
     )
+
+
+def grouped_trimmed_stats(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    trim: float = 0.1,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Robust location per group: the ``trim``-trimmed mean (drop values
+    outside the [trim, 1-trim] exact quantile fence, average the rest)
+    and the winsorized mean (CLAMP to the fence instead of dropping) —
+    the two standard outlier-robust means (Tukey — public literature),
+    complementing the median (quantiles), MAD z-scores (outliers) and
+    Theil-Sen (trends) in the robust-stats family.
+
+    Exactness: fences are the exact interpolated quantiles both engines
+    share; membership/clamping happens on those bit-identical doubles;
+    the surviving/clamped values are scaled-integer sums divided once.
+
+    Scale shape: one exact-quantile agg per group (the
+    ``quantity_quantiles`` cost class — swap percentile_approx in at
+    100 TB with the same plan), one fence join back (broadcast when the
+    group count is small), one partial-agged mean pass.
+
+    Output: key_cols..., n bigint, fence_lo/fence_hi double (6dp),
+    trimmed_mean/winsorized_mean double (6dp), n_trimmed bigint.
+    """
+    if not 0 < trim < 0.5:
+        raise ValueError(f"grouped_trimmed_stats: trim must be in (0, 0.5), got {trim}")
+    keys = list(key_cols)
+    for c in [*keys, value_col]:
+        if c not in df.columns:
+            raise ValueError(f"grouped_trimmed_stats: column {c!r} not in {df.columns}")
+    v = F.col(value_col)
+    fences = df.groupBy(*keys).agg(
+        F.percentile(value_col, F.lit(trim)).alias("_lo"),
+        F.percentile(value_col, F.lit(1 - trim)).alias("_hi"),
+    )
+    j = df.join(F.broadcast(fences), keys)
+    inside = (v >= F.col("_lo")) & (v <= F.col("_hi"))
+    clamped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    return j.groupBy(*keys).agg(
+        F.count(v).cast("long").alias("n"),
+        F.round(F.min("_lo"), 6).alias("fence_lo"),
+        F.round(F.min("_hi"), 6).alias("fence_hi"),
+        F.round(
+            (
+                F.sum(F.when(inside, F.round(v * scale).cast("long")))
+                / F.lit(float(scale))
+            )
+            / F.sum(F.when(inside, 1).otherwise(0)),
+            6,
+        ).alias("trimmed_mean"),
+        F.round(
+            (F.sum(F.round(clamped * scale).cast("long")) / F.lit(float(scale)))
+            / F.count(v),
+            6,
+        ).alias("winsorized_mean"),
+        F.sum(F.when(inside, 0).otherwise(1)).cast("long").alias("n_trimmed"),
+    )

@@ -8348,6 +8348,138 @@ def q_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_curriculum_stages",
+    """
+    WITH cst AS (
+      SELECT doc_id, n_chars,
+             ntile(4) OVER (ORDER BY n_chars ASC, doc_id ASC) AS stage
+      FROM documents
+    )
+    SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM cst GROUP BY stage
+    """,
+)
+def q_corpus_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum scheduling: the corpus cut into 4 equal-count difficulty
+    stages by length (the classic short-to-long curriculum), doc_id as the
+    exact tiebreak so stage assignment is deterministic — each stage
+    reported with its char budget. The ntile global sort is the documented
+    exact-staging cost; at 100 TB the two-level range-partitioned form
+    (events_value_deciles' escape hatch) computes the same stages."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        "n_chars",
+        F.ntile(4).over(Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))).alias("stage"),
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6).alias("mean_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+@query(
+    "embedding_hard_negatives",
+    """
+    WITH hv AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    hq AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM hv WHERE vec_id < 8),
+    hs AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             round(list_sum(list_transform(range(1, 65), j -> q.qv[j] * c.v[j]))
+                   / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                      * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 6) AS cosine
+      FROM hv c CROSS JOIN hq q
+      WHERE c.vec_id <> q.query_id AND c.label <> q.qlabel
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM hs) WHERE rn <= 5
+    """,
+)
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for metric learning: per query vector, the 5
+    most similar vectors carrying a DIFFERENT label — the contrastive
+    pairs that actually move an embedding model, where
+    purchase_negative_samples' random draws are the easy baseline. Same
+    broadcast-query brute-force shape as cosine_topk with the label
+    anti-predicate pushed into the scan."""
+    from wicsmmiretl_spark.operators.similarity import _cosine_expr
+    from wicsmmiretl_spark.operators.sampling import cap_per_group
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("qlabel"))
+        )
+        .withColumn("cosine", F.round(_cosine_expr(F.col("qv"), F.col("cv")), 6))
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine")
+    )
+    return cap_per_group(
+        scored, "query_id", 5, [F.desc("cosine"), F.asc("neighbor_id")]
+    ).select("query_id", "neighbor_id", "neighbor_label", "cosine")
+
+
+@query(
+    "events_trimmed_stats",
+    """
+    WITH tf AS (
+      SELECT event_type,
+             quantile_cont(value, 0.1) AS lo,
+             quantile_cont(value, 0.9) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(e.value) AS BIGINT) AS n,
+           round(min(lo), 6) AS fence_lo,
+           round(min(hi), 6) AS fence_hi,
+           round((CAST(sum(CASE WHEN e.value >= lo AND e.value <= hi
+                              THEN CAST(round(e.value * 1000000) AS BIGINT) END) AS DOUBLE)
+                  / 1000000.0)
+                 / sum(CASE WHEN e.value >= lo AND e.value <= hi THEN 1 ELSE 0 END),
+                 6) AS trimmed_mean,
+           round((CAST(sum(CAST(round(least(greatest(e.value, lo), hi) * 1000000) AS BIGINT)) AS DOUBLE)
+                  / 1000000.0) / count(e.value), 6) AS winsorized_mean,
+           CAST(sum(CASE WHEN e.value >= lo AND e.value <= hi THEN 0 ELSE 1 END) AS BIGINT) AS n_trimmed
+    FROM events e JOIN tf ON e.event_type = tf.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_events_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location per event type: 10% trimmed and winsorized means
+    against exact quantile fences — the spike-proof pair the plain mean
+    can't give (one fence agg + one fence join + one exact scaled-int
+    mean pass) (operators/aggregates.py:grouped_trimmed_stats)."""
+    from wicsmmiretl_spark.operators.aggregates import grouped_trimmed_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return grouped_trimmed_stats(ev, ["event_type"], "value", trim=0.1)
+
+
+@query(
     "orders_bootstrap_ci",
     """
     WITH bb AS (
@@ -9184,6 +9316,9 @@ _DEFERRED_QUERIES = (
     "customer_golden_record",   # per-field survivorship; customer_merge_upsert (deferred, r8-green) + customer_scd2_merge cover the merge family
     "orders_referential_subset", # FK-closed sampling; corpus_mix (in-window) covers md5-threshold cuts, customers_with_orders_semi the semi join
     "orders_bootstrap_ci",      # Poisson-bootstrap CI; purchase_click_ab_stats (deferred, r8-green) covers inference, quantity_quantiles the quantile parity
+    "events_trimmed_stats",     # trimmed/winsorized means; events_value_outliers (deferred, r8-green) + quantity_quantiles cover the robust family
+    "embedding_hard_negatives", # label-aware hard negatives; cosine_topk (deferred, r7-green) is the same broadcast brute-force scan
+    "corpus_curriculum_stages", # length curriculum; events_value_deciles (deferred, r8-green) is the same exact ntile machinery
     "temperature_corpus_mix",   # data-derived sqrt(share) mixture; corpus_mix (in-window) is the config-weight twin on the same threshold filter
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
