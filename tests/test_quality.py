@@ -192,3 +192,41 @@ class TestKAnonymity:
             k_anonymity(df, [], 5)
         with _pytest.raises(ValueError, match="k must"):
             k_anonymity(df, ["age"], 0)
+
+
+class TestLDiversity:
+    def test_homogeneous_class_fails(self, spark):
+        from wicsmmiretl_spark.operators.quality import l_diversity
+
+        rows = [
+            (1, "a", "flu"), (1, "a", "flu"), (1, "a", "flu"),  # homogeneous
+            (2, "a", "flu"), (2, "a", "cold"),                  # diverse
+        ]
+        df = spark.createDataFrame(rows, "age int, zip string, dx string")
+        r = l_diversity(df, ["age", "zip"], "dx", l=2).collect()[0]
+        assert r.n_classes == 2 and r.min_diversity == 1
+        assert r.classes_below_l == 1 and r.rows_below_l == 3
+        assert r.diverse is False
+        # k-anonymity would PASS this table at k=2 — the attack l-diversity
+        # exists to catch.
+        from wicsmmiretl_spark.operators.quality import k_anonymity
+
+        assert k_anonymity(df, ["age", "zip"], k=2).collect()[0].anonymous is True
+
+    def test_null_sensitive_is_not_a_value(self, spark):
+        from wicsmmiretl_spark.operators.quality import l_diversity
+
+        df = spark.createDataFrame(
+            [(1, "flu"), (1, None)], "age int, dx string"
+        )
+        r = l_diversity(df, ["age"], "dx", l=2).collect()[0]
+        assert r.min_diversity == 1 and r.diverse is False
+
+    def test_validates(self, spark):
+        import pytest as _pytest
+
+        from wicsmmiretl_spark.operators.quality import l_diversity
+
+        df = spark.createDataFrame([(1, "x")], "age int, dx string")
+        with _pytest.raises(ValueError, match="l must"):
+            l_diversity(df, ["age"], "dx", l=0)

@@ -454,3 +454,38 @@ class TestReferentialSample:
         li = load_table(spark, "lineitem", sf_dir)
         with _pytest.raises(ValueError, match="fraction"):
             referential_sample(orders, li, "o_orderkey", "l_orderkey", 0.0)
+
+
+class TestNbUncertaintyQueue:
+    def test_ambiguous_doc_ranks_most_uncertain(self, spark):
+        from wicsmmiretl_spark.operators.nb import nb_train, nb_uncertainty_queue
+
+        rows = [
+            (1, "en", "the cat sat"), (2, "en", "the dog ran"),
+            (3, "fr", "le chat noir"), (4, "fr", "le chien brun"),
+            # doc 5 mixes both vocabularies evenly — maximum ambiguity.
+            (5, "en", "the cat le chat"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        logps, info = nb_train(docs, "lang", "text")
+        q = nb_uncertainty_queue(docs, logps, info, "doc_id", "text", k=5).collect()
+        margins = {r.doc_id: r.margin for r in q}
+        # Queue is most-uncertain-first, and the mixed-vocabulary doc is
+        # more uncertain than either pure-English doc.
+        assert [r.margin for r in q] == sorted(r.margin for r in q)
+        assert margins[5] < margins[1] and margins[5] < margins[2]
+        assert {r.pred for r in q} <= {"en", "fr"}
+        assert all(r.pred != r.runner_up for r in q)
+
+    def test_k_bounds_and_validation(self, spark):
+        import pytest as _pytest
+
+        from wicsmmiretl_spark.operators.nb import nb_train, nb_uncertainty_queue
+
+        docs = spark.createDataFrame(
+            [(1, "en", "a b"), (2, "fr", "c d")], "doc_id long, lang string, text string"
+        )
+        logps, info = nb_train(docs, "lang", "text")
+        assert len(nb_uncertainty_queue(docs, logps, info, "doc_id", "text", k=1).collect()) == 1
+        with _pytest.raises(ValueError, match="k must"):
+            nb_uncertainty_queue(docs, logps, info, "doc_id", "text", k=0)

@@ -135,7 +135,7 @@ from wicsmmiretl_spark.operators.cohorts import retention_cohorts, survival_curv
 from wicsmmiretl_spark.operators.intervals import interval_overlap_join, merge_intervals
 from wicsmmiretl_spark.operators.merge import apply_cdc, golden_record, merge_scd2, merge_upsert, point_in_time_join, snapshot_diff
 from wicsmmiretl_spark.operators.pruning import bloom_prune, bloom_semi_filter, bloom_words
-from wicsmmiretl_spark.operators.quality import benford_test, dq_gate, dq_report, fd_check, k_anonymity, key_skew_profile
+from wicsmmiretl_spark.operators.quality import benford_test, dq_gate, dq_report, fd_check, k_anonymity, key_skew_profile, l_diversity
 from wicsmmiretl_spark.operators.packing import chunk_documents, pack_sequences
 from wicsmmiretl_spark.operators.ranking import association_pairs, bm25_rank, inverted_index, ndcg_at_k, retrieval_metrics, rrf_fuse, tfidf_cosine_pairs
 from wicsmmiretl_spark.operators.graph import bfs_levels, butterfly_stats, connected_components, degree_profile, hits, kcore, label_propagation, link_prediction, pagerank, personalized_pagerank, shortest_paths, triangle_stats
@@ -157,7 +157,7 @@ from wicsmmiretl_spark.operators.sampling import (
     train_test_split,
     weighted_sample,
 )
-from wicsmmiretl_spark.operators.nb import nb_classify, nb_confusion, nb_train
+from wicsmmiretl_spark.operators.nb import nb_classify, nb_confusion, nb_train, nb_uncertainty_queue
 from wicsmmiretl_spark.operators.sequences import ewma, frequent_sequences, rolling_corr, time_weighted_avg, transition_matrix
 from wicsmmiretl_spark.operators.skyline import skyline_2d
 from wicsmmiretl_spark.operators.sets import union_checked
@@ -231,6 +231,7 @@ __all__ = [
     "time_weighted_avg",
     "kcenter_select",
     "nb_train",
+    "nb_uncertainty_queue",
     "nb_classify",
     "nb_confusion",
     "ks_test",
@@ -254,6 +255,7 @@ __all__ = [
     "dq_report",
     "fd_check",
     "k_anonymity",
+    "l_diversity",
     "dq_gate",
     "key_skew_profile",
     "bpe_train",

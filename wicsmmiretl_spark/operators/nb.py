@@ -172,3 +172,72 @@ def nb_confusion(
         .agg(F.count("*").alias("n"))
         .orderBy(f"true_{label_col}", "pred")
     )
+
+
+def nb_uncertainty_queue(
+    docs: DataFrame,
+    token_logps: DataFrame,
+    label_info: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 40,
+    scale: int = 10**7,
+) -> DataFrame:
+    """Active-learning annotation queue by margin (uncertainty) sampling
+    (Lewis & Gale 1994, Settles 2009 — public literature): the k
+    documents whose NB posterior margin — best-label score minus
+    runner-up score — is SMALLEST. Those are the examples a human label
+    improves the model most; the budget-allocation primitive of every
+    labeling pipeline on top of a cheap in-engine classifier.
+
+    Determinism: scores are the same scaled-bigint log-posterior sums
+    ``nb_classify`` ranks by, so margins are exact integers; the queue
+    order (margin asc, id asc) and the top/runner-up tiebreaks (score
+    desc, label asc) replay in SQL.
+
+    Scale shape: identical to classification (one token-keyed equi-join
+    + per-doc hash agg) plus one rank window per doc over |labels| rows
+    and one global TakeOrdered(k) — no extra pass over the corpus.
+
+    Output: id_col, pred, runner_up, margin double (scaled, 4dp),
+    ordered most-uncertain first.
+    """
+    if k < 1:
+        raise ValueError(f"nb_uncertainty_queue: k must be >= 1, got {k}")
+    for c in (id_col, text_col):
+        if c not in docs.columns:
+            raise ValueError(f"nb_uncertainty_queue: column {c!r} not in {docs.columns}")
+    dt = (
+        docs.filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("token"))
+        .groupBy("_id", "token")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    cand = dt.crossJoin(F.broadcast(label_info))
+    scored = (
+        cand.join(token_logps, ["label", "token"], "left")
+        .groupBy("_id", "label", "prior")
+        .agg(
+            F.sum(F.col("_cnt") * F.coalesce(F.col("logp"), F.col("dflt"))).alias("_s")
+        )
+        .select("_id", "label", (F.col("prior") + F.col("_s")).alias("_score"))
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("_score"), F.asc("label"))
+    ranked = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 2)
+    top = ranked.filter(F.col("_rn") == 1).select(
+        "_id", F.col("label").alias("pred"), F.col("_score").alias("_s1")
+    )
+    second = ranked.filter(F.col("_rn") == 2).select(
+        "_id", F.col("label").alias("runner_up"), F.col("_score").alias("_s2")
+    )
+    return (
+        top.join(second, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            "pred",
+            "runner_up",
+            F.round((F.col("_s1") - F.col("_s2")) / scale, 4).alias("margin"),
+        )
+        .orderBy(F.asc("margin"), F.asc(id_col))
+        .limit(k)
+    )

@@ -350,3 +350,56 @@ def k_anonymity(
         ).alias("frac_below_k"),
         (F.min("_n") >= k).alias("anonymous"),
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity profile (Machanavajjhala et al. 2007 — public
+    literature): k-anonymity's necessary complement — a k-anonymous
+    class whose SENSITIVE attribute is constant still leaks it for every
+    member (the homogeneity attack). A class is l-diverse when it
+    contains at least ``l`` distinct non-NULL sensitive values.
+
+    Same one-hash-agg shape as ``k_anonymity`` (per-class distinct count
+    of the sensitive column rides the same aggregate), same conservative
+    NULL reading on the quasi-identifiers; NULL sensitive values are not
+    values.
+
+    Output (one row): quasi string, sensitive string, l_threshold int,
+    n_rows bigint, n_classes bigint, min_diversity bigint,
+    classes_below_l bigint, rows_below_l bigint, frac_below_l double
+    (6dp), diverse boolean.
+    """
+    qs = list(quasi_cols)
+    if not qs:
+        raise ValueError("l_diversity: quasi_cols must be non-empty")
+    if l < 1:
+        raise ValueError(f"l_diversity: l must be >= 1, got {l}")
+    for c in [*qs, sensitive_col]:
+        if c not in df.columns:
+            raise ValueError(f"l_diversity: column {c!r} not in {df.columns}")
+    classes = df.groupBy(*qs).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct(sensitive_col).alias("_ld"),
+    )
+    below = F.col("_ld") < l
+    return classes.agg(
+        F.lit(",".join(qs)).alias("quasi"),
+        F.lit(sensitive_col).alias("sensitive"),
+        F.lit(l).cast("int").alias("l_threshold"),
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("_ld").cast("long").alias("min_diversity"),
+        F.sum(F.when(below, 1).otherwise(0)).cast("long").alias("classes_below_l"),
+        F.coalesce(F.sum(F.when(below, F.col("_n"))), F.lit(0))
+        .cast("long")
+        .alias("rows_below_l"),
+        F.round(
+            F.coalesce(F.sum(F.when(below, F.col("_n"))), F.lit(0)) / F.sum("_n"), 6
+        ).alias("frac_below_l"),
+        (F.min("_ld") >= l).alias("diverse"),
+    )

@@ -8348,6 +8348,87 @@ def q_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_labeling_queue",
+    r"""
+    WITH base AS (SELECT doc_id, lang, %TOKS% AS tk FROM documents
+                  WHERE lang IS NOT NULL AND text IS NOT NULL AND doc_id IS NOT NULL),
+    tok AS (SELECT doc_id, lang, unnest(tk) AS token FROM base),
+    ntc AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n_tc FROM tok GROUP BY 1, 2),
+    nc AS (SELECT lang, CAST(sum(n_tc) AS BIGINT) AS n_c FROM ntc GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM ntc),
+    pr AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM base GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    linfo AS (SELECT nc.lang,
+                     CAST(round(ln(nd / CAST(n AS DOUBLE)) * 10000000) AS BIGINT) AS prior,
+                     CAST(round(ln(CAST(1 AS DOUBLE) / (n_c + v)) * 10000000) AS BIGINT) AS dflt
+              FROM nc JOIN pr USING (lang) CROSS JOIN tot CROSS JOIN v),
+    model AS (SELECT lang, token,
+                     CAST(round(ln((n_tc + 1) / CAST(n_c + v AS DOUBLE)) * 10000000) AS BIGINT) AS logp
+              FROM ntc JOIN nc USING (lang) CROSS JOIN v),
+    dt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt
+           FROM tok GROUP BY 1, 2),
+    sc AS (SELECT d.doc_id, li.lang AS cand,
+                  CAST(li.prior + sum(d.cnt * COALESCE(m.logp, li.dflt)) AS BIGINT) AS score
+           FROM dt d CROSS JOIN linfo li
+           LEFT JOIN model m ON m.lang = li.lang AND m.token = d.token
+           GROUP BY 1, 2, li.prior),
+    pick AS (SELECT doc_id, cand, score,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+             FROM sc),
+    t1 AS (SELECT doc_id, cand AS pred, score AS s1 FROM pick WHERE rn = 1),
+    t2 AS (SELECT doc_id, cand AS runner_up, score AS s2 FROM pick WHERE rn = 2)
+    SELECT t1.doc_id, pred, runner_up, round((s1 - s2) / 10000000.0, 4) AS margin
+    FROM t1 JOIN t2 USING (doc_id)
+    ORDER BY margin ASC, doc_id ASC LIMIT 40
+    """.replace("%TOKS%", _SQL_TOKS),
+)
+def q_doc_labeling_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning budget allocation: the 40 documents the in-engine
+    NB language model is LEAST sure about (smallest top-1 vs top-2
+    log-posterior margin) — the annotation queue that buys the most model
+    improvement per human label. Exact scaled-bigint margins, so the
+    queue order is engine-stable (operators/nb.py:nb_uncertainty_queue)."""
+    from wicsmmiretl_spark.operators.nb import nb_train, nb_uncertainty_queue
+
+    docs = _t(spark, sf_dir, "documents")
+    token_logps, label_info = nb_train(docs, "lang", "text")
+    return nb_uncertainty_queue(docs, token_logps, label_info, "doc_id", "text", k=40)
+
+
+@query(
+    "customer_ldiversity",
+    """
+    WITH ldb AS (SELECT c_nationkey, c_mktsegment,
+                        CASE WHEN c_acctbal < 0 THEN 'debt' ELSE 'credit' END AS s
+                 FROM customer),
+    ldc AS (SELECT c_nationkey, c_mktsegment, count(*) AS n, count(DISTINCT s) AS ld
+            FROM ldb GROUP BY 1, 2)
+    SELECT 'c_nationkey,c_mktsegment' AS quasi, 's' AS sensitive,
+           CAST(2 AS INT) AS l_threshold,
+           CAST(sum(n) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(ld) AS BIGINT) AS min_diversity,
+           CAST(sum(CASE WHEN ld < 2 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_l,
+           CAST(coalesce(sum(CASE WHEN ld < 2 THEN n END), 0) AS BIGINT) AS rows_below_l,
+           round(coalesce(sum(CASE WHEN ld < 2 THEN n END), 0) / sum(n), 6) AS frac_below_l,
+           (min(ld) >= 2) AS diverse
+    FROM ldc
+    """,
+)
+def q_customer_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy gate, second axis: l-diversity of the debt/credit flag
+    within (nation, segment) classes — a k-anonymous class that is ALL
+    debtors still outs every member (the homogeneity attack k-anonymity
+    can't see). Completes the release check customer_kanonymity starts
+    (operators/quality.py:l_diversity)."""
+    from wicsmmiretl_spark.operators.quality import l_diversity
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "s", F.when(F.col("c_acctbal") < 0, "debt").otherwise("credit")
+    )
+    return l_diversity(cust, ["c_nationkey", "c_mktsegment"], "s", l=2)
+
+
+@query(
     "corpus_curriculum_stages",
     """
     WITH cst AS (
@@ -9319,6 +9400,8 @@ _DEFERRED_QUERIES = (
     "events_trimmed_stats",     # trimmed/winsorized means; events_value_outliers (deferred, r8-green) + quantity_quantiles cover the robust family
     "embedding_hard_negatives", # label-aware hard negatives; cosine_topk (deferred, r7-green) is the same broadcast brute-force scan
     "corpus_curriculum_stages", # length curriculum; events_value_deciles (deferred, r8-green) is the same exact ntile machinery
+    "customer_ldiversity",      # l-diversity homogeneity check; customer_kanonymity (this session, verify-green) is the same one-agg privacy shape
+    "doc_labeling_queue",       # margin uncertainty sampling; doc_lang_nb_confusion (deferred, verify-green) trains and scores the same NB model
     "temperature_corpus_mix",   # data-derived sqrt(share) mixture; corpus_mix (in-window) is the config-weight twin on the same threshold filter
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
