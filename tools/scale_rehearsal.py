@@ -147,6 +147,15 @@ REHEARSAL_QUERIES = (
     # bootstrap: the 64-replica explode over 10x orders is the honest
     # linear budget; the replica agg is B-group bounded.
     "orders_bootstrap_ci",
+    # trimmed stats / curriculum: exact-quantile/ntile machinery over 10x
+    # events/docs. hard negatives: broadcast-query scan over 10x vectors.
+    # l-diversity: one hash agg, class-bounded. labeling queue: the
+    # nb-family token join over the Caesar-10x corpus (vocab grows 10x).
+    "events_trimmed_stats",
+    "embedding_hard_negatives",
+    "corpus_curriculum_stages",
+    "customer_ldiversity",
+    "doc_labeling_queue",
 )
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
