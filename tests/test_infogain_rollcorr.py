@@ -208,3 +208,49 @@ class TestGroupedTheilSen:
         # Every pair shares x → filtered out → group disappears (no valid
         # evidence for a slope, not slope=0).
         assert out == []
+
+
+class TestConformalInterval:
+    def test_coverage_on_heldout_future_points(self, spark):
+        import random as rnd
+
+        from wicsmmiretl_spark.operators.aggregates import conformal_interval
+
+        rnd.seed(21)
+        # y = 2x + noise(uniform ±3); a valid 90% interval must cover
+        # ~90% of FRESH points from the same process.
+        rows = [("g", i, float(x), 2.0 * x + rnd.uniform(-3, 3))
+                for i, x in enumerate(rnd.choices(range(100), k=3000))]
+        df = spark.createDataFrame(rows, "k string, id long, x double, y double")
+        r = conformal_interval(df, ["k"], "x", "y", "id", q=0.9).collect()[0]
+        assert abs(r.slope - 2.0) < 0.1
+        assert 2.0 < r.half_width < 3.5   # true 90% band of U(-3,3) is 2.7
+        fresh = [(x, 2.0 * x + rnd.uniform(-3, 3))
+                 for x in rnd.choices(range(100), k=1000)]
+        covered = sum(
+            1 for x, y in fresh
+            if abs(y - (r.slope * x + r.intercept)) <= r.half_width
+        )
+        assert covered / len(fresh) >= 0.85
+
+    def test_split_is_seed_deterministic(self, spark):
+        from wicsmmiretl_spark.operators.aggregates import conformal_interval
+
+        rows = [("g", i, float(i % 50), float(i % 7)) for i in range(500)]
+        df = spark.createDataFrame(rows, "k string, id long, x double, y double")
+
+        def run(seed):
+            r = conformal_interval(df, ["k"], "x", "y", "id", seed=seed).collect()[0]
+            return (r.n_fit, r.n_cal, r.slope, r.half_width)
+
+        assert run(17) == run(17)
+        assert run(17) != run(18)
+
+    def test_validates_q(self, spark):
+        import pytest as _pytest
+
+        from wicsmmiretl_spark.operators.aggregates import conformal_interval
+
+        df = spark.createDataFrame([("g", 1, 1.0, 1.0)], "k string, id long, x double, y double")
+        with _pytest.raises(ValueError, match="q must"):
+            conformal_interval(df, ["k"], "x", "y", "id", q=1.5)

@@ -54,6 +54,7 @@ from wicsmmiretl_spark.operators.aggregates import (
     ab_test_stats,
     category_entropy,
     chi_square_independence,
+    conformal_interval,
     cusum_changepoint,
     gini_coefficient,
     grouped_ks_report,
@@ -224,6 +225,7 @@ __all__ = [
     "skyline_2d",
     "duplicated_span_stats",
     "chi_square_independence",
+    "conformal_interval",
     "weighted_quantiles",
     "random_projection",
     "retrieval_metrics",

@@ -2585,3 +2585,97 @@ def grouped_trimmed_stats(
         ).alias("winsorized_mean"),
         F.sum(F.when(inside, 0).otherwise(1)).cast("long").alias("n_trimmed"),
     )
+
+
+def conformal_interval(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    q: float = 0.9,
+    seed: int = 17,
+    y_scale: int = 10**4,
+) -> DataFrame:
+    """Split-conformal prediction intervals per group (Vovk et al.;
+    Papadopoulos 2002; Lei et al. 2018 — public literature): fit an OLS
+    trend on a seeded md5 HALF of each group, take the ``q``-quantile of
+    absolute residuals on the OTHER half — the half-width then gives
+    distribution-free ≥q coverage for new points, the honest uncertainty
+    statement a bare regression line lacks (``poisson_bootstrap_ci``
+    bounds the ESTIMATE; this bounds the PREDICTIONS).
+
+    Determinism: the split is a seeded md5 hex test; the five OLS moments
+    are exact integer sums over (int x, scaled-int y); slope/intercept
+    and every residual are single double expressions from those exact
+    ints; the calibration quantile is the exact interpolated percentile
+    both engines share.
+
+    Scale shape: one moments agg (partial-agged) + one broadcast of the
+    |groups|-row coefficients + one residual-quantile agg — two passes,
+    no window, nothing collected.
+
+    Output: group_cols..., n_fit bigint, n_cal bigint, slope double,
+    intercept double, half_width double (all 6dp; NULL slope/width for
+    degenerate fits).
+    """
+    if not 0 < q < 1:
+        raise ValueError(f"conformal_interval: q must be in (0, 1), got {q}")
+    keys = list(group_cols)
+    for c in [*keys, x_col, y_col, id_col]:
+        if c not in df.columns:
+            raise ValueError(f"conformal_interval: column {c!r} not in {df.columns}")
+    dec = "decimal(38,0)"
+    base = df.select(
+        *keys,
+        F.col(x_col).cast("long").alias("_x"),
+        F.round(F.col(y_col) * y_scale).cast("long").alias("_y"),
+        (
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 1
+            )
+            <= F.lit("7")
+        ).alias("_fit"),
+    )
+    m = (
+        base.filter(F.col("_fit"))
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fit"),
+            F.sum(F.col("_x").cast(dec)).alias("_sx"),
+            F.sum(F.col("_y").cast(dec)).alias("_sy"),
+            F.sum((F.col("_x") * F.col("_x")).cast(dec)).alias("_sxx"),
+            F.sum((F.col("_x") * F.col("_y")).cast(dec)).alias("_sxy"),
+        )
+    )
+    dx = (
+        F.col("n_fit").cast("double") * F.col("_sxx").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sx").cast("double")
+    )
+    cov = (
+        F.col("n_fit").cast("double") * F.col("_sxy").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sy").cast("double")
+    )
+    slope_s = cov / dx
+    coef = m.select(
+        *keys,
+        "n_fit",
+        F.when(dx != 0, slope_s).alias("_slope_s"),
+        F.when(
+            dx != 0,
+            F.col("_sy").cast("double") / F.col("n_fit").cast("double")
+            - slope_s * (F.col("_sx").cast("double") / F.col("n_fit").cast("double")),
+        ).alias("_icept_s"),
+    )
+    cal = base.filter(~F.col("_fit")).join(F.broadcast(coef), keys)
+    r_abs = F.abs(
+        F.col("_y").cast("double")
+        - (F.col("_slope_s") * F.col("_x").cast("double") + F.col("_icept_s"))
+    )
+    return cal.groupBy(*keys).agg(
+        F.min("n_fit").alias("n_fit"),
+        F.count(F.lit(1)).cast("long").alias("n_cal"),
+        F.round(F.min("_slope_s") / y_scale, 6).alias("slope"),
+        F.round(F.min("_icept_s") / y_scale, 6).alias("intercept"),
+        F.round(F.percentile(r_abs, F.lit(q)) / y_scale, 6).alias("half_width"),
+    )

@@ -8348,6 +8348,72 @@ def q_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_value_conformal",
+    """
+    WITH cfb AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS x,
+             CAST(round(value * 10000) AS BIGINT) AS y,
+             (substr(md5(CAST(event_id AS VARCHAR) || ':17'), 1, 1) <= '7') AS fit
+      FROM events
+    ),
+    cfm AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_fit,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM cfb WHERE fit GROUP BY 1
+    ),
+    cfc AS (
+      SELECT event_type, n_fit,
+             CASE WHEN (CAST(n_fit AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0
+                  THEN (CAST(n_fit AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n_fit AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope_s
+      , CASE WHEN (CAST(n_fit AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0
+             THEN CAST(sy AS DOUBLE) / CAST(n_fit AS DOUBLE)
+                  - ((CAST(n_fit AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n_fit AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * (CAST(sx AS DOUBLE) / CAST(n_fit AS DOUBLE)) END AS icept_s
+      FROM cfm
+    )
+    SELECT b.event_type,
+           CAST(min(n_fit) AS BIGINT) AS n_fit,
+           CAST(count(*) AS BIGINT) AS n_cal,
+           round(min(slope_s) / 10000, 6) AS slope,
+           round(min(icept_s) / 10000, 6) AS intercept,
+           round(quantile_cont(abs(CAST(b.y AS DOUBLE)
+                                   - (slope_s * CAST(b.x AS DOUBLE) + icept_s)), 0.9)
+                 / 10000, 6) AS half_width
+    FROM cfb b JOIN cfc USING (event_type)
+    WHERE NOT b.fit
+    GROUP BY b.event_type
+    """,
+)
+def q_event_value_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free prediction intervals: split-conformal per event
+    type — OLS trend fit on a seeded md5 half, 90%-quantile of absolute
+    residuals on the held-out half. Where orders_bootstrap_ci bounds the
+    ESTIMATE, this bounds future PREDICTIONS with guaranteed ≥90%
+    coverage, no normality assumed
+    (operators/aggregates.py:conformal_interval)."""
+    from wicsmmiretl_spark.operators.aggregates import conformal_interval
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("x"),
+        "value",
+    )
+    return conformal_interval(
+        ev, ["event_type"], "x", "value", "event_id", q=0.9, seed=17
+    )
+
+
+@query(
     "doc_labeling_queue",
     r"""
     WITH base AS (SELECT doc_id, lang, %TOKS% AS tk FROM documents
@@ -9402,6 +9468,7 @@ _DEFERRED_QUERIES = (
     "corpus_curriculum_stages", # length curriculum; events_value_deciles (deferred, r8-green) is the same exact ntile machinery
     "customer_ldiversity",      # l-diversity homogeneity check; customer_kanonymity (this session, verify-green) is the same one-agg privacy shape
     "doc_labeling_queue",       # margin uncertainty sampling; doc_lang_nb_confusion (deferred, verify-green) trains and scores the same NB model
+    "event_value_conformal",    # split-conformal intervals; event_value_trend_by_type (deferred, r8-green) is the same OLS closed form
     "temperature_corpus_mix",   # data-derived sqrt(share) mixture; corpus_mix (in-window) is the config-weight twin on the same threshold filter
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
