@@ -109,3 +109,52 @@ def test_bpe_encode_no_shuffle(spark):
     docs = spark.createDataFrame([(1, "ab ab")], "doc_id: bigint, text: string")
     plan = bpe_encode(docs, "text", [("a", "b")])._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+class TestHeapsFit:
+    def test_natural_growth_beta_in_range(self, spark):
+        import random as rnd
+
+        from wicsmmiretl_spark.functions.text import heaps_fit
+
+        rnd.seed(6)
+        # Zipfian token draws give sublinear vocab growth: 0 < beta < 1.
+        vocab = [f"w{i}" for i in range(1, 400)]
+        weights = [1.0 / i for i in range(1, 400)]
+        rows = [
+            (d, " ".join(rnd.choices(vocab, weights=weights, k=40)))
+            for d in range(1, 101)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r = heaps_fit(df, "text", "doc_id", checkpoints=10).collect()[0]
+        assert r.n_docs == 100 and r.total_tokens == 4000
+        assert r.n_points == 10
+        assert 0.2 < r.beta < 0.95
+        assert r.r2 > 0.8
+
+    def test_unique_string_contamination_pushes_beta_to_one(self, spark):
+        from wicsmmiretl_spark.functions.text import heaps_fit
+
+        # Every token corpus-unique → V == N at every checkpoint → beta 1.
+        rows = [(d, f"u{d}a u{d}b u{d}c") for d in range(1, 51)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r = heaps_fit(df, checkpoints=10).collect()[0]
+        assert r.beta == 1.0 and r.vocab_size == r.total_tokens
+
+    def test_closed_vocabulary_flattens(self, spark):
+        from wicsmmiretl_spark.functions.text import heaps_fit
+
+        rows = [(d, "the same three") for d in range(1, 51)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r = heaps_fit(df, checkpoints=10).collect()[0]
+        assert r.vocab_size == 3
+        assert abs(r.beta) < 0.3
+
+    def test_validates(self, spark):
+        import pytest as _pytest
+
+        from wicsmmiretl_spark.functions.text import heaps_fit
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="checkpoints"):
+            heaps_fit(df, checkpoints=2)

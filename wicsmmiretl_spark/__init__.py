@@ -42,6 +42,7 @@ from wicsmmiretl_spark.functions.text import (
     caption_stats,
     feature_hash,
     fingerprint,
+    heaps_fit,
     language_id,
     pmi_collocations,
     pos_tag_stats,
@@ -383,6 +384,7 @@ __all__ = [
     "language_id",
     "quality_score",
     "fingerprint",
+    "heaps_fit",
     "token_counts",
     "pos_tag_stats",
     "repetition_stats",

@@ -592,3 +592,109 @@ def zipf_fit(
             (vx > 0) & (vy > 0), F.round(cov * cov / (vx * vy), 6)
         ).alias("r2"),
     )
+
+
+def heaps_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoints: int = 16,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth (Heaps 1978 — public
+    literature): V(N) ≈ K·N^β, estimated as OLS of ln(vocab-so-far) on
+    ln(tokens-so-far) at ``checkpoints`` evenly-spaced doc-rank
+    checkpoints along the id-ordered corpus. Natural text sits at
+    β ≈ 0.4–0.6; β → 1 fingerprints unique-string contamination
+    (serials, hashes), β → 0 a templated/closed vocabulary — the growth
+    twin of ``zipf_fit``'s rank-curve fingerprint, and the estimator of
+    how much NEW vocabulary the next 10× of corpus will bring.
+
+    Exactness: cumulative token/vocab counts are exact integers (new-
+    vocab-per-doc = tokens whose min doc id is this doc); the fit uses
+    the zipf_fit discipline — round(ln(·)·scale) bigints, decimal(38)
+    moments, one double closed form.
+
+    Scale note: the two running sums ride ONE ordered window over
+    doc-grain rows (not token-grain). At dashboard scales that is the
+    honest single-sort cost; at 100 TB the documented escape is the
+    two-level range-partitioned cumsum (the ``doc_len_quantile_norm``
+    offsets pattern) — checkpoints only need the partition-boundary
+    prefix sums.
+
+    Output (one row): n_docs, total_tokens, vocab_size (bigint),
+    n_points bigint, beta, ln_k, r2 (double, 6dp).
+    """
+    if checkpoints < 3:
+        raise ValueError(f"heaps_fit: checkpoints must be >= 3, got {checkpoints}")
+    for c in (text_col, id_col):
+        if c not in df.columns:
+            raise ValueError(f"heaps_fit: column {c!r} not in {df.columns}")
+    toks = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t"))
+    per_doc = toks.groupBy("_id").agg(F.count("*").alias("_nt"))
+    new_vocab = (
+        toks.groupBy("_t")
+        .agg(F.min("_id").alias("_id"))
+        .groupBy("_id")
+        .agg(F.count("*").alias("_nv"))
+    )
+    hd = per_doc.join(new_vocab, "_id", "left").select(
+        "_id", "_nt", F.coalesce("_nv", F.lit(0)).alias("_nv")
+    )
+    w = (
+        Window.orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.orderBy("_id")
+    cum = hd.select(
+        F.sum("_nt").over(w).alias("_nn"),
+        F.sum("_nv").over(w).alias("_vv"),
+        F.row_number().over(wr).alias("_rk"),
+    )
+    totals = hd.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("total_tokens"),
+        F.sum("_nv").cast("long").alias("vocab_size"),
+    )
+    step = totals.select(
+        F.greatest(F.lit(1), F.expr(f"n_docs div {checkpoints}")).alias("_st")
+    )
+    pts = (
+        cum.join(F.broadcast(step))
+        .filter((F.col("_rk") % F.col("_st") == 0) & (F.col("_nn") > 0) & (F.col("_vv") > 0))
+        .select(
+            F.round(F.log(F.col("_nn").cast("double")) * scale)
+            .cast("decimal(38,0)")
+            .alias("x"),
+            F.round(F.log(F.col("_vv").cast("double")) * scale)
+            .cast("decimal(38,0)")
+            .alias("y"),
+        )
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = cov / vx
+    ln_k = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / (
+        F.col("n") * scale
+    )
+    fit = m.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(slope, 6).alias("beta"),
+        F.round(ln_k, 6).alias("ln_k"),
+        F.when((vx > 0) & (vy > 0), F.round(cov * cov / (vx * vy), 6)).alias("r2"),
+    )
+    return totals.join(F.broadcast(fit)).select(
+        "n_docs", "total_tokens", "vocab_size", "n_points", "beta", "ln_k", "r2"
+    )

@@ -8348,6 +8348,58 @@ def q_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_heaps_fit",
+    rf"""
+    WITH ht AS (SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents
+                WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    hpd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM ht GROUP BY 1),
+    hfd AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS nv
+            FROM (SELECT t, min(doc_id) AS fd FROM ht GROUP BY t) GROUP BY 1),
+    hd AS (SELECT p.doc_id, p.nt, coalesce(f.nv, 0) AS nv
+           FROM hpd p LEFT JOIN hfd f USING (doc_id)),
+    hc AS (SELECT sum(nt) OVER win AS nn, sum(nv) OVER win AS vv,
+                  row_number() OVER (ORDER BY doc_id) AS rk
+           FROM hd
+           WINDOW win AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    htot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(nt) AS BIGINT) AS total_tokens,
+                    CAST(sum(nv) AS BIGINT) AS vocab_size
+             FROM hd),
+    hstep AS (SELECT greatest(1, n_docs // 16) AS st FROM htot),
+    hx AS (SELECT CAST(round(ln(CAST(nn AS DOUBLE)) * 1000000000) AS HUGEINT) AS x,
+                  CAST(round(ln(CAST(vv AS DOUBLE)) * 1000000000) AS HUGEINT) AS y
+           FROM hc CROSS JOIN hstep WHERE rk % st = 0 AND nn > 0 AND vv > 0),
+    hm AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+                  sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+           FROM hx)
+    SELECT n_docs, total_tokens, vocab_size, n AS n_points,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS beta,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / (n * 1000000000.0), 6) AS ln_k,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           * CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS r2
+    FROM htot CROSS JOIN hm
+    """,
+)
+def q_corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fingerprint: β from ln(vocab) vs
+    ln(tokens) at 16 doc-rank checkpoints — how much NEW vocabulary the
+    next 10× of corpus brings (β→1 flags unique-string contamination,
+    β→0 a closed template vocabulary); the growth twin of the Zipf
+    rank fingerprint (functions/text.py:heaps_fit)."""
+    from wicsmmiretl_spark.functions.text import heaps_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return heaps_fit(docs, "text", "doc_id", checkpoints=16)
+
+
+@query(
     "event_value_conformal",
     """
     WITH cfb AS (
@@ -9469,6 +9521,7 @@ _DEFERRED_QUERIES = (
     "customer_ldiversity",      # l-diversity homogeneity check; customer_kanonymity (this session, verify-green) is the same one-agg privacy shape
     "doc_labeling_queue",       # margin uncertainty sampling; doc_lang_nb_confusion (deferred, verify-green) trains and scores the same NB model
     "event_value_conformal",    # split-conformal intervals; event_value_trend_by_type (deferred, r8-green) is the same OLS closed form
+    "corpus_heaps_fit",         # Heaps vocab-growth fit; corpus_zipf_fit (deferred, verify-green) is the scaled-ln OLS twin
     "temperature_corpus_mix",   # data-derived sqrt(share) mixture; corpus_mix (in-window) is the config-weight twin on the same threshold filter
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
