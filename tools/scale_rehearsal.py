@@ -156,6 +156,11 @@ REHEARSAL_QUERIES = (
     "corpus_curriculum_stages",
     "customer_ldiversity",
     "doc_labeling_queue",
+    # conformal: two moment/quantile aggs over 10x events. heaps: the
+    # token first-occurrence agg over the Caesar-10x corpus (vocab 10x),
+    # checkpoints fixed.
+    "event_value_conformal",
+    "corpus_heaps_fit",
 )
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
