@@ -9430,7 +9430,11 @@ _DEFERRED_QUERIES = (
     # streaming_value_hist_quantiles below), all verify_local-green at
     # sf0.01 and pytest-oracled; they queue BEHIND the ten above for
     # rotation (prefer first-ever rows for the oldest unrotated cohort
-    # first), with twins named per line as usual.
+    # first), with twins named per line as usual. SESSION-6 ADDENDUM:
+    # twenty-six more deferred-at-birth queries (the "session-6
+    # additions" block below, purchase_graph_hits ... corpus_heaps_fit),
+    # all verify_local-green at sf0.01 and pytest-oracled at sf0.001;
+    # they queue LAST for rotation, behind the session-4/5 cohorts.
     #
     # -- green in CORRECTNESS_r07, deferred r9 to make window room for the
     # -- eight r9-born queries --
