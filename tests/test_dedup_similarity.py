@@ -877,3 +877,45 @@ class TestMmr:
             mmr_topk(emb, k=2, pool=500, max_pool=256)
         with _pytest.raises(ValueError, match="not found"):
             mmr_topk(emb, k=2, pool=3, query_id=999)
+
+
+class TestCentroidDrift:
+    def test_identical_halves_show_no_drift(self, spark):
+        from wicsmmiretl_spark.operators.similarity import embedding_centroid_drift
+
+        # Same 4 vectors replicated across many ids: whatever the md5
+        # split, both halves' centroids are built from the same 4-vector
+        # multiset mix only if counts balance — use ONE constant vector so
+        # the centroids are exactly equal regardless of split sizes.
+        rows = [(i, [0.5, -1.0, 2.0]) for i in range(200)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        r = embedding_centroid_drift(emb, dim=3).collect()[0]
+        assert r.n_a + r.n_b == 200 and r.n_a > 0 and r.n_b > 0
+        assert r.centroid_cosine == 1.0
+        assert r.l2_shift == 0.0 and r.max_dim_shift == 0.0
+
+    def test_planted_shift_lands_on_the_right_dimension(self, spark):
+        from wicsmmiretl_spark.operators.similarity import embedding_centroid_drift
+
+        # Dimension 1 carries an id-hash-correlated value: we plant the
+        # drift by hashing the same split key the operator uses.
+        import hashlib
+
+        def half(i):
+            return hashlib.md5(f"{i}:23".encode()).hexdigest()[0] <= "7"
+
+        rows = [(i, [1.0, 5.0 if half(i) else -5.0, 0.0]) for i in range(300)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        r = embedding_centroid_drift(emb, dim=3).collect()[0]
+        assert r.max_shift_dim == 1
+        assert r.max_dim_shift == 10.0
+        assert r.centroid_cosine < 0.5
+
+    def test_validates(self, spark):
+        import pytest as _pytest
+
+        from wicsmmiretl_spark.operators.similarity import embedding_centroid_drift
+
+        emb = spark.createDataFrame([(1, [0.1])], "vec_id long, embedding array<float>")
+        with _pytest.raises(ValueError, match="column"):
+            embedding_centroid_drift(emb, id_col="nope")

@@ -165,6 +165,7 @@ from wicsmmiretl_spark.operators.skyline import skyline_2d
 from wicsmmiretl_spark.operators.sets import union_checked
 from wicsmmiretl_spark.operators.similarity import (
     cosine_pairs,
+    embedding_centroid_drift,
     embedding_pair_profile,
     kcenter_select,
     random_projection,
@@ -252,6 +253,7 @@ __all__ = [
     "benford_test",
     "psi_bin_expr",
     "psi_from_binned",
+    "embedding_centroid_drift",
     "embedding_pair_profile",
     "zipf_fit",
     "stream_psi",

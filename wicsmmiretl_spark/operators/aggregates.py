@@ -2433,6 +2433,7 @@ def poisson_bootstrap_ci(
     hi: float = 0.975,
     seed: int = 9,
     scale: int = 10**2,
+    group_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Distributed uncertainty for the mean via the POISSON bootstrap
     (Chamandy et al., "Estimating uncertainty for massive data streams",
@@ -2455,20 +2456,25 @@ def poisson_bootstrap_ci(
     partition to B rows before the shuffle), one B-row quantile. The
     point estimate rides the same pass shape on the unexploded input.
 
-    Output (one row): n_rows bigint, n_replicas int, point double,
-    ci_low double, ci_high double (all 6dp).
+    Output (one row — or one row per group with ``group_cols``):
+    group_cols..., n_rows bigint, n_replicas int, point double,
+    ci_low double, ci_high double (all 6dp). With ``group_cols`` the
+    replica fan-out and both aggs simply key on (group, replica) — the
+    per-segment CI costs the same single pass.
     """
     if n_replicas < 8:
         raise ValueError(f"poisson_bootstrap_ci: n_replicas must be >= 8, got {n_replicas}")
     if not 0 < lo < hi < 1:
         raise ValueError("poisson_bootstrap_ci: need 0 < lo < hi < 1")
-    for c in (value_col, key_col):
+    groups = list(group_cols or [])
+    for c in (value_col, key_col, *groups):
         if c not in df.columns:
             raise ValueError(f"poisson_bootstrap_ci: column {c!r} not in {df.columns}")
     vc = F.round(F.col(value_col) * scale).cast("long")
-    base = df.select(F.col(key_col).alias("_k"), vc.alias("_v"))
+    base = df.select(*groups, F.col(key_col).alias("_k"), vc.alias("_v"))
     reps = base.select(
-        "_k", "_v", F.explode(F.sequence(F.lit(1), F.lit(n_replicas))).alias("_r")
+        *groups, "_k", "_v",
+        F.explode(F.sequence(F.lit(1), F.lit(n_replicas))).alias("_r"),
     )
     u = F.conv(
         F.substring(
@@ -2491,38 +2497,48 @@ def poisson_bootstrap_ci(
         cnt = F.when(u < F.lit(float(thr)), F.lit(k)).otherwise(cnt)
     means = (
         reps.withColumn("_c", cnt)
-        .groupBy("_r")
+        .groupBy(*groups, "_r")
         .agg(
             F.sum(F.col("_c") * F.col("_v")).alias("_sv"),
             F.sum("_c").alias("_sc"),
         )
         .filter(F.col("_sc") > 0)
         .select(
+            *groups,
             (
                 (F.col("_sv").cast("double") / F.lit(float(scale)))
                 / F.col("_sc")
-            ).alias("_m")
+            ).alias("_m"),
         )
     )
-    point = base.agg(
+    point = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (
+            (F.sum("_v").cast("double") / F.lit(float(scale))) / F.count(F.lit(1))
+        ).alias("_point"),
+    ) if groups else base.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         (
             (F.sum("_v").cast("double") / F.lit(float(scale))) / F.count(F.lit(1))
         ).alias("_point"),
     )
-    ci = means.agg(
+    ci_aggs = [
         F.round(F.percentile("_m", F.lit(lo)), 6).alias("ci_low"),
         F.round(F.percentile("_m", F.lit(hi)), 6).alias("ci_high"),
-    )
-    return (
-        point.join(F.broadcast(ci))
-        .select(
-            "n_rows",
-            F.lit(n_replicas).cast("int").alias("n_replicas"),
-            F.round("_point", 6).alias("point"),
-            "ci_low",
-            "ci_high",
-        )
+    ]
+    if groups:
+        ci = means.groupBy(*groups).agg(*ci_aggs)
+        joined = point.join(F.broadcast(ci), groups)
+    else:
+        ci = means.agg(*ci_aggs)
+        joined = point.join(F.broadcast(ci))
+    return joined.select(
+        *groups,
+        "n_rows",
+        F.lit(n_replicas).cast("int").alias("n_replicas"),
+        F.round("_point", 6).alias("point"),
+        "ci_low",
+        "ci_high",
     )
 
 

@@ -1537,3 +1537,86 @@ def mmr_topk(
     return spark.createDataFrame(
         selected, "rank int, neighbor_id long, relevance double, score double"
     )
+
+
+def embedding_centroid_drift(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 23,
+    x_scale: int = 10**6,
+    p_scale: int = 10**9,
+) -> DataFrame:
+    """Embedding-space drift monitor: split the corpus into two seeded
+    md5 halves (in production: yesterday's batch vs today's), compare
+    their mean vectors — centroid cosine, L2 shift, and the single most
+    drifted dimension. The embedding twin of ``profile_drift``/PSI: a
+    silent encoder change or upstream content shift moves the centroid
+    long before any per-column profile notices.
+
+    Exactness: per-dimension means are scaled-integer sums divided once;
+    every cross-dimension reduction (dot, norms, shift) is a per-element
+    ``round(·, p_scale)`` bigint sum — the suite's engine-exact cosine
+    discipline.
+
+    Scale shape: one posexplode + (half, dim) hash agg (2·dim result
+    rows), one dim-keyed self-join of those rows, one scalar roll-up.
+    The corpus is scanned once, map-side.
+
+    Output (one row): n_a, n_b bigint, centroid_cosine double (6dp),
+    l2_shift double (6dp), max_dim_shift double (6dp), max_shift_dim int
+    (0-based; smallest index on ties).
+    """
+    for c in (id_col, vec_col):
+        if c not in embeddings.columns:
+            raise ValueError(f"embedding_centroid_drift: column {c!r} not in {embeddings.columns}")
+    half = (
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 1
+        )
+        <= F.lit("7")
+    ).alias("_a")
+    rows = embeddings.select(
+        half,
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_pos", "_x"),
+    )
+    means = rows.groupBy("_a", "_pos").agg(
+        (
+            (F.sum(F.round(F.col("_x") * x_scale).cast("long")) / F.lit(float(x_scale)))
+            / F.count(F.lit(1))
+        ).alias("_m"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    a = means.filter(F.col("_a")).select(
+        F.col("_pos"), F.col("_m").alias("_ma"), F.col("_n").alias("_na")
+    )
+    b = means.filter(~F.col("_a")).select(
+        F.col("_pos"), F.col("_m").alias("_mb"), F.col("_n").alias("_nb")
+    )
+    j = a.join(b, "_pos")
+    iprod = lambda e: F.sum(F.round(e * p_scale).cast("long")) / F.lit(float(p_scale))  # noqa: E731
+    shift = F.abs(F.col("_ma") - F.col("_mb"))
+    pick = F.min(F.struct((-shift).alias("_neg"), F.col("_pos").alias("_p")))
+    stats = j.agg(
+        F.min("_na").alias("n_a_rows"),
+        F.min("_nb").alias("n_b_rows"),
+        iprod(F.col("_ma") * F.col("_mb")).alias("_dot"),
+        iprod(F.col("_ma") * F.col("_ma")).alias("_naa"),
+        iprod(F.col("_mb") * F.col("_mb")).alias("_nbb"),
+        iprod((F.col("_ma") - F.col("_mb")) * (F.col("_ma") - F.col("_mb"))).alias("_ss"),
+        F.round(F.max(shift), 6).alias("max_dim_shift"),
+        pick.alias("_pk"),
+    )
+    return stats.select(
+        F.col("n_a_rows").cast("long").alias("n_a"),
+        F.col("n_b_rows").cast("long").alias("n_b"),
+        F.round(
+            F.col("_dot") / (F.sqrt(F.col("_naa")) * F.sqrt(F.col("_nbb"))), 6
+        ).alias("centroid_cosine"),
+        F.round(F.sqrt(F.col("_ss")), 6).alias("l2_shift"),
+        "max_dim_shift",
+        F.col("_pk._p").cast("int").alias("max_shift_dim"),
+    )

@@ -8348,6 +8348,113 @@ def q_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_centroid_drift",
+    """
+    WITH cdr AS (
+      SELECT (substr(md5(CAST(vec_id AS VARCHAR) || ':23'), 1, 1) <= '7') AS a,
+             i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) t(i)
+    ),
+    cdm AS (
+      SELECT a, pos,
+             (CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0)
+               / count(*) AS m,
+             CAST(count(*) AS BIGINT) AS n
+      FROM cdr GROUP BY a, pos
+    ),
+    cdj AS (
+      SELECT p.pos, p.m AS ma, p.n AS na, q.m AS mb, q.n AS nb
+      FROM cdm p JOIN cdm q ON p.pos = q.pos AND p.a AND NOT q.a
+    ),
+    cds AS (
+      SELECT min(na) AS n_a, min(nb) AS n_b,
+             CAST(sum(CAST(round(ma * mb * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS dot,
+             CAST(sum(CAST(round(ma * ma * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS naa,
+             CAST(sum(CAST(round(mb * mb * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS nbb,
+             CAST(sum(CAST(round((ma - mb) * (ma - mb) * 1000000000) AS BIGINT)) AS DOUBLE)
+               / 1000000000.0 AS ss,
+             round(max(abs(ma - mb)), 6) AS max_dim_shift,
+             min(struct_pack(a := -abs(ma - mb), b := pos)).b AS max_shift_dim
+      FROM cdj
+    )
+    SELECT n_a, n_b,
+           round(dot / (sqrt(naa) * sqrt(nbb)), 6) AS centroid_cosine,
+           round(sqrt(ss), 6) AS l2_shift,
+           max_dim_shift,
+           CAST(max_shift_dim AS INT) AS max_shift_dim
+    FROM cds
+    """,
+)
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: the corpus split into two seeded halves
+    (production: yesterday vs today), their exact mean vectors compared —
+    centroid cosine, L2 shift, most-drifted dimension. Catches a silent
+    encoder swap or content shift long before per-column profiles move
+    (operators/similarity.py:embedding_centroid_drift)."""
+    from wicsmmiretl_spark.operators.similarity import embedding_centroid_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_centroid_drift(emb, dim=64, seed=23)
+
+
+@query(
+    "events_value_ci_by_type",
+    """
+    WITH gb AS (
+      SELECT event_type, event_id AS k, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    gr AS (
+      SELECT event_type, k, v, r,
+             ('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(r AS VARCHAR) || ':9'), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM gb, range(1, 33) t(r)
+    ),
+    gc AS (
+      SELECT event_type, r, v,
+             CASE WHEN u < 0.367879441 THEN 0
+                  WHEN u < 0.735758882 THEN 1
+                  WHEN u < 0.919698603 THEN 2
+                  WHEN u < 0.981011843 THEN 3
+                  WHEN u < 0.996340153 THEN 4
+                  ELSE 5 END AS c
+      FROM gr
+    ),
+    gm AS (
+      SELECT event_type, r, (CAST(sum(c * v) AS DOUBLE) / 100.0) / sum(c) AS m
+      FROM gc GROUP BY event_type, r HAVING sum(c) > 0
+    ),
+    gp AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             (CAST(sum(v) AS DOUBLE) / 100.0) / count(*) AS p
+      FROM gb GROUP BY event_type
+    ),
+    gci AS (
+      SELECT event_type,
+             round(quantile_cont(m, 0.025), 6) AS ci_low,
+             round(quantile_cont(m, 0.975), 6) AS ci_high
+      FROM gm GROUP BY event_type
+    )
+    SELECT gp.event_type, n_rows, CAST(32 AS INT) AS n_replicas,
+           round(p, 6) AS point, ci_low, ci_high
+    FROM gp JOIN gci ON gp.event_type = gci.event_type
+    """,
+)
+def q_events_value_ci_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment uncertainty: a 95% Poisson-bootstrap CI for the mean
+    event value of EVERY event type in one pass — the grouped form of
+    orders_bootstrap_ci (the replica fan-out and both aggregations simply
+    key on (type, replica)), which is how uncertainty actually ships on a
+    dashboard (operators/aggregates.py:poisson_bootstrap_ci)."""
+    from wicsmmiretl_spark.operators.aggregates import poisson_bootstrap_ci
+
+    ev = _t(spark, sf_dir, "events")
+    return poisson_bootstrap_ci(
+        ev, "value", "event_id", n_replicas=32, seed=9, group_cols=["event_type"]
+    )
+
+
+@query(
     "corpus_heaps_fit",
     rf"""
     WITH ht AS (SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents
@@ -9526,6 +9633,8 @@ _DEFERRED_QUERIES = (
     "doc_labeling_queue",       # margin uncertainty sampling; doc_lang_nb_confusion (deferred, verify-green) trains and scores the same NB model
     "event_value_conformal",    # split-conformal intervals; event_value_trend_by_type (deferred, r8-green) is the same OLS closed form
     "corpus_heaps_fit",         # Heaps vocab-growth fit; corpus_zipf_fit (deferred, verify-green) is the scaled-ln OLS twin
+    "events_value_ci_by_type",  # grouped bootstrap CI; orders_bootstrap_ci (this session, verify-green) is the global form of the same pass
+    "embedding_centroid_drift", # centroid drift monitor; embedding_pair_profile + customer_profile_drift cover the drift family
     "temperature_corpus_mix",   # data-derived sqrt(share) mixture; corpus_mix (in-window) is the config-weight twin on the same threshold filter
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
