@@ -161,6 +161,11 @@ REHEARSAL_QUERIES = (
     # checkpoints fixed.
     "event_value_conformal",
     "corpus_heaps_fit",
+    # grouped bootstrap: the 32-replica explode over 10x events (the
+    # honest B*n map volume). centroid drift: 2*dim mean rows whatever
+    # the corpus -- the partial agg absorbs the 10x.
+    "events_value_ci_by_type",
+    "embedding_centroid_drift",
 )
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
