@@ -166,6 +166,10 @@ REHEARSAL_QUERIES = (
     # the corpus -- the partial agg absorbs the 10x.
     "events_value_ci_by_type",
     "embedding_centroid_drift",
+    # rfm: one grouped agg + three ntile windows over customer-grain
+    # rows. pareto: source-grain windows -- cardinality-bounded.
+    "customer_rfm_segments",
+    "source_pareto_report",
 )
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"

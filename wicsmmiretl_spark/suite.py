@@ -8348,6 +8348,124 @@ def q_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_dt,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, frequency, monetary,
+             ntile(5) OVER (ORDER BY last_dt ASC, o_custkey ASC) AS r_score,
+             ntile(5) OVER (ORDER BY frequency ASC, o_custkey ASC) AS f_score,
+             ntile(5) OVER (ORDER BY monetary ASC, o_custkey ASC) AS m_score
+      FROM rfm
+    )
+    SELECT o_custkey, frequency, monetary, r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                WHEN r_score = 1 AND f_score <= 2 THEN 'lost'
+                WHEN f_score >= 4 THEN 'loyal'
+                WHEN m_score >= 4 THEN 'big_spender'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (the classic customer-value cube): recency /
+    frequency / monetary quintiles (exact ntile with custkey tiebreaks,
+    exact cent-scaled monetary) folded into named segments by a fixed
+    rule table. One grouped agg + three rank windows; at 100 TB the
+    quintiles ride the two-level range-partitioned ntile
+    (events_value_deciles' escape hatch)."""
+    orders = _t(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_dt"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        _exact_sum(F.col("o_totalprice"), 2, "monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(Window.orderBy(F.asc("last_dt"), F.asc("o_custkey"))).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("o_custkey"))).alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.asc("monetary"), F.asc("o_custkey"))).alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4), "champion")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") == 1) & (F.col("f_score") <= 2), "lost")
+        .when(F.col("f_score") >= 4, "loyal")
+        .when(F.col("m_score") >= 4, "big_spender")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg)
+
+
+@query(
+    "source_pareto_report",
+    """
+    WITH pt AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY source
+    ),
+    pr AS (
+      SELECT source, n_docs, total_chars,
+             row_number() OVER (ORDER BY total_chars DESC, source ASC) AS rank,
+             sum(total_chars) OVER (ORDER BY total_chars DESC, source ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars,
+             sum(total_chars) OVER () AS grand
+      FROM pt
+    )
+    SELECT CAST(rank AS INT) AS rank, source, n_docs, total_chars,
+           round(CAST(total_chars AS DOUBLE) / CAST(grand AS DOUBLE), 6) AS share,
+           round(CAST(cum_chars AS DOUBLE) / CAST(grand AS DOUBLE), 6) AS cum_share,
+           ((cum_chars - total_chars) * 5 < grand * 4) AS in_head
+    FROM pr
+    """,
+)
+def q_source_pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration report per source: char share, cumulative
+    share in size order, and the 80%-head flag (a source is head while
+    the mass BEFORE it is under 80% — integer arithmetic, no double
+    threshold) — the actionable table behind the Gini scalar: which
+    domains dominate the training mixture and where the tail starts."""
+    docs = _t(spark, sf_dir, "documents")
+    pt = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    w = Window.orderBy(F.desc("total_chars"), F.asc("source"))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pr = pt.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.row_number().over(w).cast("int").alias("rank"),
+        F.sum("total_chars").over(wc).alias("cum_chars"),
+        F.sum("total_chars").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("grand"),
+    )
+    return pr.select(
+        "rank",
+        "source",
+        "n_docs",
+        "total_chars",
+        F.round(F.col("total_chars").cast("double") / F.col("grand").cast("double"), 6).alias("share"),
+        F.round(F.col("cum_chars").cast("double") / F.col("grand").cast("double"), 6).alias("cum_share"),
+        ((F.col("cum_chars") - F.col("total_chars")) * 5 < F.col("grand") * 4).alias("in_head"),
+    )
+
+
+@query(
     "embedding_centroid_drift",
     """
     WITH cdr AS (
@@ -9635,6 +9753,8 @@ _DEFERRED_QUERIES = (
     "corpus_heaps_fit",         # Heaps vocab-growth fit; corpus_zipf_fit (deferred, verify-green) is the scaled-ln OLS twin
     "events_value_ci_by_type",  # grouped bootstrap CI; orders_bootstrap_ci (this session, verify-green) is the global form of the same pass
     "embedding_centroid_drift", # centroid drift monitor; embedding_pair_profile + customer_profile_drift cover the drift family
+    "customer_rfm_segments",    # RFM quintile segments; events_value_deciles (deferred, r8-green) is the same exact-ntile machinery
+    "source_pareto_report",     # Pareto 80/20 table; doc_char_gini (deferred, verify-green) is the concentration scalar on the same mass
     "temperature_corpus_mix",   # data-derived sqrt(share) mixture; corpus_mix (in-window) is the config-weight twin on the same threshold filter
     #
     # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
