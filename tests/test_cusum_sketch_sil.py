@@ -115,6 +115,10 @@ def test_silhouette_flags_misassignment_geometry(spark):
     assert got[1] > 0.4  # exact-match point: s = 1 ... midpoint lands in cell 1 too
     with pytest.raises(ValueError, match="simplified_silhouette"):
         simplified_silhouette(emb.drop("embedding"), cent)
+    # k=1 is undefined (no "nearest OTHER centroid") — rejected loudly
+    # instead of silently returning NULL means.
+    with pytest.raises(ValueError, match="undefined for k=1"):
+        simplified_silhouette(emb, cent.limit(1))
 
 
 def test_benford_detects_organic_vs_uniform(spark):

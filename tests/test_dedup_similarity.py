@@ -877,6 +877,13 @@ class TestMmr:
             mmr_topk(emb, k=2, pool=500, max_pool=256)
         with _pytest.raises(ValueError, match="not found"):
             mmr_topk(emb, k=2, pool=3, query_id=999)
+        # Non-integral ids break the greedy tie-break and the hardcoded
+        # long output schema — reject up front, not as an opaque float().
+        from pyspark.sql import functions as _F
+
+        str_ids = emb.withColumn("vec_id", _F.col("vec_id").cast("string"))
+        with _pytest.raises(ValueError, match="integral"):
+            mmr_topk(str_ids, k=2, pool=3, query_id=0)
 
 
 class TestCentroidDrift:

@@ -7,6 +7,7 @@ import math
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from wicsmmiretl_spark.operators.aggregates import information_gain
 from wicsmmiretl_spark.operators.sequences import rolling_corr
@@ -208,6 +209,25 @@ class TestGroupedTheilSen:
         # Every pair shares x → filtered out → group disappears (no valid
         # evidence for a slope, not slope=0).
         assert out == []
+
+    def test_validates_column_names(self, spark):
+        import pytest as _pytest
+
+        from wicsmmiretl_spark.operators.aggregates import grouped_theil_sen
+
+        df = spark.createDataFrame(
+            [("g", 1.0, 2.0, 1)], "k string, x double, y double, id long"
+        )
+        for bad in (
+            lambda: grouped_theil_sen(df, ["nope"], "x", "y", "id"),
+            lambda: grouped_theil_sen(df, ["k"], "nope", "y", "id"),
+            lambda: grouped_theil_sen(df, ["k"], "x", "nope", "id"),
+            lambda: grouped_theil_sen(df, ["k"], "x", "y", "nope"),
+        ):
+            with _pytest.raises(ValueError, match="grouped_theil_sen"):
+                bad()
+        # Column-expression x (the non-str path) skips the x name check.
+        assert grouped_theil_sen(df, ["k"], F.col("x") * 2, "y", "id").count() == 0
 
 
 class TestConformalInterval:

@@ -398,6 +398,25 @@ class TestTemperatureMix:
         # T=1: expected small ≈ 40 * 0.1 = 4 — clearly below the T=2 reading.
         assert c1.get("small", 0) < 10
 
+    def test_degenerate_sources_are_dropped_not_crashed(self, spark):
+        from wicsmmiretl_spark.operators.sampling import temperature_mix
+
+        rows = (
+            [(i, "big", 1) for i in range(90)]
+            + [(200, "nullsz", None), (201, "nullsz", None)]  # NULL total
+            + [(300, "zerosz", 0)]  # zero total
+        )
+        docs = spark.createDataFrame(rows, "doc_id long, src string, sz int")
+        out = temperature_mix(
+            docs, "src", budget=40.0, size_col="sz", key_cols=["doc_id"],
+            temperature=2.0,
+        ).collect()
+        # The massless sources carry weight 0 and vanish; the live source
+        # still samples (previously: TypeError on int(None) /
+        # ZeroDivisionError on a zero total).
+        assert {r.src for r in out} == {"big"}
+        assert 0 < len(out) <= 90
+
     def test_validates(self, spark):
         import pytest as _pytest
 

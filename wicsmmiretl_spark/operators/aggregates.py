@@ -860,6 +860,10 @@ def grouped_theil_sen(
     pair is valid when its two x values differ), n_pairs bigint.
     """
     keys = list(key_cols)
+    named = [*keys, y_col, id_col] + ([x_col] if isinstance(x_col, str) else [])
+    for c in named:
+        if c not in df.columns:
+            raise ValueError(f"grouped_theil_sen: column {c!r} not in {df.columns}")
     xcol = F.col(x_col) if isinstance(x_col, str) else x_col
     base = df.select(
         *keys,

@@ -981,7 +981,14 @@ def duplicated_span_stats(
       count-distinct.
     * Tokens are the suite-wide whitespace tokens; grams are md5'd over a
       0x1F-joined window, so the join key is a fixed 32-char hash however
-      long the tokens are, and identical across engines.
+      long the tokens are, and identical across engines. CONTRACT: the
+      0x1F unit separator must not occur INSIDE a token — whitespace
+      tokenization does not exclude it, and a token containing 0x1F can
+      alias two different k-grams to one hash (a false duplicate).
+      Control-strip text upstream (``functions.strings.
+      strip_control_chars``) if the corpus can carry C0 bytes; the same
+      assumption (and cure) applies to every 0x1F-joined hash key in
+      this module (``containment_pairs`` included).
     * Documents with fewer than k tokens (or no cross-doc gram) surface
       with zero spans — the operator reports on EVERY document.
 
@@ -1081,6 +1088,10 @@ def containment_pairs(
       stays interpretable against the full document.
     * A pair surfaces when EITHER direction reaches ``threshold``; both
       directions are reported.
+    * Shingle hashes are md5 over a 0x1F-joined token window — the same
+      contract as ``duplicated_span_stats``: a token containing the 0x1F
+      unit separator can alias distinct k-grams (false containment);
+      control-strip upstream if the corpus can carry C0 bytes.
 
     100 TB shape: one explode → distinct (doc, shingle) hash agg
     (map-side dedup), one shingle-keyed df agg, one shingle-keyed

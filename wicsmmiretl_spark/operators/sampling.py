@@ -605,6 +605,11 @@ def temperature_mix(
     Same scale shape as ``mix_corpus``: one |sources|-row aggregate
     collected (mixture configs are O(10) sources), then a stratified
     hash-threshold filter — the corpus never shuffles.
+
+    Degenerate sources — a NULL total (every ``size_col`` NULL) or a
+    non-positive total — carry no mass, get weight 0, and are DROPPED
+    from the output (``stratified_sample``'s default fraction is 0);
+    they can't crash the weight math or silently soak up budget.
     """
     import math
 
@@ -615,6 +620,7 @@ def temperature_mix(
         for r in df.groupBy(F.col(source_col).alias("s"))
         .agg(F.sum(size_col).cast("long").alias("tot"))
         .collect()
+        if r["tot"] is not None and r["tot"] > 0
     }
     n_total = sum(totals.values())
     if n_total <= 0:

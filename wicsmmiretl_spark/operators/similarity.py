@@ -1085,6 +1085,15 @@ def simplified_silhouette(
             raise ValueError(
                 f"simplified_silhouette: column {c!r} not in {embeddings.columns}"
             )
+    # Silhouette is undefined for k=1 (there is no "nearest OTHER
+    # centroid"); with a single cell the top-2 slice has no element 2 and
+    # every s would silently null out — reject loudly instead.
+    n_cells = centroids.count()
+    if n_cells < 2:
+        raise ValueError(
+            f"simplified_silhouette: need >= 2 centroid cells, got {n_cells} "
+            "(silhouette is undefined for k=1)"
+        )
     v = embeddings.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -1455,6 +1464,18 @@ def mmr_topk(
         raise ValueError(
             f"mmr_topk: pool={pool} exceeds max_pool={max_pool} (the bounded-"
             "collect cap; raise max_pool deliberately if you mean it)"
+        )
+    for c in (id_col, vec_col):
+        if c not in embeddings.columns:
+            raise ValueError(f"mmr_topk: column {c!r} not in {embeddings.columns}")
+    # The greedy tie-break (-id) and the output schema (neighbor_id long)
+    # both assume an integral id; a string id would otherwise surface as
+    # an opaque float() error deep in the selection loop.
+    id_type = dict(embeddings.dtypes)[id_col]
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"mmr_topk: id column {id_col!r} must be an integral type, got "
+            f"{id_type} (remap string ids through a stable index first)"
         )
     spark = embeddings.sparkSession
     ivec = F.transform(
