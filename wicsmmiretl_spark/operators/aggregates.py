@@ -1380,9 +1380,10 @@ def calibration_curve(
 
     Binning is the suite's exact ntile-with-tiebreak discretizer (same
     contract as ``sampling.quantile_bins``: ``tiebreak_col`` must be a
-    unique key so equal scores split deterministically; the global-sort
-    window is the honest exact-binning cost, with the range-partitioned
-    two-level form as the 100 TB path). Per-bin mean score follows the
+    unique key so equal scores split deterministically), run through
+    ``sampling.distributed_ntile`` — the two-level range-partitioned
+    form, no single-partition window — so the exact reliability diagram
+    survives 100 TB of scores. Per-bin mean score follows the
     exact-sum contract — per-row ``round(score·scale)`` bigints summed,
     divided back once — so double addition order can't flip the hash;
     the positive rate is an exact integer ratio.
@@ -1396,14 +1397,19 @@ def calibration_curve(
     for c in (label_col, score_col, tiebreak_col):
         if c not in df.columns:
             raise ValueError(f"calibration_curve: column {c!r} not in {df.columns}")
-    w = Window.orderBy(F.asc(score_col), F.asc(tiebreak_col))
-    binned = (
+    from wicsmmiretl_spark.operators.sampling import distributed_ntile
+
+    binned = distributed_ntile(
         df.filter(F.col(label_col).isNotNull() & F.col(score_col).isNotNull())
         .select(
             F.col(label_col).cast("int").alias("_y"),
             F.round(F.col(score_col) * scale).cast("long").alias("_si"),
-            F.ntile(n_bins).over(w).alias("bin"),
-        )
+            F.col(score_col).alias("_s"),
+            F.col(tiebreak_col).alias("_tb"),
+        ),
+        ["_s", "_tb"],
+        n_bins,
+        out_col="bin",
     )
     return (
         binned.groupBy("bin")

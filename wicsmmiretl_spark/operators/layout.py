@@ -139,8 +139,6 @@ def zonemap_pruning_report(
             if c not in df.columns:
                 raise ValueError(f"zonemap_pruning_report: predicate column {c!r} missing")
 
-    from pyspark.sql import Window
-
     bounds = df.agg(
         *[F.min(c).cast("long").alias(f"min_{c}") for c in cols],
         *[F.max(c).cast("long").alias(f"max_{c}") for c in cols],
@@ -168,12 +166,17 @@ def zonemap_pruning_report(
     ]
     zcol = reduce(lambda acc, t: acc.bitwiseOR(t), terms)
 
-    tb = [F.col(t) for t in tiebreak]
+    from wicsmmiretl_spark.operators.sampling import distributed_ntile
+
     out = []
     for strategy, key in (("linear", F.col(cols[0]).cast("long")), ("zorder", zcol)):
-        assigned = df.withColumn(
-            "_file", F.ntile(n_files).over(Window.orderBy(key, *tb))
-        )
+        # File assignment is an exact global ntile over the layout key —
+        # run through the two-level range-partitioned form (no
+        # single-partition sort), mirroring the real write path's
+        # repartitionByRange below.
+        assigned = distributed_ntile(
+            df.withColumn("_zk", key), ["_zk", *tiebreak], n_files, "_file"
+        ).drop("_zk")
         zonemap = (
             assigned.groupBy("_file")
             .agg(

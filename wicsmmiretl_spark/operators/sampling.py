@@ -190,18 +190,18 @@ def quantile_bins(
     feature-engineering discretizer (decile features, calibration buckets,
     per-bin monitoring).
 
-    ``ntile`` over a TOTAL order: ``tiebreak_col`` must be a unique key so
-    equal values have a deterministic bin split (both Spark and DuckDB
-    fill remainder rows into the leading buckets — identical semantics on
-    an identical order). NULL values are excluded (a NULL is a missing
-    feature, not a quantile).
+    ``ntile`` semantics over a TOTAL order: ``tiebreak_col`` must be a
+    unique key so equal values have a deterministic bin split (both Spark
+    and DuckDB fill remainder rows into the leading buckets — identical
+    semantics on an identical order). NULL values are excluded (a NULL is
+    a missing feature, not a quantile).
 
-    One global-sort window is the honest cost of exact equal-frequency
-    binning; at 100 TB use the two-level form — per-partition ntile over
-    ``repartitionByRange(value_col)`` gives the same bins because range
-    partitioning already orders partitions — or accept approximate
-    boundaries from a sampled sort. This operator is the exact small/mid
-    -scale tool and the correctness oracle for either scale path.
+    The binning runs through :func:`distributed_ntile` — the two-level
+    range-partitioned form (range exchange + broadcast offsets), NOT a
+    global-sort window — so no single task ever sees the whole table;
+    this is the 100 TB path and the exact oracle in one. For cheaper
+    approximate boundaries, sample-sort upstream and pass the result
+    here unchanged.
 
     Output: bin int (1-based), n bigint, lo/hi double (bin min/max).
     """
@@ -210,11 +210,16 @@ def quantile_bins(
     for c in (value_col, tiebreak_col):
         if c not in df.columns:
             raise ValueError(f"quantile_bins: column {c!r} not in {df.columns}")
-    w = Window.orderBy(F.asc(value_col), F.asc(tiebreak_col))
+    binned = distributed_ntile(
+        df.filter(F.col(value_col).isNotNull()).select(
+            F.col(value_col).alias("_v"), F.col(tiebreak_col).alias("_tb")
+        ),
+        ["_v", "_tb"],
+        n_bins,
+        out_col="bin",
+    )
     return (
-        df.filter(F.col(value_col).isNotNull())
-        .select(F.col(value_col).alias("_v"), F.ntile(n_bins).over(w).alias("bin"))
-        .groupBy("bin")
+        binned.groupBy("bin")
         .agg(
             F.count("*").alias("n"),
             F.min("_v").alias("lo"),
@@ -360,12 +365,27 @@ def stable_index(
         raise ValueError(f"stable_index: columns {missing} not in {df.columns}")
     if out_col in df.columns:
         raise ValueError(f"stable_index: input already has a {out_col!r} column")
-    parts = (
-        df.repartitionByRange(*[F.asc(c) for c in order_cols])
-        .sortWithinPartitions(*[F.asc(c) for c in order_cols])
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
+    indexed, _total = _ranged_order_index(df, order_cols, out_col)
+    return indexed
+
+
+def _ranged_order_index(
+    df: DataFrame, order_cols: Sequence[str], out_col: str
+) -> tuple[DataFrame, int]:
+    """The shared two-level machinery behind :func:`stable_index` and
+    :func:`distributed_ntile`: range-repartition + local sort on
+    ``order_cols``, one tiny per-partition count job whose cumulative
+    offsets (#partitions rows, broadcast back) turn partition-local row
+    numbers into an exact 0-based global index — no single-partition
+    window anywhere. The partitioned frame is pinned with a lazy
+    checkpoint so the offset job and the output see the SAME sampled
+    range boundaries.
+
+    Returns ``(frame + out_col bigint 0-based dense, total row count)``
+    — the total rides along for free from the offset pass, which is what
+    lets ntile avoid a second count job.
+    """
+    parts = _ranged_parts(df, order_cols).localCheckpoint(eager=False)
     counts = parts.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
     offsets = {}
     acc = 0
@@ -377,11 +397,88 @@ def stable_index(
         [(pid, off) for pid, off in offsets.items()], "_pid: int, _off: bigint"
     )
     local = Window.partitionBy("_pid").orderBy(*[F.asc(c) for c in order_cols])
-    return (
+    out = (
         parts.join(F.broadcast(off_df), "_pid")
         .withColumn(out_col, F.row_number().over(local) + F.col("_off") - 1)
         .drop("_pid", "_off")
     )
+    return out, acc
+
+
+def _ranged_parts(df: DataFrame, order_cols: Sequence[str]) -> DataFrame:
+    """The range stage of :func:`_ranged_order_index`, pre-checkpoint:
+    range exchange + local sort + partition id. Split out so plan-shape
+    tests can pin the exchange kind (the lazy checkpoint downstream
+    truncates lineage to a ``Scan ExistingRDD``, hiding it)."""
+    return (
+        df.repartitionByRange(*[F.asc(c) for c in order_cols])
+        .sortWithinPartitions(*[F.asc(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+
+def _exact_intdiv(c, k: int):
+    """Exact integer division of a non-negative bigint column by a
+    positive python int, JVM-side: ``(c - c % k) / k`` — the numerator is
+    an exact multiple of k, and IEEE division of exact integers below
+    2⁵³ is correctly rounded to the exact integer quotient. (There is no
+    integral ``/`` on Columns; naive ``floor(c / k)`` risks an
+    off-by-one when the double quotient rounds up across an integer.)
+    """
+    k = int(k)
+    return ((c - F.pmod(c, F.lit(k))) / F.lit(k)).cast("long")
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    n: int,
+    out_col: str = "bin",
+) -> DataFrame:
+    """EXACT global ``ntile(n) OVER (ORDER BY order_cols)`` — without the
+    single-partition window Spark plans for a global order (`WindowExec:
+    No Partition Defined`, the one-task funnel that dies at 100 TB).
+
+    Two-level form (the :func:`stable_index` machinery): range-repartition
+    + local sort gives every row an exact 0-based global rank from
+    partition-local row numbers plus broadcast cumulative offsets; the
+    bucket then follows from the rank and the total N in closed form with
+    the SAME remainder semantics Spark and DuckDB share — base = N div n,
+    rem = N mod n, the first ``rem`` buckets take ``base + 1`` rows:
+
+        bin(r) = r div (base+1) + 1                      for r < rem·(base+1)
+               = rem + (r − rem·(base+1)) div base + 1   otherwise
+
+    (0-based r; all arithmetic exact-integer JVM-side). The heavy data
+    moves once through a RANGE exchange — every partition does equal
+    work — and the only driver traffic is the #partitions-row offset
+    table. This is the default exact-binning path; the old global-window
+    form survives only as the semantics documentation above.
+
+    ``order_cols`` must be a TOTAL order (end with a unique tiebreak) —
+    the same contract ``ntile`` itself needs for deterministic splits.
+
+    Output: input columns + ``out_col`` int in [1, n].
+    """
+    if n < 2:
+        raise ValueError(f"distributed_ntile: n must be >= 2, got {n}")
+    if not order_cols:
+        raise ValueError("distributed_ntile: order_cols must be non-empty")
+    missing = [c for c in order_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"distributed_ntile: columns {missing} not in {df.columns}")
+    if out_col in df.columns:
+        raise ValueError(f"distributed_ntile: input already has a {out_col!r} column")
+    indexed, total = _ranged_order_index(df, order_cols, "_gidx")
+    base, rem = divmod(total, n)
+    cut = rem * (base + 1)
+    r = F.col("_gidx")
+    bucket = (
+        F.when(r < cut, _exact_intdiv(r, base + 1))
+        .otherwise(F.lit(rem) + _exact_intdiv(r - cut, max(base, 1)))
+        + 1
+    ).cast("int")
+    return indexed.withColumn(out_col, bucket).drop("_gidx")
 
 
 def kfold_assign(

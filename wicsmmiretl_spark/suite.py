@@ -4675,10 +4675,13 @@ def q_order_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     composing the session's feature operators — smoothed target encoding
     of the customer segment (broadcast mapping join), exact price decile
     (total-order ntile), an indicator, and integer epoch-day. The
-    encoding mapping is |segments| rows and broadcasts; the decile is the
-    one honest global-order window; everything else is map-side
-    (operators/aggregates.py:target_encode + ntile + Catalyst)."""
+    encoding mapping is |segments| rows and broadcasts; the decile runs
+    through ``distributed_ntile`` (range exchange + broadcast offsets,
+    no single-partition window); everything else is map-side
+    (operators/aggregates.py:target_encode + sampling.distributed_ntile
+    + Catalyst)."""
     from wicsmmiretl_spark.operators.aggregates import target_encode
+    from wicsmmiretl_spark.operators.sampling import distributed_ntile
 
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -4690,14 +4693,12 @@ def q_order_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = target_encode(base, "c_mktsegment", "o_totalprice", prior_weight=100.0, scale=2).select(
         F.col("category").alias("c_mktsegment"), F.col("encoded").alias("seg_enc")
     )
-    decile = F.ntile(10).over(
-        Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
-    )
+    joined = base.join(F.broadcast(enc), "c_mktsegment")
     return (
-        base.join(F.broadcast(enc), "c_mktsegment")
+        distributed_ntile(joined, ["o_totalprice", "o_orderkey"], 10, "price_decile")
         .select(
             "o_orderkey",
-            decile.cast("int").alias("price_decile"),
+            "price_decile",
             "seg_enc",
             (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("is_urgent"),
             F.expr("unix_micros(o_orderdate) div 86400000000").alias("order_day"),
@@ -8376,24 +8377,24 @@ def q_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (the classic customer-value cube): recency /
-    frequency / monetary quintiles (exact ntile with custkey tiebreaks,
-    exact cent-scaled monetary) folded into named segments by a fixed
-    rule table. One grouped agg + three rank windows; at 100 TB the
-    quintiles ride the two-level range-partitioned ntile
-    (events_value_deciles' escape hatch)."""
+    frequency / monetary quintiles (exact ntile semantics with custkey
+    tiebreaks, exact cent-scaled monetary) folded into named segments by
+    a fixed rule table. One grouped agg + three chained
+    ``distributed_ntile`` passes (operators/sampling.py) — each quintile
+    is a range exchange + broadcast offsets, never a single-partition
+    window, so the segmentation holds at 100 TB of customers."""
+    from wicsmmiretl_spark.operators.sampling import distributed_ntile
+
     orders = _t(spark, sf_dir, "orders")
     rfm = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_dt"),
         F.count(F.lit(1)).cast("long").alias("frequency"),
         _exact_sum(F.col("o_totalprice"), 2, "monetary"),
     )
-    scored = rfm.select(
-        "o_custkey",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(Window.orderBy(F.asc("last_dt"), F.asc("o_custkey"))).alias("r_score"),
-        F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("o_custkey"))).alias("f_score"),
-        F.ntile(5).over(Window.orderBy(F.asc("monetary"), F.asc("o_custkey"))).alias("m_score"),
+    scored = distributed_ntile(rfm, ["last_dt", "o_custkey"], 5, "r_score")
+    scored = distributed_ntile(scored, ["frequency", "o_custkey"], 5, "f_score")
+    scored = distributed_ntile(scored, ["monetary", "o_custkey"], 5, "m_score").select(
+        "o_custkey", "frequency", "monetary", "r_score", "f_score", "m_score"
     )
     seg = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4), "champion")
@@ -8791,14 +8792,15 @@ def q_corpus_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum scheduling: the corpus cut into 4 equal-count difficulty
     stages by length (the classic short-to-long curriculum), doc_id as the
     exact tiebreak so stage assignment is deterministic — each stage
-    reported with its char budget. The ntile global sort is the documented
-    exact-staging cost; at 100 TB the two-level range-partitioned form
-    (events_value_deciles' escape hatch) computes the same stages."""
+    reported with its char budget. Staging runs through
+    ``distributed_ntile`` (operators/sampling.py): a range exchange plus
+    broadcast offsets, no single-partition sort, so the same exact stages
+    come out at 100 TB of documents."""
+    from wicsmmiretl_spark.operators.sampling import distributed_ntile
+
     docs = _t(spark, sf_dir, "documents")
-    staged = docs.select(
-        "doc_id",
-        "n_chars",
-        F.ntile(4).over(Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))).alias("stage"),
+    staged = distributed_ntile(
+        docs.select("doc_id", "n_chars"), ["n_chars", "doc_id"], 4, "stage"
     )
     return staged.groupBy("stage").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
