@@ -103,6 +103,107 @@ def test_interval_join_stream_equals_batch(spark, event_dir):
     assert _rows(got) == _rows(want) and want.count() > 0
 
 
+def test_left_outer_interval_join_matched_half_and_unmatched_flush(
+    spark, event_dir, tmp_path
+):
+    """Stream-stream LEFT OUTER interval join, driven deterministically.
+
+    Why this operator has pytest-only evidence (no DuckDB oracle): an
+    unmatched left row is emitted only when (a) the watermark has passed
+    its join horizon AND (b) a LATER micro-batch runs to carry the
+    emission — on a drained availableNow source neither is guaranteed for
+    the final rows, so a side-by-side oracle would be flaky by
+    construction. Here the flush is forced: two far-future sentinel files
+    behind maxFilesPerTrigger=1 give the query two extra batches — the
+    first advances the watermark past every real row's horizon, the
+    second runs under that watermark and emits the stragglers.
+
+    Gates: the matched half equals the batch INNER join exactly, and the
+    unmatched half equals the batch LEFT ANTI set exactly (with NULL
+    right columns), sentinels excluded from both.
+    """
+    import datetime
+    import time
+
+    from wicsmmiretl_spark.streaming.windows import interval_join
+
+    src_dir = str(tmp_path / "loj_events")
+    real = spark.read.parquet(event_dir)
+    real.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    max_ts = real.agg(F.max("ts")).first()[0]
+
+    def drop_sentinel(eid: int, days: int) -> None:
+        # One click + one purchase per drop so BOTH sides' watermarks
+        # advance (the query watermark is the min across inputs).
+        ts = max_ts + datetime.timedelta(days=days)
+        rows = [
+            (eid, ts, -1, "click", 0.0, None),
+            (eid - 1, ts, -1, "purchase", 0.0, None),
+        ]
+        spark.createDataFrame(rows, real.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        time.sleep(1.1)  # distinct mtimes → deterministic file-batch order
+
+    time.sleep(1.1)
+    drop_sentinel(-10, days=10)
+    drop_sentinel(-20, days=20)
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        purch = df.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        return clicks, purch
+
+    from wicsmmiretl_spark.streaming.windows import read_event_stream
+
+    s_clicks, s_purch = sides(read_event_stream(spark, src_dir, max_files_per_trigger=1))
+    joined = interval_join(s_clicks, s_purch, upper="30 minutes", how="left_outer")
+    assert joined.isStreaming
+    got = run_to_memory_sink(joined, "t_loj", spark, output_mode="append").filter(
+        F.col("l_user_id") >= 0  # sentinels are scaffolding, not data
+    )
+
+    b_clicks, b_purch = sides(real)
+    want_inner = interval_join(b_clicks, b_purch, upper="30 minutes")
+    got_matched = got.filter(F.col("r_event_id").isNotNull())
+    assert _rows(got_matched) == _rows(want_inner) and want_inner.count() > 0
+
+    # Unmatched half: exactly the batch anti set, NULL right columns.
+    matched_left_ids = want_inner.select("l_event_id").distinct()
+    want_unmatched = (
+        b_clicks.select(
+            F.col("event_id").alias("l_event_id"),
+            F.col("user_id").alias("l_user_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        .join(matched_left_ids, "l_event_id", "anti")
+    )
+    got_unmatched = got.filter(F.col("r_event_id").isNull())
+    assert _rows(got_unmatched.select("l_event_id", "l_user_id", "l_ts")) == _rows(
+        want_unmatched
+    )
+    assert want_unmatched.count() > 0, "fixture has no unconverted clicks"
+    # NULL right columns across the board on the unmatched half.
+    assert got_unmatched.filter(
+        F.col("r_user_id").isNotNull() | F.col("r_ts").isNotNull()
+        | F.col("r_value").isNotNull()
+    ).count() == 0
+
+
+def test_interval_join_rejects_unknown_how(spark, event_dir):
+    import pytest as _pytest
+
+    from wicsmmiretl_spark.streaming.windows import interval_join
+
+    df = spark.read.parquet(event_dir)
+    with _pytest.raises(ValueError, match="left_outer"):
+        interval_join(df, df, how="full_outer")
+
+
 def test_interval_join_time_bound_is_strict(spark):
     """Rows outside [ts, ts+upper] never pair (the bound is the state-eviction
     contract, so it must hold exactly at the boundary)."""

@@ -129,6 +129,7 @@ def interval_join(
     watermark: str = "2 hours",
     left_prefix: str = "l_",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream (or batch-batch — unified plan) interval equi-join:
     pairs a left row with every right row of the same ``key`` whose event
@@ -140,14 +141,34 @@ def interval_join(
     watermark passes its join horizon). Without the time bound the state
     store grows without limit; this helper makes the bound structural.
 
+    ``how='left_outer'`` additionally emits every unmatched left row with
+    NULL right columns — the "clicks that never converted" shape. Outer
+    emission semantics (and why this mode has NO DuckDB oracle in the
+    suite): an unmatched left row is only emitted once the watermark has
+    passed its join horizon AND a LATER micro-batch runs to carry the
+    emission — Spark computes the watermark at batch boundaries, so the
+    final rows of a drained ``availableNow`` source never flush unless
+    extra batches follow. A batch left-outer join has no such dependence,
+    making a side-by-side oracle flaky by construction. The deterministic
+    harness (tests/test_streaming.py) forces the flush with two far-future
+    sentinel files behind ``maxFilesPerTrigger=1``: sentinel batch 1
+    advances the watermark past every real row's horizon, sentinel batch 2
+    runs under that watermark and emits the stragglers.
+
     All columns come back prefixed (``l_``/``r_``) — interval joins are
     many-to-many, so no column can be silently preferred.
 
     Scale notes: the shuffle key is ``key`` (user-grade cardinality — no
     skew concentration); state per side is bounded by
     watermark-horizon × per-key event rate. At 100 TB/day the same plan
-    holds: the join never buffers more than the horizon.
+    holds: the join never buffers more than the horizon (outer mode holds
+    rows exactly until their horizon closes, then emits and evicts — same
+    bound, plus the emission latency of one watermark delay).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"interval_join: how must be 'inner' or 'left_outer', got {how!r}"
+        )
     l = left.select([F.col(c).alias(f"{left_prefix}{c}") for c in left.columns])
     r = right.select([F.col(c).alias(f"{right_prefix}{c}") for c in right.columns])
     if left.isStreaming:
@@ -160,7 +181,7 @@ def interval_join(
         & (rts >= lts)
         & (rts <= lts + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond)
+    return l.join(r, cond, how)
 
 
 def stream_static_enrich(
