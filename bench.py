@@ -84,6 +84,44 @@ def main() -> None:
     load_end = os.getloadavg()
     print(f"loadavg_end: {load_end}", file=sys.stderr)
 
+    # Full per-query record (VERDICT r9 item 3): the driver metric line
+    # keeps only the slowest ~64 timings, so cross-round comparison was
+    # degrading to whichever noise outliers made each cut. Persist EVERY
+    # timing to BENCH_FULL_r{N}.json (N = next round: latest driver
+    # artifact + 1) so round notes can compute common subsets over the
+    # whole suite. Local evidence file only — never on stdout.
+    # SPARK_GRAFT_FULL_OUT overrides the destination (tests point it at a
+    # tmp dir so contract runs don't shadow real round evidence); set it
+    # empty to disable the write.
+    try:
+        override = os.environ.get("SPARK_GRAFT_FULL_OUT")
+        if override == "":
+            raise OSError("full-timings write disabled by SPARK_GRAFT_FULL_OUT=")
+        full_path = (
+            Path(override) / _next_full_bench_path().name
+            if override
+            else _next_full_bench_path()
+        )
+        full_path.write_text(
+            json.dumps(
+                {
+                    "sf": sf,
+                    "total_seconds": total,
+                    "n_queries": len(times),
+                    "load1_start": round(load_start[0], 2),
+                    "load1_end": round(load_end[0], 2),
+                    "queries": times,
+                    "errors": errors,
+                },
+                indent=1,
+                sort_keys=True,
+            )
+            + "\n"
+        )
+        print(f"full timings: {full_path}", file=sys.stderr)
+    except OSError as exc:
+        print(f"could not write full timings: {exc}", file=sys.stderr)
+
     # Round-over-round diagnostics go to STDERR only: the driver keeps just
     # the last 2000 chars of stdout, and embedding ratios in the metric line
     # made it unparseable in r3 (BENCH_r03.json parsed: null).
@@ -168,19 +206,34 @@ def main() -> None:
     sys.stdout.flush()
 
 
+def _next_full_bench_path() -> Path:
+    """BENCH_FULL_r{N}.json for the round currently being benched: one past
+    the highest-numbered driver artifact (BENCH_r{N}.json) on disk."""
+    root = Path(__file__).resolve().parent
+    latest = 0
+    for p in root.glob("BENCH_r*.json"):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
+        if m:
+            latest = max(latest, int(m.group(1)))
+    return root / f"BENCH_FULL_r{latest + 1}.json"
+
+
 def _latest_prior_bench(sf: float | None) -> dict[str, float] | None:
-    """Per-query times from the highest-numbered BENCH_r{N}.json at this sf.
+    """Per-query times from the highest-numbered bench record at this sf,
+    preferring BENCH_FULL_r{N}.json (every query) over the driver's
+    BENCH_r{N}.json metric-line tail (slowest ~64 only).
 
     Skips filenames whose suffix is not a round number (e.g. BENCH_rfinal)
     and priors recorded at a different scale factor, so ratio_vs_prev never
     compares across scales.
     """
     candidates = []
-    for p in Path(__file__).resolve().parent.glob("BENCH_r*.json"):
-        m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
+    for p in Path(__file__).resolve().parent.glob("BENCH_*.json"):
+        m = re.fullmatch(r"BENCH_(?:FULL_)?r(\d+)\.json", p.name)
         if m:
-            candidates.append((int(m.group(1)), p))
-    for _, p in sorted(candidates, reverse=True):
+            # FULL files sort ahead of the driver artifact of the same round.
+            candidates.append((int(m.group(1)), "FULL" in p.name, p))
+    for _, _, p in sorted(candidates, reverse=True):
         try:
             doc = json.loads(p.read_text())
         except (OSError, json.JSONDecodeError):

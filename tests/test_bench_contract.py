@@ -6,7 +6,7 @@ from __future__ import annotations
 import json
 
 
-def test_bench_survives_broken_query(spark, monkeypatch, capsys):
+def test_bench_survives_broken_query(spark, monkeypatch, capsys, tmp_path):
     """A query that raises must degrade the artifact (an errors entry),
     never kill it: the contract line still parses, still carries the
     healthy query's timing, and totals only the healthy queries."""
@@ -19,6 +19,7 @@ def test_bench_survives_broken_query(spark, monkeypatch, capsys):
 
     monkeypatch.setattr(bench, "QUERIES", {"vocab_top100": ok, "broken": broken})
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_FULL_OUT", str(tmp_path))
     bench.main()
     line = capsys.readouterr().out.strip().splitlines()[-1]
     doc = json.loads(line)
@@ -27,9 +28,18 @@ def test_bench_survives_broken_query(spark, monkeypatch, capsys):
     assert "broken" in doc["errors"]
     assert "RuntimeError" in doc["errors"]["broken"]
     assert doc["value"] >= doc["queries"]["vocab_top100"]
+    # The full-timings sidecar carries EVERY timing and error, unclipped.
+    full_files = list(tmp_path.glob("BENCH_FULL_r*.json"))
+    assert len(full_files) == 1
+    full = json.loads(full_files[0].read_text())
+    assert full["queries"] == doc["queries"] or set(full["queries"]) >= set(
+        doc["queries"]
+    )
+    assert "broken" in full["errors"]
+    assert full["n_queries"] == len(full["queries"])
 
 
-def test_bench_mass_failure_keeps_line_parseable(spark, monkeypatch, capsys):
+def test_bench_mass_failure_keeps_line_parseable(spark, monkeypatch, capsys, tmp_path):
     """Every query broken (testdata drift scenario): the errors dict must be
     capped inside the contract line, with the overflow counted, so the line
     still fits the driver's 2000-char stdout tail window."""
@@ -50,6 +60,7 @@ def test_bench_mass_failure_keeps_line_parseable(spark, monkeypatch, capsys):
     patched.update({f"broken_{i:02d}": make_broken(i) for i in range(40)})
     monkeypatch.setattr(bench, "QUERIES", patched)
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_FULL_OUT", str(tmp_path))
     bench.main()
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert len(line) < 2000
@@ -60,7 +71,7 @@ def test_bench_mass_failure_keeps_line_parseable(spark, monkeypatch, capsys):
     assert shown + doc.get("errors_omitted", 0) == 40
 
 
-def test_bench_flaky_second_run_keeps_first_timing(spark, monkeypatch, capsys):
+def test_bench_flaky_second_run_keeps_first_timing(spark, monkeypatch, capsys, tmp_path):
     """A query that succeeds on run 1 and throws on run 2 (transient host
     fault) must still report run 1's timing alongside the error record."""
     import bench
@@ -76,6 +87,7 @@ def test_bench_flaky_second_run_keeps_first_timing(spark, monkeypatch, capsys):
 
     monkeypatch.setattr(bench, "QUERIES", {"vocab_top100": ok, "flaky": flaky})
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_FULL_OUT", str(tmp_path))
     bench.main()
     line = capsys.readouterr().out.strip().splitlines()[-1]
     doc = json.loads(line)
