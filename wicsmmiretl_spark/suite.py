@@ -9621,50 +9621,94 @@ def q_part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEFERRED_QUERIES = (
-    # r9 rotation. IN-window this round (the 50 = registry minus this
-    # tuple): the 3 queries whose r8 driver rows crashed on array-column
-    # canonicalization, re-shaped to scalar outputs and needing fresh
-    # driver evidence (customer_snapshot_diff, inverted_index_band,
-    # doc_feature_vectors); 14 of the 17 r9-born queries
-    # (event_chain_bfs_levels, orders_pit_attributes,
-    # part_name_neighborhood_pairs, event_type_skew_profile,
-    # doc_tfidf_similar_pairs, doc_winnowing_stats, purchase_auc,
-    # lineitem_price_qty_spearman, event_transition_matrix,
-    # user_survival_curve, purchase_calibration, doc_len_quantile_norm,
-    # events_weekly_seasonality_error, user_audio_features — the other
-    # three, daily_purchase_auc / bm25_ndcg / user_selfjoin_size_estimate,
-    # are deferred at birth with in-window family twins);
-    # events_json_extract (r8 note: no in-window twin, rotate back); the
-    # queries whose newest driver rows date to CORRECTNESS_r06 (evidence
-    # 3 rounds stale); part of the r7-evidence block; and the entry
-    # flagship vocab_top100.
-    # DEFERRED below: every name here has a green driver row from r07 or
-    # r08 (rows+schema+hash) and stays oracle-checked every pytest run via
-    # tests/test_deferred_oracle.py and by tools/verify_local.py — EXCEPT
-    # the ten r9-born deferred-at-birth queries (daily_purchase_auc,
-    # bm25_ndcg, user_selfjoin_size_estimate, doc_overlap_pairs,
+    # r10 rotation. IN-window this round (the 50 = registry minus this
+    # tuple): the entire never-driver-checked backlog head — the ten
+    # r9-born deferred-at-birth queries (daily_purchase_auc, bm25_ndcg,
+    # user_selfjoin_size_estimate, doc_overlap_pairs,
     # event_chain_shortest_paths, view_purchase_span_overlaps,
     # incremental_dedup_probe, purchase_roc_points,
-    # events_value_hist_quantiles, streaming_value_hist_quantiles), which
-    # have pytest + verify_local evidence only. r10 ROTATION GUIDANCE:
-    # swap those ten into the window for first-ever driver rows; their
-    # in-window family twins to swap out are named on each line below
-    # (e.g. purchase_auc ↔ purchase_roc_points, doc_winnowing_stats ↔
-    # doc_overlap_pairs, events_weekly_seasonality_error ↔
-    # events_value_hist_quantiles). SESSION-4/5 ADDENDUM: twenty-nine
-    # more deferred-at-birth queries now exist (part_size_price_skyline
-    # ... part_copurchase_assortativity — the whole block after
-    # streaming_value_hist_quantiles below), all verify_local-green at
-    # sf0.01 and pytest-oracled; they queue BEHIND the ten above for
-    # rotation (prefer first-ever rows for the oldest unrotated cohort
-    # first), with twins named per line as usual. SESSION-6 ADDENDUM:
-    # twenty-six more deferred-at-birth queries (the "session-6
-    # additions" block below, purchase_graph_hits ... corpus_heaps_fit),
-    # all verify_local-green at sf0.01 and pytest-oracled at sf0.001;
-    # they queue LAST for rotation, behind the session-4/5 cohorts.
+    # events_value_hist_quantiles, streaming_value_hist_quantiles), the
+    # full 29-query session-4/5 cohort (part_size_price_skyline ...
+    # part_copurchase_assortativity), and eight session-6 queries
+    # prioritized for changed code paths or high 10x exponents
+    # (corpus_curriculum_stages + customer_rfm_segments — rewired onto
+    # distributed_ntile this round — event_value_theilsen,
+    # temperature_corpus_mix, embedding_mmr_topk — operators hardened
+    # this round — part_link_prediction, streaming_user_distinct,
+    # purchase_graph_hits); plus three re-checks whose implementation
+    # changed in r10 (purchase_calibration kept in-window,
+    # events_value_deciles and order_feature_matrix rotated back in —
+    # all three now run the two-level range-partitioned exact ntile).
+    # That is 47 FIRST-EVER driver rows + 3 changed-path re-checks.
+    # DEFERRED below: every name has driver-green history (r07/r08/r09,
+    # rows+schema+hash) and stays oracle-checked every pytest run via
+    # tests/test_deferred_oracle.py and by tools/verify_local.py.
+    # r11 ROTATION GUIDANCE: the remaining never-driver-checked cohort
+    # is the 22 session-6 queries still in the block below
+    # (part_copurchase_kcore, bucketed_customer_revenue, sq8_adc_topk,
+    # purchase_negative_samples, events_daily_interpolate,
+    # user_running_distinct_types, orders_fd_report,
+    # segment_personalized_pagerank, customer_kanonymity,
+    # purchase_linear_attribution, customer_golden_record,
+    # orders_referential_subset, orders_bootstrap_ci,
+    # events_trimmed_stats, embedding_hard_negatives,
+    # customer_ldiversity, doc_labeling_queue, event_value_conformal,
+    # corpus_heaps_fit, events_value_ci_by_type,
+    # embedding_centroid_drift, source_pareto_report); swap them in
+    # next — that clears the backlog entirely.
     #
-    # -- green in CORRECTNESS_r07, deferred r9 to make window room for the
-    # -- eight r9-born queries --
+    # -- rotated out r10: green driver rows in CORRECTNESS_r09 --
+    "vocab_top100",             # entry flagship — driver still smoke-runs it via entry() every round; corpus_zipf_fit (in-window) aggregates the same tokens
+    "text_stats",               # readability+ratio signals; doc_char_gini + doc_char_weighted_quantiles (in-window) profile the same text mass
+    "pos_tag_stats",            # token-class tagging; doc_lang_nb_confusion (in-window) trains on the same token-class signals
+    "lang_id",                  # n-gram lang-ID; doc_lang_source_chi2 + doc_lang_source_infogain (in-window) test the same lang labels
+    "customers_without_orders", # J3 anti-join; part_link_prediction (in-window) excludes adjacent pairs with the same anti-join shape
+    "region_customer_rollup",   # grouping-set rollup; doc_lang_source_chi2 (in-window) runs the same grouped contingency aggs
+    "stats_matrix_documents",   # one-pass grouped moments; doc_char_weighted_quantiles + events_value_hist_quantiles (in-window) cover exact distribution stats
+    "events_stats_by_type",     # grouped event stats; events_daily_cusum + event_type_ks_report (in-window) consume the same per-type series
+    "window_rank_events",       # window-rank cap; part_size_price_skyline (in-window) is the same rank-per-group extremum machinery
+    "events_json_extract",      # S3 JSON flatten; no exact twin — r9 driver row is 1 round old, rotate back by r12
+    "tumbling_daily",           # batch event-time grid; events_daily_cusum (in-window) consumes the same daily buckets
+    "asof_click_purchase",      # backward as-of; view_purchase_span_overlaps (in-window) matches the same click/purchase timelines
+    "asof_tolerance_purchase",  # as-of + tolerance; same interval-membership family as view_purchase_span_overlaps (in-window)
+    "sessionize_events",        # gaps-and-islands; user_value_twa (in-window) pays the same user-keyed lag window
+    "embedding_centroids",      # vector means; embedding_pair_profile + embedding_kcenter (in-window) cover vector arithmetic
+    "streaming_tumbling",       # streaming agg; streaming_value_psi + streaming_value_hist_quantiles (in-window) fold the same stream
+    "ivf_topk",                 # coarse-cell ANN; kmeans_silhouette (in-window) trains the same cells, embedding_mmr_topk re-ranks the same cosines
+    "kmeans_centroids",         # Lloyd training; kmeans_silhouette (in-window) runs the same training loop
+    "etl_caption_pipeline",     # E/T/L runner; corpus_curation_v3 (in-window) composes the same pipeline stages
+    "vocab_token_class",        # token classes; doc_lang_nb_confusion (in-window) counts the same classes
+    "nation_trade_volume",      # J1 join+agg; part_copurchase_communities (in-window) builds edges through the same lineitem join
+    "simhash_near_pairs",       # SimHash near-dup; incremental_dedup_probe + doc_overlap_pairs (in-window) cover near-dup banding
+    "sliding_hourly",           # sliding windows; streaming_value_hist_quantiles (in-window) covers event-time streaming folds
+    "video_frame_sample",       # multimodal mapInPandas; r9 driver row fresh, user_audio_features (deferred, r9-green) is the Arrow-path twin
+    "idle_rich_customers",      # P5-P8 membership chain; purchase_view_ks (in-window) compares the same purchase/view populations
+    "lineitem_flag_status_cube", # cube grouping sets; part_size_price_skyline (in-window) scans the same lineitem extremes
+    "repetition_stats",         # intra-doc repetition; doc_dup_span_stats (in-window) is the cross-doc complement on the same grams
+    "click_purchase_interval_join", # theta/interval join; view_purchase_span_overlaps (in-window) is the banded interval twin
+    "corpus_mix",               # seeded md5 mixing; temperature_corpus_mix (in-window) derives weights for the same threshold filter
+    "doc_chunks",               # generate-only chunking; corpus_curriculum_stages (in-window) stages the same corpus
+    "knn_classify",             # top-k vote; embedding_mmr_topk (in-window) consumes the same cosine top-k
+    "dedup_canonical",          # exact dedup; incremental_dedup_probe (in-window) probes the same fingerprint space
+    "event_funnel",             # ordered-event funnel; event_frequent_paths (in-window) mines the same user-keyed sequences
+    "customer_snapshot_diff",   # merge-family diff; r9 driver row fresh (the r8 array-canonicalization fix re-proven)
+    "inverted_index_band",      # df-banded postings; bm25_retrieval_metrics + bm25_ndcg (in-window) consume the same index
+    "doc_feature_vectors",      # hashed features; doc_lang_nb_confusion (in-window) trains on the same hashed token space
+    "event_chain_bfs_levels",   # BFS frontier; event_chain_shortest_paths (in-window) walks the same frontier loop, weighted
+    "orders_pit_attributes",    # PIT validity join; view_purchase_span_overlaps (in-window) evaluates the same interval membership
+    "part_name_neighborhood_pairs", # sorted-neighborhood blocking; doc_containment_pairs (in-window) bands candidate pairs the same way
+    "event_type_skew_profile",  # skew diagnostics; user_selfjoin_size_estimate (in-window) estimates the same join blow-up
+    "doc_tfidf_similar_pairs",  # tf-idf pairs; bm25_retrieval_metrics + bm25_ndcg (in-window) weight the same tf/df/idf
+    "doc_winnowing_stats",      # winnowing fingerprints; doc_overlap_pairs (in-window) joins the same fingerprints
+    "purchase_auc",             # rank-sum AUC; daily_purchase_auc + purchase_roc_points (in-window) are the same estimator
+    "lineitem_price_qty_spearman", # rank correlation; purchase_view_ks (in-window) uses the same offsets-based rank machinery
+    "event_transition_matrix",  # lead() transitions; event_frequent_paths (in-window) walks the same lead() window
+    "user_survival_curve",      # retention curve; user_value_time_corr (in-window) pays the same user-keyed window
+    "doc_len_quantile_norm",    # rank normalization; doc_char_weighted_quantiles (in-window) is the weighted twin
+    "events_weekly_seasonality_error", # seasonal backtest; events_daily_cusum (in-window) monitors the same daily grid
+    "user_audio_features",      # audio mapInPandas; r9 driver row fresh, video_frame_sample (deferred, r9-green) is the Arrow-path twin
+    #
+    # -- driver-green r07/r08 history, still deferred --
     "quality_scores",           # heuristic quality scoring; text_stats + repetition_stats in-window cover text signals
     "deterministic_sample_docs", # R1 seeded shuffle; corpus_mix in-window covers seeded md5 sampling
     "pricing_summary",          # A2-A5 grouped stats; stats_matrix_documents + events_stats_by_type in-window cover them
@@ -9674,8 +9718,6 @@ _DEFERRED_QUERIES = (
     "union_balance_stats",      # U1 union+uniqueness; corpus_mix in-window unions tagged sources with the same checks
     "window_running_sum",       # analytic running frames; window_rank_events + event_funnel in-window cover user windows
     "asof_next_purchase",       # forward as-of; asof_click_purchase (backward) + asof_tolerance_purchase stay in-window
-    #
-    # -- r9-born, deferred at birth (family in-window) --
     "doc_kfold_counts",         # stratified k-fold; corpus_mix in-window covers seeded md5 assignment
     "url_canonical_dedup",      # URL canonicalize+dedup; dedup_canonical in-window resolves the same hash-groupBy dedup
     "semantic_dedup_keep",      # SemDeDup cluster-then-compare; simhash_near_pairs + ivf family in-window cover near-dup + trained cells
@@ -9687,79 +9729,28 @@ _DEFERRED_QUERIES = (
     "customer_table_fingerprint", # reconciliation checksum; documents_profile family in-window covers one-pass table stats
     "doc_chunk_dedup_stats",    # content-defined chunking; doc_winnowing_stats in-window covers per-char k-gram fingerprints
     "token_budget_mix",         # exact per-source budgets; corpus_mix in-window is the in-expectation form
-    "daily_purchase_auc",       # grouped rank-sum AUC; purchase_auc in-window is the same estimator, global path
-    "bm25_ndcg",                # ranking eval over bm25's output; doc_tfidf_similar_pairs in-window covers the tf/idf weighting
-    "user_selfjoin_size_estimate", # CMS join-size estimate; event_type_skew_profile in-window covers join diagnostics
-    "doc_overlap_pairs",        # winnowing overlap join; doc_winnowing_stats (in-window) verifies the same fingerprints
-    "event_chain_shortest_paths", # weighted SSSP; event_chain_bfs_levels (in-window) walks the same frontier loop
-    "view_purchase_span_overlaps", # banded interval-overlap join; click_purchase_interval_join (in-window) is the interval-predicate twin
-    "incremental_dedup_probe",  # asymmetric LSH probe; dedup_canonical + simhash_near_pairs (in-window) cover near-dup banding
-    "purchase_roc_points",      # full ROC sweep; purchase_auc (in-window) is the same levels + rank machinery
-    "events_value_hist_quantiles", # mergeable histogram quantiles; quantity_quantiles (in-window) is the exact twin
-    "streaming_value_hist_quantiles", # histogram fold over stream; streaming_tumbling (in-window) covers the streaming path
-    "part_size_price_skyline",  # 2-D Pareto front; window_rank_events + cheapest_supplier (rank-per-group) are the nearest in-window extremum ops
-    "event_frequent_paths",     # contiguous sequence mining; event_transition_matrix (in-window) walks the same user-keyed lead() window
-    "doc_dup_span_stats",       # exact substring-dedup coverage; doc_winnowing_stats (in-window) fingerprints the same k-gram stream
-    "doc_lang_source_chi2",     # categorical chi-square; events_category_entropy + lineitem_corr_matrix cover the stats family in-window
-    "doc_char_weighted_quantiles", # weight-fraction quantiles; doc_len_quantile_norm (in-window) is the rank-normalization twin
-    "embedding_projection",     # JL sign projection; embedding_centroids (in-window) covers exact vector arithmetic
-    "bm25_retrieval_metrics",   # binary IR eval; purchase_auc + purchase_calibration (in-window) cover the eval family
-    "doc_containment_pairs",    # asymmetric containment join; doc_tfidf_similar_pairs (in-window) is the df-banded token self-join twin
-    "user_value_twa",           # time-weighted mean; event_transition_matrix (in-window) pays the same user-keyed lead() window
-    "embedding_kcenter",        # greedy k-center coreset; kmeans_centroids + ivf_topk (in-window) cover iterative centroid loops
-    "doc_lang_nb_confusion",    # in-engine NB classifier; lang_id + vocab_token_class (in-window) cover token-class signals
-    "purchase_view_ks",         # two-sample KS; events_stats_by_type + customer_profile_drift cover distribution stats in-window
-    "part_copurchase_communities", # label-propagation cores; event_chain_bfs_levels (in-window) covers iterative frontier loops
-    "events_daily_cusum",       # CUSUM changepoint; events_weekly_seasonality_error (in-window) covers the daily series family
-    "purchase_view_hll_intersect", # HLL inclusion-exclusion; hll_distinct_users (deferred, r8-green) is the single-sketch base
-    "kmeans_silhouette",        # cluster-quality eval; kmeans_centroids + ivf_topk (in-window) run the same Lloyd training
-    "purchase_view_psi",        # PSI drift score; events_value_histogram family + purchase_view_ks cover binned drift
-    "embedding_pair_profile",   # pairwise-cosine health profile; embedding_centroids (in-window) covers vector arithmetic
-    "corpus_zipf_fit",          # Zipf-law corpus fingerprint; vocab_top100 (entry flagship) is the same token agg
-    "streaming_value_psi",      # PSI fold over a stream; streaming_tumbling (in-window) covers the streaming path
-    "corpus_curation_v3",       # session-4 capstone; corpus_curation_v2 (deferred, r8-green) + etl_caption_pipeline (in-window) cover composition
-    "doc_lang_source_infogain", # mutual information; events_category_entropy + doc_lang_source_chi2 cover the contingency family
-    "user_value_time_corr",     # trailing Pearson frames; window_rank_events (in-window) covers user-keyed window frames
-    "doc_char_gini",            # mass-concentration Gini; doc_char_weighted_quantiles + events_value_deciles cover rank machinery
-    "event_type_ks_report",     # per-group KS fan-out; purchase_view_ks is the two-group base, event_type_skew_profile the diagnostic twin
-    "lineitem_price_benford",   # Benford first-digit audit; orders_dq_report (deferred, r8-green) covers the DQ family
-    "copurchase_butterflies",   # bipartite 4-cycle census; part_copurchase_triangles (deferred, r8-green) is the one-mode twin
-    "lineitem_zonemap_pruning", # zone-map prune audit; events_value_deciles (in-window) pays the same ntile global sort, layout pytest covers Z-order
-    "part_copurchase_assortativity", # degree fingerprint; part_copurchase_triangles (deferred, r8-green) walks the same edges
-    #
-    # -- session-6 additions, deferred at birth (family in-window) --
-    "purchase_graph_hits",      # HITS power iterations; event_chain_bfs_levels (in-window) covers iterative loops, order_graph_pagerank (deferred, r8-green) is the power-method twin
     "part_copurchase_kcore",    # k-core peeling; event_chain_bfs_levels (in-window) covers iterative frontier loops, part_copurchase_triangles (deferred, r8-green) walks the same edges
     "bucketed_customer_revenue", # bucketed SMB join; nation_trade_volume (in-window) is the same join+agg through the shuffle path
     "sq8_adc_topk",             # SQ8 quantized ANN; ivf_topk + kmeans_centroids (in-window) cover quantized retrieval, pq_adc_topk (deferred, r8-green) is the ADC twin
     "purchase_negative_samples", # contrastive negatives; corpus_mix (in-window) covers seeded md5 draws, customers_without_orders (in-window) the anti-join
     "events_daily_interpolate", # linear gap-fill; events_daily_resample (deferred, r8-green) is the ffill twin, tumbling_daily (in-window) the grid
     "user_running_distinct_types", # running distinct via first-occurrence flags; window_rank_events + event_funnel (in-window) cover user windows
-    "event_value_theilsen",     # robust sampled-pair trend; event_value_trend_by_type (deferred, r8-green) is the OLS twin, quantity_quantiles (in-window) the exact-median machinery
     "orders_fd_report",         # FD profiling; orders_dq_report (deferred, r8-green) covers the DQ-report family, documents_profile the profiler
-    "embedding_mmr_topk",       # MMR diversified retrieval; cosine_topk + embedding_kcenter (deferred, r8-green/verify-green) cover relevance + diversity halves
     "segment_personalized_pagerank", # seed-teleport PPR; order_graph_pagerank (deferred, r8-green) is the uniform twin on the same graph
     "customer_kanonymity",      # k-anonymity gate; orders_dq_report + documents_profile cover the one-agg profiling family
-    "streaming_user_distinct",  # stateful exact distinct over stream; streaming_user_state (deferred, r8-green) is the same applyInPandasWithState path
-    "part_link_prediction",     # RA/Jaccard/CN link scores; part_copurchase_triangles (deferred, r8-green) walks the same wedges, part_association_rules the pair stats
     "purchase_linear_attribution", # multi-touch 1/n credits; purchase_last_touch (deferred, r8-green) is the as-of winner-takes-all twin
     "customer_golden_record",   # per-field survivorship; customer_merge_upsert (deferred, r8-green) + customer_scd2_merge cover the merge family
     "orders_referential_subset", # FK-closed sampling; corpus_mix (in-window) covers md5-threshold cuts, customers_with_orders_semi the semi join
     "orders_bootstrap_ci",      # Poisson-bootstrap CI; purchase_click_ab_stats (deferred, r8-green) covers inference, quantity_quantiles the quantile parity
     "events_trimmed_stats",     # trimmed/winsorized means; events_value_outliers (deferred, r8-green) + quantity_quantiles cover the robust family
     "embedding_hard_negatives", # label-aware hard negatives; cosine_topk (deferred, r7-green) is the same broadcast brute-force scan
-    "corpus_curriculum_stages", # length curriculum; events_value_deciles (deferred, r8-green) is the same exact ntile machinery
     "customer_ldiversity",      # l-diversity homogeneity check; customer_kanonymity (this session, verify-green) is the same one-agg privacy shape
     "doc_labeling_queue",       # margin uncertainty sampling; doc_lang_nb_confusion (deferred, verify-green) trains and scores the same NB model
     "event_value_conformal",    # split-conformal intervals; event_value_trend_by_type (deferred, r8-green) is the same OLS closed form
     "corpus_heaps_fit",         # Heaps vocab-growth fit; corpus_zipf_fit (deferred, verify-green) is the scaled-ln OLS twin
     "events_value_ci_by_type",  # grouped bootstrap CI; orders_bootstrap_ci (this session, verify-green) is the global form of the same pass
     "embedding_centroid_drift", # centroid drift monitor; embedding_pair_profile + customer_profile_drift cover the drift family
-    "customer_rfm_segments",    # RFM quintile segments; events_value_deciles (deferred, r8-green) is the same exact-ntile machinery
     "source_pareto_report",     # Pareto 80/20 table; doc_char_gini (deferred, verify-green) is the concentration scalar on the same mass
-    "temperature_corpus_mix",   # data-derived sqrt(share) mixture; corpus_mix (in-window) is the config-weight twin on the same threshold filter
-    #
-    # -- green in CORRECTNESS_r08 (fresh driver evidence last round) --
     "asof_nearest_purchase",    # as-of join proper; asof_click/next/tolerance in-window cover the directions
     "minhash_lsh_pairs",        # probabilistic LSH; simhash_near_pairs + dedup_canonical in-window cover near-dup
     "image_pipeline_stats",     # multimodal mapInPandas; video_frame_sample in-window is the same Arrow path
@@ -9791,7 +9782,6 @@ _DEFERRED_QUERIES = (
     "bpe_merge_table",          # BPE training; vocab_token_class + token_counts in-window cover tokenizer stats
     "lineitem_corr_matrix",     # exact Pearson matrix; stats_matrix_documents in-window is the same one-pass moments
     "part_copurchase_triangles", # triangle census; event_chain_bfs_levels in-window covers graph traversal
-    "events_value_deciles",     # exact equal-frequency bins; quantity_quantiles in-window computes the same bins
     "streaming_hll_distinct",   # HLL over stream; streaming_tumbling in-window covers the streaming agg path
     "documents_stable_index",   # distributed stable index; part_name_neighborhood_pairs in-window is built ON it
     "customer_profile_drift",   # distribution drift; event_type_skew_profile in-window profiles the same key space
@@ -9799,15 +9789,12 @@ _DEFERRED_QUERIES = (
     "pmi_collocations_top",     # PMI collocations; decontaminate-family n-gram joins covered via vocab in-window
     "mktsegment_target_encoding", # target encoding; region_customer_rollup in-window covers grouped encode stats
     "purchase_click_ab_stats",  # Welch A/B; stats_matrix_documents in-window covers exact-moment aggs
-    "order_feature_matrix",     # per-entity features; orders_pit_attributes in-window builds the PIT feature join
     "events_category_entropy",  # entropy per group; events_stats_by_type in-window covers grouped aggs
     "part_association_rules",   # basket mining; knn_classify in-window covers candidate-pair scoring
     "purchase_last_touch",      # as-of carry; asof_click_purchase (backward) in-window evaluates the same direction
     "streaming_cms_heavy_users", # CMS over stream; streaming_tumbling in-window covers the streaming agg path
     "lineitem_melt_stats",      # unpivot/melt; lineitem_flag_status_cube in-window reshapes the same table
     "jaccard_exact_pairs",      # exact prefix-filter Jaccard; simhash_near_pairs + dedup_canonical in-window cover near-dup
-    #
-    # -- green in CORRECTNESS_r07 (driver evidence 2 rounds back) --
     "orders_rollup",            # rollup: region_customer_rollup (in-window) is the same grouping-set agg
     "nation_segment_distinct",  # distinct counts: lineitem_flag_status_cube (in-window) counts the same exact groups
     "nations_without_suppliers", # J3 anti: customers_without_orders (in-window) runs the same anti-join rule
