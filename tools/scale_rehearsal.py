@@ -170,6 +170,13 @@ REHEARSAL_QUERIES = (
     # rows. pareto: source-grain windows -- cardinality-bounded.
     "customer_rfm_segments",
     "source_pareto_report",
+    # r10 additions: the remaining distributed_ntile riders — every exact
+    # binning now runs the two-level range-partitioned form (range
+    # exchange + broadcast offsets), so these exponents measure a
+    # distributed sort stage, not the old single-partition window.
+    "events_value_deciles",
+    "order_feature_matrix",
+    "lineitem_zonemap_pruning",
 )
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"

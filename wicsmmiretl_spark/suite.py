@@ -9708,7 +9708,10 @@ _DEFERRED_QUERIES = (
     "events_weekly_seasonality_error", # seasonal backtest; events_daily_cusum (in-window) monitors the same daily grid
     "user_audio_features",      # audio mapInPandas; r9 driver row fresh, video_frame_sample (deferred, r9-green) is the Arrow-path twin
     #
-    # -- driver-green r07/r08 history, still deferred --
+    # -- driver-green r07/r08 history, still deferred. NB: the
+    # "in-window" twin names in these historical comments refer to the
+    # window of the round each line was deferred in (r8/r9); every name
+    # keeps oracle coverage via test_deferred_oracle.py regardless --
     "quality_scores",           # heuristic quality scoring; text_stats + repetition_stats in-window cover text signals
     "deterministic_sample_docs", # R1 seeded shuffle; corpus_mix in-window covers seeded md5 sampling
     "pricing_summary",          # A2-A5 grouped stats; stats_matrix_documents + events_stats_by_type in-window cover them
