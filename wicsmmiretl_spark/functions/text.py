@@ -615,12 +615,11 @@ def heaps_fit(
     the zipf_fit discipline — round(ln(·)·scale) bigints, decimal(38)
     moments, one double closed form.
 
-    Scale note: the two running sums ride ONE ordered window over
-    doc-grain rows (not token-grain). At dashboard scales that is the
-    honest single-sort cost; at 100 TB the documented escape is the
-    two-level range-partitioned cumsum (the ``doc_len_quantile_norm``
-    offsets pattern) — checkpoints only need the partition-boundary
-    prefix sums.
+    Scale note: the two running sums ride the two-level range-partitioned
+    cumulative sum (operators/sampling.py:distributed_prefix_sum — range
+    exchange + partition-local window + broadcast partition-boundary
+    offsets), never a single-partition global window, so the doc-grain
+    pass distributes like every other stage.
 
     Output (one row): n_docs, total_tokens, vocab_size (bigint),
     n_points bigint, beta, ln_k, r2 (double, 6dp).
@@ -643,15 +642,12 @@ def heaps_fit(
     hd = per_doc.join(new_vocab, "_id", "left").select(
         "_id", "_nt", F.coalesce("_nv", F.lit(0)).alias("_nv")
     )
-    w = (
-        Window.orderBy("_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wr = Window.orderBy("_id")
-    cum = hd.select(
-        F.sum("_nt").over(w).alias("_nn"),
-        F.sum("_nv").over(w).alias("_vv"),
-        F.row_number().over(wr).alias("_rk"),
+    from wicsmmiretl_spark.operators.sampling import distributed_prefix_sum
+
+    cum = distributed_prefix_sum(
+        hd, ["_id"], ["_nt", "_nv"], rank_col="_rk"
+    ).select(
+        F.col("_nt_cum").alias("_nn"), F.col("_nv_cum").alias("_vv"), "_rk"
     )
     totals = hd.agg(
         F.count("*").cast("long").alias("n_docs"),

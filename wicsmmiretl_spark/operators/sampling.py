@@ -481,6 +481,108 @@ def distributed_ntile(
     return indexed.withColumn(out_col, bucket).drop("_gidx")
 
 
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    rank_col: str | None = None,
+    suffix: str = "_cum",
+) -> DataFrame:
+    """EXACT global running totals — ``SUM(c) OVER (ORDER BY order_cols
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)`` for every column
+    in ``sum_cols`` — without the single-partition window Spark plans for
+    a global order (the same one-task funnel :func:`distributed_ntile`
+    kills for binning, here killed for cumulative sums).
+
+    Two-level form on the :func:`stable_index` machinery: range-exchange
+    + local sort gives each partition a contiguous slice of the total
+    order; ONE tiny per-partition job collects each partition's row count
+    and column sums (#partitions rows to the driver), whose exclusive
+    running totals are broadcast back as per-partition offsets; the
+    partition-LOCAL cumulative window plus the offset is then the exact
+    global prefix sum. The heavy data moves once through a RANGE exchange
+    where every partition does equal work.
+
+    Contract: ``sum_cols`` must be integral (the engine's scaled-int
+    exactness convention — double prefix sums are order-sensitive and
+    belong upstream as scaled bigints); NULLs count as 0 (coalesced on
+    both the offset and the local pass, so the output is always
+    non-null — the practical cumulative-metric semantics, documented
+    here because SQL ``SUM OVER`` would instead propagate a leading
+    all-NULL prefix). ``order_cols`` must be a TOTAL order (end with a
+    unique tiebreak), the contract every deterministic-order operator in
+    the suite carries. The partitioned frame is pinned with a lazy
+    checkpoint so the offset job and the output see the SAME sampled
+    range boundaries.
+
+    Output: input columns + ``{c}{suffix}`` (bigint) per sum column, plus
+    ``rank_col`` (bigint, 1-based dense global rank) when requested.
+    """
+    if not order_cols:
+        raise ValueError("distributed_prefix_sum: order_cols must be non-empty")
+    if not sum_cols:
+        raise ValueError("distributed_prefix_sum: sum_cols must be non-empty")
+    missing = [c for c in (*order_cols, *sum_cols) if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"distributed_prefix_sum: columns {missing} not in {df.columns}"
+        )
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    dtypes = dict(df.dtypes)
+    bad = [c for c in sum_cols if dtypes[c] not in integral]
+    if bad:
+        raise ValueError(
+            "distributed_prefix_sum: sum_cols must be integral (scaled-int "
+            f"contract), got {[(c, dtypes[c]) for c in bad]}"
+        )
+    out_names = [f"{c}{suffix}" for c in sum_cols] + (
+        [rank_col] if rank_col else []
+    )
+    clash = [c for c in out_names if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"distributed_prefix_sum: output columns {clash} already in input"
+        )
+    parts = _ranged_parts(df, order_cols).localCheckpoint(eager=False)
+    per_part = parts.groupBy("_pid").agg(
+        F.count("*").alias("_n"),
+        *[
+            F.sum(F.coalesce(F.col(c).cast("long"), F.lit(0))).alias(f"_s{i}")
+            for i, c in enumerate(sum_cols)
+        ],
+    ).collect()
+    acc_n, accs = 0, [0] * len(sum_cols)
+    rows = []
+    for r in sorted(per_part, key=lambda r: r["_pid"]):
+        rows.append((r["_pid"], acc_n, *accs))
+        acc_n += r["_n"]
+        for i in range(len(sum_cols)):
+            accs[i] += r[f"_s{i}"] or 0
+    schema = "_pid int, _offn bigint" + "".join(
+        f", _off{i} bigint" for i in range(len(sum_cols))
+    )
+    off_df = df.sparkSession.createDataFrame(rows, schema)
+    order = [F.asc(c) for c in order_cols]
+    wcum = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = parts.join(F.broadcast(off_df), "_pid")
+    for i, c in enumerate(sum_cols):
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.sum(F.coalesce(F.col(c).cast("long"), F.lit(0))).over(wcum)
+            + F.col(f"_off{i}"),
+        )
+    if rank_col:
+        wrk = Window.partitionBy("_pid").orderBy(*order)
+        out = out.withColumn(
+            rank_col, F.row_number().over(wrk).cast("long") + F.col("_offn")
+        )
+    return out.drop("_pid", "_offn", *[f"_off{i}" for i in range(len(sum_cols))])
+
+
 def kfold_assign(
     df: DataFrame,
     k: int,
