@@ -101,8 +101,10 @@ class TestSemantics:
         df = _df(spark, n_rows=5)
         with pytest.raises(ValueError, match="order_cols"):
             distributed_prefix_sum(df, [], ["a"])
-        with pytest.raises(ValueError, match="sum_cols must be non-empty"):
+        with pytest.raises(ValueError, match="need sum_cols and/or rank_col"):
             distributed_prefix_sum(df, ["id"], [])
+        with pytest.raises(ValueError, match="overlap"):
+            distributed_prefix_sum(df, ["id"], ["a"], group_cols=["id"])
         with pytest.raises(ValueError, match="not in"):
             distributed_prefix_sum(df, ["id"], ["nope"])
         with pytest.raises(ValueError, match="already in input"):
@@ -110,6 +112,74 @@ class TestSemantics:
         dbl = df.withColumn("d", F.col("a").cast("double"))
         with pytest.raises(ValueError, match="integral"):
             distributed_prefix_sum(dbl, ["id"], ["d"])
+
+
+class TestGrouped:
+    def _gdf(self, spark, n_rows=800, parts=7):
+        # One hot group ("big", ~70% of rows), a few small ones, and a
+        # NULL group — the skew shape the grouped form exists for.
+        rng = random.Random(7)
+        rows = []
+        for i in range(n_rows):
+            r = rng.random()
+            g = "big" if r < 0.7 else (None if r < 0.75 else f"s{rng.randint(0, 3)}")
+            rows.append((i, g, rng.randint(0, 40)))
+        return spark.createDataFrame(
+            rows, "id long, g string, a int"
+        ).repartition(parts)
+
+    def test_matches_grouped_window_exactly(self, spark):
+        df = self._gdf(spark)
+        got = {
+            r["id"]: (r["a_cum"], r["rk"])
+            for r in distributed_prefix_sum(
+                df, ["id"], ["a"], rank_col="rk", group_cols=["g"]
+            ).collect()
+        }
+        w = Window.partitionBy("g").orderBy("id")
+        exp = {
+            r["id"]: (r["a_cum"], r["rk"])
+            for r in df.select(
+                "id",
+                F.sum("a")
+                .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+                .alias("a_cum"),
+                F.row_number().over(w).cast("long").alias("rk"),
+            ).collect()
+        }
+        assert got == exp
+
+    def test_rank_only_mode(self, spark):
+        df = self._gdf(spark, n_rows=200)
+        out = distributed_prefix_sum(
+            df, ["id"], [], rank_col="rk", group_cols=["g"]
+        )
+        assert out.columns == ["id", "g", "a", "rk"]
+        w = Window.partitionBy("g").orderBy("id")
+        exp = {
+            r["id"]: r["rk"]
+            for r in df.select(
+                "id", F.row_number().over(w).cast("long").alias("rk")
+            ).collect()
+        }
+        got = {r["id"]: r["rk"] for r in out.collect()}
+        assert got == exp
+
+    def test_hot_group_spans_partitions(self, spark):
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        try:
+            out = distributed_prefix_sum(
+                self._gdf(spark, n_rows=4000), ["id"], ["a"], group_cols=["g"]
+            )
+            n_parts = (
+                out.filter(F.col("g") == "big")
+                .select(F.spark_partition_id().alias("p"))
+                .distinct()
+                .count()
+            )
+        finally:
+            spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+        assert n_parts > 1, "hot group serialized into one partition"
 
 
 class TestPlanShape:

@@ -177,6 +177,13 @@ REHEARSAL_QUERIES = (
     "events_value_deciles",
     "order_feature_matrix",
     "lineitem_zonemap_pruning",
+    # Grouped two-level cumsum riders: token_budget rides the per-source
+    # running sum, kfold the per-stratum rank, heaps the doc-grain global
+    # cumsum — all through distributed_prefix_sum, so a hot source/
+    # stratum spans partitions instead of serializing into one window
+    # task.
+    "token_budget_mix",
+    "doc_kfold_counts",
 )
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"

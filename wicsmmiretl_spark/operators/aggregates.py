@@ -1164,6 +1164,11 @@ def _ordered_cumsums(
     ``weights`` maps weight column → output column (running total
     INCLUDING the current row). ``descending`` orders high→low (the ROC
     sweep direction).
+
+    This is the LEVEL-grain private form (unique order values, asc/desc,
+    caller-named outputs) the rank statistics are built on; the public
+    row-grain generalization — tiebreak order columns, per-group resets,
+    a global/grouped rank — is ``sampling.distributed_prefix_sum``.
     """
     direction = F.desc(order_col) if descending else F.asc(order_col)
     parts = (

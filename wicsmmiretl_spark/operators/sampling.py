@@ -487,21 +487,25 @@ def distributed_prefix_sum(
     sum_cols: Sequence[str],
     rank_col: str | None = None,
     suffix: str = "_cum",
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """EXACT global running totals — ``SUM(c) OVER (ORDER BY order_cols
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)`` for every column
-    in ``sum_cols`` — without the single-partition window Spark plans for
-    a global order (the same one-task funnel :func:`distributed_ntile`
-    kills for binning, here killed for cumulative sums).
+    """EXACT running totals — ``SUM(c) OVER ([PARTITION BY group_cols]
+    ORDER BY order_cols ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+    ROW)`` for every column in ``sum_cols`` — without the one-task
+    funnels Spark plans for them: the single-partition window of a
+    global order, and (with ``group_cols``) the one-task-per-group
+    window that serializes a HOT group's entire row set (the skew every
+    per-source cumulative operator otherwise carries).
 
     Two-level form on the :func:`stable_index` machinery: range-exchange
-    + local sort gives each partition a contiguous slice of the total
-    order; ONE tiny per-partition job collects each partition's row count
-    and column sums (#partitions rows to the driver), whose exclusive
-    running totals are broadcast back as per-partition offsets; the
+    + local sort on ``(group_cols, order_cols)`` gives each partition a
+    contiguous slice of the total order — a hot group SPANS partitions
+    instead of landing in one task; ONE tiny per-(partition, group) job
+    collects row counts and column sums, whose per-group exclusive
+    running totals in partition order are broadcast back as offsets; the
     partition-LOCAL cumulative window plus the offset is then the exact
-    global prefix sum. The heavy data moves once through a RANGE exchange
-    where every partition does equal work.
+    per-group prefix sum. The heavy data moves once through a RANGE
+    exchange where every partition does equal work.
 
     Contract: ``sum_cols`` must be integral (the engine's scaled-int
     exactness convention — double prefix sums are order-sensitive and
@@ -509,23 +513,46 @@ def distributed_prefix_sum(
     both the offset and the local pass, so the output is always
     non-null — the practical cumulative-metric semantics, documented
     here because SQL ``SUM OVER`` would instead propagate a leading
-    all-NULL prefix). ``order_cols`` must be a TOTAL order (end with a
-    unique tiebreak), the contract every deterministic-order operator in
-    the suite carries. The partitioned frame is pinned with a lazy
-    checkpoint so the offset job and the output see the SAME sampled
-    range boundaries.
+    all-NULL prefix). ``order_cols`` must be a TOTAL order within each
+    group (end with a unique tiebreak), the contract every
+    deterministic-order operator in the suite carries. ``group_cols``
+    must be LOW-cardinality (sources, strata: the offsets frame is
+    #partitions × #groups-per-partition rows to the driver) — the
+    regime where the plain grouped window hurts; a HIGH-cardinality
+    group column means every group already fits one task, which is
+    exactly when the plain ``Window.partitionBy`` is the right tool
+    instead. NULL group values form their own group (null-safe offset
+    join). The partitioned frame is pinned with a lazy checkpoint so
+    the offset job and the output see the SAME sampled range boundaries.
 
-    Output: input columns + ``{c}{suffix}`` (bigint) per sum column, plus
-    ``rank_col`` (bigint, 1-based dense global rank) when requested.
+    Output: input columns + ``{c}{suffix}`` (bigint) per sum column,
+    plus ``rank_col`` (bigint, 1-based dense rank — per group when
+    ``group_cols`` is given, else global) when requested. ``sum_cols``
+    may be empty for rank-only use (the distributed ``row_number``).
+
+    Sibling: ``aggregates._ordered_cumsums`` is the level-grain private
+    form (unique order values, asc/desc sweeps) the rank statistics ride;
+    this is the row-grain public generalization.
     """
     if not order_cols:
         raise ValueError("distributed_prefix_sum: order_cols must be non-empty")
-    if not sum_cols:
-        raise ValueError("distributed_prefix_sum: sum_cols must be non-empty")
-    missing = [c for c in (*order_cols, *sum_cols) if c not in df.columns]
+    if not sum_cols and not rank_col:
+        raise ValueError(
+            "distributed_prefix_sum: need sum_cols and/or rank_col"
+        )
+    sum_cols = list(sum_cols)
+    group_cols = list(group_cols)
+    missing = [
+        c for c in (*group_cols, *order_cols, *sum_cols) if c not in df.columns
+    ]
     if missing:
         raise ValueError(
             f"distributed_prefix_sum: columns {missing} not in {df.columns}"
+        )
+    overlap = set(group_cols) & set(order_cols)
+    if overlap:
+        raise ValueError(
+            f"distributed_prefix_sum: group_cols and order_cols overlap: {sorted(overlap)}"
         )
     integral = {"tinyint", "smallint", "int", "bigint"}
     dtypes = dict(df.dtypes)
@@ -543,32 +570,54 @@ def distributed_prefix_sum(
         raise ValueError(
             f"distributed_prefix_sum: output columns {clash} already in input"
         )
-    parts = _ranged_parts(df, order_cols).localCheckpoint(eager=False)
-    per_part = parts.groupBy("_pid").agg(
+    parts = _ranged_parts(df, [*group_cols, *order_cols]).localCheckpoint(
+        eager=False
+    )
+    per_part = parts.groupBy("_pid", *group_cols).agg(
         F.count("*").alias("_n"),
         *[
             F.sum(F.coalesce(F.col(c).cast("long"), F.lit(0))).alias(f"_s{i}")
             for i, c in enumerate(sum_cols)
         ],
     ).collect()
-    acc_n, accs = 0, [0] * len(sum_cols)
+    # Exclusive per-group running totals in partition order: the range
+    # exchange on (group, order) makes pid order == global order within
+    # every group, so one ascending-pid pass with a per-group accumulator
+    # yields each (pid, group) cell's exact offset.
+    acc: dict[tuple, list[int]] = {}
     rows = []
     for r in sorted(per_part, key=lambda r: r["_pid"]):
-        rows.append((r["_pid"], acc_n, *accs))
-        acc_n += r["_n"]
+        key = tuple(r[c] for c in group_cols)
+        cur = acc.setdefault(key, [0] * (1 + len(sum_cols)))
+        rows.append((r["_pid"], *key, *cur))
+        cur[0] += r["_n"]
         for i in range(len(sum_cols)):
-            accs[i] += r[f"_s{i}"] or 0
-    schema = "_pid int, _offn bigint" + "".join(
-        f", _off{i} bigint" for i in range(len(sum_cols))
+            cur[1 + i] += r[f"_s{i}"] or 0
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    off_schema = StructType(
+        [StructField("_opid", IntegerType(), False)]
+        + [
+            StructField(f"_g{j}", df.schema[c].dataType, True)
+            for j, c in enumerate(group_cols)
+        ]
+        + [StructField("_offn", LongType(), False)]
+        + [
+            StructField(f"_off{i}", LongType(), False)
+            for i in range(len(sum_cols))
+        ]
     )
-    off_df = df.sparkSession.createDataFrame(rows, schema)
+    off_df = df.sparkSession.createDataFrame(rows, off_schema)
+    cond = F.col("_pid") == F.col("_opid")
+    for j, c in enumerate(group_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_g{j}"))
     order = [F.asc(c) for c in order_cols]
     wcum = (
-        Window.partitionBy("_pid")
+        Window.partitionBy("_pid", *group_cols)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = parts.join(F.broadcast(off_df), "_pid")
+    out = parts.join(F.broadcast(off_df), cond)
     for i, c in enumerate(sum_cols):
         out = out.withColumn(
             f"{c}{suffix}",
@@ -576,11 +625,17 @@ def distributed_prefix_sum(
             + F.col(f"_off{i}"),
         )
     if rank_col:
-        wrk = Window.partitionBy("_pid").orderBy(*order)
+        wrk = Window.partitionBy("_pid", *group_cols).orderBy(*order)
         out = out.withColumn(
             rank_col, F.row_number().over(wrk).cast("long") + F.col("_offn")
         )
-    return out.drop("_pid", "_offn", *[f"_off{i}" for i in range(len(sum_cols))])
+    return out.drop(
+        "_pid",
+        "_opid",
+        "_offn",
+        *[f"_g{j}" for j in range(len(group_cols))],
+        *[f"_off{i}" for i in range(len(sum_cols))],
+    )
 
 
 def kfold_assign(
@@ -603,9 +658,10 @@ def kfold_assign(
       repartition-stable) with the key columns as the total-order tiebreak,
       and ``fold = (rank - 1) % k``. Fold sizes within every stratum differ
       by at most 1 — the exactness property a small eval split needs. Cost:
-      ONE stratum-keyed window shuffle; a single mega-stratum serializes
-      into one task's window, so at 100 TB either provide a reasonable
-      ``stratum_col`` or flip to the stateless mode.
+      one RANGE exchange on (stratum, hash order) — the per-stratum rank
+      rides :func:`distributed_prefix_sum`, so a mega-stratum (or the
+      no-stratum global order) spans partitions instead of serializing
+      into one task's window.
     * ``balanced=False``: ``fold = first-32-hash-bits % k`` — a pure
       map-side projection, no shuffle, binomially balanced (±√n noise).
       The 100 TB default when exact per-stratum balance isn't worth a
@@ -627,10 +683,22 @@ def kfold_assign(
         # conv(hex, 16, 10) on the 8-char prefix = the 32-bit int it encodes.
         fold = F.pmod(F.conv(prefix, 16, 10).cast("long"), F.lit(k)).cast("int")
         return df.withColumn(out_col, fold)
-    part = [stratum_col] if stratum_col is not None else [F.lit(0)]
-    order = [F.asc_nulls_last(prefix)] + [F.asc(c) for c in key_cols]
-    w = Window.partitionBy(*part).orderBy(*order)
-    return df.withColumn(out_col, ((F.row_number().over(w) - F.lit(1)) % F.lit(k)).cast("int"))
+    # The per-stratum rank rides the grouped two-level machinery: a mega-
+    # stratum (or the no-stratum global order) spans partitions instead of
+    # serializing into one task's window. NULL hash prefixes (NULL keys)
+    # rank last via a sentinel above the hex alphabet, preserving the old
+    # asc_nulls_last order exactly.
+    staged = df.withColumn("_pfx", F.coalesce(prefix, F.lit("~")))
+    ranked = distributed_prefix_sum(
+        staged,
+        order_cols=["_pfx", *key_cols],
+        sum_cols=(),
+        rank_col="_rn",
+        group_cols=[stratum_col] if stratum_col is not None else (),
+    )
+    return ranked.withColumn(
+        out_col, ((F.col("_rn") - F.lit(1)) % F.lit(k)).cast("int")
+    ).drop("_pfx", "_rn")
 
 
 def token_budget_sample(
@@ -655,32 +723,34 @@ def token_budget_sample(
     so membership is stable under budget increases (a bigger budget only
     ADDS rows — the property dataset versioning wants). A row larger than
     the entire budget is dropped. Over-budget sources are cut exactly;
-    under-budget sources keep everything.
+    under-budget sources keep everything. A NULL ``size_col`` counts as
+    0 (the grouped cumsum's coalesce contract — such a row is kept for
+    free rather than poisoning the running total).
 
-    Cost: ONE source-keyed window shuffle (running sum). Hot-source skew:
-    a single source's rows land in one task's window — the same bound
-    every per-source operator here carries; with O(10) sources and 100 TB,
-    split hot sources upstream or mix with the fraction-based sampler.
+    Cost: one RANGE exchange on (source, hash order) — the per-source
+    running sum rides :func:`distributed_prefix_sum` with the source as
+    the group, so a HOT source spans partitions instead of serializing
+    into one task's window (the skew bound this operator used to carry;
+    the grouped two-level cumsum removed it).
 
     Output: input columns unchanged, filtered.
     """
     if any(b < 0 for b in budgets.values()) or default_budget < 0:
         raise ValueError("token_budget_sample: budgets must be >= 0")
     prefix = _hash_prefix(key_cols, seed)
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(F.asc(prefix), *[F.asc(c) for c in key_cols])
-        .rowsBetween(Window.unboundedPreceding, 0)
+    staged = df.withColumn("_pfx", prefix).withColumn(
+        "_sz", F.col(size_col).cast("long")
     )
-    cum = F.sum(F.col(size_col).cast("long")).over(w)
+    cummed = distributed_prefix_sum(
+        staged,
+        order_cols=["_pfx", *key_cols],
+        sum_cols=["_sz"],
+        group_cols=[source_col],
+    )
     budget = F.lit(int(default_budget))
     for s, b in sorted(budgets.items()):
         budget = F.when(F.col(source_col) == s, F.lit(int(b))).otherwise(budget)
-    return (
-        df.withColumn("_cum", cum)
-        .filter(F.col("_cum") <= budget)
-        .drop("_cum")
-    )
+    return cummed.filter(F.col("_sz_cum") <= budget).drop("_pfx", "_sz", "_sz_cum")
 
 
 def negative_samples(
