@@ -343,6 +343,27 @@ def test_entropy_validates(spark):
         category_entropy(df, ["ghost"])
 
 
+def test_entropy_plan_has_no_window(spark):
+    # Per-column totals must come from a grouped agg + broadcast join,
+    # never a PARTITION BY column window: the window hashes EVERY
+    # (column, value) count row of a column into one task, and a
+    # high-cardinality column has value-grain cardinality approaching
+    # row count. Gate: no window node anywhere, and the totals join is
+    # a broadcast.
+    from wicsmmiretl_spark.operators.aggregates import category_entropy
+
+    rows = [(str(i % 97), str(i)) for i in range(500)]
+    df = spark.createDataFrame(rows, "lo: string, hi: string")
+    plan = (
+        category_entropy(df, ["lo", "hi"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition" not in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
 # ---------------------------------------------------------------------------
 # cms_join_size (AMS inner-product estimator)
 # ---------------------------------------------------------------------------

@@ -216,3 +216,18 @@ class TestPlanShape:
         assert win_lines, f"expected the partition-local cumulative window\n{plan}"
         for line in win_lines:
             assert "_pid" in line, f"un-partitioned window survives:\n{line}"
+
+    def test_pack_assign_rides_the_range_exchange(self, spark, sf_dir):
+        # pack_sequences' per-bucket running total previously rode a
+        # PARTITION BY bucket window — num_buckets tasks however big the
+        # cluster. Same gate as corpus_heaps_fit: every surviving window
+        # must be partitioned by the operator's _pid.
+        from wicsmmiretl_spark.suite import QUERIES
+
+        plan = _plan(QUERIES["pack_assign"](spark, sf_dir))
+        win_lines = [
+            line for line in plan.splitlines() if "windowspecdefinition" in line
+        ]
+        assert win_lines, f"expected the partition-local cumulative window\n{plan}"
+        for line in win_lines:
+            assert "_pid" in line, f"un-partitioned window survives:\n{line}"

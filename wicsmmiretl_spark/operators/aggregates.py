@@ -1096,6 +1096,14 @@ def category_entropy(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     dependent. One explode to (column, value) pairs + two partial aggs;
     intermediate volume is rows × |columns|.
 
+    Scale: per-column totals come from a grouped agg + broadcast join
+    (|columns| rows), NOT a ``PARTITION BY column`` window — the window
+    would hash EVERY (column, value) count row of a column into one
+    task, and a high-cardinality column (the exact thing entropy
+    profiling is pointed at) has value-grain cardinality approaching row
+    count. Every aggregation here partial-aggregates map-side; the only
+    per-column funnel is |columns| final rows.
+
     Output: column string, n bigint (non-NULL rows), n_categories bigint,
     entropy double (6dp), norm_entropy double (6dp).
     """
@@ -1115,16 +1123,18 @@ def category_entropy(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         ).alias("_p")
     ).select("_p.*").filter(F.col("v").isNotNull())
     counts = pairs.groupBy("column", "v").agg(F.count("*").alias("c"))
-    n_tot = F.sum("c").over(Window.partitionBy("column"))
-    p = F.col("c").cast("double") / n_tot.cast("double")
+    totals = counts.groupBy("column").agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_categories")
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
     term_i = F.round((-p * F.log(p)) * F.lit(1e9)).cast("long")
     per_col = (
-        counts.withColumn("_t", term_i)
-        .withColumn("_n", n_tot)
+        counts.join(F.broadcast(totals), "column")
+        .withColumn("_t", term_i)
         .groupBy("column")
         .agg(
-            F.max("_n").alias("n"),
-            F.count("*").alias("n_categories"),
+            F.max("n").alias("n"),
+            F.max("n_categories").alias("n_categories"),
             F.sum("_t").alias("_s"),
         )
     )

@@ -25,7 +25,7 @@ partitionings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from wicsmmiretl_spark.functions.text import tokens
@@ -88,30 +88,36 @@ def pack_sequences(
     may span cuts). Downstream consumers materialize sequence s of bucket b
     by taking its member docs in id order.
 
-    Scale: ``num_buckets`` independent packing streams; the per-bucket
-    window sort is the only shuffle, and skew is bounded because bucket
-    assignment is a modulus over uniformly-distributed ids. Exact integer
+    Scale: ``num_buckets`` independent packing streams whose running
+    token totals ride :func:`~wicsmmiretl_spark.operators.sampling.
+    distributed_prefix_sum` on ``(bucket, id)`` — a bucket SPANS range
+    partitions instead of serializing into one window task, so
+    ``num_buckets`` bounds the number of packing streams, NOT the
+    parallelism (the old ``PARTITION BY bucket`` window capped the sort
+    at ``num_buckets`` tasks however big the cluster). Exact integer
     arithmetic throughout — deterministic on any cluster layout.
     """
     if budget < 1 or num_buckets < 1:
         raise ValueError(f"budget and num_buckets must be >= 1, got {budget}/{num_buckets}")
-    n_tok = F.size(tokens(text_col)).cast("long")
-    w = (
-        Window.partitionBy("bucket")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    from wicsmmiretl_spark.operators.sampling import (
+        _exact_intdiv,
+        distributed_prefix_sum,
     )
+
+    n_tok = F.size(tokens(text_col)).cast("long")
     staged = df.select(
         F.col(id_col),
         F.pmod(F.col(id_col), F.lit(num_buckets)).cast("long").alias("bucket"),
         n_tok.alias("n_tok"),
     )
-    running = F.sum("n_tok").over(w)
-    first_tok = (running - F.col("n_tok")).alias("_first")
-    return staged.select(
+    running = distributed_prefix_sum(
+        staged, order_cols=[id_col], sum_cols=["n_tok"], group_cols=["bucket"]
+    )
+    first_tok = F.col("n_tok_cum") - F.col("n_tok")
+    return running.select(
         F.col(id_col),
         "bucket",
-        F.floor(first_tok / F.lit(budget)).cast("long").alias("seq_idx"),
+        _exact_intdiv(first_tok, budget).alias("seq_idx"),
         F.pmod(first_tok, F.lit(budget)).cast("long").alias("seq_offset"),
         "n_tok",
     )
