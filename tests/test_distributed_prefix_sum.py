@@ -217,6 +217,21 @@ class TestPlanShape:
         for line in win_lines:
             assert "_pid" in line, f"un-partitioned window survives:\n{line}"
 
+    def test_event_type_ks_report_rides_the_range_exchange(self, spark, sf_dir):
+        # grouped_ks_report's per-group grid cumulative previously rode a
+        # PARTITION BY group window — one task per group over value-grain
+        # rows, worst exactly in the drift regime (few groups, many
+        # values). Same gate: every surviving window _pid-partitioned.
+        from wicsmmiretl_spark.suite import QUERIES
+
+        plan = _plan(QUERIES["event_type_ks_report"](spark, sf_dir))
+        win_lines = [
+            line for line in plan.splitlines() if "windowspecdefinition" in line
+        ]
+        assert win_lines, f"expected partition-local cumulative windows\n{plan}"
+        for line in win_lines:
+            assert "_pid" in line, f"un-partitioned window survives:\n{line}"
+
     def test_pack_assign_rides_the_range_exchange(self, spark, sf_dir):
         # pack_sequences' per-bucket running total previously rode a
         # PARTITION BY bucket window — num_buckets tasks however big the

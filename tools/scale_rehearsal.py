@@ -184,6 +184,12 @@ REHEARSAL_QUERIES = (
     # task.
     "token_budget_mix",
     "doc_kfold_counts",
+    # KS drift + packing: the grouped-grid cumulative and the per-bucket
+    # packing totals both moved onto distributed_prefix_sum (group-cols
+    # form) — these exponents measure the range-exchange path, and the
+    # constant offset-job overhead should wash out at 10x.
+    "event_type_ks_report",
+    "pack_assign",
 )
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"

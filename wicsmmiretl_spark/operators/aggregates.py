@@ -2359,9 +2359,13 @@ def grouped_ks_report(
 
     Distributed shape: ONE (value, group) hash agg over the data, the
     offsets-pattern cumsum over the GLOBAL distinct-value levels, and a
-    per-group window over (group, value) rows — the per-group side is
-    partitioned by group, so it parallelizes across groups instead of
-    serializing through one partition. F_rest at a group's value points
+    per-group cumulative that rides
+    :func:`~wicsmmiretl_spark.operators.sampling.distributed_prefix_sum`
+    on (group, value) — a group's value-grain rows SPAN range partitions
+    instead of hashing into one window task (drift reports point at
+    low-cardinality groups over high-cardinality values: the worst
+    regime for a ``PARTITION BY group`` window). Per-group totals are a
+    |G|-row grouped agg broadcast back. F_rest at a group's value points
     is (global cum − group cum)/(n − n_g): the rest's CDF only changes
     at SOME value in the union, and every union value appears in the
     global level table the group rows join to.
@@ -2395,20 +2399,24 @@ def grouped_ks_report(
     # the contingency size, NOT the data size.
     groups = gv.select("_g").distinct()
     grid = groups.crossJoin(glob.select("_v"))
-    w = (
-        Window.partitionBy("_g")
-        .orderBy(F.asc("_v"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    joined = (
-        grid.join(gv, ["_g", "_v"], "left")
-        .withColumn("_cumg", F.sum(F.coalesce("_c", F.lit(0))).over(w))
-        .join(gcum.select("_v", "_cumt"), "_v")
+    from wicsmmiretl_spark.operators.sampling import distributed_prefix_sum
+
+    # Per-group running count without a PARTITION BY _g window (the
+    # operator coalesces NULL _c to 0 — the documented contract) …
+    cumg = distributed_prefix_sum(
+        grid.join(gv, ["_g", "_v"], "left"),
+        order_cols=["_v"],
+        sum_cols=["_c"],
+        group_cols=["_g"],
+    ).withColumnRenamed("_c_cum", "_cumg")
+    # … and per-group totals as a |G|-row agg broadcast back (n_g ==
+    # max cumulative == the group's plain count total).
+    ng = gv.groupBy("_g").agg(F.sum("_c").alias("_ng"))
+    with_ng = (
+        cumg.join(gcum.select("_v", "_cumt"), "_v")
         .crossJoin(F.broadcast(n_tot))
-    )
-    ng_w = Window.partitionBy("_g")
-    with_ng = joined.withColumn("_ng", F.max("_cumg").over(ng_w)).filter(
-        F.col("_ng") > 0
+        .join(F.broadcast(ng), "_g")
+        .filter(F.col("_ng") > 0)
     )
     # |F_g - F_rest| * ng * (n - ng), exact integers:
     # cumg/ng - (cumt-cumg)/(n-ng) -> cumg*(n-ng) - (cumt-cumg)*ng, over
