@@ -190,6 +190,9 @@ REHEARSAL_QUERIES = (
     # constant offset-job overhead should wash out at 10x.
     "event_type_ks_report",
     "pack_assign",
+    # grouped AUC: per-slice running rank on the same machinery (the
+    # theilsen rider above covers the grouped-rank form).
+    "daily_purchase_auc",
 )
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"

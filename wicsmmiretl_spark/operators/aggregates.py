@@ -850,11 +850,14 @@ def grouped_theil_sen(
     the exact interpolated quantile both engines share — fully
     SQL-replayable.
 
-    Scale shape: two windows on the group key (rank by x, rank by md5) +
-    one (key, rank) equi-join + one exact-median agg. Per-group work is
-    O(n log n) in the windows, nothing quadratic; swap the exact median
-    for percentile_approx at 100 TB with the same plan shape
-    (the ``quantity_quantiles`` substitution note).
+    Scale shape: two per-group ranks (by x, by md5) riding
+    :func:`~wicsmmiretl_spark.operators.sampling.distributed_prefix_sum`
+    — a hot group's rows SPAN range partitions instead of hashing into
+    one window task (the trend report's usual keys are low-cardinality
+    segments over row-grain data, the worst window regime) — + one
+    (key, rank) equi-join + one exact-median agg. Nothing quadratic;
+    swap the exact median for percentile_approx at 100 TB with the same
+    plan shape (the ``quantity_quantiles`` substitution note).
 
     Output: key_cols..., slope double (6dp, NULL if no valid pair — a
     pair is valid when its two x values differ), n_pairs bigint.
@@ -871,12 +874,19 @@ def grouped_theil_sen(
         F.col(y_col).cast("double").alias("_y"),
         F.col(id_col).alias("_id"),
     )
-    w_x = Window.partitionBy(*keys).orderBy("_x", "_id")
-    w_h = Window.partitionBy(*keys).orderBy(
-        F.md5(F.concat(F.lit(f"{seed}:"), F.col("_id").cast("string"))), "_id"
+    from wicsmmiretl_spark.operators.sampling import distributed_prefix_sum
+
+    a = distributed_prefix_sum(
+        base, order_cols=["_x", "_id"], sum_cols=[], rank_col="_rn",
+        group_cols=keys,
     )
-    a = base.withColumn("_rn", F.row_number().over(w_x))
-    b = base.withColumn("_rn", F.row_number().over(w_h)).select(
+    hashed = base.withColumn(
+        "_h", F.md5(F.concat(F.lit(f"{seed}:"), F.col("_id").cast("string")))
+    )
+    b = distributed_prefix_sum(
+        hashed, order_cols=["_h", "_id"], sum_cols=[], rank_col="_rn",
+        group_cols=keys,
+    ).select(
         *keys,
         "_rn",
         F.col("_x").alias("_x2"),
@@ -1195,14 +1205,28 @@ def _ordered_cumsums(
         offsets[r["_pid"]] = dict(acc)
         for w in weights:
             acc[w] += r[w]
-    off_df = levels.sparkSession.createDataFrame(
-        [(pid, *[off[w] for w in weights]) for pid, off in offsets.items()],
-        ", ".join(["_pid: int"] + [f"_off_{i}: bigint" for i in range(len(weights))]),
-    )
     local = (
         Window.partitionBy("_pid")
         .orderBy(direction)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Offsets ride a constant-folded pid-indexed literal array (see
+    # sampling._pid_offsets_expr) — no broadcast exchange, no join job;
+    # the broadcast join remains as the many-partitions fallback.
+    from wicsmmiretl_spark.operators.sampling import _pid_offsets_expr
+
+    exprs = [
+        _pid_offsets_expr({pid: off[w] for pid, off in offsets.items()})
+        for w in weights
+    ]
+    if all(e is not None for e in exprs):
+        out = parts
+        for e, (w, out_col) in zip(exprs, weights.items()):
+            out = out.withColumn(out_col, F.sum(w).over(local) + e)
+        return out.drop("_pid")
+    off_df = levels.sparkSession.createDataFrame(
+        [(pid, *[off[w] for w in weights]) for pid, off in offsets.items()],
+        ", ".join(["_pid: int"] + [f"_off_{i}: bigint" for i in range(len(weights))]),
     )
     out = parts.join(F.broadcast(off_df), "_pid")
     for i, (w, out_col) in enumerate(weights.items()):
@@ -1246,11 +1270,11 @@ def binary_auc(
 
     ``by`` turns this into per-slice evaluation (AUC per segment/day —
     the drift monitor for score separability): the level table gains the
-    group key and the running rank becomes a window PARTITIONED by the
-    group (distributed across groups; per-group distinct-score
-    cardinality must fit one partition — bounded in any real slicing;
-    the global path keeps the offsets pattern precisely because it has
-    no such bound).
+    group key and the running rank rides
+    :func:`~wicsmmiretl_spark.operators.sampling.distributed_prefix_sum`
+    on (group, score) — the same offsets pattern as the global path, so
+    a hot slice's level set spans range partitions instead of hashing
+    into one window task; no per-group cardinality bound needed.
 
     ``label_col`` must be boolean or 0/1-integer. Output (one row per
     group; one row total when ``by`` is empty): ``by`` + n_pos bigint,
@@ -1270,12 +1294,15 @@ def binary_auc(
         .agg(F.count("*").alias("_cnt"), F.sum("_y").alias("_pos"))
     )
     if by:
-        wg = (
-            Window.partitionBy(*[F.col(c) for c in by])
-            .orderBy(F.asc("_s"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        ranked = levels.withColumn("_cum", F.sum("_cnt").over(wg))
+        # Per-group running count WITHOUT a PARTITION BY window: a hot
+        # slice (one day holding most of the table) would serialize its
+        # whole level set into one task; the range-partitioned form
+        # spans it across partitions.
+        from wicsmmiretl_spark.operators.sampling import distributed_prefix_sum
+
+        ranked = distributed_prefix_sum(
+            levels, order_cols=["_s"], sum_cols=["_cnt"], group_cols=list(by)
+        ).withColumnRenamed("_cnt_cum", "_cum")
     else:
         ranked = _ordered_cumsum(levels, "_s", "_cnt", "_cum")
     agg = ranked.groupBy(*by).agg(
@@ -2357,18 +2384,19 @@ def grouped_ks_report(
     per-slice fan-out of ``ks_test`` (same integer cross-difference
     criterion, same tie/location rules).
 
-    Distributed shape: ONE (value, group) hash agg over the data, the
-    offsets-pattern cumsum over the GLOBAL distinct-value levels, and a
+    Distributed shape: ONE (value, group) hash agg over the data, and a
     per-group cumulative that rides
     :func:`~wicsmmiretl_spark.operators.sampling.distributed_prefix_sum`
     on (group, value) — a group's value-grain rows SPAN range partitions
     instead of hashing into one window task (drift reports point at
     low-cardinality groups over high-cardinality values: the worst
-    regime for a ``PARTITION BY group`` window). Per-group totals are a
+    regime for a ``PARTITION BY group`` window). The GLOBAL cumulative
+    folds from the grid itself — cumt(v) = Σ_g cumg(g, v) via a
+    per-value window bounded by |G| rows — and per-group totals are a
     |G|-row grouped agg broadcast back. F_rest at a group's value points
     is (global cum − group cum)/(n − n_g): the rest's CDF only changes
     at SOME value in the union, and every union value appears in the
-    global level table the group rows join to.
+    grid the group rows join to.
 
     Caveat vs ``ks_test``: the supremum is evaluated at the group's own
     observed values UNION the global steps via the join on the global
@@ -2387,9 +2415,7 @@ def grouped_ks_report(
         .groupBy(F.col(group_col).alias("_g"), F.col(value_col).alias("_v"))
         .agg(F.count("*").alias("_c"))
     )
-    glob = gv.groupBy("_v").agg(F.sum("_c").alias("_ct"))
-    gcum = _ordered_cumsum(glob, "_v", "_ct", "_cumt")
-    n_tot = gcum.agg(F.max("_cumt").alias("_n"))
+    glob = gv.select("_v").distinct()
     # Per-group cumulative at every GLOBAL step the group participates in
     # is not enough — F_g is constant between its own steps, but F_rest
     # moves. Expand: every (group, global value) pair where either side
@@ -2398,7 +2424,7 @@ def grouped_ks_report(
     # group-joined grid. Grid rows: |V| per group — bounded by |V|·|G|,
     # the contingency size, NOT the data size.
     groups = gv.select("_g").distinct()
-    grid = groups.crossJoin(glob.select("_v"))
+    grid = groups.crossJoin(glob)
     from wicsmmiretl_spark.operators.sampling import distributed_prefix_sum
 
     # Per-group running count without a PARTITION BY _g window (the
@@ -2409,12 +2435,18 @@ def grouped_ks_report(
         sum_cols=["_c"],
         group_cols=["_g"],
     ).withColumnRenamed("_c_cum", "_cumg")
+    # … the GLOBAL running count folded from the grid itself — at any
+    # value v, cumt(v) = Σ_g cumg(g, v), and every v holds exactly |G|
+    # grid rows, so the per-value window is bounded by the group count
+    # (no second offsets pass, no values join) …
+    wv = Window.partitionBy("_v")
+    with_ct = cumg.withColumn("_cumt", F.sum("_cumg").over(wv))
     # … and per-group totals as a |G|-row agg broadcast back (n_g ==
     # max cumulative == the group's plain count total).
     ng = gv.groupBy("_g").agg(F.sum("_c").alias("_ng"))
+    n_tot = ng.agg(F.sum("_ng").alias("_n"))
     with_ng = (
-        cumg.join(gcum.select("_v", "_cumt"), "_v")
-        .crossJoin(F.broadcast(n_tot))
+        with_ct.crossJoin(F.broadcast(n_tot))
         .join(F.broadcast(ng), "_g")
         .filter(F.col("_ng") > 0)
     )

@@ -369,17 +369,49 @@ def stable_index(
     return indexed
 
 
+_OFFSETS_ARRAY_MAX = 4096
+
+
+def _pid_offsets_expr(offsets: dict[int, int]):
+    """O(1)-per-row delivery of per-partition offsets: a literal LONG
+    array indexed by ``_pid`` (``element_at`` is 1-based).
+
+    ``spark_partition_id()`` is dense 0..P-1 on the exchanged frame, but
+    EMPTY partitions never reach the counts job — their slots are filled
+    with the running total so the array stays index-aligned (no row
+    carries such a pid, so the value is never read). Constant-folded:
+    no broadcast exchange, no extra join job, no createDataFrame
+    round-trip — the three jobs the old broadcast-join delivery paid on
+    every call. Returns None above ``_OFFSETS_ARRAY_MAX`` slots (a
+    many-thousand-child literal is where codegen, not the join, becomes
+    the bottleneck) — callers fall back to the broadcast join.
+    """
+    if not offsets:
+        return F.lit(0).cast("long")
+    n_slots = max(offsets) + 1
+    if n_slots > _OFFSETS_ARRAY_MAX:
+        return None
+    arr, acc = [], 0
+    for pid in range(n_slots):
+        acc = offsets.get(pid, acc)
+        arr.append(acc)
+    return F.element_at(
+        F.array(*[F.lit(int(v)).cast("long") for v in arr]), F.col("_pid") + 1
+    )
+
+
 def _ranged_order_index(
     df: DataFrame, order_cols: Sequence[str], out_col: str
 ) -> tuple[DataFrame, int]:
     """The shared two-level machinery behind :func:`stable_index` and
     :func:`distributed_ntile`: range-repartition + local sort on
     ``order_cols``, one tiny per-partition count job whose cumulative
-    offsets (#partitions rows, broadcast back) turn partition-local row
-    numbers into an exact 0-based global index — no single-partition
-    window anywhere. The partitioned frame is pinned with a lazy
-    checkpoint so the offset job and the output see the SAME sampled
-    range boundaries.
+    offsets (#partitions values, re-delivered as a constant-folded
+    pid-indexed literal array — see :func:`_pid_offsets_expr`) turn
+    partition-local row numbers into an exact 0-based global index — no
+    single-partition window anywhere. The partitioned frame is pinned
+    with a lazy checkpoint so the offset job and the output see the
+    SAME sampled range boundaries.
 
     Returns ``(frame + out_col bigint 0-based dense, total row count)``
     — the total rides along for free from the offset pass, which is what
@@ -392,11 +424,18 @@ def _ranged_order_index(
     for r in sorted(counts, key=lambda r: r["_pid"]):
         offsets[r["_pid"]] = acc
         acc += r["_n"]
+    local = Window.partitionBy("_pid").orderBy(*[F.asc(c) for c in order_cols])
+    off = _pid_offsets_expr(offsets)
+    if off is not None:
+        out = (
+            parts.withColumn(out_col, F.row_number().over(local) + off - 1)
+            .drop("_pid")
+        )
+        return out, acc
     spark = df.sparkSession
     off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid: int, _off: bigint"
+        [(pid, o) for pid, o in offsets.items()], "_pid: int, _off: bigint"
     )
-    local = Window.partitionBy("_pid").orderBy(*[F.asc(c) for c in order_cols])
     out = (
         parts.join(F.broadcast(off_df), "_pid")
         .withColumn(out_col, F.row_number().over(local) + F.col("_off") - 1)
@@ -593,6 +632,109 @@ def distributed_prefix_sum(
         cur[0] += r["_n"]
         for i in range(len(sum_cols)):
             cur[1 + i] += r[f"_s{i}"] or 0
+    order = [F.asc(c) for c in order_cols]
+    wcum = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wrk = Window.partitionBy("_pid", *group_cols).orderBy(*order)
+    out = _attach_offsets(df, parts, rows, group_cols, len(sum_cols))
+    for i, c in enumerate(sum_cols):
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.sum(F.coalesce(F.col(c).cast("long"), F.lit(0))).over(wcum)
+            + F.col(f"_off{i}"),
+        )
+    if rank_col:
+        out = out.withColumn(
+            rank_col, F.row_number().over(wrk).cast("long") + F.col("_offn")
+        )
+    return out.drop(
+        "_pid",
+        "_offn",
+        *[f"_off{i}" for i in range(len(sum_cols))],
+    )
+
+
+def _attach_offsets(
+    df: DataFrame,
+    parts: DataFrame,
+    rows: list,
+    group_cols: list,
+    n_sums: int,
+) -> DataFrame:
+    """Attach the per-(partition, group) exclusive running totals
+    (``_offn`` + ``_off{i}`` bigint columns) to every row of ``parts``.
+
+    Delivery, cheapest first:
+
+    * no groups — pid-indexed literal LONG arrays
+      (:func:`_pid_offsets_expr`): O(1) per row, constant-folded, zero
+      extra jobs.
+    * grouped, ≤ ``_OFFSETS_ARRAY_MAX`` cells — a pid-indexed literal
+      array whose elements are tiny ``map<struct(groups), struct(offs)>``
+      literals. The RANGE exchange on (group, order) means each
+      partition touches only the handful of groups its slice overlaps,
+      so the inner maps stay a few entries — the linear map probe is
+      O(groups-per-partition), not O(|G|). Struct keys make the lookup
+      null-safe for NULL group values (verified by the NULL-group
+      bit-equality tests). Empty-pid slots reuse the previous map — no
+      row carries such a pid.
+    * otherwise — the broadcast-join fallback (a many-thousand-child
+      literal would push codegen past its method limits).
+    """
+    n_slots = 1 + max((r[0] for r in rows), default=-1)
+    if not group_cols:
+        offn = {r[0]: r[1] for r in rows}
+        per_sum = [{r[0]: r[2 + i] for r in rows} for i in range(n_sums)]
+        en = _pid_offsets_expr(offn)
+        es = [_pid_offsets_expr(d) for d in per_sum]
+        if en is not None and all(e is not None for e in es):
+            out = parts.withColumn("_offn", en)
+            for i, e in enumerate(es):
+                out = out.withColumn(f"_off{i}", e)
+            return out
+    elif rows and len(rows) <= _OFFSETS_ARRAY_MAX and n_slots <= _OFFSETS_ARRAY_MAX:
+        dtypes = [df.schema[c].dataType for c in group_cols]
+        per_pid: dict[int, list] = {}
+        for r in rows:
+            pid, key, offs = r[0], r[1 : 1 + len(group_cols)], r[1 + len(group_cols) :]
+            per_pid.setdefault(pid, []).append((key, offs))
+        val = lambda offs: F.struct(
+            F.lit(int(offs[0])).cast("long").alias("_offn"),
+            *[
+                F.lit(int(o)).cast("long").alias(f"_off{i}")
+                for i, o in enumerate(offs[1:])
+            ],
+        )
+        key_lit = lambda key: F.struct(
+            *[
+                F.lit(v).cast(dt).alias(c)
+                for v, dt, c in zip(key, dtypes, group_cols)
+            ]
+        )
+        maps, prev = [], None
+        for pid in range(n_slots):
+            cells = per_pid.get(pid)
+            if cells is None:
+                maps.append(prev)
+                continue
+            m = F.create_map(
+                *[x for key, offs in cells for x in (key_lit(key), val(offs))]
+            )
+            if prev is None and maps:
+                maps = [m] * len(maps)
+            maps.append(m)
+            prev = m
+        s = F.element_at(
+            F.element_at(F.array(*maps), F.col("_pid") + 1),
+            F.struct(*[F.col(c) for c in group_cols]),
+        )
+        out = parts.withColumn("_offn", s["_offn"])
+        for i in range(n_sums):
+            out = out.withColumn(f"_off{i}", s[f"_off{i}"])
+        return out
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     off_schema = StructType(
@@ -602,39 +744,15 @@ def distributed_prefix_sum(
             for j, c in enumerate(group_cols)
         ]
         + [StructField("_offn", LongType(), False)]
-        + [
-            StructField(f"_off{i}", LongType(), False)
-            for i in range(len(sum_cols))
-        ]
+        + [StructField(f"_off{i}", LongType(), False) for i in range(n_sums)]
     )
     off_df = df.sparkSession.createDataFrame(rows, off_schema)
     cond = F.col("_pid") == F.col("_opid")
     for j, c in enumerate(group_cols):
         cond = cond & F.col(c).eqNullSafe(F.col(f"_g{j}"))
-    order = [F.asc(c) for c in order_cols]
-    wcum = (
-        Window.partitionBy("_pid", *group_cols)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = parts.join(F.broadcast(off_df), cond)
-    for i, c in enumerate(sum_cols):
-        out = out.withColumn(
-            f"{c}{suffix}",
-            F.sum(F.coalesce(F.col(c).cast("long"), F.lit(0))).over(wcum)
-            + F.col(f"_off{i}"),
-        )
-    if rank_col:
-        wrk = Window.partitionBy("_pid", *group_cols).orderBy(*order)
-        out = out.withColumn(
-            rank_col, F.row_number().over(wrk).cast("long") + F.col("_offn")
-        )
-    return out.drop(
-        "_pid",
-        "_opid",
-        "_offn",
-        *[f"_g{j}" for j in range(len(group_cols))],
-        *[f"_off{i}" for i in range(len(sum_cols))],
+    return (
+        parts.join(F.broadcast(off_df), cond)
+        .drop("_opid", *[f"_g{j}" for j in range(len(group_cols))])
     )
 
 
