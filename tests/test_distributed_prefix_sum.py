@@ -221,7 +221,11 @@ class TestPlanShape:
         # grouped_ks_report's per-group grid cumulative previously rode a
         # PARTITION BY group window — one task per group over value-grain
         # rows, worst exactly in the drift regime (few groups, many
-        # values). Same gate: every surviving window _pid-partitioned.
+        # values). Gate: every surviving window is either _pid-partitioned
+        # (the prefix-sum machinery) or the per-VALUE fold of the global
+        # cumulative (partition key "_v" — high-cardinality, exactly |G|
+        # rows per partition; the CORRECT window regime). What must never
+        # appear is a window partitioned by the GROUP ("_g").
         from wicsmmiretl_spark.suite import QUERIES
 
         plan = _plan(QUERIES["event_type_ks_report"](spark, sf_dir))
@@ -230,7 +234,12 @@ class TestPlanShape:
         ]
         assert win_lines, f"expected partition-local cumulative windows\n{plan}"
         for line in win_lines:
-            assert "_pid" in line, f"un-partitioned window survives:\n{line}"
+            assert "_pid" in line or "_v#" in line, (
+                f"un-partitioned window survives:\n{line}"
+            )
+            assert "windowspecdefinition(_g#" not in line, (
+                f"hot-group window survives:\n{line}"
+            )
 
     def test_pack_assign_rides_the_range_exchange(self, spark, sf_dir):
         # pack_sequences' per-bucket running total previously rode a
