@@ -9655,7 +9655,14 @@ _DEFERRED_QUERIES = (
     # customer_ldiversity, doc_labeling_queue, event_value_conformal,
     # corpus_heaps_fit, events_value_ci_by_type,
     # embedding_centroid_drift, source_pareto_report); swap them in
-    # next — that clears the backlog entirely.
+    # next — that clears the backlog entirely. With the remaining ~28
+    # slots, prioritize the queries whose implementation changed in
+    # r10's POST-rotation sessions (hot-key window sweep + pid-array
+    # offsets delivery) but sit below in the deferred block:
+    # pack_assign, events_category_entropy, event_type_ks_report,
+    # purchase_auc, token_budget_mix, doc_kfold_counts, and the
+    # _ordered_cumsums riders (lineitem_price_qty_spearman,
+    # doc_char_gini, events_daily_cusum, customer_profile_drift).
     #
     # -- rotated out r10: green driver rows in CORRECTNESS_r09 --
     "vocab_top100",             # entry flagship — driver still smoke-runs it via entry() every round; corpus_zipf_fit (in-window) aggregates the same tokens
