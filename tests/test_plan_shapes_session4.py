@@ -32,8 +32,18 @@ def test_skyline_no_cartesian_and_broadcast_offsets(spark, sf_dir):
     )
     plan = _plan(skyline_2d(p, "x", "y"))
     assert "CartesianProduct" not in plan, plan
-    # The prefix table joins broadcast (it is #partitions rows).
-    assert "BroadcastHashJoin" in plan
+    # The prefix bests ride a constant-folded pid-indexed literal — no
+    # join of any kind survives ("_prefix" is computed from "_pid", not
+    # joined). The per-x min_by pick sits behind the operator's lazy
+    # checkpoint (Scan ExistingRDD), so its partial-agg shape is pinned
+    # by the candidate-stage assertion below instead.
+    assert "Join" not in plan, plan
+    assert "_prefix" in plan, plan
+    cand_plan = _plan(
+        p.groupBy("x").agg(F.min_by(F.struct("y"), F.col("y")).alias("_b"))
+    )
+    assert "partial_min_by" in cand_plan or "HashAggregate" in cand_plan, cand_plan
+    assert "windowspecdefinition" not in cand_plan, cand_plan
 
 
 def test_containment_join_is_keyed_not_cartesian(spark, sf_dir):

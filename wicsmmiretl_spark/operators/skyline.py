@@ -40,9 +40,11 @@ def skyline_2d(
     excluded (3-valued dominance is not meaningful).
 
     Shape: 1 full-data shuffle (the (x, y) hash agg, combiner-backed),
-    then a per-x window and one range-repartition over the ≤|distinct x|
-    candidates; the global sweep state crosses the driver as one
-    #partitions-row list of per-partition bests.
+    then a per-x min_by/max_by (partial-aggregating — no per-x window
+    task) and one range-repartition over the ≤|distinct x| candidates;
+    the global sweep state crosses the driver as one #partitions-row
+    list of per-partition bests, re-delivered as a constant-folded
+    pid-indexed literal.
 
     Output: x_col, y_col (original values/types), n bigint — ascending
     by the x criterion's "good" direction.
@@ -64,12 +66,16 @@ def skyline_2d(
         .agg(F.count("*").alias("n"))
     )
     # Per distinct x only the best y can be on the front (same x, worse y
-    # is dominated strictly in y). One row per distinct x survives.
-    per_x = Window.partitionBy(x_col).orderBy(y_dir(y_col))
-    cand = (
-        pts.withColumn("_rk", F.row_number().over(per_x))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk")
+    # is dominated strictly in y). One row per distinct x survives — via
+    # a partial-aggregating min_by/max_by, NOT a PARTITION BY x window
+    # (the agg combines map-side, so a hot x never serializes its
+    # distinct-y set into one task; y is unique within an x group after
+    # the (x, y) agg, so the pick is deterministic).
+    pick = (F.max_by if maximize_y else F.min_by)(
+        F.struct(F.col(y_col).alias("y"), F.col("n").alias("n")), F.col(y_col)
+    )
+    cand = pts.groupBy(x_col).agg(pick.alias("_b")).select(
+        x_col, F.col("_b.y").alias(y_col), F.col("_b.n").alias("n")
     )
     # Offsets-pattern prefix sweep over the candidates in x order: a
     # candidate is on the front iff its y strictly beats the best y of
@@ -91,24 +97,42 @@ def skyline_2d(
             acc = b
         elif b is not None:
             acc = max(acc, b) if maximize_y else min(acc, b)
-    spark = df.sparkSession
-    y_type = cand.schema[y_col].dataType.simpleString()
-    off = spark.createDataFrame(
-        [(pid, p) for pid, p in prefix.items()],
-        f"_pid: int, _prefix: {y_type}",
-    )
+    y_dtype = cand.schema[y_col].dataType
     local = (
         Window.partitionBy("_pid")
         .orderBy(x_dir)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # The per-partition prefix bests ride a constant-folded pid-indexed
+    # literal array (the sampling._pid_offsets_expr delivery, typed to
+    # the y column) — no broadcast exchange, no join job; fall back to
+    # the broadcast join only past the literal-size guard.
+    from wicsmmiretl_spark.operators.sampling import _OFFSETS_ARRAY_MAX
+
+    n_slots = 1 + max(prefix, default=-1)
+    if prefix and n_slots <= _OFFSETS_ARRAY_MAX:
+        arr, run = [], None
+        for pid in range(n_slots):
+            run = prefix.get(pid, run)
+            arr.append(run)
+        prefix_expr = F.element_at(
+            F.array(*[F.lit(v).cast(y_dtype) for v in arr]), F.col("_pid") + 1
+        )
+        attached = parts.withColumn("_prefix", prefix_expr)
+    else:
+        spark = df.sparkSession
+        off = spark.createDataFrame(
+            [(pid, p) for pid, p in prefix.items()],
+            f"_pid: int, _prefix: {y_dtype.simpleString()}",
+        )
+        attached = parts.join(F.broadcast(off), "_pid")
     # least/greatest skip NULLs (null only when BOTH are), so one call
     # folds the partition-local running best with the broadcast prefix.
     prev_best = (F.greatest if maximize_y else F.least)(
         y_best(F.col(y_col)).over(local), F.col("_prefix")
     )
     return (
-        parts.join(F.broadcast(off), "_pid")
+        attached
         .withColumn("_prev", prev_best)
         .filter(
             F.col("_prev").isNull()
