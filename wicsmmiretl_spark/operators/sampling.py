@@ -372,31 +372,33 @@ def stable_index(
 _OFFSETS_ARRAY_MAX = 4096
 
 
-def _pid_offsets_expr(offsets: dict[int, int]):
-    """O(1)-per-row delivery of per-partition offsets: a literal LONG
-    array indexed by ``_pid`` (``element_at`` is 1-based).
+def _pid_offsets_expr(offsets: dict[int, object], dtype="long"):
+    """O(1)-per-row delivery of per-partition offsets: a literal array
+    (``dtype``-typed, LONG by default) indexed by ``_pid``
+    (``element_at`` is 1-based).
 
     ``spark_partition_id()`` is dense 0..P-1 on the exchanged frame, but
     EMPTY partitions never reach the counts job — their slots are filled
-    with the running total so the array stays index-aligned (no row
-    carries such a pid, so the value is never read). Constant-folded:
-    no broadcast exchange, no extra join job, no createDataFrame
-    round-trip — the three jobs the old broadcast-join delivery paid on
-    every call. Returns None above ``_OFFSETS_ARRAY_MAX`` slots (a
-    many-thousand-child literal is where codegen, not the join, becomes
-    the bottleneck) — callers fall back to the broadcast join.
+    with the running value so the array stays index-aligned (no row
+    carries such a pid, so the value is never read; leading holes are a
+    typed NULL). Constant-folded: no broadcast exchange, no extra join
+    job, no createDataFrame round-trip — the three jobs the old
+    broadcast-join delivery paid on every call. Returns None above
+    ``_OFFSETS_ARRAY_MAX`` slots (a many-thousand-child literal is where
+    codegen, not the join, becomes the bottleneck) — callers fall back
+    to the broadcast join.
     """
     if not offsets:
-        return F.lit(0).cast("long")
+        return F.lit(None).cast(dtype) if dtype != "long" else F.lit(0).cast("long")
     n_slots = max(offsets) + 1
     if n_slots > _OFFSETS_ARRAY_MAX:
         return None
-    arr, acc = [], 0
+    arr, acc = [], None
     for pid in range(n_slots):
         acc = offsets.get(pid, acc)
         arr.append(acc)
     return F.element_at(
-        F.array(*[F.lit(int(v)).cast("long") for v in arr]), F.col("_pid") + 1
+        F.array(*[F.lit(v).cast(dtype) for v in arr]), F.col("_pid") + 1
     )
 
 
@@ -714,19 +716,27 @@ def _attach_offsets(
                 for v, dt, c in zip(key, dtypes, group_cols)
             ]
         )
-        maps, prev = [], None
+        # Empty-pid slots (a range partition that got no rows) must
+        # still occupy their array index, but cloning a neighbor's full
+        # map literal once per hole would make the materialized
+        # expression O(holes × map-size) — a skewed range sample on a
+        # many-partition session could blow analysis/codegen past what
+        # the cell guard above intended. No row carries an empty pid, so
+        # the slot's value is never read: a single shared 1-entry dummy
+        # map (same key/value types) keeps every hole O(1).
+        any_key, any_offs = rows[0][1 : 1 + len(group_cols)], rows[0][1 + len(group_cols) :]
+        dummy = F.create_map(key_lit(any_key), val(any_offs))
+        maps = []
         for pid in range(n_slots):
             cells = per_pid.get(pid)
             if cells is None:
-                maps.append(prev)
+                maps.append(dummy)
                 continue
-            m = F.create_map(
-                *[x for key, offs in cells for x in (key_lit(key), val(offs))]
+            maps.append(
+                F.create_map(
+                    *[x for key, offs in cells for x in (key_lit(key), val(offs))]
+                )
             )
-            if prev is None and maps:
-                maps = [m] * len(maps)
-            maps.append(m)
-            prev = m
         s = F.element_at(
             F.element_at(F.array(*maps), F.col("_pid") + 1),
             F.struct(*[F.col(c) for c in group_cols]),

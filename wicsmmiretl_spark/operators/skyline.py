@@ -106,18 +106,11 @@ def skyline_2d(
     # The per-partition prefix bests ride a constant-folded pid-indexed
     # literal array (the sampling._pid_offsets_expr delivery, typed to
     # the y column) — no broadcast exchange, no join job; fall back to
-    # the broadcast join only past the literal-size guard.
-    from wicsmmiretl_spark.operators.sampling import _OFFSETS_ARRAY_MAX
+    # the broadcast join only past the helper's literal-size guard.
+    from wicsmmiretl_spark.operators.sampling import _pid_offsets_expr
 
-    n_slots = 1 + max(prefix, default=-1)
-    if prefix and n_slots <= _OFFSETS_ARRAY_MAX:
-        arr, run = [], None
-        for pid in range(n_slots):
-            run = prefix.get(pid, run)
-            arr.append(run)
-        prefix_expr = F.element_at(
-            F.array(*[F.lit(v).cast(y_dtype) for v in arr]), F.col("_pid") + 1
-        )
+    prefix_expr = _pid_offsets_expr(prefix, y_dtype) if prefix else None
+    if prefix_expr is not None:
         attached = parts.withColumn("_prefix", prefix_expr)
     else:
         spark = df.sparkSession
