@@ -411,17 +411,23 @@ def test_stream_static_enrich_matches_batch_and_keeps_unmatched(spark, tmp_path)
     assert got == {("A", 2, 3.0), ("B", 1, 4.0), (None, 1, 8.0)}
 
 
-def test_stateful_running_distinct_stream_equals_batch(spark, event_dir):
-    """Exact seen-set state: the final per-user distinct-type snapshot
-    after the whole stream (multi-batch, so state must persist and merge
-    across micro-batches) equals the batch countDistinct."""
+@pytest.mark.parametrize("backend", ["builtin", "python_set"])
+def test_stateful_running_distinct_stream_equals_batch(spark, event_dir, backend):
+    """Exact running distinct on both backends: the final per-user
+    distinct-type snapshot after the whole stream (multi-batch, so state
+    must persist and merge across micro-batches) equals the batch
+    countDistinct — for the default all-JVM dedup→agg composition AND the
+    applyInPandasWithState seen-set template."""
     from pyspark.sql import functions as F
 
     from wicsmmiretl_spark.streaming.stateful import running_user_distinct
 
     stream = read_event_stream(spark, event_dir, max_files_per_trigger=2)
     got_df = run_to_memory_sink(
-        running_user_distinct(stream), "t_stateful_distinct", spark, output_mode="update"
+        running_user_distinct(stream, state_backend=backend),
+        f"t_stateful_distinct_{backend}",
+        spark,
+        output_mode="update",
     )
     final = (
         got_df.groupBy("user_id")

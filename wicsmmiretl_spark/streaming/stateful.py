@@ -118,26 +118,57 @@ def _update_distinct(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> It
     yield pd.DataFrame({"user_id": [key[0]], "n_distinct_types": [len(seen)]})
 
 
-def running_user_distinct(events: DataFrame) -> DataFrame:
-    """Per-user running EXACT distinct event-type count as an
-    arbitrary-state operator: the streaming twin of the batch
-    ``user_running_distinct_types`` windows (there, first-occurrence
-    flags; here, the seen-set IS the state, persisted across
+def running_user_distinct(events: DataFrame, state_backend: str = "builtin") -> DataFrame:
+    """Per-user running EXACT distinct event-type count on a stream: the
+    streaming twin of the batch ``user_running_distinct_types`` windows
+    (there, first-occurrence flags; here, state persisted across
     micro-batches, one updated snapshot row per touched user per batch).
 
-    Exact-set state is the right tool only for BOUNDED domains (event
-    types, countries, product tiers — cardinalities in the hundreds); the
-    state size guard raises at 100k values per key, above which the
-    mergeable-sketch path (``stream_hll_registers``) is the 100 TB
-    answer — this operator trades that approximation away where the
-    domain allows it. On a batch DataFrame the same semantics degenerate
-    to ``countDistinct`` — the unified batch/stream testing pattern.
+    ``state_backend='builtin'`` (default) expresses the semantics as a
+    composition of Spark's own stateful operators — streaming
+    ``dropDuplicates(user, type)`` feeding a stateful count — so state
+    lives JVM-side in the state store (one compact key per distinct
+    (user, type) pair, RocksDB-spillable) and NO row crosses into Python.
+    This is the 100 TB path: the r9 rehearsal measured the Python
+    seen-set form at exponent 0.83 (per-key Python invocation + array
+    state round-trip scale with the key count); the built-in composition
+    is the same cost family as the engine's other JVM stream aggs
+    (exponent ~0.1). First-occurrence rows flow dedup → agg, so the
+    count updates exactly when a user's seen-set grows — identical
+    update-mode snapshots to the seen-set form.
+
+    ``state_backend='python_set'`` keeps the ``applyInPandasWithState``
+    seen-set form: the template for per-key state machines Spark's
+    built-ins CANNOT compose (this one they can — kept for parity tests
+    and as the pattern to copy for genuinely custom state). Its state
+    guard raises at 100k values per key; above bounded domains the
+    mergeable-sketch path (``stream_hll_registers``) is the answer.
+
+    On a batch DataFrame both backends degenerate to ``countDistinct`` —
+    the unified batch/stream testing pattern. NULL event types never
+    count (``countDistinct`` semantics) on any path. No watermark is
+    involved: an all-time exact distinct keeps one state entry per
+    distinct pair by definition, on either backend.
     """
     if not events.isStreaming:
         from pyspark.sql import functions as F
 
         return events.groupBy("user_id").agg(
             F.count_distinct("event_type").cast("long").alias("n_distinct_types")
+        )
+    if state_backend == "builtin":
+        from pyspark.sql import functions as F
+
+        return (
+            events.filter(F.col("event_type").isNotNull())
+            .dropDuplicates(["user_id", "event_type"])
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_distinct_types"))
+        )
+    if state_backend != "python_set":
+        raise ValueError(
+            f"running_user_distinct: unknown state_backend {state_backend!r} "
+            "(expected 'builtin' or 'python_set')"
         )
     return events.groupBy("user_id").applyInPandasWithState(
         _update_distinct,

@@ -9185,11 +9185,13 @@ def q_part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_streaming_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming exact distinct: per-user running distinct
-    event-type count via applyInPandasWithState (seen-set state, update
-    mode), reduced to the final snapshot per user (the count is monotone
-    across batches). The streaming twin of user_running_distinct_types'
-    batch windows; the oracle is the batch countDistinct
-    (streaming/stateful.py:running_user_distinct)."""
+    event-type count as a composition of Spark's own stateful operators
+    (streaming dropDuplicates(user, type) → stateful count, update mode —
+    all-JVM state; the applyInPandasWithState seen-set form remains as
+    state_backend='python_set'), reduced to the final snapshot per user
+    (the count is monotone across batches). The streaming twin of
+    user_running_distinct_types' batch windows; the oracle is the batch
+    countDistinct (streaming/stateful.py:running_user_distinct)."""
     from wicsmmiretl_spark.streaming.stateful import running_user_distinct
     from wicsmmiretl_spark.streaming.windows import read_event_stream, run_to_memory_sink
 
