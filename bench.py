@@ -93,14 +93,17 @@ def main() -> None:
     # SPARK_GRAFT_FULL_OUT overrides the destination (tests point it at a
     # tmp dir so contract runs don't shadow real round evidence); set it
     # empty to disable the write.
+    #
+    # The prior-round lookup MUST happen before this write: globbing after
+    # it would return the file this run just produced and every ratio
+    # below would compare the run to itself (all 1.0, regressions dead).
+    prev = _latest_prior_bench(sf)
     try:
         override = os.environ.get("SPARK_GRAFT_FULL_OUT")
         if override == "":
             raise OSError("full-timings write disabled by SPARK_GRAFT_FULL_OUT=")
         full_path = (
-            Path(override) / _next_full_bench_path().name
-            if override
-            else _next_full_bench_path()
+            _next_full_bench_path(Path(override)) if override else _next_full_bench_path()
         )
         full_path.write_text(
             json.dumps(
@@ -125,7 +128,6 @@ def main() -> None:
     # Round-over-round diagnostics go to STDERR only: the driver keeps just
     # the last 2000 chars of stdout, and embedding ratios in the metric line
     # made it unparseable in r3 (BENCH_r03.json parsed: null).
-    prev = _latest_prior_bench(sf)
     if prev:
         ratios = {
             name: round(t / prev[name], 2)
@@ -206,19 +208,32 @@ def main() -> None:
     sys.stdout.flush()
 
 
-def _next_full_bench_path() -> Path:
+def _next_full_bench_path(root: Path | None = None) -> Path:
     """BENCH_FULL_r{N}.json for the round currently being benched: one past
-    the highest-numbered driver artifact (BENCH_r{N}.json) on disk."""
-    root = Path(__file__).resolve().parent
+    the highest-numbered driver artifact (BENCH_r{N}.json) on disk.
+
+    Never clobbers an existing sidecar — a committed canonical is round
+    evidence the notes cite, and a later run of the same round (a spot
+    check, the driver's own bench) must not silently replace it. Further
+    runs before the next driver artifact get a ``.k`` suffix
+    (BENCH_FULL_r10.1.json, .2, ...); ``_latest_prior_bench`` understands
+    the suffix and prefers the newest."""
+    root = root or Path(__file__).resolve().parent
     latest = 0
     for p in root.glob("BENCH_r*.json"):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
         if m:
             latest = max(latest, int(m.group(1)))
-    return root / f"BENCH_FULL_r{latest + 1}.json"
+    k = 0
+    while True:
+        suffix = "" if k == 0 else f".{k}"
+        cand = root / f"BENCH_FULL_r{latest + 1}{suffix}.json"
+        if not cand.exists():
+            return cand
+        k += 1
 
 
-def _latest_prior_bench(sf: float | None) -> dict[str, float] | None:
+def _latest_prior_bench(sf: float | None, root: Path | None = None) -> dict[str, float] | None:
     """Per-query times from the highest-numbered bench record at this sf,
     preferring BENCH_FULL_r{N}.json (every query) over the driver's
     BENCH_r{N}.json metric-line tail (slowest ~64 only).
@@ -228,12 +243,15 @@ def _latest_prior_bench(sf: float | None) -> dict[str, float] | None:
     compares across scales.
     """
     candidates = []
-    for p in Path(__file__).resolve().parent.glob("BENCH_*.json"):
-        m = re.fullmatch(r"BENCH_(?:FULL_)?r(\d+)\.json", p.name)
+    for p in (root or Path(__file__).resolve().parent).glob("BENCH_*.json"):
+        m = re.fullmatch(r"BENCH_(?:FULL_)?r(\d+)(?:\.(\d+))?\.json", p.name)
         if m:
-            # FULL files sort ahead of the driver artifact of the same round.
-            candidates.append((int(m.group(1)), "FULL" in p.name, p))
-    for _, _, p in sorted(candidates, reverse=True):
+            # FULL files sort ahead of the driver artifact of the same
+            # round; within a round's FULL files, the highest .k rerun wins.
+            candidates.append(
+                (int(m.group(1)), "FULL" in p.name, int(m.group(2) or 0), p)
+            )
+    for _, _, _, p in sorted(candidates, reverse=True):
         try:
             doc = json.loads(p.read_text())
         except (OSError, json.JSONDecodeError):

@@ -94,3 +94,42 @@ def test_bench_flaky_second_run_keeps_first_timing(spark, monkeypatch, capsys, t
     assert "flaky" in doc["queries"]
     assert doc["queries"]["flaky"] > 0
     assert "RuntimeError" in doc["errors"]["flaky"]
+
+
+def test_bench_sidecar_numbering_never_clobbers(tmp_path):
+    """The full-timings sidecar must never overwrite an existing file —
+    a committed canonical is round evidence; reruns of the same round get
+    a .k suffix instead."""
+    import bench
+
+    assert bench._next_full_bench_path(tmp_path).name == "BENCH_FULL_r1.json"
+    (tmp_path / "BENCH_r03.json").write_text("{}")
+    p = bench._next_full_bench_path(tmp_path)
+    assert p.name == "BENCH_FULL_r4.json"
+    p.write_text("{}")
+    assert bench._next_full_bench_path(tmp_path).name == "BENCH_FULL_r4.1.json"
+    (tmp_path / "BENCH_FULL_r4.1.json").write_text("{}")
+    assert bench._next_full_bench_path(tmp_path).name == "BENCH_FULL_r4.2.json"
+
+
+def test_bench_prior_prefers_full_then_rerun_then_driver(tmp_path):
+    """ratio_vs_prev's prior: newest round wins; within a round a FULL
+    sidecar beats the clipped driver tail, and a .k rerun beats the base
+    sidecar; priors at a different sf are skipped (never compare scales)."""
+    import json as _json
+
+    import bench
+
+    (tmp_path / "BENCH_r04.json").write_text(
+        _json.dumps({"parsed": {"queries": {"q": 9.0}, "sf": 0.1}})
+    )
+    assert bench._latest_prior_bench(0.1, tmp_path) == {"q": 9.0}
+    (tmp_path / "BENCH_FULL_r4.json").write_text(
+        _json.dumps({"queries": {"q": 2.0}, "sf": 0.1})
+    )
+    assert bench._latest_prior_bench(0.1, tmp_path) == {"q": 2.0}
+    (tmp_path / "BENCH_FULL_r4.1.json").write_text(
+        _json.dumps({"queries": {"q": 3.0}, "sf": 0.1})
+    )
+    assert bench._latest_prior_bench(0.1, tmp_path) == {"q": 3.0}
+    assert bench._latest_prior_bench(0.01, tmp_path) is None

@@ -20,7 +20,7 @@ from __future__ import annotations
 import random
 
 import pytest
-from pyspark.sql import Window
+from pyspark.sql import Row, Window
 from pyspark.sql import functions as F
 
 from wicsmmiretl_spark.operators.sampling import distributed_ntile
@@ -65,14 +65,25 @@ class TestSemantics:
 
     def test_validates(self, spark):
         df = _df(spark, n_rows=5)
-        with pytest.raises(ValueError, match="n must be >= 2"):
-            distributed_ntile(df, ["v", "id"], 1)
+        with pytest.raises(ValueError, match="n must be >= 1"):
+            distributed_ntile(df, ["v", "id"], 0)
         with pytest.raises(ValueError, match="order_cols"):
             distributed_ntile(df, [], 4)
         with pytest.raises(ValueError, match="not in"):
             distributed_ntile(df, ["nope"], 4)
         with pytest.raises(ValueError, match="already has"):
             distributed_ntile(df, ["v", "id"], 4, out_col="v")
+        with pytest.raises(ValueError, match="_pid"):
+            distributed_ntile(df.withColumn("_pid", F.lit(0)), ["v", "id"], 4)
+
+    def test_n1_is_the_trivial_single_bucket(self, spark):
+        """ntile(1) is legal Spark (every row bucket 1) and layout callers
+        use it as the single-file degenerate baseline — no exchange, no
+        offsets job, just a constant column."""
+        df = _df(spark, n_rows=9)
+        out = distributed_ntile(df, ["v", "id"], 1, "b")
+        assert dict(out.dtypes)["b"] == "int"
+        assert out.groupBy("b").count().collect() == [Row(b=1, count=9)]
 
 
 class TestPlanShape:

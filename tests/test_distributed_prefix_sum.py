@@ -112,6 +112,22 @@ class TestSemantics:
         dbl = df.withColumn("d", F.col("a").cast("double"))
         with pytest.raises(ValueError, match="integral"):
             distributed_prefix_sum(dbl, ["id"], ["d"])
+        with pytest.raises(ValueError, match="_pid"):
+            distributed_prefix_sum(df.withColumn("_pid", F.lit(0)), ["id"], ["a"])
+
+    def test_group_cardinality_cap_raises_loudly(self, spark, monkeypatch):
+        """The LOW-cardinality group contract is enforced, not just
+        documented: past the (partition, group) cell cap the operator
+        raises a descriptive error naming the plain grouped window as the
+        right plan, instead of bottlenecking the driver with the collect."""
+        import wicsmmiretl_spark.operators.sampling as s
+
+        monkeypatch.setattr(s, "_PREFIX_SUM_MAX_CELLS", 3)
+        df = spark.createDataFrame(
+            [(i, f"g{i}", 1) for i in range(16)], "id long, g string, a int"
+        )
+        with pytest.raises(ValueError, match="high-cardinality"):
+            distributed_prefix_sum(df, ["id"], ["a"], group_cols=["g"])
 
 
 class TestGrouped:

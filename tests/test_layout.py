@@ -138,6 +138,27 @@ class TestZonemapPruningReport:
             ).collect()
         }
 
+    def test_single_file_baseline_is_legal(self, spark):
+        """n_files=1 (the degenerate single-file baseline — legal Spark
+        ntile(1)) must produce a valid no-pruning report, not a confusing
+        error from the binning helper."""
+        from wicsmmiretl_spark.operators.layout import zonemap_pruning_report
+
+        rep = {
+            (r["strategy"], r["predicate"]): r
+            for r in zonemap_pruning_report(
+                self._grid(spark),
+                cols=["a", "b"],
+                n_files=1,
+                predicates=[("a_band", {"a": (10, 13)})],
+                tiebreak=["tb"],
+            ).collect()
+        }
+        for key, r in rep.items():
+            assert r["n_files"] == 1
+            assert r["files_read"] == 1
+            assert r["prune_fraction"] == 0.0
+
     def test_linear_prunes_only_sort_key(self, spark):
         rep = self._report(spark)
         # 64 files over 64 'a' stripes: a-band of width 4 reads 4 files

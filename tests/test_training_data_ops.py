@@ -296,6 +296,28 @@ def test_token_budget_sample_exact_and_monotone(spark):
         token_budget_sample(df, "src", "sz", {"s0": -1}, ["id"])
 
 
+def test_sampling_scratch_name_guards(spark):
+    """kfold_assign and token_budget_sample reject inputs that already carry
+    their internal scratch columns (_pfx/_rn, _pfx/_sz/_sz_cum) instead of
+    silently overwriting and dropping user data — the 'input columns
+    unchanged' contract enforced, matching salted_join's _salt guard."""
+    import pytest
+
+    from wicsmmiretl_spark.operators.sampling import kfold_assign, token_budget_sample
+
+    df = spark.createDataFrame([(1, "a", 5)], "id long, src string, sz long")
+    with pytest.raises(ValueError, match="_pfx"):
+        kfold_assign(df.withColumnRenamed("src", "_pfx"), 2, ["id"])
+    with pytest.raises(ValueError, match="_rn"):
+        kfold_assign(df.withColumnRenamed("src", "_rn"), 2, ["id"])
+    with pytest.raises(ValueError, match="_sz_cum"):
+        token_budget_sample(
+            df.withColumnRenamed("src", "_sz_cum"), "id", "sz", {}, ["id"]
+        )
+    with pytest.raises(ValueError, match="_sz"):
+        token_budget_sample(df.withColumnRenamed("src", "_sz"), "id", "sz", {}, ["id"])
+
+
 class TestNegativeSamples:
     def _tables(self, spark):
         # 3 users; user 1 bought items 1-8 of 10 (heavily provisioned),

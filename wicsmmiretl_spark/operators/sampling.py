@@ -371,6 +371,12 @@ def stable_index(
 
 _OFFSETS_ARRAY_MAX = 4096
 
+# distributed_prefix_sum collects one offsets row per (partition, group)
+# cell; past this many cells the driver round-trip is the bottleneck and
+# the caller is in the high-cardinality regime where the plain grouped
+# window is the right plan. ~256k cells of a few longs stays tens of MB.
+_PREFIX_SUM_MAX_CELLS = 262_144
+
 
 def _pid_offsets_expr(offsets: dict[int, object], dtype="long"):
     """O(1)-per-row delivery of per-partition offsets: a literal array
@@ -450,7 +456,17 @@ def _ranged_parts(df: DataFrame, order_cols: Sequence[str]) -> DataFrame:
     """The range stage of :func:`_ranged_order_index`, pre-checkpoint:
     range exchange + local sort + partition id. Split out so plan-shape
     tests can pin the exchange kind (the lazy checkpoint downstream
-    truncates lineage to a ``Scan ExistingRDD``, hiding it)."""
+    truncates lineage to a ``Scan ExistingRDD``, hiding it).
+
+    Guards the ``_pid`` scratch name for every caller (stable_index,
+    distributed_ntile, distributed_prefix_sum): an input column of that
+    name would be silently overwritten and dropped."""
+    if "_pid" in df.columns:
+        raise ValueError(
+            "input must not already have a '_pid' column — it is the "
+            "internal partition-id scratch name of the two-level "
+            "range-partitioned operators (rename it upstream)"
+        )
     return (
         df.repartitionByRange(*[F.asc(c) for c in order_cols])
         .sortWithinPartitions(*[F.asc(c) for c in order_cols])
@@ -501,8 +517,8 @@ def distributed_ntile(
 
     Output: input columns + ``out_col`` int in [1, n].
     """
-    if n < 2:
-        raise ValueError(f"distributed_ntile: n must be >= 2, got {n}")
+    if n < 1:
+        raise ValueError(f"distributed_ntile: n must be >= 1, got {n}")
     if not order_cols:
         raise ValueError("distributed_ntile: order_cols must be non-empty")
     missing = [c for c in order_cols if c not in df.columns]
@@ -510,6 +526,11 @@ def distributed_ntile(
         raise ValueError(f"distributed_ntile: columns {missing} not in {df.columns}")
     if out_col in df.columns:
         raise ValueError(f"distributed_ntile: input already has a {out_col!r} column")
+    if n == 1:
+        # ntile(1) is every row in bucket 1 — legal in Spark and used as a
+        # degenerate single-file baseline by layout callers; no exchange,
+        # no offsets job.
+        return df.withColumn(out_col, F.lit(1).cast("int"))
     indexed, total = _ranged_order_index(df, order_cols, "_gidx")
     base, rem = divmod(total, n)
     cut = rem * (base + 1)
@@ -558,7 +579,9 @@ def distributed_prefix_sum(
     group (end with a unique tiebreak), the contract every
     deterministic-order operator in the suite carries. ``group_cols``
     must be LOW-cardinality (sources, strata: the offsets frame is
-    #partitions × #groups-per-partition rows to the driver) — the
+    #partitions × #groups-per-partition rows to the driver; ENFORCED —
+    more than ``_PREFIX_SUM_MAX_CELLS`` offset cells raises a
+    descriptive ValueError rather than bottlenecking the driver) — the
     regime where the plain grouped window hurts; a HIGH-cardinality
     group column means every group already fits one task, which is
     exactly when the plain ``Window.partitionBy`` is the right tool
@@ -614,13 +637,42 @@ def distributed_prefix_sum(
     parts = _ranged_parts(df, [*group_cols, *order_cols]).localCheckpoint(
         eager=False
     )
-    per_part = parts.groupBy("_pid", *group_cols).agg(
+    per_part_df = parts.groupBy("_pid", *group_cols).agg(
         F.count("*").alias("_n"),
         *[
             F.sum(F.coalesce(F.col(c).cast("long"), F.lit(0))).alias(f"_s{i}")
             for i, c in enumerate(sum_cols)
         ],
-    ).collect()
+    )
+    if group_cols:
+        # LOW-cardinality guard, enforced not just documented: the offsets
+        # job collects one row per (partition, group) cell, so a
+        # high-cardinality group column would turn the driver into the
+        # bottleneck — and that regime is exactly where the plain grouped
+        # window is already the right plan (each group fits one task).
+        # Persist the tiny agg so the guard count and the collect read one
+        # cached pass, not two executions (the salted_join pattern).
+        from pyspark.storagelevel import StorageLevel
+
+        per_part_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n_cells = per_part_df.count()
+            if n_cells > _PREFIX_SUM_MAX_CELLS:
+                raise ValueError(
+                    f"distributed_prefix_sum: {n_cells} (partition, group) offset "
+                    f"cells exceed the {_PREFIX_SUM_MAX_CELLS} driver-safety cap — "
+                    f"group_cols={group_cols} is high-cardinality, which is the "
+                    "regime where each group fits one task and the plain "
+                    "Window.partitionBy(...).orderBy(...) cumulative is the "
+                    "right plan instead of this operator."
+                )
+            per_part = per_part_df.collect()
+        finally:
+            per_part_df.unpersist()
+    else:
+        # Ungrouped: one cell per partition — bounded by the session's
+        # partition count by construction, no guard job needed.
+        per_part = per_part_df.collect()
     # Exclusive per-group running totals in partition order: the range
     # exchange on (group, order) makes pid order == global order within
     # every group, so one ascending-pid pass with a per-group accumulator
@@ -806,6 +858,12 @@ def kfold_assign(
     """
     if k < 2:
         raise ValueError(f"kfold_assign: k must be >= 2, got {k}")
+    taken = [c for c in ("_pfx", "_rn") if c in df.columns]
+    if taken:
+        raise ValueError(
+            f"kfold_assign: input must not already have {taken} — internal "
+            "scratch names (they would be overwritten and dropped)"
+        )
     prefix = _hash_prefix(key_cols, seed)
     if not balanced:
         # conv(hex, 16, 10) on the 8-char prefix = the 32-bit int it encodes.
@@ -865,6 +923,13 @@ def token_budget_sample(
     """
     if any(b < 0 for b in budgets.values()) or default_budget < 0:
         raise ValueError("token_budget_sample: budgets must be >= 0")
+    taken = [c for c in ("_pfx", "_sz", "_sz_cum") if c in df.columns]
+    if taken:
+        raise ValueError(
+            f"token_budget_sample: input must not already have {taken} — "
+            "internal scratch names (they would be overwritten and dropped, "
+            "breaking the 'input columns unchanged' contract)"
+        )
     prefix = _hash_prefix(key_cols, seed)
     staged = df.withColumn("_pfx", prefix).withColumn(
         "_sz", F.col(size_col).cast("long")

@@ -1087,12 +1087,22 @@ def simplified_silhouette(
             )
     # Silhouette is undefined for k=1 (there is no "nearest OTHER
     # centroid"); with a single cell the top-2 slice has no element 2 and
-    # every s would silently null out — reject loudly instead.
-    n_cells = centroids.count()
-    if n_cells < 2:
+    # every s would silently null out — reject loudly instead. k is small
+    # by construction (kmeans_train output), so collect the cells ONCE and
+    # feed the broadcast below from the collected rows: the validation
+    # rides for free and the centroids' upstream plan (often an expensive
+    # training lineage) executes exactly once, not once for a count and
+    # again for the cross. A degenerate huge "centroids" input falls back
+    # to the lazy frame rather than loading the driver.
+    cent_rows = centroids.limit(65_537).collect()
+    if len(cent_rows) < 2:
         raise ValueError(
-            f"simplified_silhouette: need >= 2 centroid cells, got {n_cells} "
+            f"simplified_silhouette: need >= 2 centroid cells, got {len(cent_rows)} "
             "(silhouette is undefined for k=1)"
+        )
+    if len(cent_rows) <= 65_536:
+        centroids = embeddings.sparkSession.createDataFrame(
+            cent_rows, centroids.schema
         )
     v = embeddings.select(
         F.col(id_col),

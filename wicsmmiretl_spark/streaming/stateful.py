@@ -133,9 +133,14 @@ def running_user_distinct(events: DataFrame, state_backend: str = "builtin") -> 
     seen-set form at exponent 0.83 (per-key Python invocation + array
     state round-trip scale with the key count); the built-in composition
     is the same cost family as the engine's other JVM stream aggs
-    (exponent ~0.1). First-occurrence rows flow dedup → agg, so the
-    count updates exactly when a user's seen-set grows — identical
-    update-mode snapshots to the seen-set form.
+    (exponent ~0.1). Per-batch emission differs from the seen-set form:
+    only first-occurrence rows survive the dedup, so a user's count row
+    is (re)emitted exactly when their seen-set GROWS, while the
+    python_set form re-emits an unchanged snapshot for every touched
+    user. The counts emitted are identical, and any final-snapshot
+    reduction (max per user — monotone counts) agrees between backends;
+    consumers of per-batch update traffic should expect the sparser
+    emission here.
 
     ``state_backend='python_set'`` keeps the ``applyInPandasWithState``
     seen-set form: the template for per-key state machines Spark's
