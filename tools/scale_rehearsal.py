@@ -193,6 +193,30 @@ REHEARSAL_QUERIES = (
     # grouped AUC: per-slice running rank on the same machinery (the
     # theilsen rider above covers the grouped-rank form).
     "daily_purchase_auc",
+    # r10 coverage completion: the remaining top-of-bench queries that had
+    # only a qualitative plan audit, never a measured exponent. curation
+    # v3 / semantic dedup: composed lazy plans of already-audited stages
+    # (fences, exact dedup, k-means cells) over the Caesar-10x corpus.
+    # pagerank/communities: fixed power/propagation iterations on the
+    # DISTINCT edge set (lineitem copies share order/part keys, so edges
+    # are constant — the exponents isolate edge-dedup + fixed rounds).
+    # kmeans centroids/silhouette: fixed-iteration Lloyd on 10x vectors,
+    # broadcast k×dim centroids; silhouette is one n×k broadcast cross.
+    # image pipeline: the Arrow-batched mapInPandas multimodal path over
+    # 10x synthetic fetches. hybrid fusion: two bounded top-k rank lists
+    # RRF-joined. association rules: pair-agg volume bounded by the
+    # per-order basket budget (the wedge family). benford: one
+    # first-digit hash agg, class-bounded output.
+    "corpus_curation_v3",
+    "order_graph_pagerank",
+    "kmeans_silhouette",
+    "semantic_dedup_keep",
+    "image_pipeline_stats",
+    "part_copurchase_communities",
+    "kmeans_centroids",
+    "hybrid_rank_fusion",
+    "part_association_rules",
+    "lineitem_price_benford",
 )
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
