@@ -712,6 +712,52 @@ def test_semantic_dedup_min_id_survivor(spark):
     assert out == out_re
 
 
+def test_semantic_dedup_cell_target_scales_k(spark):
+    """cell_target makes the paper's operating point (k ≈ n / cell size) a
+    knob: k is raised to ceil(n / cell_target) so expected cell size — and
+    the within-cell pair budget — stays constant as the corpus grows. The
+    planted duplicates still collapse identically (near-identical vectors
+    always share a cell: same argmax), one output row per input, derived k
+    is visible as a larger distinct-cell count, and misuse raises."""
+    import pytest
+
+    from wicsmmiretl_spark.operators.dedup import semantic_dedup
+
+    def unit(axis, eps, dim=8):
+        v = [eps] * dim
+        v[axis] = 1.0
+        return v
+
+    rows = []
+    for axis in range(8):
+        rows += [(axis * 100 + j, unit(axis, 0.005 * j)) for j in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # 24 vectors, cell_target=3 -> k raised from 2 to ceil(24/3)=8.
+    out = semantic_dedup(df, tau=0.95, k=2, iters=3, seed=3, cell_target=3)
+    got = {r.vec_id: (r.cell, r.keep) for r in out.collect()}
+    assert len(got) == len(rows)
+    n_cells = len({c for c, _ in got.values()})
+    assert n_cells > 2  # derived k took effect (k=2 caps cells at 2)
+    # The keep rule holds per (axis, cell) subgroup: vectors of one axis
+    # are τ-similar, so wherever they SHARE a cell the min id survives and
+    # the rest drop; a triple split across a cell boundary is the
+    # documented SemDeDup miss mode (cross-cell pairs are never compared),
+    # not an error — each fragment keeps its own min id.
+    for axis in range(8):
+        ids = [axis * 100 + j for j in range(3)]
+        by_cell: dict[int, list[int]] = {}
+        for i in ids:
+            by_cell.setdefault(got[i][0], []).append(i)
+        for members in by_cell.values():
+            survivor = min(members)
+            for i in members:
+                assert got[i][1] == (i == survivor), (axis, members, i)
+
+    with pytest.raises(ValueError, match="cell_target"):
+        semantic_dedup(df, tau=0.95, cell_target=1)
+
+
 def test_content_defined_chunks_resynchronize_after_edit(spark):
     """Chunks cover the normalized text exactly; boundaries depend only on
     local content — an edit near the front changes the chunking locally

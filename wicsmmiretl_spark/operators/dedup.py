@@ -794,6 +794,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    cell_target: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (Abbas et al. 2023, arXiv:2303.09540 — public): cluster with k-means,
@@ -813,13 +814,33 @@ def semantic_dedup(
       operating point is k large enough that cells hold ~10³-10⁴ vectors
       (k ≈ n / cell_target); at 100 TB you raise ``k``, not the join.
 
+    ``cell_target`` makes that operating point a knob instead of caller
+    arithmetic: when set, ``k`` is raised to ``max(k, ceil(n /
+    cell_target))`` (one count job), so EXPECTED cell size — and with it
+    the within-cell pair budget per vector — stays constant as the corpus
+    grows. A fixed ``k`` over growing data drifts toward quadratic pair
+    volume (the 10× rehearsal measures exponent ~1 at fixed k=8 vs ~0.5
+    with cell_target pinned); fixed ``k`` remains the right call only when
+    the corpus size is itself fixed, e.g. to match a replayable oracle.
+    Derived-k determinism: k depends only on the input row count, so the
+    decision chain stays engine-replayable.
+
     Cosines are rounded to 6dp before the ≥ τ compare (the suite's
     cross-engine determinism discipline). Output: ``id_col``, ``cell``
     (int), ``keep`` (boolean) — one row per input vector; downstream the
     kept set is ``filter(keep)``.
     """
+    import math
+
     from wicsmmiretl_spark.operators.similarity import kmeans_train
 
+    if cell_target is not None:
+        if cell_target < 2:
+            raise ValueError(
+                f"semantic_dedup: cell_target must be >= 2, got {cell_target}"
+            )
+        n = embeddings.count()
+        k = max(k, math.ceil(n / cell_target))
     cent = kmeans_train(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
     )
