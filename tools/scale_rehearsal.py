@@ -217,6 +217,38 @@ REHEARSAL_QUERIES = (
     "hybrid_rank_fusion",
     "part_association_rules",
     "lineitem_price_benford",
+    # Session-3 tier-2 completion: everything still unmeasured above
+    # ~1.8 s in the third canonical. incremental probe: new-batch ×
+    # corpus banding. surprisal/nb/curation-v2: token scans + broadcast
+    # models over the Caesar-10x corpus. span overlaps: the time-banded
+    # interval self-join — the one shape here where 10x events at a
+    # CONSTANT calendar span could grow per-band pair volume
+    # superlinearly (that's what the measurement is for). resample:
+    # calendar-bounded grid. containment/jaccard/entity resolution:
+    # banded or blocked pair generation, prefix/df bounds. near-dup: the
+    # DELIBERATE exact O(n^2) baseline (max_rows-guarded; LSH/IVF/
+    # SemDeDup are the scale paths) — expect exponent ~2 by design.
+    # shortest paths/assortativity/butterflies: disjoint graph copies,
+    # edge-bounded wedge budgets. video/hll/cms: Arrow batch path and
+    # fixed-size sketch folds. roc points: distinct-level offsets ranks.
+    "incremental_dedup_probe",
+    "bigram_surprisal_docs",
+    "corpus_curation_v2",
+    "view_purchase_span_overlaps",
+    "events_daily_resample",
+    "doc_containment_pairs",
+    "events_value_outliers",
+    "event_chain_shortest_paths",
+    "part_copurchase_assortativity",
+    "doc_lang_nb_confusion",
+    "copurchase_butterflies",
+    "video_frame_sample",
+    "hll_distinct_users",
+    "part_entity_resolution",
+    "purchase_roc_points",
+    "embedding_near_dup",
+    "jaccard_exact_pairs",
+    "streaming_cms_heavy_users",
 )
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
