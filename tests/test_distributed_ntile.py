@@ -75,6 +75,10 @@ class TestSemantics:
             distributed_ntile(df, ["v", "id"], 4, out_col="v")
         with pytest.raises(ValueError, match="_pid"):
             distributed_ntile(df.withColumn("_pid", F.lit(0)), ["v", "id"], 4)
+        # Uniform across n: the n=1 fast path must reject _pid too, so an
+        # n_files sweep over [1, 2, ...] fails consistently at n=1.
+        with pytest.raises(ValueError, match="_pid"):
+            distributed_ntile(df.withColumn("_pid", F.lit(0)), ["v", "id"], 1)
 
     def test_n1_is_the_trivial_single_bucket(self, spark):
         """ntile(1) is legal Spark (every row bucket 1) and layout callers

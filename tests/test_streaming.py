@@ -440,3 +440,45 @@ def test_stateful_running_distinct_stream_equals_batch(spark, event_dir, backend
         for r in running_user_distinct(spark.read.parquet(event_dir)).collect()
     }
     assert got == want
+
+
+def test_stateful_running_distinct_null_only_user_and_backend_validation(
+    spark, tmp_path
+):
+    """A user whose event types are ALL NULL must emit a count-0 row on
+    every path (batch countDistinct semantics — the builtin dedup keeps
+    one NULL row per user instead of filtering the user away); a
+    misspelled backend raises on batch AND streaming inputs alike."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from wicsmmiretl_spark.streaming.stateful import running_user_distinct
+
+    rows = [(1, None), (1, None), (2, "click"), (2, None), (2, "view")]
+    batch = spark.createDataFrame(rows, "user_id long, event_type string")
+    src = str(tmp_path / "nulluser")
+    batch.write.parquet(src)
+    want = {1: 0, 2: 2}
+
+    assert {
+        r.user_id: r.n_distinct_types for r in running_user_distinct(batch).collect()
+    } == want
+
+    for backend in ("builtin", "python_set"):
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        snap = run_to_memory_sink(
+            running_user_distinct(stream, state_backend=backend),
+            f"t_null_user_{backend}",
+            spark,
+            output_mode="update",
+        )
+        got = {
+            r.user_id: r.n_distinct_types
+            for r in snap.groupBy("user_id")
+            .agg(F.max("n_distinct_types").alias("n_distinct_types"))
+            .collect()
+        }
+        assert got == want, backend
+
+    with pytest.raises(ValueError, match="state_backend"):
+        running_user_distinct(batch, state_backend="python_st")

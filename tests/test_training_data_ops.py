@@ -310,6 +310,10 @@ def test_sampling_scratch_name_guards(spark):
         kfold_assign(df.withColumnRenamed("src", "_pfx"), 2, ["id"])
     with pytest.raises(ValueError, match="_rn"):
         kfold_assign(df.withColumnRenamed("src", "_rn"), 2, ["id"])
+    # The stateless path is a pure projection touching no scratch names —
+    # the guard must NOT fire there (it previously worked; keep it so).
+    out = kfold_assign(df.withColumnRenamed("src", "_rn"), 2, ["id"], balanced=False)
+    assert out.columns == ["id", "_rn", "sz", "fold"]
     with pytest.raises(ValueError, match="_sz_cum"):
         token_budget_sample(
             df.withColumnRenamed("src", "_sz_cum"), "id", "sz", {}, ["id"]

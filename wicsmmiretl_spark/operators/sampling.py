@@ -526,6 +526,14 @@ def distributed_ntile(
         raise ValueError(f"distributed_ntile: columns {missing} not in {df.columns}")
     if out_col in df.columns:
         raise ValueError(f"distributed_ntile: input already has a {out_col!r} column")
+    if "_pid" in df.columns:
+        # Uniform with _ranged_parts' guard: validate BEFORE the n==1 fast
+        # path so an n_files sweep over [1, 2, ...] fails consistently at
+        # n=1 instead of surprising the caller mid-sweep at n=2.
+        raise ValueError(
+            "distributed_ntile: input must not already have a '_pid' column — "
+            "internal scratch name of the two-level range-partitioned operators"
+        )
     if n == 1:
         # ntile(1) is every row in bucket 1 — legal in Spark and used as a
         # degenerate single-file baseline by layout callers; no exchange,
@@ -858,17 +866,20 @@ def kfold_assign(
     """
     if k < 2:
         raise ValueError(f"kfold_assign: k must be >= 2, got {k}")
+    prefix = _hash_prefix(key_cols, seed)
+    if not balanced:
+        # conv(hex, 16, 10) on the 8-char prefix = the 32-bit int it encodes.
+        # No scratch-name guard here: the stateless path is a pure
+        # projection that touches no internal columns.
+        fold = F.pmod(F.conv(prefix, 16, 10).cast("long"), F.lit(k)).cast("int")
+        return df.withColumn(out_col, fold)
     taken = [c for c in ("_pfx", "_rn") if c in df.columns]
     if taken:
         raise ValueError(
             f"kfold_assign: input must not already have {taken} — internal "
-            "scratch names (they would be overwritten and dropped)"
+            "scratch names of the balanced path (they would be overwritten "
+            "and dropped)"
         )
-    prefix = _hash_prefix(key_cols, seed)
-    if not balanced:
-        # conv(hex, 16, 10) on the 8-char prefix = the 32-bit int it encodes.
-        fold = F.pmod(F.conv(prefix, 16, 10).cast("long"), F.lit(k)).cast("int")
-        return df.withColumn(out_col, fold)
     # The per-stratum rank rides the grouped two-level machinery: a mega-
     # stratum (or the no-stratum global order) spans partitions instead of
     # serializing into one task's window. NULL hash prefixes (NULL keys)

@@ -1092,15 +1092,18 @@ def simplified_silhouette(
     # feed the broadcast below from the collected rows: the validation
     # rides for free and the centroids' upstream plan (often an expensive
     # training lineage) executes exactly once, not once for a count and
-    # again for the cross. A degenerate huge "centroids" input falls back
-    # to the lazy frame rather than loading the driver.
-    cent_rows = centroids.limit(65_537).collect()
+    # again for the cross. The pull is bounded at 4096+1 rows — generous
+    # for any real k, small enough (rows carry dim-sized vectors) that a
+    # mistakenly-huge "centroids" frame can't load the driver; past the
+    # cap the original lazy frame is kept (double execution accepted for
+    # the degenerate case only).
+    cent_rows = centroids.limit(4097).collect()
     if len(cent_rows) < 2:
         raise ValueError(
             f"simplified_silhouette: need >= 2 centroid cells, got {len(cent_rows)} "
             "(silhouette is undefined for k=1)"
         )
-    if len(cent_rows) <= 65_536:
+    if len(cent_rows) <= 4096:
         centroids = embeddings.sparkSession.createDataFrame(
             cent_rows, centroids.schema
         )

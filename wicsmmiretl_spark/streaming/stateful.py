@@ -151,10 +151,19 @@ def running_user_distinct(events: DataFrame, state_backend: str = "builtin") -> 
 
     On a batch DataFrame both backends degenerate to ``countDistinct`` —
     the unified batch/stream testing pattern. NULL event types never
-    count (``countDistinct`` semantics) on any path. No watermark is
-    involved: an all-time exact distinct keeps one state entry per
-    distinct pair by definition, on either backend.
+    count (``countDistinct`` semantics) on any path — but a user whose
+    types are ALL NULL still emits a count-0 row on every path (the
+    builtin dedup keeps one NULL row per user rather than filtering,
+    precisely so that user isn't silently dropped; ``count(event_type)``
+    then skips the NULLs). No watermark is involved: an all-time exact
+    distinct keeps one state entry per distinct pair by definition, on
+    either backend.
     """
+    if state_backend not in ("builtin", "python_set"):
+        raise ValueError(
+            f"running_user_distinct: unknown state_backend {state_backend!r} "
+            "(expected 'builtin' or 'python_set')"
+        )
     if not events.isStreaming:
         from pyspark.sql import functions as F
 
@@ -165,15 +174,9 @@ def running_user_distinct(events: DataFrame, state_backend: str = "builtin") -> 
         from pyspark.sql import functions as F
 
         return (
-            events.filter(F.col("event_type").isNotNull())
-            .dropDuplicates(["user_id", "event_type"])
+            events.dropDuplicates(["user_id", "event_type"])
             .groupBy("user_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_distinct_types"))
-        )
-    if state_backend != "python_set":
-        raise ValueError(
-            f"running_user_distinct: unknown state_backend {state_backend!r} "
-            "(expected 'builtin' or 'python_set')"
+            .agg(F.count("event_type").cast("long").alias("n_distinct_types"))
         )
     return events.groupBy("user_id").applyInPandasWithState(
         _update_distinct,
