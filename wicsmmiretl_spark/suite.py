@@ -9665,6 +9665,13 @@ _DEFERRED_QUERIES = (
     # purchase_auc, token_budget_mix, doc_kfold_counts, and the
     # _ordered_cumsums riders (lineitem_price_qty_spearman,
     # doc_char_gini, events_daily_cusum, customer_profile_drift).
+    # Session-3 changed paths to fold into the same re-check set:
+    # kmeans_silhouette (one-shot centroid collect), corpus_heaps_fit /
+    # lineitem_zonemap_pruning (already named above), and
+    # semantic_dedup_keep (cell_target knob added — the suite path
+    # itself is unchanged fixed-k, lowest priority of these).
+    # streaming_user_distinct's builtin reroute is ALREADY in-window
+    # this round, so r10's driver row covers it.
     #
     # -- rotated out r10: green driver rows in CORRECTNESS_r09 --
     "vocab_top100",             # entry flagship — driver still smoke-runs it via entry() every round; corpus_zipf_fit (in-window) aggregates the same tokens
