@@ -249,6 +249,40 @@ REHEARSAL_QUERIES = (
     "embedding_near_dup",
     "jaccard_exact_pairs",
     "streaming_cms_heavy_users",
+    # Session-3 tier-3: the 1.0-1.8 s band. frequent paths / time-corr /
+    # ewma: user-keyed sequence windows over 10x users. rollup / corr
+    # matrix / trade volume / large-quantity / cheapest-per-part /
+    # pricing: classic join+agg shapes over 10x lineitem. bm25 metrics:
+    # bounded top-k lists. streaming hll/hist/psi/session/dedup: stream
+    # folds with fixed or watermark-bounded state over a 10x drop dir.
+    # simhash signatures / lsh pairs (hyperplane + minhash) / dup spans:
+    # banded near-dup candidate generation under Caesar-disjoint copies.
+    # kcenter / projection / hll intersect / ivf: broadcast-bounded
+    # vector passes over 10x embeddings.
+    "event_frequent_paths",
+    "user_value_time_corr",
+    "user_value_ewma",
+    "orders_incremental_rollup",
+    "lineitem_corr_matrix",
+    "nation_trade_volume",
+    "large_quantity_orders",
+    "bm25_retrieval_metrics",
+    "streaming_hll_distinct",
+    "streaming_value_hist_quantiles",
+    "streaming_session_window",
+    "simhash_signatures",
+    "hyperplane_lsh_pairs",
+    "orders_dq_report",
+    "streaming_dedup",
+    "embedding_kcenter",
+    "purchase_view_hll_intersect",
+    "embedding_projection",
+    "minhash_lsh_pairs",
+    "doc_dup_span_stats",
+    "cheapest_supplier_per_part",
+    "ivf_topk",
+    "pricing_summary",
+    "streaming_value_psi",
 )
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"

@@ -265,6 +265,12 @@ def hyperplane_pairs(
     ``bucket`` shuffles by bucket and never goes all-pairs. Recall is tuned
     with ``bits`` (fewer bits → bigger buckets → higher recall, more work).
 
+    ``bits`` is also the SCALE knob: expected bucket size is n / 2^bits,
+    so within-bucket pair volume at FIXED bits drifts quadratic as the
+    corpus grows (the 10× rehearsal measures exponent 0.63 at bits=6) —
+    raise bits with log2(n) to pin bucket size, exactly as SemDeDup's
+    ``cell_target`` pins its cell size.
+
     Output: id_a, id_b, cosine (rounded 6dp).
     """
     sig = hyperplane_signature(embeddings, id_col, vec_col, bits, seed, dim=dim)
