@@ -283,6 +283,33 @@ REHEARSAL_QUERIES = (
     "ivf_topk",
     "pricing_summary",
     "streaming_value_psi",
+    # Session-3 tier-4: the structurally interesting shapes left below
+    # ~2 s — banding / pair generation / as-of & merge joins / stream
+    # enrich — where a fixed-parameter drift could hide (plain scans and
+    # class-bounded aggs are left unmeasured on purpose: their cost IS
+    # the scan). hist quantiles / cusum / ks: offsets-based distinct-
+    # level cumulatives. chunk-dedup / inverted index / pmi / fuzzy
+    # match / decontaminate: banded or blocked candidate generation
+    # (the inverted index carries the r8 (_id, token)-pre-dedup skew
+    # fix — this measures it). pair profile: seeded pair sampling.
+    # asof / last-touch / scd2: range-state and full-outer key joins.
+    # cosine topk: the guarded brute-force query-scan baseline.
+    "events_value_hist_quantiles",
+    "purchase_last_touch",
+    "streaming_static_enrich",
+    "doc_chunk_dedup_stats",
+    "doc_feature_vectors",
+    "asof_nearest_purchase",
+    "events_daily_cusum",
+    "purchase_view_ks",
+    "pmi_collocations_top",
+    "inverted_index_band",
+    "customer_scd2_merge",
+    "embedding_pair_profile",
+    "decontaminate_ngrams",
+    "url_canonical_dedup",
+    "part_name_fuzzy_match",
+    "cosine_topk",
 )
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
