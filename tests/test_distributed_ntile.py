@@ -79,6 +79,10 @@ class TestSemantics:
         # n_files sweep over [1, 2, ...] fails consistently at n=1.
         with pytest.raises(ValueError, match="_pid"):
             distributed_ntile(df.withColumn("_pid", F.lit(0)), ["v", "id"], 1)
+        # _gidx is the operator's own rank scratch — same silent-clobber
+        # class as _pid, same loud rejection.
+        with pytest.raises(ValueError, match="_gidx"):
+            distributed_ntile(df.withColumn("_gidx", F.lit(0)), ["v", "id"], 4)
 
     def test_n1_is_the_trivial_single_bucket(self, spark):
         """ntile(1) is legal Spark (every row bucket 1) and layout callers

@@ -449,9 +449,6 @@ def test_stateful_running_distinct_null_only_user_and_backend_validation(
     every path (batch countDistinct semantics — the builtin dedup keeps
     one NULL row per user instead of filtering the user away); a
     misspelled backend raises on batch AND streaming inputs alike."""
-    import pytest
-    from pyspark.sql import functions as F
-
     from wicsmmiretl_spark.streaming.stateful import running_user_distinct
 
     rows = [(1, None), (1, None), (2, "click"), (2, None), (2, "view")]

@@ -452,6 +452,19 @@ def _ranged_order_index(
     return out, acc
 
 
+def _guard_scratch(df: DataFrame, op: str, names: Sequence[str]) -> None:
+    """Reject inputs already carrying internal scratch columns — they
+    would be silently overwritten and dropped (single raise site shared
+    by every two-level range-partitioned operator)."""
+    taken = [c for c in names if c in df.columns]
+    if taken:
+        raise ValueError(
+            f"{op}: input must not already have {taken} — internal scratch "
+            "names of the two-level range-partitioned operators (rename "
+            "them upstream)"
+        )
+
+
 def _ranged_parts(df: DataFrame, order_cols: Sequence[str]) -> DataFrame:
     """The range stage of :func:`_ranged_order_index`, pre-checkpoint:
     range exchange + local sort + partition id. Split out so plan-shape
@@ -461,12 +474,7 @@ def _ranged_parts(df: DataFrame, order_cols: Sequence[str]) -> DataFrame:
     Guards the ``_pid`` scratch name for every caller (stable_index,
     distributed_ntile, distributed_prefix_sum): an input column of that
     name would be silently overwritten and dropped."""
-    if "_pid" in df.columns:
-        raise ValueError(
-            "input must not already have a '_pid' column — it is the "
-            "internal partition-id scratch name of the two-level "
-            "range-partitioned operators (rename it upstream)"
-        )
+    _guard_scratch(df, "two-level range exchange", ["_pid"])
     return (
         df.repartitionByRange(*[F.asc(c) for c in order_cols])
         .sortWithinPartitions(*[F.asc(c) for c in order_cols])
@@ -526,14 +534,11 @@ def distributed_ntile(
         raise ValueError(f"distributed_ntile: columns {missing} not in {df.columns}")
     if out_col in df.columns:
         raise ValueError(f"distributed_ntile: input already has a {out_col!r} column")
-    if "_pid" in df.columns:
-        # Uniform with _ranged_parts' guard: validate BEFORE the n==1 fast
-        # path so an n_files sweep over [1, 2, ...] fails consistently at
-        # n=1 instead of surprising the caller mid-sweep at n=2.
-        raise ValueError(
-            "distributed_ntile: input must not already have a '_pid' column — "
-            "internal scratch name of the two-level range-partitioned operators"
-        )
+    # Validate BEFORE the n==1 fast path so an n_files sweep over
+    # [1, 2, ...] fails consistently at n=1 instead of mid-sweep at n=2;
+    # _gidx is this operator's own rank scratch (it would be overwritten
+    # and dropped just like _pid).
+    _guard_scratch(df, "distributed_ntile", ["_pid", "_gidx"])
     if n == 1:
         # ntile(1) is every row in bucket 1 — legal in Spark and used as a
         # degenerate single-file baseline by layout callers; no exchange,

@@ -1113,6 +1113,16 @@ def simplified_silhouette(
         centroids = embeddings.sparkSession.createDataFrame(
             cent_rows, centroids.schema
         )
+    else:
+        import warnings
+
+        warnings.warn(
+            "simplified_silhouette: centroids exceed the 4096-row one-shot "
+            "collect cap — keeping the lazy frame, so its plan executes "
+            "once for validation and again for the broadcast cross. "
+            "Persist the centroids upstream to avoid the double execution.",
+            stacklevel=2,
+        )
     v = embeddings.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
