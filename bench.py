@@ -102,8 +102,14 @@ def main() -> None:
         override = os.environ.get("SPARK_GRAFT_FULL_OUT")
         if override == "":
             raise OSError("full-timings write disabled by SPARK_GRAFT_FULL_OUT=")
+        # With an override, the destination moves but the round number is
+        # still derived from the repo root's BENCH_r*.json — an override
+        # pointed at an empty archive dir must not restart numbering at r1
+        # (ADVICE r10).
         full_path = (
-            _next_full_bench_path(Path(override)) if override else _next_full_bench_path()
+            _next_full_bench_path(Path(override), round_root=Path(__file__).resolve().parent)
+            if override
+            else _next_full_bench_path()
         )
         full_path.write_text(
             json.dumps(
@@ -208,9 +214,15 @@ def main() -> None:
     sys.stdout.flush()
 
 
-def _next_full_bench_path(root: Path | None = None) -> Path:
+def _next_full_bench_path(root: Path | None = None, round_root: Path | None = None) -> Path:
     """BENCH_FULL_r{N}.json for the round currently being benched: one past
     the highest-numbered driver artifact (BENCH_r{N}.json) on disk.
+
+    ``root`` is where the sidecar is written AND (by default) where the
+    round number is scanned from; ``round_root`` splits the two so a
+    redirected destination (SPARK_GRAFT_FULL_OUT) still numbers from the
+    repo root's driver artifacts instead of restarting at r1 in an empty
+    archive dir (ADVICE r10).
 
     Never clobbers an existing sidecar — a committed canonical is round
     evidence the notes cite, and a later run of the same round (a spot
@@ -220,7 +232,7 @@ def _next_full_bench_path(root: Path | None = None) -> Path:
     the suffix and prefers the newest."""
     root = root or Path(__file__).resolve().parent
     latest = 0
-    for p in root.glob("BENCH_r*.json"):
+    for p in (round_root or root).glob("BENCH_r*.json"):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
         if m:
             latest = max(latest, int(m.group(1)))

@@ -112,6 +112,25 @@ def test_bench_sidecar_numbering_never_clobbers(tmp_path):
     assert bench._next_full_bench_path(tmp_path).name == "BENCH_FULL_r4.2.json"
 
 
+def test_bench_sidecar_round_from_round_root(tmp_path):
+    """SPARK_GRAFT_FULL_OUT redirects the DESTINATION only: the round
+    number still comes from the repo root's driver artifacts, so an
+    override pointed at an empty archive dir doesn't restart numbering at
+    r1 (ADVICE r10). The .k anti-clobber suffix is evaluated against the
+    destination dir."""
+    import bench
+
+    repo = tmp_path / "repo"
+    dest = tmp_path / "archive"
+    repo.mkdir()
+    dest.mkdir()
+    (repo / "BENCH_r07.json").write_text("{}")
+    p = bench._next_full_bench_path(dest, round_root=repo)
+    assert p.parent == dest and p.name == "BENCH_FULL_r8.json"
+    p.write_text("{}")
+    assert bench._next_full_bench_path(dest, round_root=repo).name == "BENCH_FULL_r8.1.json"
+
+
 def test_bench_prior_prefers_full_then_rerun_then_driver(tmp_path):
     """ratio_vs_prev's prior: newest round wins; within a round a FULL
     sidecar beats the clipped driver tail, and a .k rerun beats the base

@@ -164,6 +164,48 @@ def test_hyperplane_pairs_subset_of_exact(spark, sf_dir):
         assert sig[r.id_a] == sig[r.id_b]
 
 
+def test_derived_lsh_bits_integer_exact():
+    """Smallest b with 2^b·target ≥ n, floored at 1 bit, capped at
+    max_bits — pure integer comparisons so the oracle's
+    ``min(b) WHERE (1 << b) * target >= count(*)`` derives the IDENTICAL
+    value at every n, including the exact power-of-two boundaries where a
+    float log2 could round either way."""
+    import pytest
+
+    from wicsmmiretl_spark.operators.similarity import derived_lsh_bits
+
+    assert derived_lsh_bits(1, 32) == 1
+    assert derived_lsh_bits(64, 32) == 1
+    assert derived_lsh_bits(65, 32) == 2
+    assert derived_lsh_bits(500, 32) == 4  # sf0.01 (the driver's gate)
+    assert derived_lsh_bits(2000, 32) == 6  # sf0.1 = the old fixed operating point
+    assert derived_lsh_bits(2048, 32) == 6  # exact boundary: 2^6 * 32 == 2048
+    assert derived_lsh_bits(2049, 32) == 7
+    assert derived_lsh_bits(20000, 32) == 10  # the 10x rehearsal point
+    assert derived_lsh_bits(10**12, 32) == 30  # capped
+    with pytest.raises(ValueError, match="target_bucket"):
+        derived_lsh_bits(10, 0)
+
+
+def test_hyperplane_pairs_target_bucket_matches_fixed_bits(spark, sf_dir):
+    """target_bucket changes WHERE bits comes from, not the banding: at
+    sf0.01 (500 vectors, target 32 → 4 bits) the derived run must equal
+    the fixed bits=4 run pair-for-pair."""
+    from wicsmmiretl_spark.catalog import load_table
+    from wicsmmiretl_spark.operators.similarity import hyperplane_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    derived = {
+        (r.id_a, r.id_b)
+        for r in hyperplane_pairs(emb, seed=42, dim=128, target_bucket=32).collect()
+    }
+    fixed = {
+        (r.id_a, r.id_b)
+        for r in hyperplane_pairs(emb, bits=4, seed=42, dim=128).collect()
+    }
+    assert derived == fixed and len(derived) > 0
+
+
 def test_ivf_topk_shape_and_cell_consistency(spark, sf_dir):
     from wicsmmiretl_spark.catalog import load_table
     from wicsmmiretl_spark.operators.similarity import ivf_topk

@@ -830,8 +830,6 @@ def semantic_dedup(
     (int), ``keep`` (boolean) — one row per input vector; downstream the
     kept set is ``filter(keep)``.
     """
-    import math
-
     from wicsmmiretl_spark.operators.similarity import kmeans_train
 
     if cell_target is not None:
@@ -839,8 +837,14 @@ def semantic_dedup(
             raise ValueError(
                 f"semantic_dedup: cell_target must be >= 2, got {cell_target}"
             )
+        # Integer ceil (no float division): the oracle replays the same
+        # decision with (count(*) + cell_target - 1) // cell_target, exact
+        # at every n. The count job re-executes the upstream plan; callers
+        # feeding a non-trivial plan (not a bare table scan) should
+        # persist/localCheckpoint it before calling — the suite feeds raw
+        # parquet scans, where a cache would cost more than the re-scan.
         n = embeddings.count()
-        k = max(k, math.ceil(n / cell_target))
+        k = max(k, -(-n // cell_target))
     cent = kmeans_train(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
     )

@@ -252,6 +252,22 @@ def hyperplane_signature(
     return df.select(F.col(id_col), F.when(guard.isNull(), sig).alias("bucket"))
 
 
+def derived_lsh_bits(n: int, target_bucket: int, max_bits: int = 30) -> int:
+    """Smallest ``bits`` such that ``2^bits * target_bucket >= n`` — i.e.
+    the bit count that pins EXPECTED bucket size at ``target_bucket`` as
+    the corpus grows. Pure integer comparisons (no float log2), so DuckDB
+    replays the identical decision with ``(1 << b) * target >= count(*)``
+    and the derived operating point stays engine-replayable at every n,
+    including exact power-of-two boundaries where float log2 could round
+    either way. Floors at 1 bit (two buckets), caps at ``max_bits``."""
+    if target_bucket < 1:
+        raise ValueError(f"derived_lsh_bits: target_bucket must be >= 1, got {target_bucket}")
+    for b in range(1, max_bits):
+        if (1 << b) * target_bucket >= n:
+            return b
+    return max_bits
+
+
 def hyperplane_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -259,6 +275,7 @@ def hyperplane_pairs(
     bits: int = 6,
     seed: int = 42,
     dim: int | None = None,
+    target_bucket: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: sign-random-projection buckets,
     then cosine only for same-bucket (id_a < id_b) pairs — the equi-join on
@@ -271,8 +288,19 @@ def hyperplane_pairs(
     raise bits with log2(n) to pin bucket size, exactly as SemDeDup's
     ``cell_target`` pins its cell size.
 
+    ``target_bucket`` makes that operating point a knob instead of caller
+    arithmetic: when set, ``bits`` is derived as the smallest value with
+    ``2^bits * target_bucket >= n`` (one count job; integer-exact, see
+    :func:`derived_lsh_bits`), so expected bucket size — and with it the
+    within-bucket pair budget per vector — stays constant as the corpus
+    grows. The count re-executes the upstream plan; callers feeding a
+    non-trivial plan (not a bare table scan) should persist/localCheckpoint
+    it first.
+
     Output: id_a, id_b, cosine (rounded 6dp).
     """
+    if target_bucket is not None:
+        bits = derived_lsh_bits(embeddings.count(), target_bucket)
     sig = hyperplane_signature(embeddings, id_col, vec_col, bits, seed, dim=dim)
     v = (
         embeddings.select(
