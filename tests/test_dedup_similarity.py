@@ -540,6 +540,41 @@ def test_prefix_join_validates(spark):
         jaccard_prefix_join(df, "doc_id", "text", threshold=0.0)
 
 
+def test_prefix_join_max_df_band_is_subset_and_validates(spark):
+    """The df-band floor knob (VERDICT r10 item 7): banded candidates are a
+    SUBSET of the exact result (it only ever drops pairs), a pair whose
+    prefix-shared shingles are all boilerplate is the one that goes, pairs
+    carried by a rare shingle survive, and misuse raises. The canonical
+    prefix order stays computed from UNBANDED frequencies."""
+    import pytest as _pytest
+
+    from wicsmmiretl_spark.operators.dedup import jaccard_prefix_join
+
+    boiler = "common filler words repeat across every single document here"
+    texts = {
+        1: boiler,                      # boilerplate-only dups: every shared
+        2: boiler,                      #   shingle lives in all four docs
+        3: boiler,                      #   (df = 4 > the max_df=3 band)
+        4: boiler + " other ending",
+        5: "rare unique snowflake tokens appear exactly twice in corpus",
+        6: "rare unique snowflake tokens appear exactly twice in corpus",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id: bigint, text: string")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in jaccard_prefix_join(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b)
+        for r in jaccard_prefix_join(df, "doc_id", "text", threshold=0.5, max_df=3).collect()
+    }
+    assert banded <= exact
+    assert (5, 6) in banded            # df-2 shingles pass the band
+    assert (2, 3) in exact and (2, 3) not in banded  # boilerplate-only pair dropped
+    with _pytest.raises(ValueError, match="max_df"):
+        jaccard_prefix_join(df, "doc_id", "text", threshold=0.5, max_df=1)
+
+
 def test_prefix_join_short_docs_dropped(spark):
     from wicsmmiretl_spark.operators.dedup import jaccard_prefix_join
 
