@@ -306,6 +306,59 @@ def test_salted_join_hot_key_cap(spark):
         salted_join(left, right, "k", hot_threshold=1, max_hot_keys=5)
 
 
+def test_salted_join_cap_mode_top(spark):
+    """cap_mode='top' salts only the max_hot_keys LARGEST qualifying keys
+    instead of raising — the bounded degradation for a threshold pinned
+    below a grown table's uniform density (the 100x rehearsal failure).
+    Result must equal the plain join; the salted set must be the top keys
+    by count (deterministic tiebreak), verified via the right-side
+    replication pattern the operator builds."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from wicsmmiretl_spark.operators.joins import salted_join
+
+    # 30 keys over threshold 2: keys 0..29 carry (10 + k) rows each, so the
+    # top-3 by count are keys 29, 28, 27.
+    left = spark.range(0, 30).select(F.col("id").alias("k")).withColumn(
+        "reps", F.col("k") + 10
+    ).select(F.col("k"), F.explode(F.sequence(F.lit(1), F.col("reps"))).alias("payload"))
+    right = spark.range(0, 30).select(F.col("id").alias("k"), (F.col("id") * 7).alias("v"))
+
+    # error mode refuses; top mode returns the plain-join result
+    with pytest.raises(ValueError, match="max_hot_keys|raise hot_threshold"):
+        salted_join(left, right, "k", hot_threshold=2, max_hot_keys=3)
+    out = salted_join(
+        left, right, "k", salts=4, hot_threshold=2, max_hot_keys=3, cap_mode="top"
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(r) for r in left.join(right, "k").collect())
+    assert got == want
+
+    # only the top-3 keys are replicated on the right side of the join plan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "29" in plan and "28" in plan and "27" in plan
+    salted_right_counts = {
+        r.k: r.n
+        for r in right.withColumn(
+            "_salt",
+            F.explode(
+                F.when(F.col("k").isin([29, 28, 27]), F.sequence(F.lit(0), F.lit(3))).otherwise(
+                    F.array(F.lit(0))
+                )
+            ),
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert all(salted_right_counts[k] == 4 for k in (27, 28, 29))
+    assert all(n == 1 for k, n in salted_right_counts.items() if k not in (27, 28, 29))
+
+    with pytest.raises(ValueError, match="cap_mode"):
+        salted_join(left, right, "k", hot_threshold=2, cap_mode="bogus")
+
+
 def test_public_api_facade_exports():
     """Every name in wicsmmiretl_spark.__all__ resolves and is callable or a
     constant — the documented public surface must not drift from the

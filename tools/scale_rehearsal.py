@@ -1,5 +1,7 @@
 """Scale rehearsal: measure how the most expensive suite queries scale from
-1x (sf0.1) to a synthesized 10x slice.
+1x (sf0.1) to a synthesized 10x slice (or 100x with
+SPARK_GRAFT_REHEARSAL_COPIES=100 — the printed exponents normalize by
+log(COPIES) so they are comparable across slice sizes).
 
 The 10x slice is a union of 10 re-keyed copies of the sf0.1 tables —
 no new testdata needed:
@@ -46,7 +48,14 @@ from wicsmmiretl_spark.catalog import TESTDATA_TABLES, load_table  # noqa: E402
 from wicsmmiretl_spark.session import get_spark  # noqa: E402
 from wicsmmiretl_spark.suite import QUERIES  # noqa: E402
 
-COPIES = 10
+# Scale multiplier for the synthesized slice. 10 is the standard 10x
+# rehearsal every round's notes cite; SPARK_GRAFT_REHEARSAL_COPIES=100
+# builds a genuine 100x slice (~1.7 GB at sf0.1 base) for the
+# "would this survive 100x?" question to be answered by measurement
+# instead of extrapolated from the 10x exponent. The exponent math below
+# already normalizes by log(COPIES), so the printed exponents are
+# directly comparable across slice sizes.
+COPIES = int(os.environ.get("SPARK_GRAFT_REHEARSAL_COPIES", "10"))
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 REHEARSAL_QUERIES = (
@@ -314,13 +323,31 @@ REHEARSAL_QUERIES = (
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
 _UPPER = _LOWER.upper()
+# Multipliers coprime to 26, for the affine alphabet permutation below.
+# 12 multipliers x 26 shifts = 312 distinct permutations, enough for any
+# copy count this tool will ever run (100x uses 100 of them).
+_COPRIMES = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
 
 
 def _caesar(col, i: int):
+    """Per-copy alphabet permutation: affine cipher j -> (a*j + b) mod 26.
+
+    For i < 26 this is (a=1, b=i) — byte-identical to the plain Caesar
+    rotation earlier rounds' rehearsals used, so 10x exponents stay
+    comparable. For i >= 26 (the 100x slice) the multiplier advances
+    through the coprime list instead of the rotation degenerating to the
+    identity (``_LOWER[30:]`` is empty — copies 26+ would otherwise be
+    EXACT text twins of copy 0, changing the near-duplicate rate being
+    measured, not just the scale). Two distinct affine maps agree on at
+    most a couple of letters, so cross-copy texts still share ~no
+    shingles.
+    """
     if i == 0:
         return col
-    rot = _LOWER[i:] + _LOWER[:i]
-    return F.translate(col, _LOWER + _UPPER, rot + rot.upper())
+    a = _COPRIMES[(i // 26) % len(_COPRIMES)]
+    b = i % 26
+    perm = "".join(_LOWER[(a * j + b) % 26] for j in range(26))
+    return F.translate(col, _LOWER + _UPPER, perm + perm.upper())
 
 
 def _scale_copies(df: DataFrame, build_copy) -> DataFrame:
@@ -429,11 +456,20 @@ def time_query(spark: SparkSession, name: str, sf_dir: str) -> float:
 def main() -> None:
     spark = get_spark("scale_rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = tempfile.mkdtemp(prefix="wicsmmir_scale10x_")
-    print(f"synthesizing 10x slice in {out_dir} ...", file=sys.stderr)
-    t0 = time.perf_counter()
-    synthesize(spark, out_dir)
-    print(f"synthesized in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    # SPARK_GRAFT_REHEARSAL_DIR reuses an already-synthesized slice (the
+    # synthesis is deterministic, so a prior run's dir is byte-equivalent)
+    # and skips both the build and the exit-time cleanup — iterating on a
+    # 100x batch pays the ~2 min synthesis once instead of per launch.
+    reuse = os.environ.get("SPARK_GRAFT_REHEARSAL_DIR")
+    if reuse:
+        out_dir = reuse
+        print(f"reusing slice in {out_dir}", file=sys.stderr)
+    else:
+        out_dir = tempfile.mkdtemp(prefix=f"wicsmmir_scale{COPIES}x_")
+        print(f"synthesizing {COPIES}x slice in {out_dir} ...", file=sys.stderr)
+        t0 = time.perf_counter()
+        synthesize(spark, out_dir)
+        print(f"synthesized in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     selected = sys.argv[1:] or REHEARSAL_QUERIES
     unknown = [n for n in selected if n not in QUERIES]
@@ -441,20 +477,33 @@ def main() -> None:
         raise SystemExit(f"unknown queries: {unknown}")
     rows = []
     for name in selected:
-        t1 = time_query(spark, name, BASE_SF)
-        t10 = time_query(spark, name, out_dir)
+        # Per-query fault isolation (the bench.py lesson): one query
+        # failing at the scaled slice — the exact discovery this tool
+        # exists for — must be RECORDED, not abort the remaining
+        # measurements.
+        try:
+            t1 = time_query(spark, name, BASE_SF)
+            t10 = time_query(spark, name, out_dir)
+        except Exception as exc:  # noqa: BLE001 — record and keep measuring
+            print(
+                f"{name:28s} FAILED at {COPIES}x-slice run: "
+                f"{type(exc).__name__}: {str(exc).splitlines()[0][:160]}",
+                flush=True,
+            )
+            continue
         exp = math.log(t10 / t1) / math.log(COPIES)
         rows.append((name, t1, t10, t10 / t1, exp))
         print(
-            f"{name:28s} 1x={t1:6.2f}s 10x={t10:6.2f}s ratio={t10 / t1:5.2f} exp={exp:5.2f}",
+            f"{name:28s} 1x={t1:6.2f}s {COPIES}x={t10:6.2f}s ratio={t10 / t1:5.2f} exp={exp:5.2f}",
             flush=True,
         )
 
-    print("\n| query | t(1x) s | t(10x) s | ratio | exponent |")
+    print(f"\n| query | t(1x) s | t({COPIES}x) s | ratio | exponent |")
     print("|---|---|---|---|---|")
     for name, t1, t10, ratio, exp in rows:
         print(f"| {name} | {t1:.2f} | {t10:.2f} | {ratio:.2f} | {exp:.2f} |")
-    shutil.rmtree(out_dir, ignore_errors=True)
+    if not reuse:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

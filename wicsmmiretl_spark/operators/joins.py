@@ -247,6 +247,7 @@ def salted_join(
     how: str = "inner",
     hot_threshold: int | None = None,
     max_hot_keys: int = 10_000,
+    cap_mode: str = "error",
 ) -> DataFrame:
     """Skew-mitigated equi-join, hot-key targeted (two-phase).
 
@@ -255,8 +256,22 @@ def salted_join(
     input row) and collects only keys whose row count >= ``hot_threshold``.
     The hot set is bounded by construction — at most
     ``left_rows / hot_threshold`` keys — and additionally capped at
-    ``max_hot_keys`` with a loud error, so the collect and the resulting
-    IN-list literal stay driver-safe at any input scale.
+    ``max_hot_keys``, so the collect and the resulting IN-list literal stay
+    driver-safe at any input scale. ``cap_mode`` picks what happens when
+    more keys qualify than the cap:
+
+    * ``"error"`` (default): raise — more than ``max_hot_keys`` qualifying
+      keys is general load, not skew, and usually means ``hot_threshold``
+      was pinned below the table's uniform per-key density;
+    * ``"top"``: salt only the ``max_hot_keys`` LARGEST qualifying keys
+      (deterministic TakeOrdered: count desc, key asc — one bounded
+      driver collect at any scale) and join the rest plain. Salting is
+      result-invisible, so the output is identical either way; ``"top"``
+      degrades gracefully where ``"error"`` refuses, which is the right
+      contract when the threshold is a fixed operating point over growing
+      data (the 100x rehearsal found exactly that: a threshold tuned to
+      exercise salting at testdata SF made EVERY key of a 100x uniform
+      table "hot" and tripped the cap).
 
     Phase 2 is ONE conditional-salt equi-join on ``(key, _salt)`` — the
     left side is scanned once (a hot/cold branch union would scan it
@@ -292,18 +307,26 @@ def salted_join(
         )
     if "_salt" in left.columns or "_salt" in right.columns:
         raise ValueError("salted_join: input must not already have a '_salt' column")
+    if cap_mode not in ("error", "top"):
+        raise ValueError(f"salted_join: cap_mode must be 'error' or 'top', got {cap_mode!r}")
     # Phase 1: hot-key detection. Eager at plan-build time; collected ONCE
     # into a literal so both join sides below see the same hot set (no lazy
     # re-evaluation / TOCTOU between the two sides).
     counts = left.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
 
     def _collect_hot(c: DataFrame) -> list:
-        return (
-            c.filter(F.col("_n") >= hot_threshold)
-            .select(key)
-            .limit(max_hot_keys + 1)
-            .collect()
-        )
+        qualifying = c.filter(F.col("_n") >= hot_threshold)
+        if cap_mode == "top":
+            # TakeOrderedAndProject: the driver receives at most
+            # max_hot_keys rows whatever the key cardinality. (count desc,
+            # key asc) makes the kept set deterministic under ties.
+            return (
+                qualifying.orderBy(F.desc("_n"), F.asc(key))
+                .select(key)
+                .limit(max_hot_keys)
+                .collect()
+            )
+        return qualifying.select(key).limit(max_hot_keys + 1).collect()
 
     if hot_threshold is None:
         # Fused default-threshold path: the total row count needed for the

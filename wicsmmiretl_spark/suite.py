@@ -2645,13 +2645,26 @@ def q_salted_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL join produces. hot_threshold=100 makes every supplier key hot at the
     testdata SFs (~600 lineitems per supplier), so the driver row exercises
     the salted branch AND the hot/cold union; the oracle knows nothing of
-    salt (operators/joins.py:salted_join)."""
+    salt (operators/joins.py:salted_join).
+
+    cap_mode="top" bounds that operating point at scale: the 100× rehearsal
+    found the pinned threshold makes EVERY key of a 100× uniform table
+    "hot" and (under the default cap_mode="error") trips the max_hot_keys
+    guard. In "top" mode the 10,000 largest qualifying keys are salted —
+    one bounded TakeOrdered collect at any corpus size — and the uniform
+    tail joins plain; salting stays result-invisible, so the oracle and
+    hash are unchanged."""
     from wicsmmiretl_spark.operators.joins import salted_join
 
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
     joined = salted_join(
-        li, sup.select("l_suppkey", "s_nationkey"), "l_suppkey", salts=8, hot_threshold=100
+        li,
+        sup.select("l_suppkey", "s_nationkey"),
+        "l_suppkey",
+        salts=8,
+        hot_threshold=100,
+        cap_mode="top",
     )
     return (
         joined.groupBy(F.col("s_nationkey").alias("nationkey"))
