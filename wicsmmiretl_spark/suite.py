@@ -9719,8 +9719,11 @@ _DEFERRED_QUERIES = (
     # via tests/test_deferred_oracle.py and by tools/verify_local.py.
     # r12 ROTATION GUIDANCE: the backlog is cleared — every suite query
     # now has at least one driver row. Rotate by staleness (oldest driver
-    # round first: the r07 section below) plus any query whose
-    # implementation changes in r11's post-rotation sessions.
+    # round first: the r07 section below) plus the queries whose
+    # implementation changed in r11's post-rotation sessions:
+    # salted_supplier_volume (cap_mode='top' — result-invisible, oracle
+    # re-verified green at sf0.01 this round, but the driver row should
+    # land on the new path).
     #
     # -- rotated out r11: green driver rows in CORRECTNESS_r10 --
     "events_value_deciles",  # exact deciles on distributed_ntile (two-level range exchange)
