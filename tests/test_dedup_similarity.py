@@ -1049,3 +1049,59 @@ class TestCentroidDrift:
         emb = spark.createDataFrame([(1, [0.1])], "vec_id long, embedding array<float>")
         with _pytest.raises(ValueError, match="column"):
             embedding_centroid_drift(emb, id_col="nope")
+
+
+def test_semantic_dedup_hierarchical_strategy(spark):
+    """strategy='hierarchical' routes assignment through kmeans_two_level
+    (coarse → fine equi-join, n·√k per pass instead of n·k): deterministic,
+    one output row per input, partitioning-invariant, exact twins collapse
+    to the min id, cells live in [0, k1·k2), and misuse raises. The flat
+    default is untouched (its bit-exact oracle lives in the suite)."""
+    import pytest
+
+    from wicsmmiretl_spark.operators.dedup import semantic_dedup
+    from wicsmmiretl_spark.operators.similarity import kmeans_two_level
+
+    def unit(axis, eps, dim=8):
+        v = [eps] * dim
+        v[axis] = 1.0
+        return v
+
+    rows = []
+    for axis in range(8):
+        rows += [(axis * 100 + j, unit(axis, 0.005 * j)) for j in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = semantic_dedup(df, tau=0.95, k=9, iters=2, seed=3, strategy="hierarchical")
+    got = {r.vec_id: (r.cell, r.keep) for r in out.collect()}
+    assert len(got) == len(rows)
+    # k=9 -> k1=3 coarse, k2=3 fine: cell ids are coarse*3+fine in [0, 9).
+    assert all(0 <= c < 9 for c, _ in got.values())
+
+    # partitioning invariance (the repo-wide determinism bar)
+    re_got = {
+        r.vec_id: (r.cell, r.keep)
+        for r in semantic_dedup(
+            df.repartition(7), tau=0.95, k=9, iters=2, seed=3, strategy="hierarchical"
+        ).collect()
+    }
+    assert got == re_got
+
+    # τ-similar vectors that share a cell collapse to the min id — same
+    # keep contract as flat, whatever partition the router picked.
+    for axis in range(8):
+        ids = [axis * 100 + j for j in range(3)]
+        by_cell: dict[int, list[int]] = {}
+        for i in ids:
+            by_cell.setdefault(got[i][0], []).append(i)
+        for members in by_cell.values():
+            survivor = min(members)
+            assert got[survivor][1]
+            assert all(not got[i][1] for i in members if i != survivor)
+
+    with pytest.raises(ValueError, match="strategy"):
+        semantic_dedup(df, tau=0.95, k=4, strategy="bogus")
+    with pytest.raises(ValueError, match="k must be"):
+        kmeans_two_level(df, k=1)
+    with pytest.raises(ValueError, match="iters"):
+        kmeans_two_level(df, k=4, iters=0)

@@ -833,6 +833,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     seed: int = 42,
     cell_target: int | None = None,
+    strategy: str = "flat",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (Abbas et al. 2023, arXiv:2303.09540 — public): cluster with k-means,
@@ -874,18 +875,26 @@ def semantic_dedup(
     ``isqrt`` keeps it engine-replayable) equalizes assignment n·k and
     compare n²/2k at total work ~n^1.5 — measured ~25% faster at both 1×
     and 100× with the same local exponent, the asymptote only separates
-    beyond; (3) the true 100 TB assignment strategy is hierarchical
-    (two-level coarse→fine routing, n·√k compares — the IVF pattern), which
-    changes the cell decision and therefore needs its own replayable oracle
-    chain; not implemented here.
+    beyond; (3) ``strategy="hierarchical"`` IS the 100 TB assignment path:
+    :func:`~wicsmmiretl_spark.operators.similarity.kmeans_two_level`
+    routes coarse→fine (n·√k compares per pass, O(n^1.5) total with
+    k ∝ n — the IVF pattern). It changes the cell PARTITION (vectors
+    route through their coarse cell), so the flat SQL oracle does not
+    replay it — the graded suite query stays on ``"flat"`` (the default)
+    until a two-level oracle chain ships; the operator itself is
+    deterministic and pytest-gated.
 
     Cosines are rounded to 6dp before the ≥ τ compare (the suite's
     cross-engine determinism discipline). Output: ``id_col``, ``cell``
     (int), ``keep`` (boolean) — one row per input vector; downstream the
     kept set is ``filter(keep)``.
     """
-    from wicsmmiretl_spark.operators.similarity import kmeans_train
+    from wicsmmiretl_spark.operators.similarity import kmeans_train, kmeans_two_level
 
+    if strategy not in ("flat", "hierarchical"):
+        raise ValueError(
+            f"semantic_dedup: strategy must be 'flat' or 'hierarchical', got {strategy!r}"
+        )
     if cell_target is not None:
         if cell_target < 2:
             raise ValueError(
@@ -899,39 +908,44 @@ def semantic_dedup(
         # parquet scans, where a cache would cost more than the re-scan.
         n = embeddings.count()
         k = max(k, -(-n // cell_target))
-    cent = kmeans_train(
-        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
-    )
-    v = embeddings.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).withColumn(
-        "nv", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
-    )
-    cdot = F.aggregate(
-        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    pick = F.struct(
-        (-F.col("ccos")).alias("_negc"),
-        F.col("cell").alias("cell"),
-        F.col("v").alias("v"),
-        F.col("nv").alias("nv"),
-    )
-    assigned = (
-        v.crossJoin(F.broadcast(cent))
-        .withColumn("ccos", F.round(cdot / (F.col("nv") * F.col("nc")), 6))
-        .groupBy(id_col)
-        .agg(F.min(pick).alias("_s"))
-        .select(
-            F.col(id_col),
-            F.col("_s.cell").alias("cell"),
-            F.col("_s.v").alias("v"),
-            F.col("_s.nv").alias("nv"),
+    if strategy == "hierarchical":
+        assigned = kmeans_two_level(
+            embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
+        ).localCheckpoint(eager=False)
+    else:
+        cent = kmeans_train(
+            embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
         )
-        # Both the pair join's sides and the final keep join descend from
-        # this one assignment — pin it so the broadcast-argmax runs once.
-        .localCheckpoint(eager=False)
-    )
+        v = embeddings.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        ).withColumn(
+            "nv", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+        )
+        cdot = F.aggregate(
+            F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        pick = F.struct(
+            (-F.col("ccos")).alias("_negc"),
+            F.col("cell").alias("cell"),
+            F.col("v").alias("v"),
+            F.col("nv").alias("nv"),
+        )
+        assigned = (
+            v.crossJoin(F.broadcast(cent))
+            .withColumn("ccos", F.round(cdot / (F.col("nv") * F.col("nc")), 6))
+            .groupBy(id_col)
+            .agg(F.min(pick).alias("_s"))
+            .select(
+                F.col(id_col),
+                F.col("_s.cell").alias("cell"),
+                F.col("_s.v").alias("v"),
+                F.col("_s.nv").alias("nv"),
+            )
+            # Both the pair join's sides and the final keep join descend from
+            # this one assignment — pin it so the broadcast-argmax runs once.
+            .localCheckpoint(eager=False)
+        )
     a = assigned.select(
         F.col("cell"), F.col(id_col).alias("_ida"), F.col("v").alias("va"), F.col("nv").alias("na")
     )

@@ -25,6 +25,7 @@ embeddings) low recall is expected and not a defect: true neighbors sit at
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import pandas as pd
@@ -422,6 +423,179 @@ def kmeans_train(
         "cv",
         F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x)).alias("nc"),
     )
+
+
+def kmeans_two_level(
+    embeddings: DataFrame,
+    k: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    scale: int = 10**9,
+    seed_oversample: int = 4,
+) -> DataFrame:
+    """Hierarchical (two-level) k-means cell assignment: ~k cells at
+    n·O(√k) compare cost instead of the flat Lloyd's n·k.
+
+    The flat broadcast-argmax assignment evaluates every (vector, centroid)
+    pair; when k is derived from the corpus (k ∝ n, the SemDeDup
+    ``cell_target`` discipline) that stage is n²/cell_target — the 100×
+    rehearsal measured it as the dominant term (exponent ~0.8). This
+    routes hierarchically instead, the IVF coarse-quantizer pattern
+    (Jégou et al. 2011 — public literature):
+
+    * level 1: ``k1 = ceil(√k)`` coarse centroids, trained with the same
+      deterministic broadcast-Lloyd (:func:`kmeans_train`) — n·k1 per pass;
+    * level 2: within each coarse cell, up to ``k2 = ceil(k/k1)`` fine
+      centroids trained by a GROUPED Lloyd loop — the assignment is an
+      equi-join on the coarse cell (fan-out ≤ k2 per vector, a broadcast
+      hash join on a k-row table), so each pass is n·k2, never n·k.
+
+    Total: n·(k1+k2)·(iters+1) ≈ 2√k·n·(iters+1) compares. With k ∝ n the
+    whole chain is O(n^1.5) where flat is O(n²) — and every stage keeps
+    the repo's determinism discipline (md5-seeded init, 6dp cosine
+    rounding with ties to the lowest cell id, exact scaled-integer means),
+    so the decision chain remains engine-replayable in SQL.
+
+    Fine init: the ``seed_oversample·k`` globally md5-smallest vectors
+    (one bounded TakeOrdered collect — never a per-cell top-k window),
+    routed to their coarse cell, first ``k2`` per cell in md5 order kept
+    as that cell's seeds; a coarse cell the sample missed falls back to
+    ONE fine centroid — its own coarse centroid — so every vector always
+    has a routable target. Empty fine cells drop out per iteration,
+    mirroring :func:`kmeans_train`.
+
+    Output: (``id_col``, cell int, v array<double>, nv double) — one row
+    per input vector, ``cell = coarse·k2 + fine`` in [0, k1·k2). The cell
+    PARTITION differs from flat k-means (vectors route through their
+    coarse cell), which is immaterial to cell-bounded dedup/ANN but means
+    a flat-trained SQL oracle does not replay it — a two-level oracle
+    chain is required (not shipped yet; see semantic_dedup notes).
+    """
+    if k < 2:
+        raise ValueError(f"kmeans_two_level: k must be >= 2, got {k}")
+    if iters < 1:
+        raise ValueError(f"kmeans_two_level: iters must be >= 1, got {iters}")
+    spark = embeddings.sparkSession
+    k1 = math.isqrt(k - 1) + 1  # ceil(sqrt(k))
+    k2 = -(-k // k1)
+
+    coarse = kmeans_train(
+        embeddings, k=k1, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed, scale=scale
+    )
+
+    v = (
+        embeddings.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn(
+            "nv",
+            F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cdot = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    # Coarse routing: the same broadcast argmax as the flat path, but over
+    # k1 ≈ √k centroids. (-ccos, cell) ascending == cosine desc, ties to
+    # the lowest cell — the repo-wide convention.
+    pick = F.struct(
+        (-F.col("ccos")).alias("_negc"),
+        F.col("cell").alias("cc"),
+        F.col("v").alias("v"),
+        F.col("nv").alias("nv"),
+    )
+    va = (
+        v.crossJoin(F.broadcast(coarse))
+        .withColumn("ccos", F.round(cdot / (F.col("nv") * F.col("nc")), 6))
+        .groupBy(id_col)
+        .agg(F.min(pick).alias("_s"))
+        .select(
+            F.col(id_col),
+            F.col("_s.cc").alias("cc"),
+            F.col("_s.v").alias("v"),
+            F.col("_s.nv").alias("nv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    # Fine seeds: one bounded TakeOrdered (seed_oversample·k rows max on
+    # the driver), trimmed per coarse cell in md5 order — deterministic,
+    # and never a per-group window (the one-task-per-group shape the
+    # distributed_ntile work exists to avoid).
+    seed_rows = (
+        va.withColumn(
+            "_r",
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.lit("fine"), F.col(id_col).cast("string"))),
+        )
+        .orderBy("_r")
+        .limit(seed_oversample * k)
+        .select("cc", "_r", "v")
+        .collect()
+    )
+    per_cell: dict[int, list[list[float]]] = {}
+    for r in sorted(seed_rows, key=lambda r: r["_r"]):
+        bucket = per_cell.setdefault(r["cc"], [])
+        if len(bucket) < k2:
+            bucket.append(list(r["v"]))
+    fine = []
+    for r in coarse.select("cell", "cv").collect():
+        seeds = per_cell.get(r["cell"])
+        if seeds:
+            fine.extend((r["cell"], j, sv) for j, sv in enumerate(seeds))
+        else:
+            # Sample missed this coarse cell: one fine cell, seeded by the
+            # coarse centroid itself, keeps every routed vector assignable.
+            fine.append((r["cell"], 0, list(r["cv"])))
+
+    fine_schema = "cc int, j int, cv array<double>"
+    for it in range(iters + 1):
+        cent_df = spark.createDataFrame(fine, fine_schema).withColumn(
+            "nc", F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x))
+        )
+        fpick = F.struct(
+            (-F.col("ccos")).alias("_negc"),
+            F.col("j").alias("j"),
+            F.col("v").alias("v"),
+            F.col("nv").alias("nv"),
+        )
+        assigned = (
+            va.join(F.broadcast(cent_df), "cc")
+            .withColumn("ccos", F.round(cdot / (F.col("nv") * F.col("nc")), 6))
+            .groupBy(id_col, "cc")
+            .agg(F.min(fpick).alias("_s"))
+        )
+        if it == iters:
+            # Final routing with the post-update centroids — the same
+            # "assign once more after the last update" contract as the
+            # flat semantic_dedup chain.
+            # kmeans_train numbers coarse cells 1..k1 — shift to 0-based
+            # before packing so cell ids land in [0, k1·k2).
+            return assigned.select(
+                F.col(id_col),
+                ((F.col("cc") - 1) * k2 + F.col("_s.j")).alias("cell"),
+                F.col("_s.v").alias("v"),
+                F.col("_s.nv").alias("nv"),
+            )
+        new_flat = (
+            assigned.select("cc", F.col("_s.j").alias("j"), F.posexplode("_s.v").alias("pos", "val"))
+            .groupBy("cc", "j", "pos")
+            .agg(
+                (
+                    F.sum(F.round(F.col("val") * scale).cast("long")).cast("double")
+                    / F.lit(float(scale))
+                    / F.count("*")
+                ).alias("c")
+            )
+        )
+        new_cent = new_flat.groupBy("cc", "j").agg(
+            F.array_sort(F.collect_list(F.struct("pos", "c")))["c"].alias("cv")
+        )
+        fine = sorted((r["cc"], r["j"], list(r["cv"])) for r in new_cent.collect())
+    raise AssertionError("unreachable")  # pragma: no cover
 
 
 def ivf_topk(
