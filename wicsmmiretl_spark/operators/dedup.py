@@ -878,11 +878,14 @@ def semantic_dedup(
     beyond; (3) ``strategy="hierarchical"`` IS the 100 TB assignment path:
     :func:`~wicsmmiretl_spark.operators.similarity.kmeans_two_level`
     routes coarse→fine (n·√k compares per pass, O(n^1.5) total with
-    k ∝ n — the IVF pattern). It changes the cell PARTITION (vectors
+    k ∝ n — the IVF pattern; measured 62.0 s / exponent 0.40 at 100×
+    vs flat's 203.8 s / 0.82). It changes the cell PARTITION (vectors
     route through their coarse cell), so the flat SQL oracle does not
-    replay it — the graded suite query stays on ``"flat"`` (the default)
-    until a two-level oracle chain ships; the operator itself is
-    deterministic and pytest-gated.
+    replay it — the graded suite query runs hierarchical against the
+    two-level oracle chain (suite.py:_kmeans2_sql_cte), which replays
+    every stage bit-for-bit. ``"flat"`` stays the default: at small
+    corpora (below ~10× the sf0.1 testdata) the two-level fixed costs
+    exceed the n·k saving.
 
     Cosines are rounded to 6dp before the ≥ τ compare (the suite's
     cross-engine determinism discipline). Output: ``id_col``, ``cell``

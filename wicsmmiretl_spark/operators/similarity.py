@@ -470,8 +470,9 @@ def kmeans_two_level(
     per input vector, ``cell = coarse·k2 + fine`` in [0, k1·k2). The cell
     PARTITION differs from flat k-means (vectors route through their
     coarse cell), which is immaterial to cell-bounded dedup/ANN but means
-    a flat-trained SQL oracle does not replay it — a two-level oracle
-    chain is required (not shipped yet; see semantic_dedup notes).
+    a flat-trained SQL oracle does not replay it — the two-level oracle
+    chain lives in suite.py:_kmeans2_sql_cte and is verified bit-exact
+    against this operator (driver gate + skew/oversample stress).
     """
     if k < 2:
         raise ValueError(f"kmeans_two_level: k must be >= 2, got {k}")

@@ -1584,6 +1584,102 @@ def _kmeans_sql_cte(
     return sql
 
 
+def _kmeans2_sql_cte(
+    k: int | str = 8,
+    iters: int = 3,
+    seed: int = 42,
+    seed_oversample: int = 4,
+) -> str:
+    """CTE chain replaying operators/similarity.py:kmeans_two_level verbatim
+    in DuckDB — the hierarchical (coarse→fine) cell assignment:
+
+    * ``h2p``: the integer parameter derivations — k (int or SQL expr),
+      k1 = ceil(√k) as the smallest s with s·s ≥ k (pure integer compare,
+      no float sqrt), k2 = ceil(k/k1);
+    * coarse level: the flat Lloyd chain (:func:`_kmeans_sql_cte`,
+      prefix ``h2c``) at k1, then the cosine-argmax routing ``h2va``;
+    * fine seeds: the ``seed_oversample·k`` globally md5-smallest routed
+      vectors (rank filter — the bounded TakeOrdered), first k2 per coarse
+      cell in md5 order (``rn - 1`` = the operator's enumerate j), plus
+      the coarse-centroid fallback row for any coarse cell the sample
+      missed;
+    * fine level: ``iters`` grouped Lloyd rounds — assignment is the
+      equi-join on the coarse cell with ties to the lowest j, update the
+      exact scaled-integer mean per (cc, j, pos);
+    * ``h2asg``: the final post-update routing with
+      ``cell = (cc - 1) · k2 + j`` (coarse cells are 1-based).
+
+    Exposes ``h2asg(vec_id, v, nv, cell)`` — the same surface the flat
+    chains' ``asg`` provides, so the SemDeDup τ-compare tail is reusable
+    unchanged."""
+    kex = str(k)
+    sql = f"""h2p AS (
+      SELECT k, k1, (k + k1 - 1) // k1 AS k2 FROM (
+        SELECT k, (SELECT min(s) FROM range(1, 65536) AS t(s) WHERE s * s >= k) AS k1
+        FROM (SELECT ({kex}) AS k)
+      )
+    ),{_kmeans_sql_cte(k="SELECT k1 FROM h2p", iters=iters, seed=seed, prefix="h2c")},
+    h2cn AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS nc FROM h2ck{iters}),
+    h2va AS (
+      SELECT vec_id, v, nv, cc FROM (
+        SELECT a.vec_id, a.v, a.nv, c.cell AS cc,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, len(a.v) + 1), j -> a.v[j] * c.cv[j]))
+                               / (a.nv * c.nc), 6) DESC, c.cell ASC) AS rn
+        FROM h2cvn a CROSS JOIN h2cn c
+      ) WHERE rn = 1
+    ),
+    h2seed AS (
+      SELECT cc, r, v FROM (
+        SELECT cc, md5('{seed}:fine:' || CAST(vec_id AS VARCHAR)) AS r, v,
+               row_number() OVER (ORDER BY md5('{seed}:fine:' || CAST(vec_id AS VARCHAR))) AS rn0
+        FROM h2va
+      ) WHERE rn0 <= {seed_oversample} * (SELECT k FROM h2p)
+    ),
+    h2f0 AS (
+      SELECT cc, rn - 1 AS j, v AS cv FROM (
+        SELECT cc, v, row_number() OVER (PARTITION BY cc ORDER BY r) AS rn FROM h2seed
+      ) WHERE rn <= (SELECT k2 FROM h2p)
+      UNION ALL
+      SELECT c.cell AS cc, 0 AS j, c.cv
+      FROM h2ck{iters} c WHERE c.cell NOT IN (SELECT cc FROM h2seed)
+    )"""
+    prev = "h2f0"
+    for i in range(1, iters + 2):
+        last = i == iters + 1
+        sql += f""",
+    h2fn{i} AS (SELECT cc, j, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS nc FROM {prev}),
+    h2fa{i} AS (
+      SELECT vec_id, v, nv, cc, j FROM (
+        SELECT a.vec_id, a.v, a.nv, a.cc, c.j,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, len(a.v) + 1), d -> a.v[d] * c.cv[d]))
+                               / (a.nv * c.nc), 6) DESC, c.j ASC) AS rn
+        FROM h2va a JOIN h2fn{i} c ON a.cc = c.cc
+      ) WHERE rn = 1
+    )"""
+        if last:
+            # iters+1-th assignment is the FINAL routing with the
+            # post-update centroids — no further update; pack the cell id.
+            sql += f""",
+    h2asg AS (
+      SELECT vec_id, v, nv, (cc - 1) * (SELECT k2 FROM h2p) + j AS cell FROM h2fa{i}
+    )"""
+            break
+        sql += f""",
+    h2ff{i} AS (
+      SELECT cc, j, pos,
+             CAST(sum(CAST(round(val * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000.0 / count(*) AS c
+      FROM (SELECT cc, j, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM h2fa{i})
+      GROUP BY cc, j, pos
+    ),
+    h2f{i} AS (SELECT cc, j, list(c ORDER BY pos) AS cv FROM h2ff{i} GROUP BY cc, j)"""
+        prev = f"h2f{i}"
+    return sql
+
+
 @query(
     "kmeans_centroids",
     f"""
@@ -6215,26 +6311,15 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "semantic_dedup_keep",
     f"""
-    WITH {_kmeans_sql_cte(k="SELECT greatest(8, (count(*) + 249) // 250) FROM embeddings", iters=3, seed=42)},
-    cn AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS nc FROM k3),
-    asg AS (
-      SELECT vec_id, v, nv, cell FROM (
-        SELECT a.vec_id, a.v, a.nv, c.cell,
-               row_number() OVER (
-                 PARTITION BY a.vec_id
-                 ORDER BY round(list_sum(list_transform(range(1, len(a.v) + 1), j -> a.v[j] * c.cv[j]))
-                               / (a.nv * c.nc), 6) DESC, c.cell ASC) AS rn
-        FROM vn a CROSS JOIN cn c
-      ) WHERE rn = 1
-    ),
+    WITH {_kmeans2_sql_cte(k="(SELECT greatest(8, (count(*) + 249) // 250) FROM embeddings)", iters=3, seed=42)},
     drp AS (
       SELECT DISTINCT b.vec_id
-      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      FROM h2asg a JOIN h2asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
       WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), j -> a.v[j] * b.v[j]))
                   / (a.nv * b.nv), 6) >= 0.4
     )
     SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell, (d.vec_id IS NULL) AS keep
-    FROM asg s LEFT JOIN drp d ON s.vec_id = d.vec_id
+    FROM h2asg s LEFT JOIN drp d ON s.vec_id = d.vec_id
     """,
 )
 def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6251,11 +6336,24 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows (10× rehearsal: exponent 0.96 at fixed k=8 → 0.21 with the
     knob). Integer-exact and count-derived on both engines: the oracle's
     init CTE filters to ``greatest(8, (count(*) + 249) // 250)`` cells —
-    the same decision chain, engine-replayable at every n."""
+    the same decision chain, engine-replayable at every n.
+
+    Assignment runs ``strategy="hierarchical"``
+    (similarity.py:kmeans_two_level): with k ∝ n the FLAT broadcast-argmax
+    is the n·k = n²/250 stage (100× rehearsal: whole-operator exponent
+    0.82, 203.8 s), while coarse→fine routing is n·√k per pass — measured
+    62.0 s / exponent 0.40 on the identical 100× slice. The oracle replays
+    the full two-level chain (_kmeans2_sql_cte): integer k1 = ceil(√k) by
+    pure integer compare, the coarse Lloyd + routing, the md5-ranked
+    bounded seed trim with coarse-centroid fallback, the grouped fine
+    Lloyd, and the packed cell id — verified bit-exact against the
+    operator on skewed corpora and degenerate oversample before the flip."""
     from wicsmmiretl_spark.operators.dedup import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = semantic_dedup(emb, tau=0.4, k=8, iters=3, seed=42, cell_target=250)
+    out = semantic_dedup(
+        emb, tau=0.4, k=8, iters=3, seed=42, cell_target=250, strategy="hierarchical"
+    )
     return out.select("vec_id", F.col("cell").cast("long").alias("cell"), "keep")
 
 
@@ -9723,7 +9821,10 @@ _DEFERRED_QUERIES = (
     # implementation changed in r11's post-rotation sessions:
     # salted_supplier_volume (cap_mode='top' — result-invisible, oracle
     # re-verified green at sf0.01 this round, but the driver row should
-    # land on the new path).
+    # land on the new path). semantic_dedup_keep is IN-window this round,
+    # so its fresh driver row already lands on the hierarchical
+    # (two-level) assignment + _kmeans2_sql_cte oracle shipped in the
+    # post-rotation sessions.
     #
     # -- rotated out r11: green driver rows in CORRECTNESS_r10 --
     "events_value_deciles",  # exact deciles on distributed_ntile (two-level range exchange)
