@@ -910,10 +910,40 @@ def test_table_fingerprint_order_independent_and_sensitive(spark):
     assert base != fp(spark.createDataFrame(rows + [(1, "a")], "id long, s string"))
     assert base[0] == 3
 
+    # The triple is three BIGINTs — no decimal(38)/HUGEINT ever crosses the
+    # output schema (the r11 driver incident: engine decimal-return
+    # conventions differ), and the wrapped sum matches mod-2^64 arithmetic
+    # on the raw 60-bit digests.
+    out = table_fingerprint(df, ["id", "s"])
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint",
+        "bigint",
+        "bigint",
+    ]
+    import hashlib
+
+    digests = []
+    for rid, s in rows:
+        parts = [str(rid), s if s is not None else "\x00"]
+        digests.append(int(hashlib.md5("\x1f".join(parts).encode()).hexdigest()[:15], 16))
+    expect_sum = sum(digests) % (1 << 64)
+    if expect_sum >= 1 << 63:
+        expect_sum -= 1 << 64
+    assert base[1] == expect_sum
+
     import pytest
 
     with pytest.raises(ValueError):
         table_fingerprint(df, ["nope"])
+
+    # Raw float/double columns are rejected — double→string rendering is an
+    # engine convention, so hashing it couples the fingerprint to the engine.
+    fdf = spark.createDataFrame([(1, 1.5)], "id long, v double")
+    with pytest.raises(ValueError, match="float/double"):
+        table_fingerprint(fdf, ["id", "v"])
+    # ...and the pinned-rendering path works.
+    pinned = fdf.withColumn("v", F.col("v").cast("decimal(12,2)"))
+    assert table_fingerprint(pinned, ["id", "v"]).collect()[0][0] == 1
 
 
 class TestResampleInterpolate:

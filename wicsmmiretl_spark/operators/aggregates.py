@@ -1727,8 +1727,11 @@ def table_fingerprint(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     hex chars (60 bits) become an integer digest. Two commutative folds
     summarize the multiset:
 
-    * ``checksum_sum`` — Σ digests in decimal(38) (no overflow before
-      ~10²⁰ rows);
+    * ``checksum_sum`` — Σ digests wrapped mod 2⁶⁴ and folded back to a
+      signed BIGINT (the sum itself accumulates exactly in decimal(38) —
+      no overflow before ~10²⁰ rows — but only the wrap crosses the
+      output schema, so no engine's 128-bit/decimal return convention
+      leaks into the triple);
     * ``checksum_xor`` — XOR of digests (catches the pair-swap class sum
       misses... and vice versa: XOR alone misses even-multiplicity dups).
 
@@ -1738,19 +1741,40 @@ def table_fingerprint(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     ~n²/2⁶⁰ per fold, and the two folds fail independently. One scan, one
     partial-aggregated reduce to a single row; at 100 TB the only bytes
     that cross the wire are per-partition partial states.
+
+    Float/double columns are REJECTED: double→string rendering is an
+    engine convention (shortest-roundtrip vs fixed precision, and it has
+    changed across engine versions), so hashing it silently couples the
+    fingerprint to the engine. Callers must pin an explicit rendering
+    first — cast to a DECIMAL(p,s) (decimal→string is format-stable
+    everywhere) or to a scaled integer — and hash that.
     """
     missing = [c for c in columns if c not in df.columns]
     if missing:
         raise ValueError(f"table_fingerprint: columns {missing} not in {df.columns}")
+    dtypes = dict(df.dtypes)
+    floaty = [c for c in columns if dtypes[c] in ("float", "double")]
+    if floaty:
+        raise ValueError(
+            f"table_fingerprint: columns {floaty} are float/double — their "
+            "string rendering is engine-dependent, so the fingerprint would "
+            "not be portable. Pin a rendering first, e.g. "
+            ".withColumn(c, col(c).cast('decimal(12,2)'))."
+        )
     joined = F.concat_ws(
         "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in columns]
     )
     digest = F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
-    return df.select(digest.alias("_d")).agg(
+    agged = df.select(digest.alias("_d")).agg(
         F.count("*").cast("long").alias("n_rows"),
-        F.sum(F.col("_d").cast("decimal(38,0)")).alias("checksum_sum"),
+        F.sum(F.col("_d").cast("decimal(38,0)")).alias("_s"),
         F.bit_xor("_d").alias("checksum_xor"),
     )
+    two64 = F.lit("18446744073709551616").cast("decimal(38,0)")
+    half = F.lit("9223372036854775808").cast("decimal(38,0)")
+    m = F.col("_s") % two64
+    wrapped = F.when(m >= half, m - two64).otherwise(m).cast("long")
+    return agged.select("n_rows", wrapped.alias("checksum_sum"), "checksum_xor")
 
 
 def chi_square_independence(

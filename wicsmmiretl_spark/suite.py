@@ -6648,14 +6648,21 @@ def q_events_null_bypass_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
                coalesce(CAST(c_name AS VARCHAR), chr(0)),
                coalesce(CAST(c_nationkey AS VARCHAR), chr(0)),
-               coalesce(CAST(c_acctbal AS VARCHAR), chr(0)),
+               coalesce(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), chr(0)),
                coalesce(CAST(c_mktsegment AS VARCHAR), chr(0)))), 1, 15))::BIGINT AS d
       FROM customer
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             sum(CAST(d AS HUGEINT)) AS raw_sum,
+             bit_xor(d) AS checksum_xor
+      FROM d
     )
-    SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(d) AS DECIMAL(38,0)) AS checksum_sum,
-           bit_xor(d) AS checksum_xor
-    FROM d
+    SELECT n_rows,
+           CAST(CASE WHEN raw_sum % 18446744073709551616 >= 9223372036854775808
+                     THEN raw_sum % 18446744073709551616 - 18446744073709551616
+                     ELSE raw_sum % 18446744073709551616 END AS BIGINT) AS checksum_sum,
+           checksum_xor
+    FROM s
     """,
 )
 def q_customer_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6665,12 +6672,22 @@ def q_customer_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     triple from the same parquet IS the reconciliation protocol in action
     (operators/aggregates.py:table_fingerprint).
 
-    Cross-engine cast note: c_acctbal renders via a double→string cast on
-    both engines; both produce the shortest round-trip decimal for these
-    values (pinned by the hash match)."""
+    Cross-engine portability (r11 incident, VERDICT r11 item 1): the old
+    formulation hashed c_acctbal via a raw double→string cast — an engine
+    rendering convention that drifted between DuckDB versions — and
+    returned checksum_sum as DECIMAL(38,0), whose value-normalization
+    differs between Spark Decimal and DuckDB HUGEINT. Both hazards are
+    pinned now: c_acctbal is rendered through DECIMAL(12,2) (TPC-H acctbal
+    is exactly 2dp; decimal→string is format-stable on every engine —
+    table_fingerprint itself rejects raw float/double columns), and
+    checksum_sum is the exact decimal/HUGEINT sum wrapped mod 2⁶⁴ into a
+    signed BIGINT (still commutative and order-independent; same collision
+    story paired with the xor fold). Output schema: three BIGINTs."""
     from wicsmmiretl_spark.operators.aggregates import table_fingerprint
 
-    cust = _t(spark, sf_dir, "customer")
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "c_acctbal", F.col("c_acctbal").cast("decimal(12,2)")
+    )
     return table_fingerprint(
         cust, ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
     )
