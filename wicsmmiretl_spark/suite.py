@@ -9788,37 +9788,36 @@ def q_part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEFERRED_QUERIES = (
-    # r11 rotation. IN-window this round (the 50 = registry minus this
-    # tuple): the ENTIRE never-driver-checked backlog — all 33 names whose
-    # absence from every CORRECTNESS_r01-r10 artifact was recomputed this
-    # round as registry minus the union of all prior driver windows
-    # (bucketed_customer_revenue, corpus_heaps_fit, customer_cdc_apply,
-    # customer_golden_record, customer_kanonymity, customer_ldiversity,
-    # customer_table_fingerprint, doc_chunk_dedup_stats, doc_kfold_counts,
-    # doc_labeling_queue, embedding_centroid_drift,
-    # embedding_hard_negatives, event_value_conformal,
-    # events_daily_interpolate, events_null_bypass_enrich,
-    # events_trimmed_stats, events_value_ci_by_type, orders_bootstrap_ci,
-    # orders_fd_report, orders_referential_subset, part_copurchase_kcore,
-    # part_entity_resolution, purchase_linear_attribution,
-    # purchase_negative_samples, segment_personalized_pagerank,
-    # semantic_dedup_keep, source_pareto_report, sq8_adc_topk,
-    # streaming_static_enrich, token_budget_mix, url_canonical_dedup,
-    # user_running_distinct_types, user_value_ewma — NB the r10 comment
-    # here wrongly asserted eleven of these had r07-r09 driver history;
-    # they did not, and this rotation clears the backlog to zero), plus 17
-    # re-checks: hyperplane_lsh_pairs (bits now count-derived THIS round,
-    # target_bucket=32) and ivf_topk_trained / cosine_topk /
-    # embedding_near_dup / kmeans-chain siblings of the semantic_dedup
-    # cell_target change, the r10 changed-path riders with stale rows
-    # (pack_assign, events_category_entropy, customer_profile_drift,
-    # purchase_auc, lineitem_price_qty_spearman), events_json_extract (no
-    # twin, promised back by r12), and the stalest r7 family heads
-    # (quality_scores, pricing_summary, dedup_exact, streaming_user_state,
-    # large_quantity_orders, bm25_rank, corpus_curation).
-    # semantic_dedup_keep runs cell_target=250 and hyperplane_lsh_pairs
-    # target_bucket=32 as of r11 — both graded queries now carry their
-    # scale knobs (VERDICT r10 weak #1/#2).
+    # r12 rotation (the driver checks the FIRST 50 registry names; this
+    # tuple is everything pushed behind them). IN-window this round:
+    #   * customer_table_fingerprint — the single red r11 cell, re-checked
+    #     on the r12 portable formulation (c_acctbal pinned through
+    #     DECIMAL(12,2) before hashing; checksum_sum folded to a
+    #     wrap-mod-2^64 BIGINT so no DECIMAL(38)/HUGEINT reaches the
+    #     comparator). VERDICT r11 item 1.
+    #   * the ENTIRE r07-stale cohort — all 28 names whose most recent
+    #     driver-green row is CORRECTNESS_r07, the oldest standing
+    #     evidence in the registry (VERDICT r11 item 3).
+    #   * semantic_dedup_keep — its assignment strategy became
+    #     count-derived this round (n < flat_threshold -> flat, else
+    #     hierarchical; VERDICT r11 item 4), so the driver row must land
+    #     on the dispatching path and its branch-matched oracle.
+    #   * 20 names from the r08 cohort (next-stalest), headed by
+    #     salted_supplier_volume (cap_mode='top' landed post-rotation in
+    #     r11 — result-invisible, but the driver row should stand on the
+    #     new path) and the five streaming replays, jaccard_exact_pairs
+    #     (max_df knob rider), and one representative per family:
+    #     minhash_lsh_pairs, pq_adc_topk, order_graph_pagerank,
+    #     event_chain_components, part_copurchase_triangles,
+    #     lineitem_corr_matrix, documents_stable_index,
+    #     customer_scd2_merge, orders_incremental_rollup,
+    #     image_pipeline_stats, bpe_merge_table, bigram_surprisal_docs,
+    #     hybrid_rank_fusion.
+    #   1 + 28 + 1 + 20 = 50.
+    # r13 ROTATION GUIDANCE: rotate by staleness — the 22 remaining r08
+    # names (the "last driver-green row: CORRECTNESS_r08" section below)
+    # first, then fill from the r09 section, plus any query whose graded
+    # path changes in r12's post-rotation sessions.
     #
     # Registry history note (r01-era retirements, for artifact
     # auditability): top_revenue_orders, supplier_nation_revenue and
@@ -9829,191 +9828,184 @@ _DEFERRED_QUERIES = (
     # cheapest_supplier_per_part, customers_without_orders); there is no
     # rename mapping because nothing was renamed.
     #
-    # Every name below has driver-green history (rows+schema+hash, the
-    # round named per section) and stays oracle-checked every pytest run
-    # via tests/test_deferred_oracle.py and by tools/verify_local.py.
-    # r12 ROTATION GUIDANCE: the backlog is cleared — every suite query
-    # now has at least one driver row. Rotate by staleness (oldest driver
-    # round first: the r07 section below) plus the queries whose
-    # implementation changed in r11's post-rotation sessions:
-    # salted_supplier_volume (cap_mode='top' — result-invisible, oracle
-    # re-verified green at sf0.01 this round, but the driver row should
-    # land on the new path). semantic_dedup_keep is IN-window this round,
-    # so its fresh driver row already lands on the hierarchical
-    # (two-level) assignment + _kmeans2_sql_cte oracle shipped in the
-    # post-rotation sessions.
+    # Every name below has driver-green history (rows+schema+hash; the
+    # section header names the round) and stays oracle-checked every
+    # pytest run via tests/test_deferred_oracle.py and by
+    # tools/verify_local.py.
     #
-    # -- rotated out r11: green driver rows in CORRECTNESS_r10 --
-    "events_value_deciles",  # exact deciles on distributed_ntile (two-level range exchange)
-    "order_feature_matrix",  # per-order ntile feature bins on the same exchange
-    "purchase_calibration",  # calibration bins on distributed_ntile
-    "daily_purchase_auc",  # grouped rank-sum AUC via distributed_prefix_sum offsets
-    "bm25_ndcg",  # NDCG@k over the BM25 ranking
-    "events_value_hist_quantiles",  # mergeable-histogram quantiles, integer-exact
-    "streaming_value_hist_quantiles",  # the same histogram folded as streaming state
-    "purchase_roc_points",  # ROC curve points from the shared rank machinery
-    "incremental_dedup_probe",  # new-batch x corpus asymmetric LSH probe
-    "view_purchase_span_overlaps",  # banded interval-overlap join
-    "event_chain_shortest_paths",  # weighted SSSP frontier loop
-    "doc_overlap_pairs",  # winnowing-fingerprint overlap equi-join
-    "user_selfjoin_size_estimate",  # sketch join-size estimate
-    "part_size_price_skyline",  # per-x min_by/max_by partial-agg skyline
-    "event_frequent_paths",  # user-keyed ordered path mining
-    "doc_dup_span_stats",  # cross-doc duplicated-span stats
-    "doc_lang_source_chi2",  # grouped contingency chi-square
-    "doc_char_weighted_quantiles",  # weighted quantiles via offsets ranks
-    "embedding_projection",  # deterministic 2-D projection of the embedding cloud
-    "bm25_retrieval_metrics",  # retrieval quality metrics over the BM25 index
-    "doc_containment_pairs",  # asymmetric containment banding
-    "user_value_twa",  # time-weighted average per user
-    "embedding_kcenter",  # greedy k-center coverage picks
-    "doc_lang_nb_confusion",  # NB lang classifier confusion matrix
-    "purchase_view_ks",  # two-sample KS via offsets ranks
-    "part_copurchase_communities",  # label-propagation communities
-    "events_daily_cusum",  # CUSUM drift on the daily grid (_ordered_cumsums rider)
-    "purchase_view_hll_intersect",  # HLL union/intersection estimate
-    "kmeans_silhouette",  # silhouette with the one bounded centroid collect
-    "purchase_view_psi",  # PSI population drift
-    "embedding_pair_profile",  # pairwise-distance profile sketch
-    "corpus_zipf_fit",  # Zipf scaled-ln OLS fit
-    "streaming_value_psi",  # PSI folded as streaming state
-    "corpus_curation_v3",  # capstone v3 composed lazy plan
-    "doc_lang_source_infogain",  # information-gain contingency
-    "user_value_time_corr",  # per-user time-value correlation
-    "doc_char_gini",  # Gini concentration scalar (_ordered_cumsums rider)
-    "event_type_ks_report",  # grouped KS report, offsets-ranked
-    "lineitem_price_benford",  # Benford first-digit audit
-    "copurchase_butterflies",  # bipartite butterfly census, degree-ordered wedges
-    "lineitem_zonemap_pruning",  # zone-map audit, both layouts on distributed_ntile
-    "part_copurchase_assortativity",  # degree assortativity fingerprint
-    "event_value_theilsen",  # Theil-Sen slope, two ranked passes
-    "customer_rfm_segments",  # RFM segments on distributed_ntile
-    "corpus_curriculum_stages",  # staged curriculum mixing
-    "part_link_prediction",  # Adamic-Adar link prediction with anti-join exclusion
-    "streaming_user_distinct",  # running distinct on all-JVM dedup+agg state
-    "temperature_corpus_mix",  # temperature-weighted mixing with the NULL/zero-total guard
-    "embedding_mmr_topk",  # MMR diversified re-ranking
-    "purchase_graph_hits",  # HITS hubs/authorities power iterations
+    # -- last driver-green row: CORRECTNESS_r08 (rotate back by staleness) --
+    "asof_nearest_purchase",  # as-of join proper; asof_click/next/tolerance in-window cover the directions
+    "bloom_pruned_revenue",  # Bloom runtime filter; nation_trade_volume in-window is the same J1 join+agg
+    "cms_heavy_tokens",  # CMS heavy hitters; vocab_token_class in-window counts the same token classes
+    "corpus_curation_v2",  # capstone pipeline; etl_caption_pipeline in-window is the composed E/T/L chain
+    "documents_profile",  # wide one-pass profile; stats_matrix_documents in-window is the grouped form
+    "event_value_trend_by_type",  # grouped OLS trend; events_stats_by_type in-window covers grouped moments
+    "events_daily_resample",  # event-time buckets; tumbling_daily + sliding_hourly in-window cover the grid
+    "events_value_histogram",  # fixed-bin histogram; events_stats_by_type in-window covers grouped value aggs
+    "events_value_outliers",  # robust outliers; events_stats_by_type in-window covers grouped event stats
+    "hll_distinct_users",  # HLL sketch; nation_segment_distinct deferred twin; exact distincts in-window via cube
+    "lineitem_melt_stats",  # unpivot/melt; lineitem_flag_status_cube in-window reshapes the same table
+    "mktsegment_target_encoding",  # target encoding; region_customer_rollup in-window covers grouped encode stats
+    "orders_dq_report",  # DQ contract rules; idle_rich_customers + customers_without_orders in-window cover semi/anti
+    "part_association_rules",  # basket mining; knn_classify in-window covers candidate-pair scoring
+    "part_name_fuzzy_match",  # bounded-levenshtein probe; part_name_neighborhood_pairs in-window is the blocking form
+    "pmi_collocations_top",  # PMI collocations; decontaminate-family n-gram joins covered via vocab in-window
+    "purchase_click_ab_stats",  # Welch A/B; stats_matrix_documents in-window covers exact-moment aggs
+    "purchase_last_touch",  # as-of carry; asof_click_purchase (backward) in-window evaluates the same direction
+    "source_capped_docs",  # window-rank cap; window_rank_events in-window is the same rank-then-filter
+    "user_activity_spans",  # gaps-and-islands; sessionize_events in-window merges the same user timelines
+    "user_retention_weekly",  # cohort retention; event_funnel in-window covers ordered-event user analytics
+    "weighted_sample_docs",  # md5 priority sampling; corpus_mix in-window is the stratified form
     #
-    # -- driver-green r07/r08/r09 history, still deferred. The
-    # "in-window" twin names in these historical comments refer to
-    # the window of the round each line was deferred in --
-    "vocab_top100",  # entry flagship — driver still smoke-runs it via entry() every round; corpus_zipf_fit (in-window) aggregates the same tokens
-    "text_stats",  # readability+ratio signals; doc_char_gini + doc_char_weighted_quantiles (in-window) profile the same text mass
-    "pos_tag_stats",  # token-class tagging; doc_lang_nb_confusion (in-window) trains on the same token-class signals
-    "lang_id",  # n-gram lang-ID; doc_lang_source_chi2 + doc_lang_source_infogain (in-window) test the same lang labels
-    "customers_without_orders",  # J3 anti-join; part_link_prediction (in-window) excludes adjacent pairs with the same anti-join shape
-    "region_customer_rollup",  # grouping-set rollup; doc_lang_source_chi2 (in-window) runs the same grouped contingency aggs
-    "stats_matrix_documents",  # one-pass grouped moments; doc_char_weighted_quantiles + events_value_hist_quantiles (in-window) cover exact distribution stats
-    "events_stats_by_type",  # grouped event stats; events_daily_cusum + event_type_ks_report (in-window) consume the same per-type series
-    "window_rank_events",  # window-rank cap; part_size_price_skyline (in-window) is the same rank-per-group extremum machinery
-    "tumbling_daily",  # batch event-time grid; events_daily_cusum (in-window) consumes the same daily buckets
+    # -- last driver-green row: CORRECTNESS_r09 (rotate back by staleness) --
     "asof_click_purchase",  # backward as-of; view_purchase_span_overlaps (in-window) matches the same click/purchase timelines
     "asof_tolerance_purchase",  # as-of + tolerance; same interval-membership family as view_purchase_span_overlaps (in-window)
-    "sessionize_events",  # gaps-and-islands; user_value_twa (in-window) pays the same user-keyed lag window
-    "embedding_centroids",  # vector means; embedding_pair_profile + embedding_kcenter (in-window) cover vector arithmetic
-    "streaming_tumbling",  # streaming agg; streaming_value_psi + streaming_value_hist_quantiles (in-window) fold the same stream
-    "ivf_topk",  # coarse-cell ANN; kmeans_silhouette (in-window) trains the same cells, embedding_mmr_topk re-ranks the same cosines
-    "kmeans_centroids",  # Lloyd training; kmeans_silhouette (in-window) runs the same training loop
-    "etl_caption_pipeline",  # E/T/L runner; corpus_curation_v3 (in-window) composes the same pipeline stages
-    "vocab_token_class",  # token classes; doc_lang_nb_confusion (in-window) counts the same classes
-    "nation_trade_volume",  # J1 join+agg; part_copurchase_communities (in-window) builds edges through the same lineitem join
-    "simhash_near_pairs",  # SimHash near-dup; incremental_dedup_probe + doc_overlap_pairs (in-window) cover near-dup banding
-    "sliding_hourly",  # sliding windows; streaming_value_hist_quantiles (in-window) covers event-time streaming folds
-    "video_frame_sample",  # multimodal mapInPandas; r9 driver row fresh, user_audio_features (deferred, r9-green) is the Arrow-path twin
-    "idle_rich_customers",  # P5-P8 membership chain; purchase_view_ks (in-window) compares the same purchase/view populations
-    "lineitem_flag_status_cube",  # cube grouping sets; part_size_price_skyline (in-window) scans the same lineitem extremes
-    "repetition_stats",  # intra-doc repetition; doc_dup_span_stats (in-window) is the cross-doc complement on the same grams
     "click_purchase_interval_join",  # theta/interval join; view_purchase_span_overlaps (in-window) is the banded interval twin
     "corpus_mix",  # seeded md5 mixing; temperature_corpus_mix (in-window) derives weights for the same threshold filter
-    "doc_chunks",  # generate-only chunking; corpus_curriculum_stages (in-window) stages the same corpus
-    "knn_classify",  # top-k vote; embedding_mmr_topk (in-window) consumes the same cosine top-k
-    "dedup_canonical",  # exact dedup; incremental_dedup_probe (in-window) probes the same fingerprint space
-    "event_funnel",  # ordered-event funnel; event_frequent_paths (in-window) mines the same user-keyed sequences
     "customer_snapshot_diff",  # merge-family diff; r9 driver row fresh (the r8 array-canonicalization fix re-proven)
-    "inverted_index_band",  # df-banded postings; bm25_retrieval_metrics + bm25_ndcg (in-window) consume the same index
+    "customers_without_orders",  # J3 anti-join; part_link_prediction (in-window) excludes adjacent pairs with the same anti-join shape
+    "dedup_canonical",  # exact dedup; incremental_dedup_probe (in-window) probes the same fingerprint space
+    "doc_chunks",  # generate-only chunking; corpus_curriculum_stages (in-window) stages the same corpus
     "doc_feature_vectors",  # hashed features; doc_lang_nb_confusion (in-window) trains on the same hashed token space
-    "event_chain_bfs_levels",  # BFS frontier; event_chain_shortest_paths (in-window) walks the same frontier loop, weighted
-    "orders_pit_attributes",  # PIT validity join; view_purchase_span_overlaps (in-window) evaluates the same interval membership
-    "part_name_neighborhood_pairs",  # sorted-neighborhood blocking; doc_containment_pairs (in-window) bands candidate pairs the same way
-    "event_type_skew_profile",  # skew diagnostics; user_selfjoin_size_estimate (in-window) estimates the same join blow-up
+    "doc_len_quantile_norm",  # rank normalization; doc_char_weighted_quantiles (in-window) is the weighted twin
     "doc_tfidf_similar_pairs",  # tf-idf pairs; bm25_retrieval_metrics + bm25_ndcg (in-window) weight the same tf/df/idf
     "doc_winnowing_stats",  # winnowing fingerprints; doc_overlap_pairs (in-window) joins the same fingerprints
+    "embedding_centroids",  # vector means; embedding_pair_profile + embedding_kcenter (in-window) cover vector arithmetic
+    "etl_caption_pipeline",  # E/T/L runner; corpus_curation_v3 (in-window) composes the same pipeline stages
+    "event_chain_bfs_levels",  # BFS frontier; event_chain_shortest_paths (in-window) walks the same frontier loop, weighted
+    "event_funnel",  # ordered-event funnel; event_frequent_paths (in-window) mines the same user-keyed sequences
     "event_transition_matrix",  # lead() transitions; event_frequent_paths (in-window) walks the same lead() window
-    "user_survival_curve",  # retention curve; user_value_time_corr (in-window) pays the same user-keyed window
-    "doc_len_quantile_norm",  # rank normalization; doc_char_weighted_quantiles (in-window) is the weighted twin
+    "event_type_skew_profile",  # skew diagnostics; user_selfjoin_size_estimate (in-window) estimates the same join blow-up
+    "events_stats_by_type",  # grouped event stats; events_daily_cusum + event_type_ks_report (in-window) consume the same per-type series
     "events_weekly_seasonality_error",  # seasonal backtest; events_daily_cusum (in-window) monitors the same daily grid
+    "idle_rich_customers",  # P5-P8 membership chain; purchase_view_ks (in-window) compares the same purchase/view populations
+    "inverted_index_band",  # df-banded postings; bm25_retrieval_metrics + bm25_ndcg (in-window) consume the same index
+    "ivf_topk",  # coarse-cell ANN; kmeans_silhouette (in-window) trains the same cells, embedding_mmr_topk re-ranks the same cosines
+    "kmeans_centroids",  # Lloyd training; kmeans_silhouette (in-window) runs the same training loop
+    "knn_classify",  # top-k vote; embedding_mmr_topk (in-window) consumes the same cosine top-k
+    "lang_id",  # n-gram lang-ID; doc_lang_source_chi2 + doc_lang_source_infogain (in-window) test the same lang labels
+    "lineitem_flag_status_cube",  # cube grouping sets; part_size_price_skyline (in-window) scans the same lineitem extremes
+    "nation_trade_volume",  # J1 join+agg; part_copurchase_communities (in-window) builds edges through the same lineitem join
+    "orders_pit_attributes",  # PIT validity join; view_purchase_span_overlaps (in-window) evaluates the same interval membership
+    "part_name_neighborhood_pairs",  # sorted-neighborhood blocking; doc_containment_pairs (in-window) bands candidate pairs the same way
+    "pos_tag_stats",  # token-class tagging; doc_lang_nb_confusion (in-window) trains on the same token-class signals
+    "region_customer_rollup",  # grouping-set rollup; doc_lang_source_chi2 (in-window) runs the same grouped contingency aggs
+    "repetition_stats",  # intra-doc repetition; doc_dup_span_stats (in-window) is the cross-doc complement on the same grams
+    "sessionize_events",  # gaps-and-islands; user_value_twa (in-window) pays the same user-keyed lag window
+    "simhash_near_pairs",  # SimHash near-dup; incremental_dedup_probe + doc_overlap_pairs (in-window) cover near-dup banding
+    "sliding_hourly",  # sliding windows; streaming_value_hist_quantiles (in-window) covers event-time streaming folds
+    "stats_matrix_documents",  # one-pass grouped moments; doc_char_weighted_quantiles + events_value_hist_quantiles (in-window) cover exact distribution stats
+    "streaming_tumbling",  # streaming agg; streaming_value_psi + streaming_value_hist_quantiles (in-window) fold the same stream
+    "text_stats",  # readability+ratio signals; doc_char_gini + doc_char_weighted_quantiles (in-window) profile the same text mass
+    "tumbling_daily",  # batch event-time grid; events_daily_cusum (in-window) consumes the same daily buckets
     "user_audio_features",  # audio mapInPandas; r9 driver row fresh, video_frame_sample (deferred, r9-green) is the Arrow-path twin
-    "deterministic_sample_docs",  # R1 seeded shuffle; corpus_mix in-window covers seeded md5 sampling
-    "range_filter_chain",  # P5/P6 fenced filters; idle_rich_customers + repetition_stats in-window apply the same chains
-    "customers_with_orders_semi",  # P8 semi join; idle_rich_customers in-window evaluates the same membership
-    "union_balance_stats",  # U1 union+uniqueness; corpus_mix in-window unions tagged sources with the same checks
-    "window_running_sum",  # analytic running frames; window_rank_events + event_funnel in-window cover user windows
-    "asof_next_purchase",  # forward as-of; asof_click_purchase (backward) + asof_tolerance_purchase stay in-window
-    "asof_nearest_purchase",  # as-of join proper; asof_click/next/tolerance in-window cover the directions
-    "minhash_lsh_pairs",  # probabilistic LSH; simhash_near_pairs + dedup_canonical in-window cover near-dup
-    "image_pipeline_stats",  # multimodal mapInPandas; video_frame_sample in-window is the same Arrow path
-    "streaming_session_window",  # streaming sessions; sliding_hourly + streaming_tumbling in-window cover event-time windows
-    "streaming_interval_join",  # stream-stream interval join; click_purchase_interval_join in-window hash-matches the same oracle
-    "salted_supplier_volume",  # skew-salted join; event_type_skew_profile in-window is the diagnostic feeding it
-    "event_chain_components",  # alternating-star CC; event_chain_bfs_levels in-window walks the same chains iteratively
-    "streaming_dedup",  # fingerprint dedup over stream; dedup_exact in-window replays the same md5 dedup
-    "order_graph_pagerank",  # PageRank loop; event_chain_bfs_levels in-window covers the iterative-frontier family
-    "documents_profile",  # wide one-pass profile; stats_matrix_documents in-window is the grouped form
-    "events_value_outliers",  # robust outliers; events_stats_by_type in-window covers grouped event stats
-    "corpus_curation_v2",  # capstone pipeline; etl_caption_pipeline in-window is the composed E/T/L chain
-    "hybrid_rank_fusion",  # RRF fusion; knn_classify in-window consumes the same top-k retrieval
-    "events_daily_resample",  # event-time buckets; tumbling_daily + sliding_hourly in-window cover the grid
-    "hll_distinct_users",  # HLL sketch; nation_segment_distinct deferred twin; exact distincts in-window via cube
-    "events_value_histogram",  # fixed-bin histogram; events_stats_by_type in-window covers grouped value aggs
-    "bigram_surprisal_docs",  # n-gram LM scoring; repetition_stats + pos_tag_stats in-window cover text signals
-    "weighted_sample_docs",  # md5 priority sampling; corpus_mix in-window is the stratified form
-    "orders_incremental_rollup",  # mergeable-state rollup; region_customer_rollup in-window is the same rollup
-    "customer_scd2_merge",  # SCD2 merge; orders_pit_attributes in-window probes the same validity intervals
-    "pq_adc_topk",  # PQ-ADC ANN; ivf_topk + kmeans_centroids in-window cover trained quantizers
-    "source_capped_docs",  # window-rank cap; window_rank_events in-window is the same rank-then-filter
-    "bloom_pruned_revenue",  # Bloom runtime filter; nation_trade_volume in-window is the same J1 join+agg
-    "user_retention_weekly",  # cohort retention; event_funnel in-window covers ordered-event user analytics
-    "orders_dq_report",  # DQ contract rules; idle_rich_customers + customers_without_orders in-window cover semi/anti
-    "cms_heavy_tokens",  # CMS heavy hitters; vocab_token_class in-window counts the same token classes
-    "part_name_fuzzy_match",  # bounded-levenshtein probe; part_name_neighborhood_pairs in-window is the blocking form
-    "user_activity_spans",  # gaps-and-islands; sessionize_events in-window merges the same user timelines
-    "bpe_merge_table",  # BPE training; vocab_token_class + token_counts in-window cover tokenizer stats
-    "lineitem_corr_matrix",  # exact Pearson matrix; stats_matrix_documents in-window is the same one-pass moments
-    "part_copurchase_triangles",  # triangle census; event_chain_bfs_levels in-window covers graph traversal
-    "streaming_hll_distinct",  # HLL over stream; streaming_tumbling in-window covers the streaming agg path
-    "documents_stable_index",  # distributed stable index; part_name_neighborhood_pairs in-window is built ON it
-    "event_value_trend_by_type",  # grouped OLS trend; events_stats_by_type in-window covers grouped moments
-    "pmi_collocations_top",  # PMI collocations; decontaminate-family n-gram joins covered via vocab in-window
-    "mktsegment_target_encoding",  # target encoding; region_customer_rollup in-window covers grouped encode stats
-    "purchase_click_ab_stats",  # Welch A/B; stats_matrix_documents in-window covers exact-moment aggs
-    "part_association_rules",  # basket mining; knn_classify in-window covers candidate-pair scoring
-    "purchase_last_touch",  # as-of carry; asof_click_purchase (backward) in-window evaluates the same direction
-    "streaming_cms_heavy_users",  # CMS over stream; streaming_tumbling in-window covers the streaming agg path
-    "lineitem_melt_stats",  # unpivot/melt; lineitem_flag_status_cube in-window reshapes the same table
-    "jaccard_exact_pairs",  # exact prefix-filter Jaccard; simhash_near_pairs + dedup_canonical in-window cover near-dup
-    "orders_rollup",  # rollup: region_customer_rollup (in-window) is the same grouping-set agg
-    "nation_segment_distinct",  # distinct counts: lineitem_flag_status_cube (in-window) counts the same exact groups
-    "nations_without_suppliers",  # J3 anti: customers_without_orders (in-window) runs the same anti-join rule
-    "near_dup_jaccard",  # LSH-verify Jaccard: simhash_near_pairs (in-window) covers near-dup verification
-    "simhash_signatures",  # SimHash sigs: simhash_near_pairs (in-window) consumes these signatures directly
-    "token_counts",  # tokenize counts: vocab_token_class (in-window) runs the same tokenizer
-    "clamped_ratios",  # P9 clamp: repetition_stats (in-window) applies the same fenced ratio math
-    "split_assign",  # R7 split: corpus_mix (in-window) covers seeded md5 assignment
-    "wikimedia_url_build",  # F4 string build: normalized_captions deferred twin; string fns pytest (test_text)
-    "normalized_captions",  # F1/F2 strip: etl_caption_pipeline (in-window) runs the same normalize stage
-    "corpus_concat",  # F3 concat-reduce: doc_chunks (in-window) scans/reduces the same corpus
-    "events_value_bands",  # theta/range join: click_purchase_interval_join (in-window) is the same interval predicate
-    "user_value_analytics",  # analytic windows: event_funnel + window_rank_events (in-window) cover user windows
-    "dedup_clusters",  # union-find clusters: dedup_canonical (in-window) resolves the same clusters
-    "events_daily_pivot",  # pivot: tumbling_daily (in-window) buckets the same grid; melt inverse deferred
-    "embedding_vector_stats",  # array aggs: embedding_centroids (in-window) covers vector arithmetic
-    "nations_with_both",  # semi-and-semi membership: idle_rich_customers (in-window) evaluates the same conjunction
-    "quantity_quantiles",  # exact quantiles: stats_matrix_documents (in-window) covers exact distribution stats
-    "cheapest_supplier_per_part",  # rank-per-group: window_rank_events (in-window) is the same window-rank cap
-    "customer_merge_upsert",  # CDC upsert: customer_snapshot_diff (in-window) covers the merge-family change-set
-    "pii_scrub",  # regexp scrub chain: etl_caption_pipeline (in-window) applies the same scrub stage
-    "decontaminate_ngrams",  # n-gram decontamination: vocab_token_class + repetition_stats (in-window) cover n-gram joins
+    "user_survival_curve",  # retention curve; user_value_time_corr (in-window) pays the same user-keyed window
+    "video_frame_sample",  # multimodal mapInPandas; r9 driver row fresh, user_audio_features (deferred, r9-green) is the Arrow-path twin
+    "vocab_token_class",  # token classes; doc_lang_nb_confusion (in-window) counts the same classes
+    "vocab_top100",  # entry flagship — driver still smoke-runs it via entry() every round; corpus_zipf_fit (in-window) aggregates the same tokens
+    "window_rank_events",  # window-rank cap; part_size_price_skyline (in-window) is the same rank-per-group extremum machinery
+    #
+    # -- last driver-green row: CORRECTNESS_r10 (rotate back by staleness) --
+    "bm25_ndcg",  # NDCG@k over the BM25 ranking
+    "bm25_retrieval_metrics",  # retrieval quality metrics over the BM25 index
+    "copurchase_butterflies",  # bipartite butterfly census, degree-ordered wedges
+    "corpus_curation_v3",  # capstone v3 composed lazy plan
+    "corpus_curriculum_stages",  # staged curriculum mixing
+    "corpus_zipf_fit",  # Zipf scaled-ln OLS fit
+    "customer_rfm_segments",  # RFM segments on distributed_ntile
+    "daily_purchase_auc",  # grouped rank-sum AUC via distributed_prefix_sum offsets
+    "doc_char_gini",  # Gini concentration scalar (_ordered_cumsums rider)
+    "doc_char_weighted_quantiles",  # weighted quantiles via offsets ranks
+    "doc_containment_pairs",  # asymmetric containment banding
+    "doc_dup_span_stats",  # cross-doc duplicated-span stats
+    "doc_lang_nb_confusion",  # NB lang classifier confusion matrix
+    "doc_lang_source_chi2",  # grouped contingency chi-square
+    "doc_lang_source_infogain",  # information-gain contingency
+    "doc_overlap_pairs",  # winnowing-fingerprint overlap equi-join
+    "embedding_kcenter",  # greedy k-center coverage picks
+    "embedding_mmr_topk",  # MMR diversified re-ranking
+    "embedding_pair_profile",  # pairwise-distance profile sketch
+    "embedding_projection",  # deterministic 2-D projection of the embedding cloud
+    "event_chain_shortest_paths",  # weighted SSSP frontier loop
+    "event_frequent_paths",  # user-keyed ordered path mining
+    "event_type_ks_report",  # grouped KS report, offsets-ranked
+    "event_value_theilsen",  # Theil-Sen slope, two ranked passes
+    "events_daily_cusum",  # CUSUM drift on the daily grid (_ordered_cumsums rider)
+    "events_value_deciles",  # exact deciles on distributed_ntile (two-level range exchange)
+    "events_value_hist_quantiles",  # mergeable-histogram quantiles, integer-exact
+    "incremental_dedup_probe",  # new-batch x corpus asymmetric LSH probe
+    "kmeans_silhouette",  # silhouette with the one bounded centroid collect
+    "lineitem_price_benford",  # Benford first-digit audit
+    "lineitem_zonemap_pruning",  # zone-map audit, both layouts on distributed_ntile
+    "order_feature_matrix",  # per-order ntile feature bins on the same exchange
+    "part_copurchase_assortativity",  # degree assortativity fingerprint
+    "part_copurchase_communities",  # label-propagation communities
+    "part_link_prediction",  # Adamic-Adar link prediction with anti-join exclusion
+    "part_size_price_skyline",  # per-x min_by/max_by partial-agg skyline
+    "purchase_calibration",  # calibration bins on distributed_ntile
+    "purchase_graph_hits",  # HITS hubs/authorities power iterations
+    "purchase_roc_points",  # ROC curve points from the shared rank machinery
+    "purchase_view_hll_intersect",  # HLL union/intersection estimate
+    "purchase_view_ks",  # two-sample KS via offsets ranks
+    "purchase_view_psi",  # PSI population drift
+    "streaming_user_distinct",  # running distinct on all-JVM dedup+agg state
+    "streaming_value_hist_quantiles",  # the same histogram folded as streaming state
+    "streaming_value_psi",  # PSI folded as streaming state
+    "temperature_corpus_mix",  # temperature-weighted mixing with the NULL/zero-total guard
+    "user_selfjoin_size_estimate",  # sketch join-size estimate
+    "user_value_time_corr",  # per-user time-value correlation
+    "user_value_twa",  # time-weighted average per user
+    "view_purchase_span_overlaps",  # banded interval-overlap join
+    #
+    # -- last driver-green row: CORRECTNESS_r11 (rotate back by staleness) --
+    "bm25_rank",  # BM25 ranking; bm25 family twins checked r10, index machinery via inverted_index_band
+    "bucketed_customer_revenue",  # distributed_ntile revenue bins (count-derived); exchange machinery in-window via documents_stable_index
+    "corpus_curation",  # capstone v1 composed plan; v2 stays deferred (r08), v3 checked r10
+    "corpus_heaps_fit",  # Heaps-law scaled-ln OLS fit over the vocab growth curve
+    "cosine_topk",  # brute-force cosine top-k baseline; ANN family in-window via pq_adc_topk
+    "customer_cdc_apply",  # CDC op-log apply; merge family in-window via customer_scd2_merge
+    "customer_golden_record",  # survivorship golden record; merge family in-window via customer_scd2_merge
+    "customer_kanonymity",  # k-anonymity audit; governance family checked r11
+    "customer_ldiversity",  # l-diversity audit; governance family checked r11
+    "customer_profile_drift",  # profile drift report; drift family checked r10-r11
+    "dedup_exact",  # exact md5 dedup; dedup family in-window via minhash_lsh_pairs + streaming_dedup
+    "doc_chunk_dedup_stats",  # chunk-level dedup stats; CDC-chunking checked r11
+    "doc_kfold_counts",  # deterministic k-fold assignment; sampling family checked r11
+    "doc_labeling_queue",  # priority labeling queue on distributed ranks; checked r11
+    "embedding_centroid_drift",  # centroid drift between corpus halves; checked r11
+    "embedding_hard_negatives",  # hard-negative mining bands; ANN family in-window via pq_adc_topk
+    "embedding_near_dup",  # declared O(n^2) exact near-dup baseline with max_rows guard; checked r11
+    "event_value_conformal",  # split-conformal interval; eval/stats family checked r11
+    "events_category_entropy",  # grouped entropy; scaled-int log sums checked r10-r11
+    "events_daily_interpolate",  # gap interpolation on the daily grid via prefix sums; checked r11
+    "events_json_extract",  # JSON scan + flatten (S3); checked r11
+    "events_null_bypass_enrich",  # null-bypass join routing; checked r11
+    "events_trimmed_stats",  # trimmed/winsorized moments via offsets ranks; checked r11
+    "events_value_ci_by_type",  # grouped t-CI; scaled-int moments checked r11
+    "hyperplane_lsh_pairs",  # hyperplane LSH with count-derived bits (target_bucket=32); checked r11 on the new derivation
+    "ivf_topk_trained",  # trained-centroid IVF ANN; ANN family in-window via pq_adc_topk
+    "large_quantity_orders",  # J1 join+agg (TPC-H Q18 shape); checked r11
+    "lineitem_price_qty_spearman",  # Spearman rank corr on offsets ranks; checked r11
+    "orders_bootstrap_ci",  # deterministic-hash bootstrap CI; checked r11
+    "orders_fd_report",  # functional-dependency audit; governance family checked r11
+    "orders_referential_subset",  # FK-closed subset extraction; checked r11
+    "pack_assign",  # sequence packing via distributed_prefix_sum; checked r11
+    "part_copurchase_kcore",  # 14-core synchronous peeling; graph family in-window via order_graph_pagerank + event_chain_components
+    "part_entity_resolution",  # blocking->Levenshtein->components capstone; checked r11
+    "pricing_summary",  # TPC-H Q1 shape grouped aggregates; checked r11
+    "purchase_auc",  # global rank-sum AUC; eval family checked r11
+    "purchase_linear_attribution",  # equal-credit attribution spans; checked r11
+    "purchase_negative_samples",  # negative sampling with anti-join exclusion; checked r11
+    "quality_scores",  # text quality scoring; text family in-window via bigram_surprisal_docs
+    "segment_personalized_pagerank",  # PPR restart vectors; graph family in-window via order_graph_pagerank
+    "source_pareto_report",  # Pareto/concentration report; checked r11
+    "sq8_adc_topk",  # SQ8 scalar-quantized ADC; ANN family in-window via pq_adc_topk
+    "streaming_static_enrich",  # stream-static broadcast enrich; streaming family in-window (5 names)
+    "streaming_user_state",  # applyInPandasWithState fold; streaming family in-window (5 names)
+    "token_budget_mix",  # token-budget corpus mix; sampling family checked r11
+    "url_canonical_dedup",  # URL canonicalization dedup; dedup family in-window via minhash_lsh_pairs
+    "user_running_distinct_types",  # running distinct on JVM dedup+agg state; checked r11
+    "user_value_ewma",  # EWMA via log-domain prefix products; checked r11
 )
 
 
