@@ -1105,3 +1105,103 @@ def test_semantic_dedup_hierarchical_strategy(spark):
         kmeans_two_level(df, k=1)
     with pytest.raises(ValueError, match="iters"):
         kmeans_two_level(df, k=4, iters=0)
+
+
+def test_semantic_dedup_auto_dispatch(spark):
+    """strategy='auto' is a deterministic count dispatch (VERDICT r11
+    item 4): identical to explicit 'flat' when n < flat_threshold and to
+    explicit 'hierarchical' when n >= flat_threshold — the same single
+    count job the cell_target derivation runs decides the branch, so an
+    oracle replaying count(*) picks the same branch."""
+    import pytest
+
+    from wicsmmiretl_spark.operators.dedup import semantic_dedup
+
+    def unit(axis, eps, dim=8):
+        v = [eps] * dim
+        v[axis] = 1.0
+        return v
+
+    rows = []
+    for axis in range(8):
+        rows += [(axis * 100 + j, unit(axis, 0.005 * j)) for j in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    n = len(rows)
+
+    snap = lambda out: sorted(tuple(r) for r in out.collect())
+    flat = snap(semantic_dedup(df, tau=0.95, k=9, iters=2, seed=3, strategy="flat"))
+    hier = snap(
+        semantic_dedup(df, tau=0.95, k=9, iters=2, seed=3, strategy="hierarchical")
+    )
+    auto_lo = snap(
+        semantic_dedup(
+            df, tau=0.95, k=9, iters=2, seed=3, strategy="auto", flat_threshold=n + 1
+        )
+    )
+    auto_hi = snap(
+        semantic_dedup(
+            df, tau=0.95, k=9, iters=2, seed=3, strategy="auto", flat_threshold=n
+        )
+    )
+    assert auto_lo == flat
+    assert auto_hi == hier
+
+    with pytest.raises(ValueError, match="flat_threshold"):
+        semantic_dedup(df, tau=0.95, strategy="auto", flat_threshold=0)
+
+
+def test_semantic_dedup_oracle_replays_both_branches(spark):
+    """The graded oracle holds BOTH assignment chains behind a
+    count-guarded UNION ALL. Drive each branch end-to-end against the
+    operator on a synthetic corpus: the shipped threshold (20000) keeps a
+    60-vector corpus on the flat chain; swapping the two guard literals to
+    30 flips both engines to the hierarchical chain. Bit-exact both ways."""
+    import numpy as np
+    import pyarrow as pa
+
+    from wicsmmiretl_spark.operators.dedup import semantic_dedup
+    from wicsmmiretl_spark.oracle import norm
+    from wicsmmiretl_spark.suite import ORACLES
+
+    sql = ORACLES["semantic_dedup_keep"]
+    # the replace below must touch exactly the two branch guards
+    assert sql.count("20000") == 2
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 6)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    import duckdb
+
+    con = duckdb.connect()
+    arrow = pa.table(
+        {
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    con.register("embeddings", arrow)
+
+    def run_oracle(q):
+        return sorted(tuple(norm(v) for v in r) for r in con.execute(q).fetchall())
+
+    def run_op(threshold):
+        out = semantic_dedup(
+            df,
+            tau=0.4,
+            k=8,
+            iters=3,
+            seed=42,
+            cell_target=250,
+            strategy="auto",
+            flat_threshold=threshold,
+        ).select("vec_id", F.col("cell").cast("long").alias("cell"), "keep")
+        return sorted(tuple(norm(v) for v in r) for r in out.collect())
+
+    # flat branch: n=60 < 20000 on both engines
+    assert run_op(20_000) == run_oracle(sql)
+    # hierarchical branch: guards at 30, n=60 >= 30 on both engines
+    assert run_op(30) == run_oracle(sql.replace("20000", "30"))

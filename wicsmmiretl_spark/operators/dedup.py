@@ -834,6 +834,7 @@ def semantic_dedup(
     seed: int = 42,
     cell_target: int | None = None,
     strategy: str = "flat",
+    flat_threshold: int = 20_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (Abbas et al. 2023, arXiv:2303.09540 — public): cluster with k-means,
@@ -887,6 +888,17 @@ def semantic_dedup(
     corpora (below ~10× the sf0.1 testdata) the two-level fixed costs
     exceed the n·k saving.
 
+    ``strategy="auto"`` makes that crossover a deterministic dispatch
+    instead of caller judgment: pick ``"flat"`` when ``n <
+    flat_threshold``, else ``"hierarchical"`` — one count job (shared
+    with the ``cell_target`` derivation when both are set), an integer
+    compare, engine-replayable (a SQL oracle picks the same branch from
+    the same ``count(*)``). The default ``flat_threshold=20_000`` is the
+    measured crossover (~10× the 2 000-row sf0.1 testdata: flat wins by
+    ~3 s at 1×, hierarchical by 3.3× at 100× — BENCH_NOTES_r11), and it
+    is a CONSTANT, not a derivation: the point is that both engines and
+    both rounds of a rehearsal agree on the branch for a given corpus.
+
     Cosines are rounded to 6dp before the ≥ τ compare (the suite's
     cross-engine determinism discipline). Output: ``id_col``, ``cell``
     (int), ``keep`` (boolean) — one row per input vector; downstream the
@@ -894,23 +906,32 @@ def semantic_dedup(
     """
     from wicsmmiretl_spark.operators.similarity import kmeans_train, kmeans_two_level
 
-    if strategy not in ("flat", "hierarchical"):
+    if strategy not in ("flat", "hierarchical", "auto"):
         raise ValueError(
-            f"semantic_dedup: strategy must be 'flat' or 'hierarchical', got {strategy!r}"
+            "semantic_dedup: strategy must be 'flat', 'hierarchical' or "
+            f"'auto', got {strategy!r}"
         )
-    if cell_target is not None:
-        if cell_target < 2:
-            raise ValueError(
-                f"semantic_dedup: cell_target must be >= 2, got {cell_target}"
-            )
+    if flat_threshold < 1:
+        raise ValueError(
+            f"semantic_dedup: flat_threshold must be >= 1, got {flat_threshold}"
+        )
+    if cell_target is not None and cell_target < 2:
+        raise ValueError(
+            f"semantic_dedup: cell_target must be >= 2, got {cell_target}"
+        )
+    if cell_target is not None or strategy == "auto":
         # Integer ceil (no float division): the oracle replays the same
         # decision with (count(*) + cell_target - 1) // cell_target, exact
         # at every n. The count job re-executes the upstream plan; callers
         # feeding a non-trivial plan (not a bare table scan) should
         # persist/localCheckpoint it before calling — the suite feeds raw
         # parquet scans, where a cache would cost more than the re-scan.
+        # ONE count serves both the k derivation and the auto dispatch.
         n = embeddings.count()
-        k = max(k, -(-n // cell_target))
+        if cell_target is not None:
+            k = max(k, -(-n // cell_target))
+        if strategy == "auto":
+            strategy = "flat" if n < flat_threshold else "hierarchical"
     if strategy == "hierarchical":
         assigned = kmeans_two_level(
             embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed

@@ -6311,15 +6311,34 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "semantic_dedup_keep",
     f"""
-    WITH {_kmeans2_sql_cte(k="(SELECT greatest(8, (count(*) + 249) // 250) FROM embeddings)", iters=3, seed=42)},
+    WITH {_kmeans_sql_cte(k="SELECT greatest(8, (count(*) + 249) // 250) FROM embeddings", iters=3, seed=42)},
+    cn AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS nc FROM k3),
+    fasg AS (
+      SELECT vec_id, v, nv, cell FROM (
+        SELECT a.vec_id, a.v, a.nv, c.cell,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, len(a.v) + 1), j -> a.v[j] * c.cv[j]))
+                               / (a.nv * c.nc), 6) DESC, c.cell ASC) AS rn
+        FROM vn a CROSS JOIN cn c
+      ) WHERE rn = 1
+    ),
+    {_kmeans2_sql_cte(k="(SELECT greatest(8, (count(*) + 249) // 250) FROM embeddings)", iters=3, seed=42)},
+    asg AS (
+      SELECT vec_id, v, nv, cell FROM fasg
+      WHERE (SELECT count(*) FROM embeddings) < 20000
+      UNION ALL
+      SELECT vec_id, v, nv, cell FROM h2asg
+      WHERE (SELECT count(*) FROM embeddings) >= 20000
+    ),
     drp AS (
       SELECT DISTINCT b.vec_id
-      FROM h2asg a JOIN h2asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
       WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), j -> a.v[j] * b.v[j]))
                   / (a.nv * b.nv), 6) >= 0.4
     )
     SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell, (d.vec_id IS NULL) AS keep
-    FROM h2asg s LEFT JOIN drp d ON s.vec_id = d.vec_id
+    FROM asg s LEFT JOIN drp d ON s.vec_id = d.vec_id
     """,
 )
 def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6338,21 +6357,34 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     init CTE filters to ``greatest(8, (count(*) + 249) // 250)`` cells —
     the same decision chain, engine-replayable at every n.
 
-    Assignment runs ``strategy="hierarchical"``
-    (similarity.py:kmeans_two_level): with k ∝ n the FLAT broadcast-argmax
-    is the n·k = n²/250 stage (100× rehearsal: whole-operator exponent
-    0.82, 203.8 s), while coarse→fine routing is n·√k per pass — measured
-    62.0 s / exponent 0.40 on the identical 100× slice. The oracle replays
-    the full two-level chain (_kmeans2_sql_cte): integer k1 = ceil(√k) by
-    pure integer compare, the coarse Lloyd + routing, the md5-ranked
-    bounded seed trim with coarse-centroid fallback, the grouped fine
-    Lloyd, and the packed cell id — verified bit-exact against the
-    operator on skewed corpora and degenerate oversample before the flip."""
+    Assignment runs ``strategy="auto"`` (VERDICT r11 item 4): flat when
+    n < flat_threshold=20 000 (the measured crossover, ~10× the sf0.1
+    testdata — below it the two-level fixed costs exceed the n·k saving,
+    ~3 s at the sf0.1 bench point), hierarchical above it (with k ∝ n the
+    FLAT broadcast-argmax is the n·k = n²/250 stage — 100× rehearsal:
+    exponent 0.82, 203.8 s — while kmeans_two_level's coarse→fine routing
+    is n·√k per pass: 62.0 s / exponent 0.40 on the identical slice). The
+    dispatch is one integer compare on the SAME count the k derivation
+    runs, so the oracle picks the same branch from the same ``count(*)``:
+    both CTE chains are present — the flat Lloyd + argmax (_kmeans_sql_cte
+    → fasg) and the full two-level replay (_kmeans2_sql_cte → h2asg:
+    integer k1 = ceil(√k) by pure integer compare, coarse Lloyd + routing,
+    md5-ranked bounded seed trim with coarse-centroid fallback, grouped
+    fine Lloyd, packed cell id — verified bit-exact against the operator
+    on skewed corpora and degenerate oversample in r11) — and a
+    count-guarded UNION ALL selects the branch the operator took."""
     from wicsmmiretl_spark.operators.dedup import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
     out = semantic_dedup(
-        emb, tau=0.4, k=8, iters=3, seed=42, cell_target=250, strategy="hierarchical"
+        emb,
+        tau=0.4,
+        k=8,
+        iters=3,
+        seed=42,
+        cell_target=250,
+        strategy="auto",
+        flat_threshold=20_000,
     )
     return out.select("vec_id", F.col("cell").cast("long").alias("cell"), "keep")
 
