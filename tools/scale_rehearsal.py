@@ -56,6 +56,15 @@ from wicsmmiretl_spark.suite import QUERIES  # noqa: E402
 # already normalizes by log(COPIES), so the printed exponents are
 # directly comparable across slice sizes.
 COPIES = int(os.environ.get("SPARK_GRAFT_REHEARSAL_COPIES", "10"))
+# The affine alphabet permutation below yields 12 multipliers x 26 shifts
+# = 312 distinct permutations; copy 312 would wrap back to the identity
+# and silently reintroduce the exact-twin-copy degeneracy the permutation
+# exists to prevent — refuse rather than corrupt the measurement.
+if not 1 <= COPIES <= 312:
+    raise SystemExit(
+        f"SPARK_GRAFT_REHEARSAL_COPIES must be in [1, 312], got {COPIES} "
+        "(312 = the number of distinct affine text permutations)"
+    )
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 REHEARSAL_QUERIES = (
@@ -463,12 +472,35 @@ def main() -> None:
     reuse = os.environ.get("SPARK_GRAFT_REHEARSAL_DIR")
     if reuse:
         out_dir = reuse
-        print(f"reusing slice in {out_dir}", file=sys.stderr)
+        # The exponent math normalizes by log(COPIES); reusing a slice
+        # synthesized with a DIFFERENT copy count would silently mislabel
+        # every reading. The marker file written at synthesis time makes
+        # the pairing checkable.
+        marker = os.path.join(out_dir, "COPIES")
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                slice_copies = int(fh.read().strip())
+            if slice_copies != COPIES:
+                raise SystemExit(
+                    f"slice in {out_dir} was synthesized with COPIES="
+                    f"{slice_copies} but SPARK_GRAFT_REHEARSAL_COPIES="
+                    f"{COPIES} — set them to match or resynthesize"
+                )
+        else:
+            print(
+                f"WARNING: {marker} missing (pre-r12 slice?) — cannot "
+                f"validate the slice was built with COPIES={COPIES}; "
+                "exponents are wrong if it was not",
+                file=sys.stderr,
+            )
+        print(f"reusing {COPIES}x slice in {out_dir}", file=sys.stderr)
     else:
         out_dir = tempfile.mkdtemp(prefix=f"wicsmmir_scale{COPIES}x_")
         print(f"synthesizing {COPIES}x slice in {out_dir} ...", file=sys.stderr)
         t0 = time.perf_counter()
         synthesize(spark, out_dir)
+        with open(os.path.join(out_dir, "COPIES"), "w") as fh:
+            fh.write(f"{COPIES}\n")
         print(f"synthesized in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     selected = sys.argv[1:] or REHEARSAL_QUERIES
@@ -481,12 +513,14 @@ def main() -> None:
         # failing at the scaled slice — the exact discovery this tool
         # exists for — must be RECORDED, not abort the remaining
         # measurements.
+        phase = "1x baseline"
         try:
             t1 = time_query(spark, name, BASE_SF)
+            phase = f"{COPIES}x-slice"
             t10 = time_query(spark, name, out_dir)
         except Exception as exc:  # noqa: BLE001 — record and keep measuring
             print(
-                f"{name:28s} FAILED at {COPIES}x-slice run: "
+                f"{name:28s} FAILED at {phase} run: "
                 f"{type(exc).__name__}: {str(exc).splitlines()[0][:160]}",
                 flush=True,
             )

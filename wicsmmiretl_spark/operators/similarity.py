@@ -459,12 +459,23 @@ def kmeans_two_level(
     so the decision chain remains engine-replayable in SQL.
 
     Fine init: the ``seed_oversample·k`` globally md5-smallest vectors
-    (one bounded TakeOrdered collect — never a per-cell top-k window),
-    routed to their coarse cell, first ``k2`` per cell in md5 order kept
-    as that cell's seeds; a coarse cell the sample missed falls back to
-    ONE fine centroid — its own coarse centroid — so every vector always
-    has a routable target. Empty fine cells drop out per iteration,
-    mirroring :func:`kmeans_train`.
+    (one TakeOrdered collect — never a per-cell top-k window), routed to
+    their coarse cell, first ``k2`` per cell in md5 order kept as that
+    cell's seeds; a coarse cell the sample missed falls back to ONE fine
+    centroid — its own coarse centroid — so every vector always has a
+    routable target. Empty fine cells drop out per iteration, mirroring
+    :func:`kmeans_train`.
+
+    Driver-memory ceiling — per-CALL bounded, not scale-invariant: the
+    seed collect is ``seed_oversample·k`` full vectors and each fine
+    Lloyd round rebuilds a ~k-row centroid table on the driver, i.e.
+    ~``(seed_oversample+1)·k·dim·8`` bytes per iteration. Under the
+    ``cell_target`` discipline k ∝ n, so driver memory grows LINEARLY
+    with corpus size: at k=10⁶ cells × 768 dims that is ~31 GB on the
+    driver — size the driver for k·dim, or cap k and accept larger
+    cells. What the hierarchy removes is the n·k executor COMPUTE, not
+    the k-row driver state (a fully distributed fine-init is the next
+    rung if k ever outgrows the driver).
 
     Output: (``id_col``, cell int, v array<double>, nv double) — one row
     per input vector, ``cell = coarse·k2 + fine`` in [0, k1·k2). The cell
