@@ -328,6 +328,59 @@ REHEARSAL_QUERIES = (
     "url_canonical_dedup",
     "part_name_fuzzy_match",
     "cosine_topk",
+    # r12 band completion (VERDICT r11 item 5): the remaining sub-1 s
+    # STRUCTURAL shapes — joins, windows, merge/CDC, banding, state —
+    # where a scale surprise could still hide. Plain scans and
+    # class-bounded aggs stay unmeasured on purpose: their cost IS the
+    # scan (normalized_captions, quality_scores, stats matrices, melt,
+    # pivot, chi2/infogain contingencies, vector means, fingerprint,
+    # rollup/cube grouping sets except the representative below).
+    # as-of directions + interval/theta joins: range-state band joins.
+    "asof_click_purchase",
+    "asof_tolerance_purchase",
+    "click_purchase_interval_join",
+    "events_value_bands",
+    # merge/CDC family: full-outer null-safe key joins + max(struct).
+    "customer_cdc_apply",
+    "customer_merge_upsert",
+    "customer_snapshot_diff",
+    "orders_pit_attributes",
+    "customer_profile_drift",
+    # distributed index/rank machinery not already covered by the ntile
+    # riders: stable index, exact quantiles, weighted quantiles.
+    "documents_stable_index",
+    "quantity_quantiles",
+    "doc_char_weighted_quantiles",
+    # user-keyed sequence/session windows.
+    "event_funnel",
+    "sessionize_events",
+    "user_value_twa",
+    "user_value_analytics",
+    "window_rank_events",
+    "window_running_sum",
+    "source_capped_docs",
+    "user_retention_weekly",
+    "events_weekly_seasonality_error",
+    # event-time grids + streaming folds not yet measured.
+    "tumbling_daily",
+    "sliding_hourly",
+    "streaming_tumbling",
+    # join-shape representatives: null-bypass routing, skew diagnostics,
+    # semi/anti membership chains, broadcast top-k vote, vocab join.
+    "events_null_bypass_enrich",
+    "event_type_skew_profile",
+    "idle_rich_customers",
+    "customers_without_orders",
+    "knn_classify",
+    "bm25_rank",
+    "mktsegment_target_encoding",
+    # shuffle-volume representatives: explode+hash-agg flagship, exact
+    # dedup, one grouping-set shape, composed pipelines.
+    "vocab_top100",
+    "dedup_exact",
+    "lineitem_flag_status_cube",
+    "etl_caption_pipeline",
+    "corpus_curation",
 )
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"

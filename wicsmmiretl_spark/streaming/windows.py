@@ -34,7 +34,21 @@ from wicsmmiretl_spark.schemas import EVENTS
 
 def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """File-based event stream (parquet drop-folder). In production this is
-    a Kafka source; the file source has identical downstream semantics."""
+    a Kafka source; the file source has identical downstream semantics.
+
+    Steady-state replay mode: when ``SPARK_GRAFT_STREAM_STEADY`` is set
+    (to the target micro-batch count) and the caller didn't pass an
+    explicit ``max_files_per_trigger``, default it to 1 — paired with the
+    time-ordered multi-file drop-folder ``suite._events_dropdir`` writes
+    under the same knob, an availableNow drain then replays the corpus as
+    one micro-batch per file, so the watermark advances per batch and
+    stateful operators hold the in-watermark slice instead of peaking at
+    full-corpus state (the r11 rehearsal artifact this mode exists to
+    re-measure; VERDICT r11 item 6)."""
+    import os
+
+    if max_files_per_trigger is None and os.environ.get("SPARK_GRAFT_STREAM_STEADY"):
+        max_files_per_trigger = 1
     reader = spark.readStream.schema(EVENTS)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
