@@ -523,7 +523,21 @@ def main() -> None:
     # and skips both the build and the exit-time cleanup — iterating on a
     # 100x batch pays the ~2 min synthesis once instead of per launch.
     reuse = os.environ.get("SPARK_GRAFT_REHEARSAL_DIR")
-    if reuse:
+    if reuse and not any(
+        f.endswith(".parquet") for f in (os.listdir(reuse) if os.path.isdir(reuse) else ())
+    ):
+        # Named dir is empty/absent: synthesize INTO it and keep it — the
+        # first run of a multi-batch session builds the slice the later
+        # runs reuse.
+        os.makedirs(reuse, exist_ok=True)
+        print(f"synthesizing {COPIES}x slice into {reuse} ...", file=sys.stderr)
+        t0 = time.perf_counter()
+        synthesize(spark, reuse)
+        with open(os.path.join(reuse, "COPIES"), "w") as fh:
+            fh.write(f"{COPIES}\n")
+        print(f"synthesized in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        out_dir = reuse
+    elif reuse:
         out_dir = reuse
         # The exponent math normalizes by log(COPIES); reusing a slice
         # synthesized with a DIFFERENT copy count would silently mislabel
