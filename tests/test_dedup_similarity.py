@@ -1205,3 +1205,75 @@ def test_semantic_dedup_oracle_replays_both_branches(spark):
     assert run_op(20_000) == run_oracle(sql)
     # hierarchical branch: guards at 30, n=60 >= 30 on both engines
     assert run_op(30) == run_oracle(sql.replace("20000", "30"))
+
+
+def test_kmeans_two_level_distributed_fine_init(spark):
+    """r13 (VERDICT item 1): the DISTRIBUTED fine-init — per-coarse-cell
+    md5 top-k2 seeds via sample-then-repair, fine centroids kept as a
+    checkpointed DataFrame (no driver collect anywhere in the fine level).
+
+    Three guarantees, each pinned here:
+
+    * oversample-INVARIANCE: the output is independent of seed_oversample
+      by construction (the md5-threshold sample is an _r-prefix of every
+      cell's seed order; cells the sample under-covers are repaired from
+      their full row set). Verified by running seed_oversample 1 / 4 / 64
+      — 64 makes the threshold cover the whole hash space (sample == all
+      rows, repair impossible), so equality proves the sampled+repaired
+      selection exact.
+    * the repair branch IS exercised at seed_oversample=1: replaying the
+      operator's own 60-bit threshold over the routing the OUTPUT reveals
+      (cc = cell // k2 + 1) shows a coarse cell whose sampled count is
+      below min(k2, |cell|) — on this pinned corpus, cell 3 with 1 of 28.
+    * small-n parity with fine_init='collect' (the r12 global-TakeOrdered
+      path, kept as the parity reference): whenever n <= seed_oversample·k
+      the global top-m is ALL rows, so the two selections coincide
+      bit-for-bit.
+    """
+    import hashlib
+
+    import numpy as np
+    import pytest
+
+    from wicsmmiretl_spark.operators.similarity import kmeans_two_level
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(120, 6)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    k, k2, seed = 9, 3, 3  # k1 = ceil(sqrt(9)) = 3, k2 = 3
+
+    def run(**kw):
+        out = kmeans_two_level(df, k=k, iters=2, seed=seed, **kw)
+        return sorted((r.vec_id, r.cell) for r in out.select("vec_id", "cell").collect())
+
+    os1 = run(seed_oversample=1)
+    assert len(os1) == 120 and all(0 <= c < 9 for _, c in os1)
+    assert os1 == run(seed_oversample=4) == run(seed_oversample=64)
+
+    # Repair-branch coverage: replay the operator's threshold math on the
+    # routing the output reveals and require a genuinely deficient cell.
+    t = ((1 * k) << 60) // 120
+    samp: dict[int, int] = {}
+    tot: dict[int, int] = {}
+    for vid, cell in os1:
+        cc = cell // k2 + 1
+        tot[cc] = tot.get(cc, 0) + 1
+        r60 = int(hashlib.md5(f"{seed}:fine:{vid}".encode()).hexdigest()[:15], 16)
+        if r60 < t:
+            samp[cc] = samp.get(cc, 0) + 1
+    assert any(samp.get(cc, 0) < min(k2, n_cc) for cc, n_cc in tot.items())
+
+    # Small-n parity with the collect path: n=30 <= seed_oversample*k=36.
+    df30 = spark.createDataFrame(rows[:30], "vec_id long, embedding array<float>")
+
+    def run30(**kw):
+        out = kmeans_two_level(df30, k=k, iters=2, seed=seed, **kw)
+        return sorted((r.vec_id, r.cell) for r in out.select("vec_id", "cell").collect())
+
+    assert run30(fine_init="collect") == run30(fine_init="distributed")
+
+    with pytest.raises(ValueError, match="fine_init"):
+        kmeans_two_level(df, k=4, fine_init="bogus")
+    with pytest.raises(ValueError, match="seed_oversample"):
+        kmeans_two_level(df, k=4, seed_oversample=0)

@@ -552,3 +552,82 @@ def test_steady_state_replay_matches_one_batch_drain(spark, tmp_path, monkeypatc
     dd = stream_dedup(st)
     out = run_to_memory_sink(dd, "steady_probe_sink", spark, output_mode="append")
     assert out.count() == len({r[0] for r in base_rows})
+
+
+def test_append_session_window_emits_exactly_finalized_sessions(spark):
+    """r13 (VERDICT r12 item 5): the APPEND-mode session query — the
+    production shape where state is watermark-evicted and each session is
+    emitted exactly once — equals the COMPLETE-mode oracle-harness twin
+    row-for-row on the shipped corpus, with no sentinel leakage.
+
+    Mechanics pinned:
+    * every real session flushes (the two far-future sentinel batches
+      advance the watermark, then carry the emission);
+    * the sentinels' own sessions never appear (heartbeat_filter drops
+      them post-watermark; availableNow's final flush batch would emit
+      the first one otherwise — the bug this test would catch);
+    * the heartbeat filter is NOT pushed below the EventTimeWatermark
+      node (Catalyst pushes watermark-column-free conjuncts through it,
+      which silently un-advances the watermark and loses the last
+      micro-batch's sessions — the other bug this test would catch).
+    """
+    from wicsmmiretl_spark import suite
+
+    sf_dir = "/root/testdata/sf0.001"
+    append_rows = sorted(
+        tuple(r)
+        for r in suite.QUERIES["streaming_session_window_append"](spark, sf_dir).collect()
+    )
+    complete_rows = sorted(
+        tuple(r)
+        for r in suite.QUERIES["streaming_session_window"](spark, sf_dir).collect()
+    )
+    assert append_rows == complete_rows
+    assert append_rows  # non-empty: the flush actually happened
+    assert all(r[0] is None or r[0] >= 0 for r in append_rows)  # no sentinel user
+
+
+def test_session_heartbeat_advances_watermark_without_aggregating(spark, tmp_path):
+    """The heartbeat filter's kept-predicate references the event-time
+    column precisely so PushPredicateThroughNonJoin cannot move it below
+    EventTimeWatermark. Behavioral pin on a minimal corpus: one real
+    event, then two heartbeat-only micro-batches. The real session can
+    emit in append mode ONLY if the heartbeats advanced the watermark
+    (batch 2) and a later batch carried the emission (batch 3) — if the
+    filter were pushed below the watermark node, the heartbeats would be
+    invisible to event time and the output would be empty; if heartbeats
+    aggregated, a heartbeat session would appear."""
+    import os
+
+    rows = [
+        ("2024-01-01 00:00:00", 1, "click", 0, 7.0),
+        ("2024-01-01 06:00:00", -1, "_sentinel", 1, None),
+        ("2024-01-02 06:00:00", -1, "_sentinel", 2, None),
+    ]
+    d = str(tmp_path / "hb")
+    os.makedirs(d)
+    for i, (ts, uid, et, fid, val) in enumerate(rows):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(
+            [(100 + fid, uid, et, val)], "event_id long, user_id long, event_type string, value double"
+        ).select(
+            "event_id",
+            F.lit(ts).cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            F.lit(None).cast("string").alias("props"),
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        os.replace(f"{stage}/{part}", f"{d}/part-{i}.parquet")
+        os.utime(f"{d}/part-{i}.parquet", (1700000000 + i, 1700000000 + i))
+
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    out = run_to_memory_sink(
+        session_aggregate(stream, heartbeat_filter=F.col("event_type") == "_sentinel"),
+        "t_heartbeat_session",
+        spark,
+        output_mode="append",
+    )
+    got = [tuple(r) for r in out.collect()]
+    assert len(got) == 1 and got[0][0] == 1 and got[0][3] == 1

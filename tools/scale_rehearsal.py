@@ -553,12 +553,28 @@ def main() -> None:
                     f"{slice_copies} but SPARK_GRAFT_REHEARSAL_COPIES="
                     f"{COPIES} — set them to match or resynthesize"
                 )
-        else:
+        elif os.environ.get("SPARK_GRAFT_REHEARSAL_UNMARKED") == "1":
+            # Explicit opt-in for genuine pre-r12 slices that predate the
+            # marker — the operator is asserting the copy count matches.
             print(
-                f"WARNING: {marker} missing (pre-r12 slice?) — cannot "
-                f"validate the slice was built with COPIES={COPIES}; "
-                "exponents are wrong if it was not",
+                f"WARNING: {marker} missing — proceeding because "
+                "SPARK_GRAFT_REHEARSAL_UNMARKED=1; exponents are wrong if "
+                f"the slice was not built with COPIES={COPIES}",
                 file=sys.stderr,
+            )
+        else:
+            # Parquet present but no marker: most likely a synthesize()
+            # crash left a PARTIAL slice (the marker is written only on
+            # completed synthesis) — measuring against it mislabels every
+            # exponent. Hard error instead of a warning (ADVICE r12);
+            # delete the dir to resynthesize, or set
+            # SPARK_GRAFT_REHEARSAL_UNMARKED=1 for a genuine pre-r12 slice.
+            raise SystemExit(
+                f"{marker} missing but parquet present in {out_dir} — "
+                "likely a partial slice from an interrupted synthesis. "
+                "Delete the directory to resynthesize, or set "
+                "SPARK_GRAFT_REHEARSAL_UNMARKED=1 to override for a "
+                "pre-marker slice."
             )
         print(f"reusing {COPIES}x slice in {out_dir}", file=sys.stderr)
     else:

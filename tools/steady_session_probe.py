@@ -77,6 +77,13 @@ def main() -> None:
             "synthesized slice (events.parquet present)"
         )
     copies = int(os.environ.get("SPARK_GRAFT_REHEARSAL_COPIES", "10"))
+    if copies < 2:
+        # log(copies) = 0 at copies=1 — the exponent is undefined, not
+        # merely noisy; reject up front (ADVICE r12).
+        raise SystemExit(
+            f"SPARK_GRAFT_REHEARSAL_COPIES must be >= 2 (got {copies}): "
+            "the exponent normalizes by log(copies)"
+        )
     marker = os.path.join(slice_dir, "COPIES")
     if os.path.isfile(marker):
         with open(marker) as fh:

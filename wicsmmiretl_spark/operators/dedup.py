@@ -919,6 +919,7 @@ def semantic_dedup(
         raise ValueError(
             f"semantic_dedup: cell_target must be >= 2, got {cell_target}"
         )
+    n: int | None = None
     if cell_target is not None or strategy == "auto":
         # Integer ceil (no float division): the oracle replays the same
         # decision with (count(*) + cell_target - 1) // cell_target, exact
@@ -926,7 +927,8 @@ def semantic_dedup(
         # feeding a non-trivial plan (not a bare table scan) should
         # persist/localCheckpoint it before calling — the suite feeds raw
         # parquet scans, where a cache would cost more than the re-scan.
-        # ONE count serves both the k derivation and the auto dispatch.
+        # ONE count serves the k derivation, the auto dispatch, AND (passed
+        # down as n_rows) the two-level fine-init sample threshold.
         n = embeddings.count()
         if cell_target is not None:
             k = max(k, -(-n // cell_target))
@@ -934,7 +936,7 @@ def semantic_dedup(
             strategy = "flat" if n < flat_threshold else "hierarchical"
     if strategy == "hierarchical":
         assigned = kmeans_two_level(
-            embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
+            embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed, n_rows=n
         ).localCheckpoint(eager=False)
     else:
         cent = kmeans_train(

@@ -434,6 +434,9 @@ def kmeans_two_level(
     seed: int = 42,
     scale: int = 10**9,
     seed_oversample: int = 4,
+    fine_init: str = "distributed",
+    n_rows: int | None = None,
+    fine_broadcast_max_rows: int = 1 << 20,
 ) -> DataFrame:
     """Hierarchical (two-level) k-means cell assignment: ~k cells at
     n·O(√k) compare cost instead of the flat Lloyd's n·k.
@@ -458,24 +461,57 @@ def kmeans_two_level(
     rounding with ties to the lowest cell id, exact scaled-integer means),
     so the decision chain remains engine-replayable in SQL.
 
-    Fine init: the ``seed_oversample·k`` globally md5-smallest vectors
-    (one TakeOrdered collect — never a per-cell top-k window), routed to
-    their coarse cell, first ``k2`` per cell in md5 order kept as that
-    cell's seeds; a coarse cell the sample missed falls back to ONE fine
-    centroid — its own coarse centroid — so every vector always has a
-    routable target. Empty fine cells drop out per iteration, mirroring
-    :func:`kmeans_train`.
+    Fine init (``fine_init="distributed"``, the default — the r12
+    verdict's last declared 100 TB ceiling, removed): each coarse cell
+    seeds itself with its ``k2`` md5-smallest routed vectors — exact
+    per-cell semantics, so every non-empty cell always has seeds (no
+    missed-cell fallback can exist) and the result is provably
+    independent of ``seed_oversample``. The implementation is
+    sample-then-repair, never a collect:
 
-    Driver-memory ceiling — per-CALL bounded, not scale-invariant: the
-    seed collect is ``seed_oversample·k`` full vectors and each fine
-    Lloyd round rebuilds a ~k-row centroid table on the driver, i.e.
-    ~``(seed_oversample+1)·k·dim·8`` bytes per iteration. Under the
-    ``cell_target`` discipline k ∝ n, so driver memory grows LINEARLY
-    with corpus size: at k=10⁶ cells × 768 dims that is ~31 GB on the
-    driver — size the driver for k·dim, or cap k and accept larger
-    cells. What the hierarchy removes is the n·k executor COMPUTE, not
-    the k-row driver state (a fully distributed fine-init is the next
-    rung if k ever outgrows the driver).
+    * an md5-threshold pre-filter keeps rows whose 60-bit hash prefix
+      falls under ``seed_oversample·k/n`` of the hash space (map-side,
+      expected ``seed_oversample·k2`` rows per average cell). Because
+      the filter is monotone in the SAME md5 the per-cell order sorts
+      by, the sample is a PREFIX of every cell's seed order — so when a
+      cell keeps ≥ k2 sampled rows, its sampled top-k2 IS its true
+      top-k2;
+    * cells where the sample holds fewer than ``min(k2, |cell|)`` rows
+      (the binomial tail — essentially only cells smaller than ~k2/p)
+      are repaired exactly: their FULL row set re-enters the ranking
+      via a broadcast semi-join on the tiny deficient-cell list;
+    * the per-cell rank is a ``Window.partitionBy(cc)`` over the
+      sampled+repaired candidates. That window is the RIGHT plan here
+      by the engine's own doctrine (``distributed_prefix_sum`` enforces
+      its offset-table cap precisely because high-cardinality groups —
+      cc has k1 ≈ √k of them — belong to the plain grouped window): the
+      per-group row count is sample-bounded (~``seed_oversample·k2``),
+      independent of n, so no task ever sorts a corpus-sized group.
+
+    The fine Lloyd loop then keeps centroids as a DATAFRAME joined by
+    coarse id — localCheckpoint between rounds, never a driver
+    collect/rebuild. Empty fine cells drop out per iteration, mirroring
+    :func:`kmeans_train`. ``n_rows`` lets callers that already counted
+    the corpus (semantic_dedup's shared count job) skip the one count
+    the threshold sizing needs.
+
+    ``fine_init="collect"`` keeps the r12 path — the ``seed_oversample·k``
+    globally md5-smallest vectors via one TakeOrdered collect, trimmed
+    per cell, coarse-centroid fallback for missed cells — as the small-n
+    parity reference: whenever ``n ≤ seed_oversample·k`` the global
+    top-m is ALL rows and the two selections coincide bit-for-bit
+    (pytest-gated). At larger n the distributed semantics are strictly
+    better (balanced per-cell seeds, no fallback) and are what the SQL
+    oracle replays.
+
+    Driver memory: O(√k) — the coarse level's k1-row centroid state is
+    the ONLY remaining Python-side collect. The fine-centroid table (k
+    rows) is broadcast-joined while ``k ≤ fine_broadcast_max_rows``
+    (the single-JVM fast path; a broadcast still materializes k·dim·8 B
+    in the driver JVM) and falls back to a plain cc-keyed shuffle join
+    above it — the 100 TB plan, where each va partition co-locates with
+    exactly its own cells' ≤ k2 centroids and no k-row table exists on
+    any single node.
 
     Output: (``id_col``, cell int, v array<double>, nv double) — one row
     per input vector, ``cell = coarse·k2 + fine`` in [0, k1·k2). The cell
@@ -483,12 +519,20 @@ def kmeans_two_level(
     coarse cell), which is immaterial to cell-bounded dedup/ANN but means
     a flat-trained SQL oracle does not replay it — the two-level oracle
     chain lives in suite.py:_kmeans2_sql_cte and is verified bit-exact
-    against this operator (driver gate + skew/oversample stress).
+    against this operator (driver gate + oversample-invariance stress).
     """
     if k < 2:
         raise ValueError(f"kmeans_two_level: k must be >= 2, got {k}")
     if iters < 1:
         raise ValueError(f"kmeans_two_level: iters must be >= 1, got {iters}")
+    if fine_init not in ("distributed", "collect"):
+        raise ValueError(
+            f"kmeans_two_level: fine_init must be 'distributed' or 'collect', got {fine_init!r}"
+        )
+    if seed_oversample < 1:
+        raise ValueError(
+            f"kmeans_two_level: seed_oversample must be >= 1, got {seed_oversample}"
+        )
     spark = embeddings.sparkSession
     k1 = math.isqrt(k - 1) + 1  # ceil(sqrt(k))
     k2 = -(-k // k1)
@@ -534,38 +578,83 @@ def kmeans_two_level(
         .localCheckpoint(eager=False)
     )
 
-    # Fine seeds: one bounded TakeOrdered (seed_oversample·k rows max on
-    # the driver), trimmed per coarse cell in md5 order — deterministic,
-    # and never a per-group window (the one-task-per-group shape the
-    # distributed_ntile work exists to avoid).
-    seed_rows = (
-        va.withColumn(
-            "_r",
-            F.md5(F.concat_ws(":", F.lit(str(seed)), F.lit("fine"), F.col(id_col).cast("string"))),
-        )
-        .orderBy("_r")
-        .limit(seed_oversample * k)
-        .select("cc", "_r", "v")
-        .collect()
+    va_r = va.withColumn(
+        "_r",
+        F.md5(F.concat_ws(":", F.lit(str(seed)), F.lit("fine"), F.col(id_col).cast("string"))),
     )
-    per_cell: dict[int, list[list[float]]] = {}
-    for r in sorted(seed_rows, key=lambda r: r["_r"]):
-        bucket = per_cell.setdefault(r["cc"], [])
-        if len(bucket) < k2:
-            bucket.append(list(r["v"]))
-    fine = []
-    for r in coarse.select("cell", "cv").collect():
-        seeds = per_cell.get(r["cell"])
-        if seeds:
-            fine.extend((r["cell"], j, sv) for j, sv in enumerate(seeds))
-        else:
-            # Sample missed this coarse cell: one fine cell, seeded by the
-            # coarse centroid itself, keeps every routed vector assignable.
-            fine.append((r["cell"], 0, list(r["cv"])))
+    if fine_init == "collect":
+        # Legacy (r12) path, kept as the small-n parity reference: the
+        # seed_oversample·k globally md5-smallest rows via one bounded
+        # TakeOrdered collect, trimmed per coarse cell, coarse-centroid
+        # fallback for cells the global sample missed. Coincides with the
+        # distributed per-cell semantics whenever n <= seed_oversample·k.
+        seed_rows = va_r.orderBy("_r").limit(seed_oversample * k).select("cc", "_r", "v").collect()
+        per_cell: dict[int, list[list[float]]] = {}
+        for r in sorted(seed_rows, key=lambda r: r["_r"]):
+            bucket = per_cell.setdefault(r["cc"], [])
+            if len(bucket) < k2:
+                bucket.append(list(r["v"]))
+        fine = []
+        for r in coarse.select("cell", "cv").collect():
+            seeds = per_cell.get(r["cell"])
+            if seeds:
+                fine.extend((r["cell"], j, sv) for j, sv in enumerate(seeds))
+            else:
+                # Sample missed this coarse cell: one fine cell, seeded by
+                # the coarse centroid itself, keeps every vector routable.
+                fine.append((r["cell"], 0, list(r["cv"])))
+        cent = spark.createDataFrame(fine, "cc int, j int, cv array<double>")
+    else:
+        # Distributed per-cell pick: each cell's k2 md5-smallest vectors,
+        # computed by sample-then-repair (docstring) — no driver collect,
+        # output independent of seed_oversample by construction.
+        n = va.count() if n_rows is None else n_rows
+        # 60-bit hash-prefix threshold targeting seed_oversample·k kept
+        # rows in expectation. Python big-int arithmetic (the product
+        # overflows int64 for large k); the threshold never reaches the
+        # output semantics, so no oracle has to replay it.
+        thresh = ((seed_oversample * k) << 60) // max(n, 1)
+        cand = va_r
+        if thresh < (1 << 60):
+            r60 = F.conv(F.substring("_r", 1, 15), 16, 10).cast("long")
+            sampled = va_r.filter(r60 < F.lit(thresh)).localCheckpoint(eager=False)
+            samp_n = sampled.groupBy("cc").agg(F.count("*").alias("_ns"))
+            tot_n = va_r.groupBy("cc").agg(F.count("*").alias("_nt"))
+            # A cell is deficient when the sample holds fewer than
+            # min(k2, |cell|) of its rows; the sample being an _r-prefix
+            # per cell, every NON-deficient cell's sampled top-k2 is its
+            # exact top-k2. Deficient cells (binomial tail + cells smaller
+            # than ~k2/p) re-rank their full row set; the deficient-cell
+            # list is tiny, so both routing joins broadcast it.
+            deficient = (
+                tot_n.join(samp_n, "cc", "left")
+                .filter(F.coalesce(F.col("_ns"), F.lit(0)) < F.least(F.lit(k2), F.col("_nt")))
+                .select("cc")
+            )
+            cand = sampled.join(F.broadcast(deficient), "cc", "left_anti").unionByName(
+                va_r.join(F.broadcast(deficient), "cc").select(*sampled.columns)
+            )
+        # Per-cell rank: cc is HIGH-cardinality (k1 ~ sqrt(k) groups) and
+        # the per-group candidate count is sample-bounded (~oversample·k2,
+        # independent of n) — exactly the regime distributed_prefix_sum's
+        # own guard routes to the plain grouped window.
+        wseed = Window.partitionBy("cc").orderBy("_r")
+        cent = (
+            cand.withColumn("_rn", F.row_number().over(wseed))
+            .filter(F.col("_rn") <= k2)
+            .select("cc", (F.col("_rn") - 1).cast("int").alias("j"), F.col("v").alias("cv"))
+        )
 
-    fine_schema = "cc int, j int, cv array<double>"
+    # Fine Lloyd rounds with the centroid table kept as a DataFrame —
+    # localCheckpoint between rounds truncates lineage and materializes
+    # exact doubles (bit-identical to the old collect/rebuild, without
+    # the O(k) driver state). Broadcast only while the k-row table is
+    # small; above the cap the cc-keyed shuffle join is the 100 TB plan
+    # (each va partition co-locates with its own cells' <= k2 centroids).
+    bcast = k <= fine_broadcast_max_rows
+    cent = cent.localCheckpoint(eager=False)
     for it in range(iters + 1):
-        cent_df = spark.createDataFrame(fine, fine_schema).withColumn(
+        cent_n = cent.withColumn(
             "nc", F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x))
         )
         fpick = F.struct(
@@ -575,7 +664,7 @@ def kmeans_two_level(
             F.col("nv").alias("nv"),
         )
         assigned = (
-            va.join(F.broadcast(cent_df), "cc")
+            va.join(F.broadcast(cent_n) if bcast else cent_n, "cc")
             .withColumn("ccos", F.round(cdot / (F.col("nv") * F.col("nc")), 6))
             .groupBy(id_col, "cc")
             .agg(F.min(fpick).alias("_s"))
@@ -606,7 +695,7 @@ def kmeans_two_level(
         new_cent = new_flat.groupBy("cc", "j").agg(
             F.array_sort(F.collect_list(F.struct("pos", "c")))["c"].alias("cv")
         )
-        fine = sorted((r["cc"], r["j"], list(r["cv"])) for r in new_cent.collect())
+        cent = new_cent.localCheckpoint(eager=True)
     raise AssertionError("unreachable")  # pragma: no cover
 
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wicsmmiretl_spark.schemas import EVENTS
@@ -107,11 +107,28 @@ def session_aggregate(
     events: DataFrame,
     gap: str = "30 minutes",
     watermark: str = "1 hour",
+    heartbeat_filter: Column | None = None,
 ) -> DataFrame:
     """Gap-based session windows per user (F.session_window): a session
     closes when no event arrives for ``gap``. Streaming twin of the batch
-    ``sessionize_events`` suite query."""
+    ``sessionize_events`` suite query.
+
+    ``heartbeat_filter``: predicate for control/punctuation rows that
+    should ADVANCE event time but never aggregate (the Kafka heartbeat /
+    sentinel pattern) — matching rows are dropped AFTER the watermark
+    node, so Spark's event-time stats still see them (a filter placed
+    before ``withWatermark`` would hide them from the watermark too, and
+    closed sessions would never flush in append mode). Placement is
+    load-bearing and Catalyst would undo it: PushPredicateThroughNonJoin
+    pushes any deterministic conjunct that does NOT reference the
+    watermark column below the EventTimeWatermark node (measured: the
+    last micro-batch's sessions silently never flush). The vacuous
+    ``ts IS NULL`` disjunct makes the kept-predicate reference the
+    event-time column, which that rule may not push — heartbeats carry
+    real timestamps by contract, so it admits no extra rows."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    if heartbeat_filter is not None:
+        src = src.filter(~heartbeat_filter | F.col("ts").isNull())
     return (
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
@@ -128,7 +145,15 @@ def session_aggregate(
 def stream_dedup(events: DataFrame, keys: Sequence[str] = ("event_id",), watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: drop repeats of ``keys`` within the watermark
     horizon (state bounded by watermark; exactly the semantics a replayed
-    at-least-once source needs)."""
+    at-least-once source needs).
+
+    Batch-cadence caveat (ADVICE r12): dropDuplicatesWithinWatermark
+    evicts a key's state once the watermark passes it, so a duplicate
+    pair separated by MORE than the horizon survives a multi-batch
+    (steady) replay but collapses in a single-batch drain — equality of
+    the two cadences holds exactly when no duplicate pair spans the
+    horizon. True for the shipped testdata (pytest pins it row-for-row
+    at 8 batches), corpus-dependent in general."""
     if events.isStreaming:
         return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
     return events.dropDuplicates(list(keys))

@@ -1299,7 +1299,7 @@ def q_image_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _STREAM_RUN_COUNTER = iter(range(10**9))
-_STREAM_DROPDIRS: dict[str, str] = {}
+_STREAM_DROPDIRS: dict[tuple[str, str | None], str] = {}
 
 
 def _events_dropdir(spark: SparkSession, sf_dir: str) -> str:
@@ -1317,21 +1317,41 @@ def _events_dropdir(spark: SparkSession, sf_dir: str) -> str:
     order, one file per micro-batch (read_event_stream defaults
     maxFilesPerTrigger=1 under the same knob). min(ts of file i+1) >=
     max(ts of file i), so a per-batch-advancing watermark never drops a
-    row as late — results are IDENTICAL to the one-batch drain; only the
-    state peak changes (the in-watermark slice instead of the corpus),
-    which is exactly what the rehearsal re-measures. Default path (knob
-    unset) is byte-identical to r11."""
+    row as late — so results match the one-batch drain whenever no
+    stateful operator's decision spans more than the watermark horizon
+    ACROSS batches. For the windowed aggregations that is unconditional;
+    for ``stream_dedup`` (dropDuplicatesWithinWatermark) it holds exactly
+    when no duplicate key pair is separated by more than the horizon —
+    key state is evicted once the watermark passes, so a wider-spaced
+    duplicate SURVIVES steady replay but collapses in the single-batch
+    drain. True for the shipped testdata (pytest pins row-for-row
+    equality at 8 batches), claimed for that corpus, not unconditionally
+    (ADVICE r12). Only the state peak changes (the in-watermark slice
+    instead of the corpus), which is exactly what the rehearsal
+    re-measures. Default path (knob unset) is byte-identical to r11.
+
+    The memo key is (sf_dir, steady-at-build-time): the env knob is
+    re-read per call, so a knob flip mid-process gets a FRESH folder in
+    the matching layout instead of silently replaying a stale one whose
+    same-mtime files would break the time-ordered guarantee (ADVICE r12).
+    ``SPARK_GRAFT_STREAM_STEADY=1`` is honored as written — one file,
+    one micro-batch, the degenerate steady replay (== the default drain
+    shape, just with the range layout); values < 1 raise."""
     import os
 
-    d = _STREAM_DROPDIRS.get(sf_dir)
+    steady = os.environ.get("SPARK_GRAFT_STREAM_STEADY")
+    d = _STREAM_DROPDIRS.get((sf_dir, steady))
     if d is None:
         import tempfile
 
         d = tempfile.mkdtemp(prefix="wicsmmir_stream_")
-        steady = os.environ.get("SPARK_GRAFT_STREAM_STEADY")
         ev = _t(spark, sf_dir, "events")
         if steady:
-            n_files = max(2, int(steady))
+            n_files = int(steady)
+            if n_files < 1:
+                raise ValueError(
+                    f"SPARK_GRAFT_STREAM_STEADY must be >= 1, got {steady!r}"
+                )
             ev.repartitionByRange(n_files, "ts").sortWithinPartitions("ts").write.mode(
                 "overwrite"
             ).parquet(d)
@@ -1348,7 +1368,74 @@ def _events_dropdir(spark: SparkSession, sf_dir: str) -> str:
                 os.utime(os.path.join(d, f), (base + i, base + i))
         else:
             ev.write.mode("overwrite").parquet(d)
-        _STREAM_DROPDIRS[sf_dir] = d
+        _STREAM_DROPDIRS[(sf_dir, steady)] = d
+    return d
+
+
+def _events_dropdir_finalized(spark: SparkSession, sf_dir: str) -> str:
+    """Drop-folder for the APPEND-mode session query: the events table
+    range-partitioned on ts into 8 time-ordered files (min ts of file i+1
+    >= max ts of file i, strictly increasing mtimes — the steady-state
+    layout, here ALWAYS on and env-independent so the query's result
+    never depends on a knob), plus TWO far-future sentinel files.
+
+    Why sentinels: append mode emits a session only once the watermark
+    passes its end, and Spark computes the watermark at batch BOUNDARIES —
+    the final real batch's sessions would otherwise never flush from an
+    availableNow drain (the same flush the interval-join harness forces;
+    see streaming/windows.py:interval_join). Sentinel batch 1 (year 2100,
+    user_id -1, event_type '_sentinel') advances the watermark past every
+    real session's end; sentinel batch 2 (a day later) runs under that
+    watermark and emits the stragglers. The consuming query drops the
+    sentinels post-watermark (session_aggregate's ``heartbeat_filter``) so
+    they advance event time without ever forming a session — availableNow
+    runs one final flush batch after the last file, which would otherwise
+    emit the first sentinel's own session."""
+    import os
+
+    key = (sf_dir, "__finalized__")
+    d = _STREAM_DROPDIRS.get(key)
+    if d is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="wicsmmir_stream_fin_")
+        ev = _t(spark, sf_dir, "events")
+        ev.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.mode(
+            "overwrite"
+        ).parquet(d)
+        parts = sorted(
+            f for f in os.listdir(d) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dtypes = dict(ev.dtypes)
+        for i, day in enumerate(("2100-01-01", "2100-01-02")):
+            fixed = {
+                "event_id": F.lit(-1 - i).cast(dtypes["event_id"]),
+                "ts": F.lit(day).cast("timestamp"),
+                "user_id": F.lit(-1).cast(dtypes["user_id"]),
+                "event_type": F.lit("_sentinel"),
+            }
+            sent = spark.range(1).select(
+                *[
+                    fixed.get(c, F.lit(None).cast(dtypes[c])).alias(c)
+                    for c in ev.columns
+                ]
+            )
+            sdir = tempfile.mkdtemp(prefix=f"wicsmmir_sent{i}_")
+            sent.coalesce(1).write.mode("overwrite").parquet(sdir)
+            sfile = next(
+                f for f in os.listdir(sdir) if f.startswith("part-") and f.endswith(".parquet")
+            )
+            os.replace(
+                os.path.join(sdir, sfile), os.path.join(d, f"part-9999{i}-sentinel.parquet")
+            )
+            parts.append(f"part-9999{i}-sentinel.parquet")
+        # Strictly increasing mtimes in (real range order, then sentinel)
+        # order — the file source replays by mtime, and the no-late-rows +
+        # flush guarantees both hang on this ordering.
+        base = int(os.path.getmtime(os.path.join(d, parts[0]))) - len(parts)
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(d, f), (base + i, base + i))
+        _STREAM_DROPDIRS[key] = d
     return d
 
 
@@ -1420,7 +1507,15 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic batch sessionization (lag → gap flag → running sum), with
     session_end = last event + gap matching session_window's half-open
     [start, last+gap) contract; value pre-scaled to micro-unit longs so the
-    per-session sum is exact on both engines."""
+    per-session sum is exact on both engines.
+
+    This is the ORACLE-HARNESS variant: COMPLETE output mode makes the
+    memory sink hold every session — open or closed — after the drain, so
+    the batch SQL twin compares 1:1 regardless of micro-batching. The
+    production shape (watermark-evicted state, each session emitted exactly
+    once) is the APPEND twin ``streaming_session_window_append`` below
+    (VERDICT r12 item 5); both are registered so the driver carries
+    evidence for each semantics."""
     from wicsmmiretl_spark.streaming.windows import (
         read_event_stream,
         run_to_memory_sink,
@@ -1433,6 +1528,81 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"suite_session_{next(_STREAM_RUN_COUNTER)}"
     agg = run_to_memory_sink(session_aggregate(stream), name, spark, shuffle_partitions=8)
+    return agg.select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        F.round(F.col("session_value").cast("double") / F.lit(1000000.0), 4).alias(
+            "session_value"
+        ),
+    )
+
+
+@query(
+    "streaming_session_window_append",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                       OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+      FROM g
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + 1800000000 AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS session_value
+    FROM s
+    GROUP BY user_id, sess_no
+    """,
+)
+def q_streaming_session_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 streaming session windows in the PRODUCTION shape (VERDICT r12
+    item 5): APPEND output mode — state is watermark-evicted and every
+    session is emitted exactly once, the always-on-pipeline semantics the
+    COMPLETE-mode oracle-harness twin can't exercise (measured at 100×
+    steady replay: exponent 0.10, tools/steady_session_probe.py).
+
+    Append emission needs the watermark to PASS a session's end, and the
+    watermark only moves at batch boundaries — so the harness drains a
+    time-ordered 8-file drop-folder one file per micro-batch, closed by two
+    far-future sentinel batches that advance the watermark past every real
+    session and then flush the stragglers (_events_dropdir_finalized; same
+    sentinel discipline as the interval-join harness). The time-ordered
+    layout means no row is ever late, so the emitted set is EXACTLY the
+    full deterministic sessionization — the oracle is the same batch SQL
+    twin as the COMPLETE variant (every real session is final after the
+    sentinels). The sentinels ride ``session_aggregate``'s
+    ``heartbeat_filter``: dropped AFTER the watermark node, so they advance
+    event time but never form a session — availableNow's final flush batch
+    would otherwise emit the first sentinel's own session (measured: one
+    phantom year-2100 row)."""
+    from wicsmmiretl_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory_sink,
+        session_aggregate,
+    )
+
+    d = _events_dropdir_finalized(spark, sf_dir)
+    stream = read_event_stream(spark, d, max_files_per_trigger=1).withColumn(
+        "value", F.round(F.col("value") * 1000000).cast("long")
+    )
+    name = f"suite_session_append_{next(_STREAM_RUN_COUNTER)}"
+    agg = run_to_memory_sink(
+        session_aggregate(
+            stream, heartbeat_filter=F.col("event_type") == "_sentinel"
+        ),
+        name,
+        spark,
+        output_mode="append",
+        shuffle_partitions=8,
+    )
     return agg.select(
         "user_id",
         "session_start_us",
@@ -1621,7 +1791,6 @@ def _kmeans2_sql_cte(
     k: int | str = 8,
     iters: int = 3,
     seed: int = 42,
-    seed_oversample: int = 4,
 ) -> str:
     """CTE chain replaying operators/similarity.py:kmeans_two_level verbatim
     in DuckDB — the hierarchical (coarse→fine) cell assignment:
@@ -1631,11 +1800,13 @@ def _kmeans2_sql_cte(
       no float sqrt), k2 = ceil(k/k1);
     * coarse level: the flat Lloyd chain (:func:`_kmeans_sql_cte`,
       prefix ``h2c``) at k1, then the cosine-argmax routing ``h2va``;
-    * fine seeds: the ``seed_oversample·k`` globally md5-smallest routed
-      vectors (rank filter — the bounded TakeOrdered), first k2 per coarse
-      cell in md5 order (``rn - 1`` = the operator's enumerate j), plus
-      the coarse-centroid fallback row for any coarse cell the sample
-      missed;
+    * fine seeds: each coarse cell's k2 md5-smallest routed vectors
+      (``rn - 1`` = the operator's j) — the r13 distributed fine-init
+      semantics. The operator's md5-threshold sample + deficiency repair
+      is an exact implementation of this per-cell top-k2 (the sample is
+      an _r-prefix per cell), so the oracle replays only the semantics:
+      no oversample knob, no missed-cell fallback (every non-empty cell
+      seeds itself; empty coarse cells route no vectors);
     * fine level: ``iters`` grouped Lloyd rounds — assignment is the
       equi-join on the coarse cell with ties to the lowest j, update the
       exact scaled-integer mean per (cc, j, pos);
@@ -1663,20 +1834,13 @@ def _kmeans2_sql_cte(
         FROM h2cvn a CROSS JOIN h2cn c
       ) WHERE rn = 1
     ),
-    h2seed AS (
-      SELECT cc, r, v FROM (
-        SELECT cc, md5('{seed}:fine:' || CAST(vec_id AS VARCHAR)) AS r, v,
-               row_number() OVER (ORDER BY md5('{seed}:fine:' || CAST(vec_id AS VARCHAR))) AS rn0
-        FROM h2va
-      ) WHERE rn0 <= {seed_oversample} * (SELECT k FROM h2p)
-    ),
     h2f0 AS (
       SELECT cc, rn - 1 AS j, v AS cv FROM (
-        SELECT cc, v, row_number() OVER (PARTITION BY cc ORDER BY r) AS rn FROM h2seed
+        SELECT cc, v,
+               row_number() OVER (
+                 PARTITION BY cc ORDER BY md5('{seed}:fine:' || CAST(vec_id AS VARCHAR))) AS rn
+        FROM h2va
       ) WHERE rn <= (SELECT k2 FROM h2p)
-      UNION ALL
-      SELECT c.cell AS cc, 0 AS j, c.cv
-      FROM h2ck{iters} c WHERE c.cell NOT IN (SELECT cc FROM h2seed)
     )"""
     prev = "h2f0"
     for i in range(1, iters + 2):
@@ -6402,10 +6566,13 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     both CTE chains are present — the flat Lloyd + argmax (_kmeans_sql_cte
     → fasg) and the full two-level replay (_kmeans2_sql_cte → h2asg:
     integer k1 = ceil(√k) by pure integer compare, coarse Lloyd + routing,
-    md5-ranked bounded seed trim with coarse-centroid fallback, grouped
-    fine Lloyd, packed cell id — verified bit-exact against the operator
-    on skewed corpora and degenerate oversample in r11) — and a
-    count-guarded UNION ALL selects the branch the operator took."""
+    per-coarse-cell md5 top-k2 fine seeds (the r13 DISTRIBUTED fine-init —
+    the operator's sample+repair implements exactly these semantics with
+    no driver collect, so the oracle replays the semantics, not the
+    sample), grouped fine Lloyd, packed cell id — verified bit-exact
+    against the operator on both branches and under oversample-invariance
+    stress) — and a count-guarded UNION ALL selects the branch the
+    operator took."""
     from wicsmmiretl_spark.operators.dedup import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
