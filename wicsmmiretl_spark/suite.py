@@ -10020,36 +10020,29 @@ def q_part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEFERRED_QUERIES = (
-    # r12 rotation (the driver checks the FIRST 50 registry names; this
-    # tuple is everything pushed behind them). IN-window this round:
-    #   * customer_table_fingerprint — the single red r11 cell, re-checked
-    #     on the r12 portable formulation (c_acctbal pinned through
-    #     DECIMAL(12,2) before hashing; checksum_sum folded to a
-    #     wrap-mod-2^64 BIGINT so no DECIMAL(38)/HUGEINT reaches the
-    #     comparator). VERDICT r11 item 1.
-    #   * the ENTIRE r07-stale cohort — all 28 names whose most recent
-    #     driver-green row is CORRECTNESS_r07, the oldest standing
-    #     evidence in the registry (VERDICT r11 item 3).
-    #   * semantic_dedup_keep — its assignment strategy became
-    #     count-derived this round (n < flat_threshold -> flat, else
-    #     hierarchical; VERDICT r11 item 4), so the driver row must land
-    #     on the dispatching path and its branch-matched oracle.
-    #   * 20 names from the r08 cohort (next-stalest), headed by
-    #     salted_supplier_volume (cap_mode='top' landed post-rotation in
-    #     r11 — result-invisible, but the driver row should stand on the
-    #     new path) and the five streaming replays, jaccard_exact_pairs
-    #     (max_df knob rider), and one representative per family:
-    #     minhash_lsh_pairs, pq_adc_topk, order_graph_pagerank,
-    #     event_chain_components, part_copurchase_triangles,
-    #     lineitem_corr_matrix, documents_stable_index,
-    #     customer_scd2_merge, orders_incremental_rollup,
-    #     image_pipeline_stats, bpe_merge_table, bigram_surprisal_docs,
-    #     hybrid_rank_fusion.
-    #   1 + 28 + 1 + 20 = 50.
-    # r13 ROTATION GUIDANCE: rotate by staleness — the 22 remaining r08
-    # names (the "last driver-green row: CORRECTNESS_r08" section below)
-    # first, then fill from the r09 section, plus any query whose graded
-    # path changes in r12's post-rotation sessions.
+    # r13 rotation (the driver checks the FIRST 50 registry names; this
+    # tuple is everything pushed behind them). IN-window this round,
+    # strictly by staleness (VERDICT r12 item 2):
+    #   * the ENTIRE r08-stale cohort — all 22 names whose most recent
+    #     driver-green row was CORRECTNESS_r08, the oldest standing
+    #     evidence in the registry after r12 closed the r07 cohort.
+    #   * 26 names from the r09 cohort (next-stalest), taken in section
+    #     order with no cherry-picking: asof_click_purchase ... lang_id.
+    #     The 20 remaining r09 names (lineitem_flag_status_cube ...
+    #     window_rank_events, kept below) are r14's first pick.
+    #   * semantic_dedup_keep — its hierarchical branch now routes through
+    #     the r13 DISTRIBUTED fine-init (per-coarse-cell md5 top-k2 seeds,
+    #     DataFrame-kept fine centroids; VERDICT r12 item 1), so the
+    #     driver row must land on the new path and its rewritten
+    #     two-level oracle chain.
+    #   * streaming_session_window_append — NEW this round (VERDICT r12
+    #     item 5, the one registration breaking the freeze): the
+    #     production append-mode session window needs its first driver
+    #     row.
+    #   22 + 26 + 1 + 1 = 50.
+    # r14 ROTATION GUIDANCE: rotate by staleness — the 20 remaining r09
+    # names below first, then fill from the r10 section (50 names), plus
+    # any query whose graded path changes in r13's post-rotation sessions.
     #
     # Registry history note (r01-era retirements, for artifact
     # auditability): top_revenue_orders, supplier_nation_revenue and
@@ -10065,57 +10058,8 @@ _DEFERRED_QUERIES = (
     # pytest run via tests/test_deferred_oracle.py and by
     # tools/verify_local.py.
     #
-    # -- last driver-green row: CORRECTNESS_r08 (rotate back by staleness) --
-    "asof_nearest_purchase",  # as-of join proper; asof_click/next/tolerance in-window cover the directions
-    "bloom_pruned_revenue",  # Bloom runtime filter; nation_trade_volume in-window is the same J1 join+agg
-    "cms_heavy_tokens",  # CMS heavy hitters; vocab_token_class in-window counts the same token classes
-    "corpus_curation_v2",  # capstone pipeline; etl_caption_pipeline in-window is the composed E/T/L chain
-    "documents_profile",  # wide one-pass profile; stats_matrix_documents in-window is the grouped form
-    "event_value_trend_by_type",  # grouped OLS trend; events_stats_by_type in-window covers grouped moments
-    "events_daily_resample",  # event-time buckets; tumbling_daily + sliding_hourly in-window cover the grid
-    "events_value_histogram",  # fixed-bin histogram; events_stats_by_type in-window covers grouped value aggs
-    "events_value_outliers",  # robust outliers; events_stats_by_type in-window covers grouped event stats
-    "hll_distinct_users",  # HLL sketch; nation_segment_distinct deferred twin; exact distincts in-window via cube
-    "lineitem_melt_stats",  # unpivot/melt; lineitem_flag_status_cube in-window reshapes the same table
-    "mktsegment_target_encoding",  # target encoding; region_customer_rollup in-window covers grouped encode stats
-    "orders_dq_report",  # DQ contract rules; idle_rich_customers + customers_without_orders in-window cover semi/anti
-    "part_association_rules",  # basket mining; knn_classify in-window covers candidate-pair scoring
-    "part_name_fuzzy_match",  # bounded-levenshtein probe; part_name_neighborhood_pairs in-window is the blocking form
-    "pmi_collocations_top",  # PMI collocations; decontaminate-family n-gram joins covered via vocab in-window
-    "purchase_click_ab_stats",  # Welch A/B; stats_matrix_documents in-window covers exact-moment aggs
-    "purchase_last_touch",  # as-of carry; asof_click_purchase (backward) in-window evaluates the same direction
-    "source_capped_docs",  # window-rank cap; window_rank_events in-window is the same rank-then-filter
-    "user_activity_spans",  # gaps-and-islands; sessionize_events in-window merges the same user timelines
-    "user_retention_weekly",  # cohort retention; event_funnel in-window covers ordered-event user analytics
-    "weighted_sample_docs",  # md5 priority sampling; corpus_mix in-window is the stratified form
-    #
-    # -- last driver-green row: CORRECTNESS_r09 (rotate back by staleness) --
-    "asof_click_purchase",  # backward as-of; view_purchase_span_overlaps (in-window) matches the same click/purchase timelines
-    "asof_tolerance_purchase",  # as-of + tolerance; same interval-membership family as view_purchase_span_overlaps (in-window)
-    "click_purchase_interval_join",  # theta/interval join; view_purchase_span_overlaps (in-window) is the banded interval twin
-    "corpus_mix",  # seeded md5 mixing; temperature_corpus_mix (in-window) derives weights for the same threshold filter
-    "customer_snapshot_diff",  # merge-family diff; r9 driver row fresh (the r8 array-canonicalization fix re-proven)
-    "customers_without_orders",  # J3 anti-join; part_link_prediction (in-window) excludes adjacent pairs with the same anti-join shape
-    "dedup_canonical",  # exact dedup; incremental_dedup_probe (in-window) probes the same fingerprint space
-    "doc_chunks",  # generate-only chunking; corpus_curriculum_stages (in-window) stages the same corpus
-    "doc_feature_vectors",  # hashed features; doc_lang_nb_confusion (in-window) trains on the same hashed token space
-    "doc_len_quantile_norm",  # rank normalization; doc_char_weighted_quantiles (in-window) is the weighted twin
-    "doc_tfidf_similar_pairs",  # tf-idf pairs; bm25_retrieval_metrics + bm25_ndcg (in-window) weight the same tf/df/idf
-    "doc_winnowing_stats",  # winnowing fingerprints; doc_overlap_pairs (in-window) joins the same fingerprints
-    "embedding_centroids",  # vector means; embedding_pair_profile + embedding_kcenter (in-window) cover vector arithmetic
-    "etl_caption_pipeline",  # E/T/L runner; corpus_curation_v3 (in-window) composes the same pipeline stages
-    "event_chain_bfs_levels",  # BFS frontier; event_chain_shortest_paths (in-window) walks the same frontier loop, weighted
-    "event_funnel",  # ordered-event funnel; event_frequent_paths (in-window) mines the same user-keyed sequences
-    "event_transition_matrix",  # lead() transitions; event_frequent_paths (in-window) walks the same lead() window
-    "event_type_skew_profile",  # skew diagnostics; user_selfjoin_size_estimate (in-window) estimates the same join blow-up
-    "events_stats_by_type",  # grouped event stats; events_daily_cusum + event_type_ks_report (in-window) consume the same per-type series
-    "events_weekly_seasonality_error",  # seasonal backtest; events_daily_cusum (in-window) monitors the same daily grid
-    "idle_rich_customers",  # P5-P8 membership chain; purchase_view_ks (in-window) compares the same purchase/view populations
-    "inverted_index_band",  # df-banded postings; bm25_retrieval_metrics + bm25_ndcg (in-window) consume the same index
-    "ivf_topk",  # coarse-cell ANN; kmeans_silhouette (in-window) trains the same cells, embedding_mmr_topk re-ranks the same cosines
-    "kmeans_centroids",  # Lloyd training; kmeans_silhouette (in-window) runs the same training loop
-    "knn_classify",  # top-k vote; embedding_mmr_topk (in-window) consumes the same cosine top-k
-    "lang_id",  # n-gram lang-ID; doc_lang_source_chi2 + doc_lang_source_infogain (in-window) test the same lang labels
+    # -- last driver-green row: CORRECTNESS_r09 (rotate back by staleness;
+    #    the 26 section-order names ahead of these went in-window r13) --
     "lineitem_flag_status_cube",  # cube grouping sets; part_size_price_skyline (in-window) scans the same lineitem extremes
     "nation_trade_volume",  # J1 join+agg; part_copurchase_communities (in-window) builds edges through the same lineitem join
     "orders_pit_attributes",  # PIT validity join; view_purchase_span_overlaps (in-window) evaluates the same interval membership
@@ -10238,6 +10182,58 @@ _DEFERRED_QUERIES = (
     "url_canonical_dedup",  # URL canonicalization dedup; dedup family in-window via minhash_lsh_pairs
     "user_running_distinct_types",  # running distinct on JVM dedup+agg state; checked r11
     "user_value_ewma",  # EWMA via log-domain prefix products; checked r11
+
+    #
+    # -- last driver-green row: CORRECTNESS_r12 (rotate back by staleness) --
+    "deterministic_sample_docs",  # R1 seeded shuffle; sampling family evidence fresh
+    "range_filter_chain",  # P5/P6 strict-bounds filter chain
+    "customers_with_orders_semi",  # P8 left-semi membership
+    "union_balance_stats",  # U1 union + uniqueness assertion
+    "window_running_sum",  # running-sum analytic window
+    "asof_next_purchase",  # forward as-of join
+    "orders_rollup",  # ROLLUP grouping sets
+    "nation_segment_distinct",  # exact grouped distincts
+    "nations_without_suppliers",  # anti-join twin on dims
+    "minhash_lsh_pairs",  # MinHash+LSH banding
+    "near_dup_jaccard",  # n-gram Jaccard near-dup
+    "simhash_signatures",  # SimHash signatures
+    "token_counts",  # E1 Catalyst tokenizer backend
+    "clamped_ratios",  # P9 conditional clamp
+    "split_assign",  # R7 train/test split
+    "wikimedia_url_build",  # F4 URL+md5 build
+    "image_pipeline_stats",  # E4/E5 multimodal chain with closed-form pixel oracle
+    "streaming_session_window",  # COMPLETE-mode session twin (oracle harness); append twin in-window
+    "normalized_captions",  # F1/F2 string normalization
+    "corpus_concat",  # F3 concat-reduce
+    "events_value_bands",  # theta/range band join
+    "user_value_analytics",  # five analytics on one window sort
+    "dedup_clusters",  # dup-cluster union-find resolution
+    "events_daily_pivot",  # event-time pivot grid
+    "embedding_vector_stats",  # vector moments profile
+    "nations_with_both",  # set-intersection membership
+    "quantity_quantiles",  # exact median/quantiles
+    "cheapest_supplier_per_part",  # TPC-H Q2 min-by shape
+    "customer_merge_upsert",  # merge/upsert CDC shape
+    "pii_scrub",  # PII regexp scrub chains
+    "decontaminate_ngrams",  # benchmark n-gram decontamination
+    "streaming_interval_join",  # stream-stream interval join
+    "salted_supplier_volume",  # two-phase skew-salted join (cap_mode=top)
+    "event_chain_components",  # alternating-star connected components
+    "streaming_dedup",  # watermark-bounded streaming dedup
+    "order_graph_pagerank",  # PageRank power iterations
+    "hybrid_rank_fusion",  # BM25+ANN reciprocal-rank fusion
+    "bigram_surprisal_docs",  # bigram surprisal with pruning floor
+    "orders_incremental_rollup",  # incremental rollup merge
+    "customer_scd2_merge",  # SCD2 history merge
+    "pq_adc_topk",  # PQ-ADC ANN with trained codebooks
+    "bpe_merge_table",  # BPE merge training loop
+    "lineitem_corr_matrix",  # scaled-int correlation matrix
+    "part_copurchase_triangles",  # degree-ordered triangle census
+    "streaming_hll_distinct",  # HLL registers folded as stream state
+    "documents_stable_index",  # R6 distributed stable index
+    "streaming_cms_heavy_users",  # CMS folded as stream state
+    "jaccard_exact_pairs",  # exact prefix-filter AllPairs (declared guaranteed-recall)
+    "customer_table_fingerprint",  # engine-portable table fingerprint (the r11 incident, r12-green)
 )
 
 
