@@ -23,6 +23,39 @@ from wicsmmiretl_spark.session import get_spark
 from wicsmmiretl_spark.suite import QUERIES
 
 
+def _quiet_wait(
+    threshold: float,
+    max_wait_s: float,
+    poll_s: float = 10.0,
+    load1=None,
+    sleep=None,
+    clock=None,
+) -> tuple[float, bool]:
+    """Bounded wait for a quiet host (VERDICT r12 item 3): poll the 1-minute
+    loadavg until it drops below ``threshold`` or ``max_wait_s`` elapses.
+    Returns ``(waited_seconds, exhausted)`` — ``exhausted`` means the
+    deadline passed with the host still loaded, which the caller stamps
+    into the artifact so a hot-host take is self-labelling instead of a
+    phantom regression (the r11/r12 driver artifacts both landed at
+    load1 > 5 and each cost an adjudication). ``load1``/``sleep``/``clock``
+    are injectable for the contract test."""
+    load1 = load1 or (lambda: os.getloadavg()[0])
+    sleep = sleep or time.sleep
+    clock = clock or time.monotonic
+    t0 = clock()
+    while load1() >= threshold:
+        waited = clock() - t0
+        if waited >= max_wait_s:
+            return round(waited, 1), True
+        print(
+            f"quiet-wait: load1={load1():.2f} >= {threshold} "
+            f"({waited:.0f}s/{max_wait_s:.0f}s)",
+            file=sys.stderr,
+        )
+        sleep(min(poll_s, max_wait_s - waited))
+    return round(clock() - t0, 1), False
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -35,6 +68,29 @@ def main() -> None:
     # loaded-host artifact without re-running. local[32] on an idle host
     # shows start load well under ~4; a start load of 8+ means another
     # tenant is eating cores and every wall-clock below is suspect.
+    load_arrival = os.getloadavg()
+    print(f"loadavg_arrival: {load_arrival}", file=sys.stderr)
+
+    # Quiet-host gate (VERDICT r12 item 3): two rounds running, the
+    # driver-facing artifact landed at load1 > 5 and read as a phantom
+    # 40% regression until quiet takes adjudicated it. Wait (bounded) for
+    # the co-tenant load to drain before the timed loop; if the wait
+    # exhausts, proceed anyway and stamp quiet_wait_exhausted so the
+    # artifact carries its own discount label. Knobs:
+    # SPARK_GRAFT_QUIET_LOAD1 (threshold, default 1.0; <= 0 disables) and
+    # SPARK_GRAFT_QUIET_WAIT_MAX (seconds, default 600; 0 disables).
+    quiet_thr = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD1", "1.0"))
+    quiet_max = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_MAX", "600"))
+    quiet_wait_s, quiet_exhausted = 0.0, False
+    if quiet_thr > 0 and quiet_max > 0:
+        quiet_wait_s, quiet_exhausted = _quiet_wait(quiet_thr, quiet_max)
+        if quiet_wait_s:
+            print(
+                f"quiet-wait: {quiet_wait_s}s"
+                + (" (exhausted — proceeding on a loaded host)" if quiet_exhausted else ""),
+                file=sys.stderr,
+            )
+
     load_start = os.getloadavg()
     print(f"loadavg_start: {load_start}", file=sys.stderr)
 
@@ -117,8 +173,11 @@ def main() -> None:
                     "sf": sf,
                     "total_seconds": total,
                     "n_queries": len(times),
+                    "load1_arrival": round(load_arrival[0], 2),
                     "load1_start": round(load_start[0], 2),
                     "load1_end": round(load_end[0], 2),
+                    "quiet_wait_s": quiet_wait_s,
+                    "quiet_wait_exhausted": quiet_exhausted,
                     "queries": times,
                     "errors": errors,
                 },
@@ -166,6 +225,11 @@ def main() -> None:
             # parser tolerates unknown keys.
             "load1_start": round(load_start[0], 2),
         }
+        if quiet_exhausted:
+            # The bounded quiet-wait ran out with the host still loaded —
+            # the artifact explicitly labels itself a hot take
+            # (VERDICT r12 item 3).
+            out["quiet_wait_exhausted"] = True
         if errors:
             # Truncated per-query error strings, capped at err_n entries so a
             # mass failure (every query broken) can't push the contract line

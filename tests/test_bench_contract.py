@@ -19,6 +19,7 @@ def test_bench_survives_broken_query(spark, monkeypatch, capsys, tmp_path):
 
     monkeypatch.setattr(bench, "QUERIES", {"vocab_top100": ok, "broken": broken})
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_QUIET_LOAD1", "0")
     monkeypatch.setenv("SPARK_GRAFT_FULL_OUT", str(tmp_path))
     bench.main()
     line = capsys.readouterr().out.strip().splitlines()[-1]
@@ -60,6 +61,7 @@ def test_bench_mass_failure_keeps_line_parseable(spark, monkeypatch, capsys, tmp
     patched.update({f"broken_{i:02d}": make_broken(i) for i in range(40)})
     monkeypatch.setattr(bench, "QUERIES", patched)
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_QUIET_LOAD1", "0")
     monkeypatch.setenv("SPARK_GRAFT_FULL_OUT", str(tmp_path))
     bench.main()
     line = capsys.readouterr().out.strip().splitlines()[-1]
@@ -87,6 +89,7 @@ def test_bench_flaky_second_run_keeps_first_timing(spark, monkeypatch, capsys, t
 
     monkeypatch.setattr(bench, "QUERIES", {"vocab_top100": ok, "flaky": flaky})
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_QUIET_LOAD1", "0")
     monkeypatch.setenv("SPARK_GRAFT_FULL_OUT", str(tmp_path))
     bench.main()
     line = capsys.readouterr().out.strip().splitlines()[-1]
@@ -152,3 +155,64 @@ def test_bench_prior_prefers_full_then_rerun_then_driver(tmp_path):
     )
     assert bench._latest_prior_bench(0.1, tmp_path) == {"q": 3.0}
     assert bench._latest_prior_bench(0.01, tmp_path) is None
+
+
+def test_quiet_wait_returns_when_load_drops():
+    """_quiet_wait polls until load1 drops below the threshold: injected
+    fakes step the load 5.0 -> 3.0 -> 0.4, the wait ends on the third
+    reading, not exhausted (VERDICT r12 item 3)."""
+    import bench
+
+    loads = iter([5.0, 5.0, 3.0, 3.0, 0.4])
+    t = {"now": 0.0}
+
+    def fake_sleep(s):
+        t["now"] += s
+
+    waited, exhausted = bench._quiet_wait(
+        1.0, 600.0, poll_s=10.0, load1=lambda: next(loads), sleep=fake_sleep, clock=lambda: t["now"]
+    )
+    assert not exhausted
+    assert waited == 20.0
+
+
+def test_quiet_wait_exhausts_on_persistent_load():
+    """A host that never quiets: the wait stops at the deadline and reports
+    exhausted=True — bench proceeds, it never hangs."""
+    import bench
+
+    t = {"now": 0.0}
+
+    def fake_sleep(s):
+        t["now"] += s
+
+    waited, exhausted = bench._quiet_wait(
+        1.0, 60.0, poll_s=10.0, load1=lambda: 7.0, sleep=fake_sleep, clock=lambda: t["now"]
+    )
+    assert exhausted
+    assert waited == 60.0
+
+
+def test_bench_stamps_quiet_wait_exhausted(spark, monkeypatch, capsys, tmp_path):
+    """When the bounded quiet-wait runs out on a loaded host, the contract
+    line and the sidecar BOTH carry the explicit hot-take label — the
+    self-labelling artifact the r11/r12 adjudications existed to avoid."""
+    import json as _json
+
+    import bench
+
+    ok = bench.QUERIES["vocab_top100"]
+    monkeypatch.setattr(bench, "QUERIES", {"vocab_top100": ok})
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_FULL_OUT", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_QUIET_LOAD1", "1.0")
+    monkeypatch.setenv("SPARK_GRAFT_QUIET_WAIT_MAX", "0.2")
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (9.9, 9.9, 9.9))
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    doc = _json.loads(line)
+    assert doc["quiet_wait_exhausted"] is True
+    assert doc["load1_start"] == 9.9
+    full = _json.loads(next(tmp_path.glob("BENCH_FULL_r*.json")).read_text())
+    assert full["quiet_wait_exhausted"] is True
+    assert full["quiet_wait_s"] >= 0.2
