@@ -617,18 +617,22 @@ def kmeans_two_level(
         cand = va_r
         if thresh < (1 << 60):
             r60 = F.conv(F.substring("_r", 1, 15), 16, 10).cast("long")
-            sampled = va_r.filter(r60 < F.lit(thresh)).localCheckpoint(eager=False)
-            samp_n = sampled.groupBy("cc").agg(F.count("*").alias("_ns"))
-            tot_n = va_r.groupBy("cc").agg(F.count("*").alias("_nt"))
+            in_sample = r60 < F.lit(thresh)
+            sampled = va_r.filter(in_sample)
             # A cell is deficient when the sample holds fewer than
             # min(k2, |cell|) of its rows; the sample being an _r-prefix
             # per cell, every NON-deficient cell's sampled top-k2 is its
             # exact top-k2. Deficient cells (binomial tail + cells smaller
             # than ~k2/p) re-rank their full row set; the deficient-cell
-            # list is tiny, so both routing joins broadcast it.
+            # list is tiny, so both routing joins broadcast it. ONE
+            # partial-agged pass computes both counts (total + in-sample).
             deficient = (
-                tot_n.join(samp_n, "cc", "left")
-                .filter(F.coalesce(F.col("_ns"), F.lit(0)) < F.least(F.lit(k2), F.col("_nt")))
+                va_r.groupBy("cc")
+                .agg(
+                    F.count("*").alias("_nt"),
+                    F.sum(in_sample.cast("long")).alias("_ns"),
+                )
+                .filter(F.col("_ns") < F.least(F.lit(k2), F.col("_nt")))
                 .select("cc")
             )
             cand = sampled.join(F.broadcast(deficient), "cc", "left_anti").unionByName(
@@ -646,11 +650,14 @@ def kmeans_two_level(
         )
 
     # Fine Lloyd rounds with the centroid table kept as a DataFrame —
-    # localCheckpoint between rounds truncates lineage and materializes
-    # exact doubles (bit-identical to the old collect/rebuild, without
-    # the O(k) driver state). Broadcast only while the k-row table is
-    # small; above the cap the cc-keyed shuffle join is the 100 TB plan
-    # (each va partition co-locates with its own cells' <= k2 centroids).
+    # a LAZY localCheckpoint between rounds truncates lineage and
+    # materializes exact doubles (bit-identical to the old
+    # collect/rebuild, without the O(k) driver state); lazy because the
+    # next round's broadcast build is the first consumer and
+    # materializes it inline — eager would pay one extra job per round.
+    # Broadcast only while the k-row table is small; above the cap the
+    # cc-keyed shuffle join is the 100 TB plan (each va partition
+    # co-locates with its own cells' <= k2 centroids).
     bcast = k <= fine_broadcast_max_rows
     cent = cent.localCheckpoint(eager=False)
     for it in range(iters + 1):
@@ -695,7 +702,7 @@ def kmeans_two_level(
         new_cent = new_flat.groupBy("cc", "j").agg(
             F.array_sort(F.collect_list(F.struct("pos", "c")))["c"].alias("cv")
         )
-        cent = new_cent.localCheckpoint(eager=True)
+        cent = new_cent.localCheckpoint(eager=False)
     raise AssertionError("unreachable")  # pragma: no cover
 
 
