@@ -30,6 +30,8 @@ def _quiet_wait(
     load1=None,
     sleep=None,
     clock=None,
+    load5_threshold: float | None = None,
+    load5=None,
 ) -> tuple[float, bool]:
     """Bounded wait for a quiet host (VERDICT r12 item 3): poll the 1-minute
     loadavg until it drops below ``threshold`` or ``max_wait_s`` elapses.
@@ -37,19 +39,32 @@ def _quiet_wait(
     deadline passed with the host still loaded, which the caller stamps
     into the artifact so a hot-host take is self-labelling instead of a
     phantom regression (the r11/r12 driver artifacts both landed at
-    load1 > 5 and each cost an adjudication). ``load1``/``sleep``/``clock``
-    are injectable for the contract test."""
+    load1 > 5 and each cost an adjudication).
+
+    ``load5_threshold`` additionally requires the 5-minute loadavg below
+    it: measured r13, a run started the instant load1 dipped under 1.0 —
+    while load5 was still draining from a heavy predecessor — came back
+    systemically 1.24× inflated (BENCH_FULL_r13.1 vs .2), so "load1 just
+    crossed the knee" is not yet quiet. ``load1``/``load5``/``sleep``/
+    ``clock`` are injectable for the contract test."""
     load1 = load1 or (lambda: os.getloadavg()[0])
+    load5 = load5 or (lambda: os.getloadavg()[1])
     sleep = sleep or time.sleep
     clock = clock or time.monotonic
+
+    def quiet() -> bool:
+        if load1() >= threshold:
+            return False
+        return load5_threshold is None or load5() < load5_threshold
+
     t0 = clock()
-    while load1() >= threshold:
+    while not quiet():
         waited = clock() - t0
         if waited >= max_wait_s:
             return round(waited, 1), True
         print(
-            f"quiet-wait: load1={load1():.2f} >= {threshold} "
-            f"({waited:.0f}s/{max_wait_s:.0f}s)",
+            f"quiet-wait: load1={load1():.2f}/load5={load5():.2f} vs "
+            f"{threshold}/{load5_threshold} ({waited:.0f}s/{max_wait_s:.0f}s)",
             file=sys.stderr,
         )
         sleep(min(poll_s, max_wait_s - waited))
@@ -77,13 +92,20 @@ def main() -> None:
     # the co-tenant load to drain before the timed loop; if the wait
     # exhausts, proceed anyway and stamp quiet_wait_exhausted so the
     # artifact carries its own discount label. Knobs:
-    # SPARK_GRAFT_QUIET_LOAD1 (threshold, default 1.0; <= 0 disables) and
-    # SPARK_GRAFT_QUIET_WAIT_MAX (seconds, default 600; 0 disables).
+    # SPARK_GRAFT_QUIET_LOAD1 (threshold, default 1.0; <= 0 disables),
+    # SPARK_GRAFT_QUIET_LOAD5 (5-min threshold, default 4.0; <= 0 drops
+    # the load5 condition) and SPARK_GRAFT_QUIET_WAIT_MAX (seconds,
+    # default 600; 0 disables).
     quiet_thr = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD1", "1.0"))
+    quiet_thr5 = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD5", "4.0"))
     quiet_max = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_MAX", "600"))
     quiet_wait_s, quiet_exhausted = 0.0, False
     if quiet_thr > 0 and quiet_max > 0:
-        quiet_wait_s, quiet_exhausted = _quiet_wait(quiet_thr, quiet_max)
+        quiet_wait_s, quiet_exhausted = _quiet_wait(
+            quiet_thr,
+            quiet_max,
+            load5_threshold=quiet_thr5 if quiet_thr5 > 0 else None,
+        )
         if quiet_wait_s:
             print(
                 f"quiet-wait: {quiet_wait_s}s"

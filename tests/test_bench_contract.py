@@ -216,3 +216,29 @@ def test_bench_stamps_quiet_wait_exhausted(spark, monkeypatch, capsys, tmp_path)
     full = _json.loads(next(tmp_path.glob("BENCH_FULL_r*.json")).read_text())
     assert full["quiet_wait_exhausted"] is True
     assert full["quiet_wait_s"] >= 0.2
+
+
+def test_quiet_wait_holds_for_load5_drain():
+    """The load5 condition (r13): load1 crossing the knee while load5 is
+    still draining is NOT quiet (measured: a gate-passed run came back
+    1.24x inflated). The wait holds until BOTH drop."""
+    import bench
+
+    l5 = iter([9.0, 9.0, 6.0, 6.0, 3.0])
+    t = {"now": 0.0}
+
+    def fake_sleep(s):
+        t["now"] += s
+
+    waited, exhausted = bench._quiet_wait(
+        1.0,
+        600.0,
+        poll_s=10.0,
+        load1=lambda: 0.5,
+        sleep=fake_sleep,
+        clock=lambda: t["now"],
+        load5_threshold=4.0,
+        load5=lambda: next(l5),
+    )
+    assert not exhausted
+    assert waited == 20.0
