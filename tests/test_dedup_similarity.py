@@ -1277,3 +1277,24 @@ def test_kmeans_two_level_distributed_fine_init(spark):
         kmeans_two_level(df, k=4, fine_init="bogus")
     with pytest.raises(ValueError, match="seed_oversample"):
         kmeans_two_level(df, k=4, seed_oversample=0)
+
+
+def test_kmeans_two_level_shuffle_join_fallback(spark):
+    """Above fine_broadcast_max_rows the fine assignment join drops the
+    broadcast hint (the 100 TB path: no k-row table on any single node).
+    Force the fallback with a cap of 0 rows and pin bit-equality with the
+    broadcast path — the join strategy must never touch values."""
+    import numpy as np
+
+    from wicsmmiretl_spark.operators.similarity import kmeans_two_level
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(80, 5)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def run(cap):
+        out = kmeans_two_level(df, k=6, iters=2, seed=5, fine_broadcast_max_rows=cap)
+        return sorted((r.vec_id, r.cell) for r in out.select("vec_id", "cell").collect())
+
+    assert run(0) == run(1 << 20)
