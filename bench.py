@@ -100,9 +100,12 @@ def main() -> None:
     quiet_thr5 = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD5", "4.0"))
     quiet_max = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_MAX", "600"))
     quiet_wait_s, quiet_exhausted = 0.0, False
-    if quiet_thr > 0 and quiet_max > 0:
+    # Each threshold disables independently (<= 0); the gate runs while
+    # EITHER condition is armed, so load5-only gating works as the README
+    # documents (a disabled load1 becomes a vacuous +inf condition).
+    if quiet_max > 0 and (quiet_thr > 0 or quiet_thr5 > 0):
         quiet_wait_s, quiet_exhausted = _quiet_wait(
-            quiet_thr,
+            quiet_thr if quiet_thr > 0 else float("inf"),
             quiet_max,
             load5_threshold=quiet_thr5 if quiet_thr5 > 0 else None,
         )

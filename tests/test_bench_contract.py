@@ -19,7 +19,7 @@ def test_bench_survives_broken_query(spark, monkeypatch, capsys, tmp_path):
 
     monkeypatch.setattr(bench, "QUERIES", {"vocab_top100": ok, "broken": broken})
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    monkeypatch.setenv("SPARK_GRAFT_QUIET_LOAD1", "0")
+    monkeypatch.setenv("SPARK_GRAFT_QUIET_WAIT_MAX", "0")  # disarm the whole quiet gate
     monkeypatch.setenv("SPARK_GRAFT_FULL_OUT", str(tmp_path))
     bench.main()
     line = capsys.readouterr().out.strip().splitlines()[-1]
@@ -61,7 +61,7 @@ def test_bench_mass_failure_keeps_line_parseable(spark, monkeypatch, capsys, tmp
     patched.update({f"broken_{i:02d}": make_broken(i) for i in range(40)})
     monkeypatch.setattr(bench, "QUERIES", patched)
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    monkeypatch.setenv("SPARK_GRAFT_QUIET_LOAD1", "0")
+    monkeypatch.setenv("SPARK_GRAFT_QUIET_WAIT_MAX", "0")  # disarm the whole quiet gate
     monkeypatch.setenv("SPARK_GRAFT_FULL_OUT", str(tmp_path))
     bench.main()
     line = capsys.readouterr().out.strip().splitlines()[-1]
@@ -89,7 +89,7 @@ def test_bench_flaky_second_run_keeps_first_timing(spark, monkeypatch, capsys, t
 
     monkeypatch.setattr(bench, "QUERIES", {"vocab_top100": ok, "flaky": flaky})
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    monkeypatch.setenv("SPARK_GRAFT_QUIET_LOAD1", "0")
+    monkeypatch.setenv("SPARK_GRAFT_QUIET_WAIT_MAX", "0")  # disarm the whole quiet gate
     monkeypatch.setenv("SPARK_GRAFT_FULL_OUT", str(tmp_path))
     bench.main()
     line = capsys.readouterr().out.strip().splitlines()[-1]
@@ -242,3 +242,28 @@ def test_quiet_wait_holds_for_load5_drain():
     )
     assert not exhausted
     assert waited == 20.0
+
+
+def test_quiet_wait_load5_only_gating():
+    """SPARK_GRAFT_QUIET_LOAD1<=0 with load5 armed must still gate (the
+    README's 'disables each' contract): a disabled load1 is a vacuous
+    +inf condition, not a bypass of the whole gate."""
+    import bench
+
+    l5 = iter([6.0, 6.0, 2.0])
+    t = {"now": 0.0}
+
+    def fake_sleep(s):
+        t["now"] += s
+
+    waited, exhausted = bench._quiet_wait(
+        float("inf"),
+        600.0,
+        poll_s=10.0,
+        load1=lambda: 99.0,  # never consulted against inf
+        sleep=fake_sleep,
+        clock=lambda: t["now"],
+        load5_threshold=4.0,
+        load5=lambda: next(l5),
+    )
+    assert not exhausted and waited == 10.0

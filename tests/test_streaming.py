@@ -599,8 +599,12 @@ def test_session_heartbeat_advances_watermark_without_aggregating(spark, tmp_pat
     aggregated, a heartbeat session would appear."""
     import os
 
+    # Row with NULL event_type: the heartbeat predicate evaluates to NULL
+    # under three-valued logic — it must be KEPT (coalesce to false), not
+    # silently dropped with the heartbeats.
     rows = [
         ("2024-01-01 00:00:00", 1, "click", 0, 7.0),
+        ("2024-01-01 00:01:00", 2, None, 3, 5.0),
         ("2024-01-01 06:00:00", -1, "_sentinel", 1, None),
         ("2024-01-02 06:00:00", -1, "_sentinel", 2, None),
     ]
@@ -629,5 +633,7 @@ def test_session_heartbeat_advances_watermark_without_aggregating(spark, tmp_pat
         spark,
         output_mode="append",
     )
-    got = [tuple(r) for r in out.collect()]
-    assert len(got) == 1 and got[0][0] == 1 and got[0][3] == 1
+    got = sorted(tuple(r) for r in out.collect())
+    assert len(got) == 2  # user 1's click AND user 2's NULL-event_type row
+    assert [g[0] for g in got] == [1, 2]
+    assert all(g[3] == 1 for g in got)

@@ -66,9 +66,11 @@ def _proc_read_bytes() -> int:
 def _steal_iowait_ticks() -> int:
     with open("/proc/stat") as fh:
         parts = fh.readline().split()
-    # cpu user nice system idle iowait irq softirq steal ...
+    # proc(5) cpu line: user nice system idle iowait irq softirq steal
+    # guest guest_nice — steal is field 8 (parts[8]), NOT 9 (that's
+    # guest, always 0 inside a KVM guest).
     iowait = int(parts[5]) if len(parts) > 5 else 0
-    steal = int(parts[9]) if len(parts) > 9 else 0
+    steal = int(parts[8]) if len(parts) > 8 else 0
     return steal + iowait
 
 
@@ -77,8 +79,17 @@ def main() -> None:
     from wicsmmiretl_spark.suite import QUERIES
 
     args = sys.argv[1:]
-    iters = int(args[0]) if args and args[0].isdigit() else 10
-    names = [a for a in args if not a.isdigit()] or DEFAULT_NAMES
+    iters = 10
+    if args and args[0].isdigit():
+        iters = int(args[0])
+        args = args[1:]
+    stray = [a for a in args if a.isdigit()]
+    if stray:
+        raise SystemExit(
+            f"numeric args {stray} after the first position — iters must "
+            "come first: stall_attrib.py [iters] [names...]"
+        )
+    names = args or DEFAULT_NAMES
     unknown = [n for n in names if n not in QUERIES]
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")

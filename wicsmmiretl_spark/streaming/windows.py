@@ -128,7 +128,12 @@ def session_aggregate(
     real timestamps by contract, so it admits no extra rows."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     if heartbeat_filter is not None:
-        src = src.filter(~heartbeat_filter | F.col("ts").isNull())
+        # coalesce: a row where the predicate evaluates to NULL (e.g. a
+        # NULL event_type under three-valued logic) is NOT a heartbeat
+        # and must be kept, not silently dropped.
+        src = src.filter(
+            ~F.coalesce(heartbeat_filter, F.lit(False)) | F.col("ts").isNull()
+        )
     return (
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
