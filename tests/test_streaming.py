@@ -589,14 +589,17 @@ def test_append_session_window_emits_exactly_finalized_sessions(spark):
 
 def test_session_heartbeat_advances_watermark_without_aggregating(spark, tmp_path):
     """The heartbeat filter's kept-predicate references the event-time
-    column precisely so PushPredicateThroughNonJoin cannot move it below
-    EventTimeWatermark. Behavioral pin on a minimal corpus: one real
-    event, then two heartbeat-only micro-batches. The real session can
-    emit in append mode ONLY if the heartbeats advanced the watermark
-    (batch 2) and a later batch carried the emission (batch 3) — if the
-    filter were pushed below the watermark node, the heartbeats would be
-    invisible to event time and the output would be empty; if heartbeats
-    aggregated, a heartbeat session would appear."""
+    column (the vacuous `ts IS NULL` disjunct) precisely so
+    PushPredicateThroughNonJoin cannot move it below EventTimeWatermark;
+    since ADVICE r13 the placement is ALSO asserted on the optimized plan
+    at build time (test_heartbeat_filter_plan_guard). Behavioral pin on a
+    minimal corpus: one real event, then two heartbeat-only
+    micro-batches. The real session can emit in append mode ONLY if the
+    heartbeats advanced the watermark (batch 2) and a later batch carried
+    the emission (batch 3) — if the filter were pushed below the
+    watermark node, the heartbeats would be invisible to event time and
+    the output would be empty; if heartbeats aggregated, a heartbeat
+    session would appear."""
     import os
 
     # Row with NULL event_type: the heartbeat predicate evaluates to NULL
@@ -637,3 +640,30 @@ def test_session_heartbeat_advances_watermark_without_aggregating(spark, tmp_pat
     assert len(got) == 2  # user 1's click AND user 2's NULL-event_type row
     assert [g[0] for g in got] == [1, 2]
     assert all(g[3] == 1 for g in got)
+
+
+def test_heartbeat_filter_plan_guard(spark, event_dir):
+    """assert_filter_above_watermark (ADVICE r13): the optimized-plan
+    guard accepts the shipped placement (heartbeat filter applied AFTER
+    withWatermark, so it stays above the EventTimeWatermark node) and
+    rejects the broken placement (filter BEFORE the watermark — exactly
+    the tree an over-eager pushdown would produce, where heartbeats are
+    invisible to event time and append sessions never flush). Also a
+    no-op on the batch twin, which has no watermark node."""
+    from wicsmmiretl_spark.streaming.windows import assert_filter_above_watermark
+
+    hb = (F.col("user_id") < 0) & (F.col("event_type") == "_sentinel")
+    stream = read_event_stream(spark, event_dir)
+    # Shipped placement: session_aggregate runs the guard itself at build
+    # time; the explicit call is the same check, pinned here.
+    good = session_aggregate(stream, heartbeat_filter=hb)
+    assert_filter_above_watermark(good)
+    # Batch twin: unified plan, no EventTimeWatermark node -> no-op.
+    batch = spark.read.parquet(event_dir)
+    assert_filter_above_watermark(session_aggregate(batch, heartbeat_filter=hb))
+    # Broken placement: the same predicate applied before withWatermark
+    # lands below the watermark node; the guard must refuse the plan.
+    pre = stream.filter(~F.coalesce(hb, F.lit(False)) | F.col("ts").isNull())
+    bad = session_aggregate(pre)  # no heartbeat_filter -> no internal guard
+    with pytest.raises(AssertionError, match="EventTimeWatermark"):
+        assert_filter_above_watermark(bad)

@@ -928,7 +928,10 @@ def semantic_dedup(
         # persist/localCheckpoint it before calling — the suite feeds raw
         # parquet scans, where a cache would cost more than the re-scan.
         # ONE count serves the k derivation, the auto dispatch, AND (passed
-        # down as n_rows) the two-level fine-init sample threshold.
+        # down as n_rows) the two-level fine-init sample threshold —
+        # valid as n_rows because semantic_dedup's input contract is one
+        # row per id (kmeans_two_level requires the DISTINCT-id count;
+        # see its docstring, ADVICE r13).
         n = embeddings.count()
         if cell_target is not None:
             k = max(k, -(-n // cell_target))

@@ -493,7 +493,16 @@ def kmeans_two_level(
     collect/rebuild. Empty fine cells drop out per iteration, mirroring
     :func:`kmeans_train`. ``n_rows`` lets callers that already counted
     the corpus (semantic_dedup's shared count job) skip the one count
-    the threshold sizing needs.
+    the threshold sizing needs. Contract (ADVICE r13): ``n_rows`` must
+    be the DISTINCT-``id_col`` count — the sampled universe is the
+    routed table, one row per distinct id after the coarse argmax
+    groupBy. Passing a raw row count over duplicate ids overstates n,
+    undersizes the threshold, and routes more cells through the
+    full-row repair branch: correctness is preserved by the repair
+    (the output is threshold-invariant by construction), the cost is
+    performance only. Callers with duplicate ids should pass
+    ``None`` (one exact count of the routed table) or their own
+    distinct count.
 
     ``fine_init="collect"`` keeps the r12 path — the ``seed_oversample·k``
     globally md5-smallest vectors via one TakeOrdered collect, trimmed

@@ -120,12 +120,23 @@ def session_aggregate(
     before ``withWatermark`` would hide them from the watermark too, and
     closed sessions would never flush in append mode). Placement is
     load-bearing and Catalyst would undo it: PushPredicateThroughNonJoin
-    pushes any deterministic conjunct that does NOT reference the
-    watermark column below the EventTimeWatermark node (measured: the
-    last micro-batch's sessions silently never flush). The vacuous
-    ``ts IS NULL`` disjunct makes the kept-predicate reference the
-    event-time column, which that rule may not push — heartbeats carry
-    real timestamps by contract, so it admits no extra rows."""
+    pushes any conjunct that does NOT reference the watermark column
+    below the EventTimeWatermark node (measured: the last micro-batch's
+    sessions silently never flush). The vacuous ``ts IS NULL`` disjunct
+    makes the kept-predicate reference the event-time column, which that
+    rule may not push — heartbeats carry real timestamps by contract, so
+    it admits no extra rows.
+
+    That guard holds only while ``ts`` stays nullable (a non-nullable
+    source schema folds ``isnull`` to false and the pushdown silently
+    returns — ADVICE r13), so :func:`assert_filter_above_watermark` runs
+    on the optimized plan at build time: if any optimizer change defeats
+    the guard, query construction fails loudly instead of sessions
+    silently never flushing. A non-deterministic vacuous disjunct is NOT
+    a viable alternative guard on this engine — measured this round:
+    Spark 4.1's rand-bounds simplification folds ``rand(seed) < -1``
+    away outright and the remaining deterministic filter IS pushed below
+    the watermark. Both behaviors are pinned by tests/test_streaming.py."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     if heartbeat_filter is not None:
         # coalesce: a row where the predicate evaluates to NULL (e.g. a
@@ -134,7 +145,7 @@ def session_aggregate(
         src = src.filter(
             ~F.coalesce(heartbeat_filter, F.lit(False)) | F.col("ts").isNull()
         )
-    return (
+    out = (
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
         .select(
@@ -145,6 +156,49 @@ def session_aggregate(
             "session_value",
         )
     )
+    if heartbeat_filter is not None and events.isStreaming:
+        assert_filter_above_watermark(out)
+    return out
+
+
+def assert_filter_above_watermark(df: DataFrame) -> None:
+    """Optimized-plan guard for the heartbeat-filter placement (ADVICE
+    r13): raise at query-BUILD time unless a Filter node carrying the
+    heartbeat guard's markers (the ``coalesce`` wrapper / the vacuous
+    ``isnull(ts)`` disjunct) sits ABOVE the EventTimeWatermark node in
+    the optimized logical plan. If a schema change (non-nullable ts) or
+    a future optimizer rule defeats the guard and pushes the filter
+    below the watermark, append-mode sessions would silently stop
+    flushing — this turns that silent wrong-answer mode into a loud
+    construction failure. Plan-only, no execution: ``optimizedPlan`` is
+    unreachable on an unstarted streaming DataFrame (the batch-execution
+    check rejects it), so the session's optimizer is applied to the
+    analyzed plan directly — the same logical rule batches (including
+    every pushdown rule) the micro-batch planner will run. No-op for
+    plans without a watermark node (the batch twin of the unified
+    plan)."""
+    qe = df._jdf.queryExecution()
+    opt = df.sparkSession._jsparkSession.sessionState().optimizer().execute(qe.analyzed())
+    lines = opt.toString().splitlines()
+    wm = [i for i, ln in enumerate(lines) if "EventTimeWatermark" in ln]
+    if not wm:
+        return
+    # ("isnull(" does not substring-match the session_window's own
+    # "isnotnull(" conjunct — distinct spellings.)
+    flt = [
+        i
+        for i, ln in enumerate(lines)
+        if "Filter" in ln and ("coalesce(" in ln or "isnull(" in ln)
+    ]
+    # toString prints parents first (children indented below), so "above
+    # the watermark" == a smaller line index than the watermark node's.
+    if not flt or min(flt) > min(wm):
+        raise AssertionError(
+            "heartbeat filter was optimized below the EventTimeWatermark "
+            "node — heartbeats would no longer advance event time and "
+            "append-mode sessions would never flush. Optimized plan:\n"
+            + "\n".join(lines)
+        )
 
 
 def stream_dedup(events: DataFrame, keys: Sequence[str] = ("event_id",), watermark: str = "1 hour") -> DataFrame:

@@ -1374,10 +1374,22 @@ def _events_dropdir(spark: SparkSession, sf_dir: str) -> str:
 
 def _events_dropdir_finalized(spark: SparkSession, sf_dir: str) -> str:
     """Drop-folder for the APPEND-mode session query: the events table
-    range-partitioned on ts into 8 time-ordered files (min ts of file i+1
+    range-partitioned on ts into 3 time-ordered files (min ts of file i+1
     >= max ts of file i, strictly increasing mtimes — the steady-state
     layout, here ALWAYS on and env-independent so the query's result
     never depends on a knob), plus TWO far-future sentinel files.
+
+    Why 3 real files, not 8 (VERDICT r13 item 3): the emitted set is
+    batch-count invariant (time-ordered layout → no late rows → every
+    real session finalizes under the sentinels, regardless of where the
+    batch boundaries fall), so extra micro-batches buy nothing semantic —
+    multi-batch watermark eviction stays real at 3 — while every
+    sequential availableNow commit adds seconds of bimodal
+    streaming-commit latency to the bench (the 4.98-17.59 s spread across
+    r13's identical-tree quiet takes, the suite's widest). 3+2 files ≈
+    halves the commit count (6 batches incl. the final flush, vs 11).
+    The production steady-state cadence is NOT measured here — that is
+    tools/steady_session_probe.py's 50-batch replay (exponent 0.10).
 
     Why sentinels: append mode emits a session only once the watermark
     passes its end, and Spark computes the watermark at batch BOUNDARIES —
@@ -1400,7 +1412,7 @@ def _events_dropdir_finalized(spark: SparkSession, sf_dir: str) -> str:
 
         d = tempfile.mkdtemp(prefix="wicsmmir_stream_fin_")
         ev = _t(spark, sf_dir, "events")
-        ev.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.mode(
+        ev.repartitionByRange(3, "ts").sortWithinPartitions("ts").write.mode(
             "overwrite"
         ).parquet(d)
         parts = sorted(
@@ -1571,18 +1583,21 @@ def q_streaming_session_window_append(spark: SparkSession, sf_dir: str) -> DataF
 
     Append emission needs the watermark to PASS a session's end, and the
     watermark only moves at batch boundaries — so the harness drains a
-    time-ordered 8-file drop-folder one file per micro-batch, closed by two
+    time-ordered 3-file drop-folder one file per micro-batch, closed by two
     far-future sentinel batches that advance the watermark past every real
-    session and then flush the stragglers (_events_dropdir_finalized; same
-    sentinel discipline as the interval-join harness). The time-ordered
-    layout means no row is ever late, so the emitted set is EXACTLY the
-    full deterministic sessionization — the oracle is the same batch SQL
-    twin as the COMPLETE variant (every real session is final after the
-    sentinels). The sentinels ride ``session_aggregate``'s
-    ``heartbeat_filter``: dropped AFTER the watermark node, so they advance
-    event time but never form a session — availableNow's final flush batch
-    would otherwise emit the first sentinel's own session (measured: one
-    phantom year-2100 row)."""
+    session and then flush the stragglers (_events_dropdir_finalized, which
+    documents why 3 real batches suffice — the emitted set is batch-count
+    invariant; same sentinel discipline as the interval-join harness). The
+    time-ordered layout means no row is ever late, so the emitted set is
+    EXACTLY the full deterministic sessionization — the oracle is the same
+    batch SQL twin as the COMPLETE variant (every real session is final
+    after the sentinels). The sentinels ride ``session_aggregate``'s
+    ``heartbeat_filter`` — matched by BOTH reserved marks, user_id < 0 AND
+    event_type '_sentinel' (ADVICE r13), so a real '_sentinel'-typed corpus
+    row would still sessionize like the batch oracle keeps it — dropped
+    AFTER the watermark node, so they advance event time but never form a
+    session; availableNow's final flush batch would otherwise emit the
+    first sentinel's own session (measured: one phantom year-2100 row)."""
     from wicsmmiretl_spark.streaming.windows import (
         read_event_stream,
         run_to_memory_sink,
@@ -1596,7 +1611,14 @@ def q_streaming_session_window_append(spark: SparkSession, sf_dir: str) -> DataF
     name = f"suite_session_append_{next(_STREAM_RUN_COUNTER)}"
     agg = run_to_memory_sink(
         session_aggregate(
-            stream, heartbeat_filter=F.col("event_type") == "_sentinel"
+            stream,
+            # Both conjuncts (ADVICE r13): the drop-folder builder writes
+            # sentinels with reserved NEGATIVE user ids, so a real corpus
+            # row that happens to carry event_type '_sentinel' is NOT
+            # treated as a heartbeat — it sessionizes exactly as the
+            # batch oracle (which has no sentinel concept) keeps it.
+            heartbeat_filter=(F.col("user_id") < 0)
+            & (F.col("event_type") == "_sentinel"),
         ),
         name,
         spark,
