@@ -10042,29 +10042,29 @@ def q_part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEFERRED_QUERIES = (
-    # r13 rotation (the driver checks the FIRST 50 registry names; this
+    # r14 rotation (the driver checks the FIRST 50 registry names; this
     # tuple is everything pushed behind them). IN-window this round,
-    # strictly by staleness (VERDICT r12 item 2):
-    #   * the ENTIRE r08-stale cohort — all 22 names whose most recent
-    #     driver-green row was CORRECTNESS_r08, the oldest standing
-    #     evidence in the registry after r12 closed the r07 cohort.
-    #   * 26 names from the r09 cohort (next-stalest), taken in section
-    #     order with no cherry-picking: asof_click_purchase ... lang_id.
-    #     The 20 remaining r09 names (lineitem_flag_status_cube ...
-    #     window_rank_events, kept below) are r14's first pick.
-    #   * semantic_dedup_keep — its hierarchical branch now routes through
-    #     the r13 DISTRIBUTED fine-init (per-coarse-cell md5 top-k2 seeds,
-    #     DataFrame-kept fine centroids; VERDICT r12 item 1), so the
-    #     driver row must land on the new path and its rewritten
-    #     two-level oracle chain.
-    #   * streaming_session_window_append — NEW this round (VERDICT r12
-    #     item 5, the one registration breaking the freeze): the
-    #     production append-mode session window needs its first driver
-    #     row.
-    #   22 + 26 + 1 + 1 = 50.
-    # r14 ROTATION GUIDANCE: rotate by staleness — the 20 remaining r09
-    # names below first, then fill from the r10 section (50 names), plus
-    # any query whose graded path changes in r13's post-rotation sessions.
+    # strictly by staleness (VERDICT r13 item 1):
+    #   * the ENTIRE remaining r09-stale cohort — all 20 names whose most
+    #     recent driver-green row is CORRECTNESS_r09, the oldest standing
+    #     evidence in the registry (lineitem_flag_status_cube ...
+    #     window_rank_events).
+    #   * 29 names from the r10 cohort (next-stalest), taken in section
+    #     order with no cherry-picking: bm25_ndcg ... kmeans_silhouette.
+    #   * streaming_session_window_append — its graded path changed this
+    #     round (VERDICT r13 item 3 drain trim: 3-file finalized
+    #     drop-folder, plus the ADVICE-r13 tightened sentinel predicate
+    #     and build-time watermark plan guard), so the driver row must
+    #     land on the new path. It takes the slot the verdict's "30 from
+    #     the r10 cohort" would have given lineitem_price_benford —
+    #     path-changed queries outrank staleness fill, the same rule the
+    #     r13 window applied to semantic_dedup_keep.
+    #   20 + 29 + 1 = 50.
+    # r15 ROTATION GUIDANCE: rotate by staleness — the 21 remaining r10
+    # names below first (lineitem_price_benford ...
+    # view_purchase_span_overlaps), then fill from the r11 section in
+    # section order, plus any query whose graded path changes in r14's
+    # post-rotation sessions.
     #
     # Registry history note (r01-era retirements, for artifact
     # auditability): top_revenue_orders, supplier_nation_revenue and
@@ -10080,59 +10080,7 @@ _DEFERRED_QUERIES = (
     # pytest run via tests/test_deferred_oracle.py and by
     # tools/verify_local.py.
     #
-    # -- last driver-green row: CORRECTNESS_r09 (rotate back by staleness;
-    #    the 26 section-order names ahead of these went in-window r13) --
-    "lineitem_flag_status_cube",  # cube grouping sets; part_size_price_skyline (in-window) scans the same lineitem extremes
-    "nation_trade_volume",  # J1 join+agg; part_copurchase_communities (in-window) builds edges through the same lineitem join
-    "orders_pit_attributes",  # PIT validity join; view_purchase_span_overlaps (in-window) evaluates the same interval membership
-    "part_name_neighborhood_pairs",  # sorted-neighborhood blocking; doc_containment_pairs (in-window) bands candidate pairs the same way
-    "pos_tag_stats",  # token-class tagging; doc_lang_nb_confusion (in-window) trains on the same token-class signals
-    "region_customer_rollup",  # grouping-set rollup; doc_lang_source_chi2 (in-window) runs the same grouped contingency aggs
-    "repetition_stats",  # intra-doc repetition; doc_dup_span_stats (in-window) is the cross-doc complement on the same grams
-    "sessionize_events",  # gaps-and-islands; user_value_twa (in-window) pays the same user-keyed lag window
-    "simhash_near_pairs",  # SimHash near-dup; incremental_dedup_probe + doc_overlap_pairs (in-window) cover near-dup banding
-    "sliding_hourly",  # sliding windows; streaming_value_hist_quantiles (in-window) covers event-time streaming folds
-    "stats_matrix_documents",  # one-pass grouped moments; doc_char_weighted_quantiles + events_value_hist_quantiles (in-window) cover exact distribution stats
-    "streaming_tumbling",  # streaming agg; streaming_value_psi + streaming_value_hist_quantiles (in-window) fold the same stream
-    "text_stats",  # readability+ratio signals; doc_char_gini + doc_char_weighted_quantiles (in-window) profile the same text mass
-    "tumbling_daily",  # batch event-time grid; events_daily_cusum (in-window) consumes the same daily buckets
-    "user_audio_features",  # audio mapInPandas; r9 driver row fresh, video_frame_sample (deferred, r9-green) is the Arrow-path twin
-    "user_survival_curve",  # retention curve; user_value_time_corr (in-window) pays the same user-keyed window
-    "video_frame_sample",  # multimodal mapInPandas; r9 driver row fresh, user_audio_features (deferred, r9-green) is the Arrow-path twin
-    "vocab_token_class",  # token classes; doc_lang_nb_confusion (in-window) counts the same classes
-    "vocab_top100",  # entry flagship — driver still smoke-runs it via entry() every round; corpus_zipf_fit (in-window) aggregates the same tokens
-    "window_rank_events",  # window-rank cap; part_size_price_skyline (in-window) is the same rank-per-group extremum machinery
-    #
     # -- last driver-green row: CORRECTNESS_r10 (rotate back by staleness) --
-    "bm25_ndcg",  # NDCG@k over the BM25 ranking
-    "bm25_retrieval_metrics",  # retrieval quality metrics over the BM25 index
-    "copurchase_butterflies",  # bipartite butterfly census, degree-ordered wedges
-    "corpus_curation_v3",  # capstone v3 composed lazy plan
-    "corpus_curriculum_stages",  # staged curriculum mixing
-    "corpus_zipf_fit",  # Zipf scaled-ln OLS fit
-    "customer_rfm_segments",  # RFM segments on distributed_ntile
-    "daily_purchase_auc",  # grouped rank-sum AUC via distributed_prefix_sum offsets
-    "doc_char_gini",  # Gini concentration scalar (_ordered_cumsums rider)
-    "doc_char_weighted_quantiles",  # weighted quantiles via offsets ranks
-    "doc_containment_pairs",  # asymmetric containment banding
-    "doc_dup_span_stats",  # cross-doc duplicated-span stats
-    "doc_lang_nb_confusion",  # NB lang classifier confusion matrix
-    "doc_lang_source_chi2",  # grouped contingency chi-square
-    "doc_lang_source_infogain",  # information-gain contingency
-    "doc_overlap_pairs",  # winnowing-fingerprint overlap equi-join
-    "embedding_kcenter",  # greedy k-center coverage picks
-    "embedding_mmr_topk",  # MMR diversified re-ranking
-    "embedding_pair_profile",  # pairwise-distance profile sketch
-    "embedding_projection",  # deterministic 2-D projection of the embedding cloud
-    "event_chain_shortest_paths",  # weighted SSSP frontier loop
-    "event_frequent_paths",  # user-keyed ordered path mining
-    "event_type_ks_report",  # grouped KS report, offsets-ranked
-    "event_value_theilsen",  # Theil-Sen slope, two ranked passes
-    "events_daily_cusum",  # CUSUM drift on the daily grid (_ordered_cumsums rider)
-    "events_value_deciles",  # exact deciles on distributed_ntile (two-level range exchange)
-    "events_value_hist_quantiles",  # mergeable-histogram quantiles, integer-exact
-    "incremental_dedup_probe",  # new-batch x corpus asymmetric LSH probe
-    "kmeans_silhouette",  # silhouette with the one bounded centroid collect
     "lineitem_price_benford",  # Benford first-digit audit
     "lineitem_zonemap_pruning",  # zone-map audit, both layouts on distributed_ntile
     "order_feature_matrix",  # per-order ntile feature bins on the same exchange
@@ -10256,6 +10204,57 @@ _DEFERRED_QUERIES = (
     "streaming_cms_heavy_users",  # CMS folded as stream state
     "jaccard_exact_pairs",  # exact prefix-filter AllPairs (declared guaranteed-recall)
     "customer_table_fingerprint",  # engine-portable table fingerprint (the r11 incident, r12-green)
+    #
+    # -- last driver-green row: CORRECTNESS_r13 (rotate back by staleness) --
+    "asof_click_purchase",  # backward as-of join
+    "asof_nearest_purchase",  # nearest-direction as-of join
+    "asof_tolerance_purchase",  # as-of join with tolerance bound
+    "bloom_pruned_revenue",  # xxhash64 bloom build + map-side probe
+    "click_purchase_interval_join",  # theta/range interval join
+    "cms_heavy_tokens",  # Count-Min heavy tokens
+    "corpus_curation_v2",  # capstone v2 composed lazy plan
+    "corpus_mix",  # seeded exact-n corpus mixing
+    "customer_snapshot_diff",  # full-outer null-safe snapshot diff
+    "customers_without_orders",  # anti join (TPC-H Q22 shape)
+    "dedup_canonical",  # exact dedup with canonical keep rules
+    "doc_chunks",  # generate-only chunking
+    "doc_feature_vectors",  # feature-hashing vectors
+    "doc_len_quantile_norm",  # quantile normalization via offsets ranks
+    "doc_tfidf_similar_pairs",  # TF-IDF cosine candidate banding
+    "doc_winnowing_stats",  # winnowing fingerprint stats
+    "documents_profile",  # one-scan table profiler
+    "embedding_centroids",  # flat k-means centroids
+    "etl_caption_pipeline",  # E/T/L runner + checkpoint resume
+    "event_chain_bfs_levels",  # BFS frontier levels
+    "event_funnel",  # ordered funnel stages
+    "event_transition_matrix",  # event-type transition counts
+    "event_type_skew_profile",  # key-skew diagnostics
+    "event_value_trend_by_type",  # grouped scaled-int trend fit
+    "events_daily_resample",  # batch event-time daily resample
+    "events_stats_by_type",  # grouped min/max/mean/exact median
+    "events_value_histogram",  # fixed-bin mergeable histogram
+    "events_value_outliers",  # robust outlier flags
+    "events_weekly_seasonality_error",  # weekly seasonality error
+    "hll_distinct_users",  # HLL distinct sketch
+    "idle_rich_customers",  # set-difference membership
+    "inverted_index_band",  # inverted-index banding
+    "ivf_topk",  # IVF ANN top-k (two-level path)
+    "kmeans_centroids",  # two-level k-means (distributed fine-init)
+    "knn_classify",  # brute-force k-NN vote
+    "lang_id",  # n-gram language ID
+    "lineitem_melt_stats",  # melt/unpivot long-form stats
+    "mktsegment_target_encoding",  # leakage-safe target encoding
+    "orders_dq_report",  # data-quality gate report
+    "part_association_rules",  # association rules with support floor
+    "part_name_fuzzy_match",  # blocking + edit-distance match
+    "pmi_collocations_top",  # PMI collocations
+    "purchase_click_ab_stats",  # Welch A/B test stats
+    "purchase_last_touch",  # last-touch attribution
+    "semantic_dedup_keep",  # SemDeDup keep set (hierarchical fine-init path)
+    "source_capped_docs",  # per-source cap sampling
+    "user_activity_spans",  # batch event-time activity spans
+    "user_retention_weekly",  # weekly retention cohorts
+    "weighted_sample_docs",  # priority weighted sampling
 )
 
 
