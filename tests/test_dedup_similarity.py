@@ -1282,7 +1282,7 @@ def test_kmeans_two_level_distributed_fine_init(spark):
 def test_kmeans_two_level_default_fine_init_pinned():
     """r14 (VERDICT r13 item 5): the measured dispatch guidance is
     DOCUMENTED, not auto-applied — `fine_init` defaults to "distributed"
-    (34% faster at k=10⁴ and the 100 TB plan; `collect` is a ≤14%
+    (15-34% faster at k=10⁴ and the 100 TB plan; `collect` is a ≤14%
     micro-optimization below ~10³ fine cells, kept only as the bit-equal
     parity reference — BENCH_NOTES_r14 §1). Pin the defaults so a future
     heuristic dispatch can't silently change the executed plan of the

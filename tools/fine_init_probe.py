@@ -39,9 +39,12 @@ Usage (quiet host):
     SPARK_GRAFT_REHEARSAL_COPIES=100 SPARK_GRAFT_REHEARSAL_DIR=<dir> \\
     python tools/fine_init_probe.py
 
-The dir must be empty or a previous probe slice (marker-validated, the
-scale_rehearsal contract). Prints one JSON line per measurement and a
-summary table; paste into BENCH_NOTES §(fine-init).
+The dir must be empty or a previous probe slice — validated against BOTH
+the scale_rehearsal ``COPIES`` marker (same file, same refusal on
+mismatch: reusing a slice built with a different copy count silently
+mislabels the exponent and every n/k figure) and a ``BASE_SF`` marker.
+Prints one JSON line per measurement and a summary table; paste into
+BENCH_NOTES §(fine-init).
 """
 
 from __future__ import annotations
@@ -54,15 +57,13 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
-from pyspark.sql import functions as F  # noqa: E402
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from wicsmmiretl_spark.catalog import load_table  # noqa: E402
 from wicsmmiretl_spark.session import get_spark  # noqa: E402
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 COPIES = int(os.environ.get("SPARK_GRAFT_REHEARSAL_COPIES", "100"))
-MARKER = "FINE_INIT_PROBE_SLICE"
 
 
 def _rss_mb() -> float:
@@ -77,40 +78,65 @@ def _jvm_heap_mb(spark) -> float:
 
 
 def _synth_slice(spark, out_dir: str) -> str:
-    """100 re-keyed, per-copy-perturbed embeddings copies — the
-    scale_rehearsal recipe (vec_id offset 10⁹·i, +i·1e-3 per component so
-    the geometry is not degenerate exact twins)."""
+    """COPIES re-keyed, per-copy-perturbed embeddings copies — the ONE
+    recipe, imported from tools/scale_rehearsal.py (r14 review finding:
+    a private copy of the recipe and a weaker marker scheme let the two
+    tools' slices silently diverge). Marker contract: the rehearsal's
+    ``COPIES`` file (refuse on mismatch, exactly like scale_rehearsal's
+    own reuse path) plus ``BASE_SF`` (refuse if the slice was built from
+    a different base sf_dir)."""
+    from scale_rehearsal import _scale_copies, embeddings_copy
+
     path = os.path.join(out_dir, "embeddings.parquet")
-    marker = os.path.join(out_dir, MARKER)
-    if os.path.exists(marker) and os.path.exists(path):
+    copies_marker = os.path.join(out_dir, "COPIES")
+    base_marker = os.path.join(out_dir, "BASE_SF")
+    if os.path.exists(path):
+        if not os.path.isfile(copies_marker):
+            raise SystemExit(
+                f"{copies_marker} missing but parquet present in {out_dir} — "
+                "likely a partial slice from an interrupted synthesis; "
+                "delete the directory to resynthesize"
+            )
+        slice_copies = int(Path(copies_marker).read_text().strip())
+        if slice_copies != COPIES:
+            raise SystemExit(
+                f"slice in {out_dir} was synthesized with COPIES="
+                f"{slice_copies} but SPARK_GRAFT_REHEARSAL_COPIES={COPIES} "
+                "— set them to match or resynthesize (the exponent math "
+                "normalizes by log(COPIES))"
+            )
+        slice_base = (
+            Path(base_marker).read_text().strip() if os.path.isfile(base_marker) else None
+        )
+        if slice_base is not None and slice_base != BASE_SF:
+            raise SystemExit(
+                f"slice in {out_dir} was synthesized from {slice_base} but "
+                f"SPARK_GRAFT_SF_DIR={BASE_SF} — the 1x denominator would "
+                "not match the slice; resynthesize"
+            )
         return path
     if os.listdir(out_dir):
         raise SystemExit(
             f"SPARK_GRAFT_REHEARSAL_DIR {out_dir} is non-empty and not a "
-            "previous probe slice (marker missing) — refusing to overwrite"
+            "previous probe slice — refusing to overwrite"
         )
     emb = load_table(spark, "embeddings", BASE_SF)
-    parts = []
-    for i in range(COPIES):
-        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10**9))
-        if i:
-            c = c.withColumn(
-                "embedding",
-                F.transform(F.col("embedding"), lambda x: (x + F.lit(i * 1e-3)).cast("float")),
-            )
-        parts.append(c)
-    out = parts[0]
-    for c in parts[1:]:
-        out = out.unionByName(c)
-    out.repartition(32).write.mode("overwrite").parquet(path)
-    Path(marker).write_text(f"copies={COPIES} base={BASE_SF}\n")
+    _scale_copies(emb, embeddings_copy).repartition(32).write.mode("overwrite").parquet(path)
+    Path(copies_marker).write_text(f"{COPIES}\n")
+    Path(base_marker).write_text(f"{BASE_SF}\n")
     return path
 
 
-def _run(spark, path: str, k: int, fine_init: str, fbmr: int = 1 << 20) -> float:
+def _run(spark, emb, k: int, fine_init: str, fbmr: int = 1 << 20) -> float:
+    """``emb``: a factory returning the input DataFrame — the 100× slice
+    as a plain parquet read (32 files, written by _synth_slice), the 1×
+    base through catalog.load_table so its single small file gets the
+    same small-file repartition every suite/rehearsal 1× measurement
+    gets (r14 review finding: a raw read pins the 1× map stages to ONE
+    task and deflates the exponent's denominator discipline)."""
     from wicsmmiretl_spark.operators.similarity import kmeans_two_level
 
-    emb = spark.read.parquet(path)
+    emb = emb()
     t0 = time.perf_counter()
     kmeans_two_level(
         emb,
@@ -130,14 +156,15 @@ def main() -> None:
         raise SystemExit("SPARK_GRAFT_REHEARSAL_DIR must point at an existing dir")
     cell_target = int(os.environ.get("SPARK_GRAFT_PROBE_CELL_TARGET", "20"))
     spark = get_spark("fine_init_probe")
-    base_path = os.path.join(BASE_SF, "embeddings.parquet")
     big_path = _synth_slice(spark, out_dir)
+    base = lambda: load_table(spark, "embeddings", BASE_SF)  # noqa: E731
+    big = lambda: spark.read.parquet(big_path)  # noqa: E731
 
-    n1 = spark.read.parquet(base_path).count()
-    n100 = spark.read.parquet(big_path).count()
+    n1 = base().count()
+    n100 = big().count()
     k1x = max(8, -(-n1 // cell_target))
     k100 = -(-n100 // cell_target)
-    dim = len(spark.read.parquet(base_path).first()["embedding"])
+    dim = len(base().first()["embedding"])
     results: dict[str, float] = {}
 
     def record(key: str, secs: float) -> None:
@@ -148,35 +175,35 @@ def main() -> None:
     # RSS checkpointed around each so the collect warm's Python-side bump
     # is attributable.
     rss0 = _rss_mb()
-    record(f"warm_dist_k{k100}", _run(spark, big_path, k100, "distributed"))
+    record(f"warm_dist_k{k100}", _run(spark, big, k100, "distributed"))
     rss_after_dist = _rss_mb()
     heap_dist = _jvm_heap_mb(spark)
-    record(f"warm_collect_k{k100}", _run(spark, big_path, k100, "collect"))
+    record(f"warm_collect_k{k100}", _run(spark, big, k100, "collect"))
     rss_after_collect = _rss_mb()
     heap_collect = _jvm_heap_mb(spark)
 
     # ---- phase 1: interleaved timed A/B at k=10^4-scale (best of 2 each)
     for rep in range(2):
-        record(f"dist_k{k100}_r{rep}", _run(spark, big_path, k100, "distributed"))
-        record(f"collect_k{k100}_r{rep}", _run(spark, big_path, k100, "collect"))
+        record(f"dist_k{k100}_r{rep}", _run(spark, big, k100, "distributed"))
+        record(f"collect_k{k100}_r{rep}", _run(spark, big, k100, "collect"))
 
     # ---- phase 2: bracketing mid-point (crossover hunt), interleaved
     kmid = int(os.environ.get("SPARK_GRAFT_PROBE_KMID", "3000"))
-    record(f"warm_dist_k{kmid}", _run(spark, big_path, kmid, "distributed"))
-    record(f"warm_collect_k{kmid}", _run(spark, big_path, kmid, "collect"))
+    record(f"warm_dist_k{kmid}", _run(spark, big, kmid, "distributed"))
+    record(f"warm_collect_k{kmid}", _run(spark, big, kmid, "collect"))
     for rep in range(2):
-        record(f"dist_k{kmid}_r{rep}", _run(spark, big_path, kmid, "distributed"))
-        record(f"collect_k{kmid}_r{rep}", _run(spark, big_path, kmid, "collect"))
+        record(f"dist_k{kmid}_r{rep}", _run(spark, big, kmid, "distributed"))
+        record(f"collect_k{kmid}_r{rep}", _run(spark, big, kmid, "collect"))
 
     # ---- phase 3: shuffle-join fallback carrying the k=10^4 workload
-    record(f"warm_fallback_k{k100}", _run(spark, big_path, k100, "distributed", fbmr=1))
+    record(f"warm_fallback_k{k100}", _run(spark, big, k100, "distributed", fbmr=1))
     for rep in range(2):
-        record(f"fallback_k{k100}_r{rep}", _run(spark, big_path, k100, "distributed", fbmr=1))
+        record(f"fallback_k{k100}_r{rep}", _run(spark, big, k100, "distributed", fbmr=1))
 
     # ---- phase 4: 1x denominator for the exponent (fixed cell_target)
-    record(f"warm_dist1x_k{k1x}", _run(spark, base_path, k1x, "distributed"))
+    record(f"warm_dist1x_k{k1x}", _run(spark, base, k1x, "distributed"))
     for rep in range(2):
-        record(f"dist1x_k{k1x}_r{rep}", _run(spark, base_path, k1x, "distributed"))
+        record(f"dist1x_k{k1x}_r{rep}", _run(spark, base, k1x, "distributed"))
 
     import math
 

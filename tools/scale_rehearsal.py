@@ -420,6 +420,20 @@ def _scale_copies(df: DataFrame, build_copy) -> DataFrame:
     return out
 
 
+def embeddings_copy(df: DataFrame, i: int) -> DataFrame:
+    """Per-copy embeddings re-key + perturbation — vec_id offset 10⁹·i,
+    +i·1e-3 per component so the synthesized geometry is not degenerate
+    exact twins. Module-level so tools/fine_init_probe.py reuses the ONE
+    recipe instead of keeping a divergent copy (r14 review finding)."""
+    out = df.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10**9))
+    if i:
+        out = out.withColumn(
+            "embedding",
+            F.transform(F.col("embedding"), lambda x: (x + F.lit(i * 1e-3)).cast("float")),
+        )
+    return out
+
+
 def synthesize(spark: SparkSession, out_dir: str) -> None:
     ev = load_table(spark, "events", BASE_SF)
     ev_off = 10**9
@@ -444,17 +458,7 @@ def synthesize(spark: SparkSession, out_dir: str) -> None:
     )
 
     emb = load_table(spark, "embeddings", BASE_SF)
-
-    def emb_copy(df, i):
-        out = df.withColumn("vec_id", F.col("vec_id") + F.lit(i * d_off))
-        if i:
-            out = out.withColumn(
-                "embedding",
-                F.transform(F.col("embedding"), lambda x: (x + F.lit(i * 1e-3)).cast("float")),
-            )
-        return out
-
-    _scale_copies(emb, emb_copy).write.mode("overwrite").parquet(
+    _scale_copies(emb, embeddings_copy).write.mode("overwrite").parquet(
         f"{out_dir}/embeddings.parquet"
     )
 

@@ -514,21 +514,21 @@ def kmeans_two_level(
     oracle replays.
 
     Measured dispatch guidance (BENCH_NOTES_r14 §1, 200k × 64d slice,
-    k ∝ n, warm interleaved best-of-2): ``collect`` is a ~14%
-    micro-optimization only below ~10³ fine cells; the two paths are at
-    parity near k ≈ 3×10³; at k = 10⁴ ``distributed`` is 34% FASTER
-    (the collect path's TakeOrdered + Python trim + k-row
+    k ∝ n, warm interleaved best-of-2, two probe sessions): ``collect``
+    is a ~14% micro-optimization only below ~10³ fine cells; the two
+    paths are at parity near k ≈ 3×10³; at k = 10⁴ ``distributed`` is
+    15-34% FASTER (the collect path's TakeOrdered + Python trim + k-row
     createDataFrame all scale with k) with +1 MB driver RSS vs the
-    collect's +123 MB. The default stays ``"distributed"`` everywhere —
+    collect's +122 MB. The default stays ``"distributed"`` everywhere —
     it is the 100 TB plan AND wins outright in the k-regime that
     motivates two-level routing; ``"collect"`` is kept ONLY as the
     bit-equal parity reference, not auto-selected (a dispatch heuristic
     would change the executed plan under a count, for a ≤14% gain that
     exists only where the whole operator is already cheap). The
     cc-keyed shuffle-join fallback above ``fine_broadcast_max_rows``
-    costs +20% over the broadcast fine join at k = 10⁴ (measured under
-    the full workload, same probe) — acceptable as the only plan that
-    avoids a k-row table per node at k > 2²⁰.
+    costs +5-20% over the broadcast fine join at k = 10⁴ (measured
+    under the full workload, same probe) — acceptable as the only plan
+    that avoids a k-row table per node at k > 2²⁰.
 
     Driver memory: O(√k) — the coarse level's k1-row centroid state is
     the ONLY remaining Python-side collect. The fine-centroid table (k
