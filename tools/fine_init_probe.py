@@ -39,12 +39,15 @@ Usage (quiet host):
     SPARK_GRAFT_REHEARSAL_COPIES=100 SPARK_GRAFT_REHEARSAL_DIR=<dir> \\
     python tools/fine_init_probe.py
 
-The dir must be empty or a previous probe slice — validated against BOTH
-the scale_rehearsal ``COPIES`` marker (same file, same refusal on
-mismatch: reusing a slice built with a different copy count silently
-mislabels the exponent and every n/k figure) and a ``BASE_SF`` marker.
-Prints one JSON line per measurement and a summary table; paste into
-BENCH_NOTES §(fine-init).
+The dir must be empty or a previous probe slice — validated against the
+scale_rehearsal ``COPIES`` marker (same file, same refusal on mismatch:
+reusing a slice built with a different copy count silently mislabels the
+exponent and every n/k figure) and a ``BASE_SF`` marker (hard refusal on
+mismatch; warning-only when absent, e.g. a rehearsal-built full slice
+that predates it). Probe-built dirs also carry an ``EMBEDDINGS_ONLY``
+marker so scale_rehearsal refuses them as full-slice inputs. Prints one
+JSON line per measurement and a summary table; paste into BENCH_NOTES
+§(fine-init).
 """
 
 from __future__ import annotations
@@ -94,8 +97,10 @@ def _synth_slice(spark, out_dir: str) -> str:
         if not os.path.isfile(copies_marker):
             raise SystemExit(
                 f"{copies_marker} missing but parquet present in {out_dir} — "
-                "likely a partial slice from an interrupted synthesis; "
-                "delete the directory to resynthesize"
+                "either a partial slice from an interrupted synthesis, or a "
+                "pre-r14 probe slice (old FINE_INIT_PROBE_SLICE marker, "
+                "renamed to the rehearsal's COPIES contract); delete the "
+                "directory to resynthesize"
             )
         slice_copies = int(Path(copies_marker).read_text().strip())
         if slice_copies != COPIES:
@@ -105,14 +110,22 @@ def _synth_slice(spark, out_dir: str) -> str:
                 "— set them to match or resynthesize (the exponent math "
                 "normalizes by log(COPIES))"
             )
-        slice_base = (
-            Path(base_marker).read_text().strip() if os.path.isfile(base_marker) else None
-        )
-        if slice_base is not None and slice_base != BASE_SF:
-            raise SystemExit(
-                f"slice in {out_dir} was synthesized from {slice_base} but "
-                f"SPARK_GRAFT_SF_DIR={BASE_SF} — the 1x denominator would "
-                "not match the slice; resynthesize"
+        if os.path.isfile(base_marker):
+            slice_base = os.path.realpath(Path(base_marker).read_text().strip())
+            if slice_base != os.path.realpath(BASE_SF):
+                raise SystemExit(
+                    f"slice in {out_dir} was synthesized from {slice_base} "
+                    f"but SPARK_GRAFT_SF_DIR={BASE_SF} — the 1x denominator "
+                    "would not match the slice; resynthesize"
+                )
+        else:
+            # A scale_rehearsal-built full slice carries COPIES but no
+            # BASE_SF marker — the base cannot be validated, only assumed.
+            print(
+                f"WARNING: {base_marker} missing — cannot validate the "
+                f"slice's base sf_dir against SPARK_GRAFT_SF_DIR={BASE_SF}; "
+                "the exponent is wrong if they differ",
+                file=sys.stderr,
             )
         return path
     if os.listdir(out_dir):
@@ -121,9 +134,18 @@ def _synth_slice(spark, out_dir: str) -> str:
             "previous probe slice — refusing to overwrite"
         )
     emb = load_table(spark, "embeddings", BASE_SF)
-    _scale_copies(emb, embeddings_copy).repartition(32).write.mode("overwrite").parquet(path)
+    # copies passed EXPLICITLY: scale_rehearsal's module-level COPIES
+    # resolves the same env var to a different default (10 vs this
+    # tool's 100) — relying on it would silently build a mislabeled
+    # slice when the env var is unset (r14 review finding).
+    _scale_copies(emb, embeddings_copy, copies=COPIES).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(path)
     Path(copies_marker).write_text(f"{COPIES}\n")
     Path(base_marker).write_text(f"{BASE_SF}\n")
+    # Marks this dir as NOT a full rehearsal slice — scale_rehearsal
+    # refuses dirs carrying this file.
+    Path(os.path.join(out_dir, "EMBEDDINGS_ONLY")).write_text("fine_init_probe\n")
     return path
 
 
@@ -207,7 +229,9 @@ def main() -> None:
 
     import math
 
-    best = lambda pre: min(v for kk, v in results.items() if kk.startswith(pre) and "_r" in kk)  # noqa: E731
+    # "_r" included in the prefix: a bare startswith would let e.g.
+    # kmid=1000 match the k=10000 keys too (r14 review finding).
+    best = lambda pre: min(v for kk, v in results.items() if kk.startswith(pre + "_r"))  # noqa: E731
     t_d = best(f"dist_k{k100}")
     t_c = best(f"collect_k{k100}")
     t_f = best(f"fallback_k{k100}")
