@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from wicsmmiretl_spark.operators.loopconf import loop_scoped
+
 from wicsmmiretl_spark.functions.text import fingerprint, tokens
 
 
@@ -341,6 +343,7 @@ def simhash_near_pairs(
     return pairs
 
 
+@loop_scoped
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -824,6 +827,7 @@ def lsh_probe_pairs(
     )
 
 
+@loop_scoped
 def semantic_dedup(
     embeddings: DataFrame,
     tau: float,

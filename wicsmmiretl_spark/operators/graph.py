@@ -43,6 +43,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
+from wicsmmiretl_spark.operators.loopconf import (
+    loop_partitions,
+    loop_scoped,
+    set_loop_shuffle_partitions,
+)
+
+# Shuffle-serialized bytes per edge/state row (two-three longs/doubles plus
+# row overhead) — feeds the bytes-based loop width (loop_partitions).
+_EDGE_ROW_BYTES = 32
+
 
 def _large_star(edges: DataFrame, parts: int) -> DataFrame:
     """(u,v) edges → for every node, point strictly-larger neighbors at the
@@ -91,18 +101,7 @@ def _small_star(edges: DataFrame, parts: int) -> DataFrame:
     )
 
 
-def _checksum(edges: DataFrame) -> tuple[int, int]:
-    # Order-independent fingerprint; decimal(38,0) so the sum can't hit the
-    # ANSI long-overflow guard.
-    row = edges.agg(
-        F.count("*").alias("n"),
-        F.coalesce(
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
-        ).alias("h"),
-    ).first()
-    return row["n"], int(row["h"])
-
-
+@loop_scoped
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -117,49 +116,63 @@ def connected_components(
     regardless of component diameter (path graphs included — the case that
     defeats min-label propagation).
 
-    Partition sizing assumes AQE (r8 advice): the per-round window
-    shuffles are pinned plan-locally to an edge-count-sized partitioning,
-    but the small-star's closing ``distinct()`` plans its partial-agg
-    exchange at the session's ``spark.sql.shuffle.partitions`` and relies
-    on ``spark.sql.adaptive.coalescePartitions`` (on by default in
-    session.get_spark and in Spark ≥3.2) to shrink the read side. With
-    AQE force-disabled, each of the O(log n) rounds pays that full
-    session-width task overhead — re-size the session conf or re-enable
-    AQE before calling this in a tight loop.
+    Partition sizing (r14): the loop runs under ``@loop_scoped`` — AQE
+    off for the loop materializations (each round is ONE job instead of
+    one per exchange) and ``spark.sql.shuffle.partitions`` pinned to the
+    bytes-derived ``loop_partitions`` width, so the per-round window
+    shuffles AND the small-star's closing ``distinct()`` all plan at the
+    loop width. Both confs are restored on return; the session default
+    (AQE on) still governs non-loop queries.
     """
+    # The initial (count, checksum) fixpoint baseline rides the dedup
+    # materialization job itself via an Observation — one job builds the
+    # canonical edge set AND delivers the baseline, no separate
+    # _checksum action (r14; same pattern as the per-round probe below).
+    obs0 = Observation()
     edges0 = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .observe(
+            obs0,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        )
         .localCheckpoint(eager=True)
     )
     edges = edges0
     # Every node that appears at all, including isolated self-pair nodes:
     # they must come back out labeled as their own singleton component.
+    # Lazy: its only consumer is the final labeling join, so it
+    # materializes inside that one job instead of a build-time barrier.
     nodes = (
         pairs.select(F.col(id_a).alias("id"))
         .union(pairs.select(F.col(id_b).alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
-    prev = _checksum(edges)
-    # Size the per-round window shuffles to the edge count, as an explicit
-    # plan-local ``repartition`` inside each star (NOT a session-conf
-    # mutation — concurrent queries on the same session are unaffected):
-    # the loop runs O(log n) sequential rounds, so at small-to-medium edge
-    # counts a full session partition count is pure per-task overhead ×
-    # rounds. ~64k edges per partition keeps tasks fat; a 100 TB candidate
-    # graph gets parts capped at the session's shuffle setting.
+    m0 = obs0.get
+    prev = (m0["n"], int(m0["h"]))
+    # Size the per-round shuffles to the edge BYTES (loop_partitions —
+    # guide §2.2 partition sizing), pinned both as the explicit
+    # ``repartition`` inside each star and as the loop-scoped
+    # ``spark.sql.shuffle.partitions`` so the small-star's closing
+    # ``distinct()`` plans at the same width (restored on exit by the
+    # @loop_scoped guard).
     session_parts = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    loop_parts = min(session_parts, max(1, prev[0] // 65_536 + 1))
+    loop_parts = loop_partitions(prev[0], _EDGE_ROW_BYTES, session_parts)
+    set_loop_shuffle_partitions(pairs.sparkSession, loop_parts)
     for _ in range(max_iter):
         # The fixpoint checksum rides the materialization job itself via
         # an Observation (r9): CollectMetrics fires when the eager
         # localCheckpoint's internal action completes, so each round is
         # ONE job instead of two (materialize, then re-aggregate the
-        # checkpointed RDD). Same order-independent fingerprint as
-        # _checksum.
+        # checkpointed RDD). Same order-independent fingerprint as the
+        # baseline observation above.
         obs = Observation()
         edges = (
             _small_star(_large_star(edges, loop_parts), loop_parts)
@@ -213,6 +226,7 @@ def connected_components(
     return out
 
 
+@loop_scoped
 def pagerank(
     edges: DataFrame,
     iters: int = 5,
@@ -238,73 +252,73 @@ def pagerank(
     in-box) is a partial-agg sum, not a window — map-side combine bounds
     the reducer.
 
-    Partition sizing assumes AQE (r8 advice): pr/deg/e/nodes are pinned
-    to an edge-count-sized partitioning plan-locally, but the per-round
-    contribution ``groupBy("dst")`` keeps its own partial-agg exchange at
-    the session's ``spark.sql.shuffle.partitions`` and relies on
-    ``spark.sql.adaptive.coalescePartitions`` (on by default in
-    session.get_spark and in Spark ≥3.2) to shrink the read side. With
-    AQE force-disabled, every iteration pays that full session-width task
-    overhead.
+    Partition sizing (r14): the loop runs under ``@loop_scoped`` — AQE
+    off for the loop materializations (one job per round, not one per
+    exchange) and ``spark.sql.shuffle.partitions`` pinned to the
+    bytes-derived ``loop_partitions`` width for the loop's lifetime, so
+    the per-round contribution ``groupBy("dst")`` plans at the same
+    width as the explicit hash partitionings. Both confs are restored on
+    return; the session default (AQE on) still governs every non-loop
+    query.
 
     Output: (id, rank double) for every node appearing in ``edges``.
     """
+    # Edge count rides the dedup materialization via an Observation (one
+    # build job, not two); the loop width is bytes-derived
+    # (loop_partitions, guide §2.2) and pinned as the loop-scoped shuffle
+    # width (restored by @loop_scoped), so the contribution groupBy's
+    # partial-agg exchange matches the explicit hash partitionings
+    # instead of planning session-wide.
+    obs = Observation()
     e0 = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    # Same plan-local shuffle sizing as connected_components (no session
-    # conf mutation): iters sequential rounds multiply per-task overhead,
-    # so pin the loop's operands to edge-count-sized hash partitionings
-    # ONCE — pr/deg/e/nodes all co-partitioned on their join keys at
-    # loop_parts, so each iteration's equi-joins add no exchange for the
-    # pinned sides. The contribution groupBy keeps its own partial-agg
-    # exchange (map-side combine bounds a celebrity node's in-box); AQE
-    # coalesces its read side.
+    n_edges = obs.get["n"]
     session_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    n_edges = e0.count()
-    loop_parts = min(session_parts, max(1, n_edges // 65_536 + 1))
-    e = e0.repartition(loop_parts, "src").localCheckpoint(eager=True)
+    loop_parts = loop_partitions(n_edges, _EDGE_ROW_BYTES, session_parts)
+    set_loop_shuffle_partitions(edges.sparkSession, loop_parts)
+    e = e0.repartition(loop_parts, "src").localCheckpoint(eager=False)
+    # The node list carries each node's STATIC out-degree, attached once
+    # here and carried through every iteration's state (r14): the loop no
+    # longer re-joins a degree table per round — one checkpoint per
+    # iteration instead of two, one fewer join per round plan.
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
+        .join(deg, F.col("id") == deg["src"], "left")
+        .select("id", "outdeg")
         .repartition(loop_parts, "id")
-        .localCheckpoint(eager=True)
-    )
-    deg = (
-        e.groupBy("src")
-        .agg(F.count("*").alias("outdeg"))
-        .repartition(loop_parts, "src")
         .localCheckpoint(eager=False)
     )
     n_total = nodes.agg(F.count("*").alias("n"))
 
     pr = nodes.join(F.broadcast(n_total)).select(
-        "id", (F.lit(1.0) / F.col("n").cast("double")).alias("rank")
+        "id", "outdeg", (F.lit(1.0) / F.col("n").cast("double")).alias("rank")
     )
-    return _pagerank_loop(pr, e, deg, nodes, n_total, damping, iters, scale, loop_parts)
+    return _pagerank_loop(pr, e, nodes, n_total, damping, iters, scale, loop_parts)
 
 
-def _pagerank_loop(pr, e, deg, nodes, n_total, d, iters, scale, loop_parts):
+def _pagerank_loop(pr, e, nodes, n_total, d, iters, scale, loop_parts):
     # All checkpoints in the loop are LAZY (r9): pagerank has no
     # per-iteration driver action (unlike connected_components' fixpoint
     # checksum), so eager per-iteration materialization would only add
     # iters scheduling barriers. Lazy localCheckpoint still truncates the
     # logical plan immediately (planning stays O(1) per iteration) and
-    # still computes each iteration's RDD exactly once — with_deg is
+    # still computes each iteration's RDD exactly once — pr is
     # checkpointed because BOTH the contribution join and the dangling
-    # aggregation consume it.
+    # aggregation consume it, and it carries the static outdeg so no
+    # per-round degree join exists (r14).
     for _ in range(iters):
-        with_deg = (
-            pr.join(deg, pr["id"] == deg["src"], "left")
-            .select(pr["id"], "rank", "outdeg")
-            .localCheckpoint(eager=False)
-        )
         contrib = (
             e.join(
-                with_deg.filter(F.col("outdeg").isNotNull()).withColumnRenamed("id", "src"),
+                pr.filter(F.col("outdeg").isNotNull()).select(
+                    F.col("id").alias("src"), "rank", "outdeg"
+                ),
                 "src",
             )
             .groupBy("dst")
@@ -317,7 +331,7 @@ def _pagerank_loop(pr, e, deg, nodes, n_total, d, iters, scale, loop_parts):
                 ).alias("inb")
             )
         )
-        dangling = with_deg.filter(F.col("outdeg").isNull()).agg(
+        dangling = pr.filter(F.col("outdeg").isNull()).agg(
             F.coalesce(
                 F.sum(F.round(F.col("rank") * scale).cast("long")), F.lit(0)
             ).alias("dang_i")
@@ -328,6 +342,7 @@ def _pagerank_loop(pr, e, deg, nodes, n_total, d, iters, scale, loop_parts):
             .join(F.broadcast(dangling))
             .select(
                 nodes["id"],
+                nodes["outdeg"],
                 (
                     F.lit(1.0 - d) / F.col("n").cast("double")
                     + F.lit(d)
@@ -341,7 +356,7 @@ def _pagerank_loop(pr, e, deg, nodes, n_total, d, iters, scale, loop_parts):
             .repartition(loop_parts, "id")
             .localCheckpoint(eager=False)
         )
-    return pr
+    return pr.select("id", "rank")
 
 
 def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -423,6 +438,7 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
 
 
+@loop_scoped
 def bfs_levels(
     edges: DataFrame,
     sources: DataFrame,
@@ -460,16 +476,19 @@ def bfs_levels(
     """
     if max_depth < 0:
         raise ValueError(f"bfs_levels: max_depth must be >= 0, got {max_depth}")
+    obs0 = Observation()
     e0 = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    n_edges = e0.count()
+    n_edges = obs0.get["n"]
     session_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    loop_parts = min(session_parts, max(1, n_edges // 65_536 + 1))
-    e = e0.repartition(loop_parts, "src").localCheckpoint(eager=True)
+    loop_parts = loop_partitions(n_edges, _EDGE_ROW_BYTES, session_parts)
+    set_loop_shuffle_partitions(edges.sparkSession, loop_parts)
+    e = e0.repartition(loop_parts, "src").localCheckpoint(eager=False)
 
     visited = (
         sources.select(F.col(id_col).alias("id"))
@@ -504,6 +523,7 @@ def bfs_levels(
     return visited.select(F.col("id").alias(id_col), F.col("level").cast("int"))
 
 
+@loop_scoped
 def shortest_paths(
     edges: DataFrame,
     sources: DataFrame,
@@ -548,11 +568,13 @@ def shortest_paths(
             F.col(weight_col).cast("long").alias("w"),
         )
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull() & F.col("w").isNotNull())
+        .observe(_obs0 := Observation(), F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    n_edges = e0.count()
+    n_edges = _obs0.get["n"]
     session_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    loop_parts = min(session_parts, max(1, n_edges // 65_536 + 1))
+    loop_parts = loop_partitions(n_edges, _EDGE_ROW_BYTES, session_parts)
+    set_loop_shuffle_partitions(edges.sparkSession, loop_parts)
     e = e0.repartition(loop_parts, "src").localCheckpoint(eager=False)
 
     dist = (
@@ -618,6 +640,12 @@ def label_propagation(
         & F.col(b_col).isNotNull()
         & (F.col(a_col) != F.col(b_col))
     )
+    # NOT @loop_scoped (r14, measured): each round joins ``und`` against
+    # the round's label frame, whose size AQE discovers at runtime and
+    # converts to a broadcast join at bench scale — under a non-adaptive
+    # loop scope those joins fall back to statically-planned sort-merge
+    # (a checkpointed frame has no stats) and the rounds got ~40% slower.
+    # The loop keeps the session conf (AQE on) untouched.
     und = (
         base.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(base.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
@@ -804,6 +832,7 @@ def degree_profile(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
 
 
+@loop_scoped
 def hits(
     edges: DataFrame,
     iters: int = 3,
@@ -848,33 +877,41 @@ def hits(
     for c in (src_col, dst_col):
         if c not in edges.columns:
             raise ValueError(f"hits: column {c!r} not in {edges.columns}")
+    obs0 = Observation()
     e0 = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
     session_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    n_edges = e0.count()
+    n_edges = obs0.get["n"]
     if n_edges == 0:
         raise ValueError("hits: empty edge set")
-    loop_parts = min(session_parts, max(1, n_edges // 65_536 + 1))
-    e = e0.repartition(loop_parts, "src").localCheckpoint(eager=True)
+    loop_parts = loop_partitions(n_edges, _EDGE_ROW_BYTES, session_parts)
+    set_loop_shuffle_partitions(edges.sparkSession, loop_parts)
+    e = e0.repartition(loop_parts, "src").localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
         .repartition(loop_parts, "id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dec = "decimal(38,0)"
     hub = nodes.select("id", F.lit(1.0).alias("hub"))
     auth = None
     for _ in range(iters):
+        # The raw per-side sum is lazily checkpointed: BOTH the norm
+        # aggregate (a broadcast build) and the score join consume it, so
+        # without the pin the e⨝state join + groupBy would execute twice
+        # per half-iteration (r14).
         a_raw = (
             e.join(hub.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.round(F.col("hub") * scale).cast("long")).alias("ar"))
+            .localCheckpoint(eager=False)
         )
         norm_a = a_raw.agg(
             F.coalesce(F.sum(F.col("ar").cast(dec)), F.lit(0).cast(dec)).alias("na")
@@ -899,6 +936,7 @@ def hits(
             e.join(auth.withColumnRenamed("id", "dst"), "dst")
             .groupBy("src")
             .agg(F.sum(F.round(F.col("auth") * scale).cast("long")).alias("hr"))
+            .localCheckpoint(eager=False)
         )
         norm_h = h_raw.agg(
             F.coalesce(F.sum(F.col("hr").cast(dec)), F.lit(0).cast(dec)).alias("nh")
@@ -967,15 +1005,22 @@ def kcore(
         if c not in edges.columns:
             raise ValueError(f"kcore: column {c!r} not in {edges.columns}")
     u, v = F.col(a_col), F.col(b_col)
+    obs0 = Observation()
     e = (
         edges.filter(u.isNotNull() & v.isNotNull() & (u != v))
         .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    # NOT @loop_scoped (r14, measured): the per-round semi-joins against
+    # the surviving-vertex list depend on AQE's runtime broadcast
+    # conversion (the keep list shrinks every round; statically planned
+    # they fall back to sort-merge and the loop got ~55% slower). The
+    # initial count still rides the canonicalization job's Observation.
     session_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    prev_n = e.count()
-    loop_parts = min(session_parts, max(1, prev_n // 65_536 + 1))
+    prev_n = obs0.get["n"]
+    loop_parts = loop_partitions(prev_n, _EDGE_ROW_BYTES, session_parts)
     for _ in range(max_rounds):
         if prev_n == 0:
             break
@@ -1011,6 +1056,7 @@ def kcore(
     )
 
 
+@loop_scoped
 def personalized_pagerank(
     edges: DataFrame,
     seeds: DataFrame,
@@ -1052,29 +1098,39 @@ def personalized_pagerank(
     if seed_col not in seeds.columns:
         raise ValueError(f"personalized_pagerank: column {seed_col!r} not in {seeds.columns}")
     d = damping
+    # Same r14 loop discipline as ``pagerank``: observation-carried edge
+    # count, bytes-derived loop width pinned as the loop shuffle conf,
+    # lazy pinned operands, and the static outdeg carried in the state so
+    # no per-round degree join/checkpoint exists.
+    obs0 = Observation()
     e0 = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    n_edges = obs0.get["n"]
     session_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    n_edges = e0.count()
-    loop_parts = min(session_parts, max(1, n_edges // 65_536 + 1))
-    e = e0.repartition(loop_parts, "src").localCheckpoint(eager=True)
+    loop_parts = loop_partitions(n_edges, _EDGE_ROW_BYTES, session_parts)
+    set_loop_shuffle_partitions(edges.sparkSession, loop_parts)
+    e = e0.repartition(loop_parts, "src").localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
         .repartition(loop_parts, "id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     seed_ids = seeds.select(F.col(seed_col).alias("id")).distinct()
     n_seeds = seed_ids.agg(F.count("*").alias("ns"))
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     tele_nodes = (
         nodes.join(seed_ids.withColumn("_s", F.lit(1)), "id", "left")
         .join(F.broadcast(n_seeds))
+        .join(deg, F.col("id") == deg["src"], "left")
         .select(
             "id",
+            "outdeg",
             F.when(
                 F.col("_s").isNotNull(), F.lit(1.0) / F.col("ns").cast("double")
             )
@@ -1082,24 +1138,15 @@ def personalized_pagerank(
             .alias("tele"),
         )
         .repartition(loop_parts, "id")
-        .localCheckpoint(eager=True)
-    )
-    deg = (
-        e.groupBy("src")
-        .agg(F.count("*").alias("outdeg"))
-        .repartition(loop_parts, "src")
         .localCheckpoint(eager=False)
     )
-    pr = tele_nodes.select("id", F.col("tele").alias("rank"))
+    pr = tele_nodes.select("id", "outdeg", F.col("tele").alias("rank"))
     for _ in range(iters):
-        with_deg = (
-            pr.join(deg, pr["id"] == deg["src"], "left")
-            .select(pr["id"], "rank", "outdeg")
-            .localCheckpoint(eager=False)
-        )
         contrib = (
             e.join(
-                with_deg.filter(F.col("outdeg").isNotNull()).withColumnRenamed("id", "src"),
+                pr.filter(F.col("outdeg").isNotNull()).select(
+                    F.col("id").alias("src"), "rank", "outdeg"
+                ),
                 "src",
             )
             .groupBy("dst")
@@ -1112,7 +1159,7 @@ def personalized_pagerank(
                 ).alias("inb")
             )
         )
-        dangling = with_deg.filter(F.col("outdeg").isNull()).agg(
+        dangling = pr.filter(F.col("outdeg").isNull()).agg(
             F.coalesce(
                 F.sum(F.round(F.col("rank") * scale).cast("long")), F.lit(0)
             ).alias("dang_i")
@@ -1122,6 +1169,8 @@ def personalized_pagerank(
             .join(F.broadcast(dangling))
             .select(
                 tele_nodes["id"],
+                tele_nodes["outdeg"],
+                tele_nodes["tele"],
                 (
                     F.lit(1.0 - d) * F.col("tele")
                     + F.lit(d)
@@ -1135,7 +1184,7 @@ def personalized_pagerank(
             .repartition(loop_parts, "id")
             .localCheckpoint(eager=False)
         )
-    return pr
+    return pr.select("id", "rank")
 
 
 def link_prediction(

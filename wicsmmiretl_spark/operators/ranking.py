@@ -113,29 +113,50 @@ def rrf_fuse(
     """
     if not rankings:
         raise ValueError("rrf_fuse: need at least one ranking")
+    from wicsmmiretl_spark.operators.loopconf import loop_materialization_conf
+
+    # Inputs are top-k lists (tiny) but their UPSTREAM pipelines (BM25,
+    # ANN) are not: validate and fuse off ONE materialization. The union
+    # is pinned with a lazy localCheckpoint; a single aggregate job
+    # computes every per-list integrity scalar (NULL ranks, duplicate
+    # ids — a duplicate would silently double-count terms, a NULL rank
+    # contributes nothing while still bumping n_lists) and materializes
+    # the pin as a side effect, so each upstream executes exactly once
+    # instead of once per probe plus once for the fuse (r14: the fused
+    # query paid 2N+1 upstream replays, ~38 jobs at bench).
+    probe = None
     for i, r in enumerate(rankings):
-        # Inputs are top-k lists (tiny) — bounded eager probes are cheap,
-        # and a duplicate id or NULL rank would silently double-count terms
-        # or contribute nothing while still bumping n_lists.
-        if r.filter(F.col("rank").isNull()).limit(1).count():
-            raise ValueError(f"rrf_fuse: ranking {i} contains NULL ranks")
-        if (
-            r.groupBy(id_col)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .count()
-        ):
-            raise ValueError(f"rrf_fuse: ranking {i} has duplicate {id_col} rows")
-    terms = None
-    for r in rankings:
-        t = r.select(
-            F.col(id_col),
-            F.round(F.lit(float(scale)) / (F.lit(k0) + F.col("rank")))
-            .cast("long")
-            .alias("_rrf_i"),
+        t = r.select(F.lit(i).alias("_list"), F.col(id_col), F.col("rank"))
+        probe = t if probe is None else probe.unionByName(t)
+    with loop_materialization_conf(probe.sparkSession):
+        probe = probe.localCheckpoint(eager=False)
+        stats = (
+            probe.groupBy("_list")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.col("rank").isNull().cast("long")).alias("_null_ranks"),
+                F.sum(F.col(id_col).isNull().cast("long")).alias("_null_ids"),
+                F.countDistinct(id_col).alias("_nd"),
+            )
+            .collect()
         )
-        terms = t if terms is None else terms.unionByName(t)
+    by_list = {row["_list"]: row for row in stats}
+    for i in range(len(rankings)):
+        row = by_list.get(i)
+        if row is None:
+            continue  # empty list: no NULLs, no duplicates
+        if row["_null_ranks"]:
+            raise ValueError(f"rrf_fuse: ranking {i} contains NULL ranks")
+        # countDistinct ignores NULL ids; the original groupBy treated all
+        # NULL ids as one group, so >1 NULL id is also a duplicate.
+        if (row["_n"] - row["_null_ids"]) > row["_nd"] or row["_null_ids"] > 1:
+            raise ValueError(f"rrf_fuse: ranking {i} has duplicate {id_col} rows")
+    terms = probe.select(
+        F.col(id_col),
+        F.round(F.lit(float(scale)) / (F.lit(k0) + F.col("rank")))
+        .cast("long")
+        .alias("_rrf_i"),
+    )
     return (
         terms.groupBy(id_col)
         .agg(

@@ -32,12 +32,15 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
 from pyspark.sql.types import (
     DoubleType,
     LongType,
     StructField,
     StructType,
 )
+
+from wicsmmiretl_spark.operators.loopconf import loop_scoped
 
 
 def _cosine_expr(a, b):
@@ -137,6 +140,7 @@ def _cosine_topk_numpy(
     )
 
 
+@loop_scoped
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float,
@@ -186,6 +190,7 @@ def cosine_pairs(
     )
 
 
+@loop_scoped
 def hyperplane_signature(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -269,6 +274,7 @@ def derived_lsh_bits(n: int, target_bucket: int, max_bits: int = 30) -> int:
     return max_bits
 
 
+@loop_scoped
 def hyperplane_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -326,6 +332,7 @@ def hyperplane_pairs(
     )
 
 
+@loop_scoped
 def kmeans_train(
     embeddings: DataFrame,
     k: int = 8,
@@ -425,6 +432,7 @@ def kmeans_train(
     )
 
 
+@loop_scoped
 def kmeans_two_level(
     embeddings: DataFrame,
     k: int,
@@ -732,6 +740,7 @@ def kmeans_two_level(
     raise AssertionError("unreachable")  # pragma: no cover
 
 
+@loop_scoped
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -937,6 +946,7 @@ def knn_classify(
 # Product quantization (PQ): compressed-domain ANN
 # ---------------------------------------------------------------------------
 
+@loop_scoped
 def pq_train(
     embeddings: DataFrame,
     dim: int,
@@ -1306,6 +1316,7 @@ def random_projection(
     )
 
 
+@loop_scoped
 def kcenter_select(
     df: DataFrame,
     id_col: str,
@@ -1394,6 +1405,7 @@ def kcenter_select(
     )
 
 
+@loop_scoped
 def simplified_silhouette(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -1515,6 +1527,7 @@ def simplified_silhouette(
     )
 
 
+@loop_scoped
 def embedding_pair_profile(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -1603,6 +1616,7 @@ def embedding_pair_profile(
     )
 
 
+@loop_scoped
 def sq8_train(
     embeddings: DataFrame,
     dim: int = 64,
@@ -1785,6 +1799,7 @@ def sq8_topk(
     )
 
 
+@loop_scoped
 def mmr_topk(
     embeddings: DataFrame,
     k: int = 5,
