@@ -1,9 +1,10 @@
 """Contract tests for the loop-scoped conf guard (operators/loopconf.py).
 
-The r14 optimization scopes AQE off (and pins the shuffle width) around the
-iterative operators' internal materializations; these tests pin the restore
-semantics the whole package now relies on — a guard that leaked its conf
-would silently de-adapt every later query in the session.
+The r14 optimization pins a bytes-derived shuffle width around the
+iterative operators' internal materializations (AQE itself stays on — the
+measured outcome; ``SPARK_GRAFT_LOOP_AQE=0`` re-runs that A/B); these
+tests pin the restore semantics the graph loops rely on — a guard that
+leaked its conf would silently re-width every later query in the session.
 """
 
 from __future__ import annotations
@@ -38,22 +39,25 @@ def test_scoped_conf_restores_on_exception(spark):
     assert spark.conf.get(PARTS) == before
 
 
-def test_loop_materialization_conf_disables_aqe_and_restores_width(spark):
-    aqe_before = spark.conf.get(AQE)
+def test_loop_materialization_conf_keeps_aqe_and_restores_width(spark):
+    """Default mode: AQE untouched (the measured r14 outcome), loop
+    width pinnable without a paired restore."""
     parts_before = spark.conf.get(PARTS)
     with loop_materialization_conf(spark):
-        assert spark.conf.get(AQE) == "false"
-        # Loop bodies may pin their width without pairing a restore.
+        assert spark.conf.get(AQE) == "true"
         set_loop_shuffle_partitions(spark, 2)
         assert spark.conf.get(PARTS) == "2"
-    assert spark.conf.get(AQE) == aqe_before
+    assert spark.conf.get(AQE) == "true"
     assert spark.conf.get(PARTS) == parts_before
 
 
-def test_loop_aqe_env_optout(spark, monkeypatch):
-    monkeypatch.setenv("SPARK_GRAFT_LOOP_AQE", "1")
+def test_loop_aqe_env_ab_knob(spark, monkeypatch):
+    """SPARK_GRAFT_LOOP_AQE=0 scopes AQE off for the loop — the A/B
+    experiment mode — and restores it on exit."""
+    monkeypatch.setenv("SPARK_GRAFT_LOOP_AQE", "0")
     with loop_materialization_conf(spark):
-        assert spark.conf.get(AQE) == "true"
+        assert spark.conf.get(AQE) == "false"
+    assert spark.conf.get(AQE) == "true"
     monkeypatch.delenv("SPARK_GRAFT_LOOP_AQE")
 
 
@@ -62,13 +66,14 @@ def test_loop_scoped_wraps_dataframe_arg(spark):
 
     @loop_scoped
     def op(df):
-        seen["aqe"] = df.sparkSession.conf.get(AQE)
+        set_loop_shuffle_partitions(df.sparkSession, 3)
+        seen["parts"] = df.sparkSession.conf.get(PARTS)
         return df
 
-    df = spark.range(4)
-    op(df)
-    assert seen["aqe"] == "false"
-    assert spark.conf.get(AQE) == "true"
+    before = spark.conf.get(PARTS)
+    op(spark.range(4))
+    assert seen["parts"] == "3"
+    assert spark.conf.get(PARTS) == before
 
 
 def test_loop_scoped_noop_without_dataframe():
@@ -96,9 +101,10 @@ def test_loop_partitions_bytes_sizing():
 def test_loop_scoped_operator_result_unchanged(spark):
     """connected_components under the guard: same labels as a plain run
     (the guard only changes HOW the loop materializes, never the output),
-    and the session conf comes back adaptive."""
+    and the session conf comes back untouched."""
     from wicsmmiretl_spark.operators.graph import connected_components
 
+    parts_before = spark.conf.get(PARTS)
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 20)], ["id_a", "id_b"]
     )
@@ -112,3 +118,4 @@ def test_loop_scoped_operator_result_unchanged(spark):
         (10, 10), (11, 10), (20, 20),
     }
     assert spark.conf.get(AQE) == "true"
+    assert spark.conf.get(PARTS) == parts_before

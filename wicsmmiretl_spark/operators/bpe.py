@@ -29,8 +29,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from wicsmmiretl_spark.operators.loopconf import loop_scoped
-
 from wicsmmiretl_spark.functions.text import tokens
 
 
@@ -69,7 +67,6 @@ def merge_pair_expr(syms: Column, left: str, right: str) -> Column:
     return F.aggregate(syms, init, step, finish)
 
 
-@loop_scoped
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",

@@ -27,8 +27,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from wicsmmiretl_spark.operators.loopconf import loop_scoped
-
 from wicsmmiretl_spark.functions.text import fingerprint, tokens
 
 
@@ -343,7 +341,6 @@ def simhash_near_pairs(
     return pairs
 
 
-@loop_scoped
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -827,7 +824,6 @@ def lsh_probe_pairs(
     )
 
 
-@loop_scoped
 def semantic_dedup(
     embeddings: DataFrame,
     tau: float,

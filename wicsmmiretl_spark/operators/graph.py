@@ -116,13 +116,14 @@ def connected_components(
     regardless of component diameter (path graphs included — the case that
     defeats min-label propagation).
 
-    Partition sizing (r14): the loop runs under ``@loop_scoped`` — AQE
-    off for the loop materializations (each round is ONE job instead of
-    one per exchange) and ``spark.sql.shuffle.partitions`` pinned to the
-    bytes-derived ``loop_partitions`` width, so the per-round window
-    shuffles AND the small-star's closing ``distinct()`` all plan at the
-    loop width. Both confs are restored on return; the session default
-    (AQE on) still governs non-loop queries.
+    Partition sizing (r14): the loop runs under ``@loop_scoped`` with
+    ``spark.sql.shuffle.partitions`` pinned to the bytes-derived
+    ``loop_partitions`` width, so the per-round window shuffles AND the
+    small-star's closing ``distinct()`` all plan at the loop width (the
+    conf is restored on return). AQE stays ON inside the loop — the
+    interleaved A/B (tools/loop_aqe_ab.py) measured the non-adaptive
+    variant ~20% slower here despite running fewer stage-jobs; see the
+    loopconf module docstring.
     """
     # The initial (count, checksum) fixpoint baseline rides the dedup
     # materialization job itself via an Observation — one job builds the
@@ -252,23 +253,22 @@ def pagerank(
     in-box) is a partial-agg sum, not a window — map-side combine bounds
     the reducer.
 
-    Partition sizing (r14): the loop runs under ``@loop_scoped`` — AQE
-    off for the loop materializations (one job per round, not one per
-    exchange) and ``spark.sql.shuffle.partitions`` pinned to the
-    bytes-derived ``loop_partitions`` width for the loop's lifetime, so
-    the per-round contribution ``groupBy("dst")`` plans at the same
-    width as the explicit hash partitionings. Both confs are restored on
-    return; the session default (AQE on) still governs every non-loop
-    query.
+    Partition sizing (r14): the loop runs under ``@loop_scoped`` with
+    ``spark.sql.shuffle.partitions`` pinned to the bytes-derived
+    ``loop_partitions`` width for the loop's lifetime, so the per-round
+    contribution ``groupBy("dst")`` plans at the same width as the
+    explicit hash partitionings (the conf is restored on return). AQE
+    stays ON inside the loop — measured parity-or-better vs the
+    non-adaptive variant (loopconf module docstring).
 
     Output: (id, rank double) for every node appearing in ``edges``.
     """
     # Edge count rides the dedup materialization via an Observation (one
     # build job, not two); the loop width is bytes-derived
-    # (loop_partitions, guide §2.2) and pinned as the loop-scoped shuffle
-    # width (restored by @loop_scoped), so the contribution groupBy's
-    # partial-agg exchange matches the explicit hash partitionings
-    # instead of planning session-wide.
+    # (loop_partitions, guide §2.2) and pinned as the loop-scoped
+    # shuffle width (restored by @loop_scoped on return), so the
+    # contribution groupBy's partial-agg exchange matches the explicit
+    # hash partitionings instead of planning session-wide.
     obs = Observation()
     e0 = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -640,12 +640,13 @@ def label_propagation(
         & F.col(b_col).isNotNull()
         & (F.col(a_col) != F.col(b_col))
     )
-    # NOT @loop_scoped (r14, measured): each round joins ``und`` against
-    # the round's label frame, whose size AQE discovers at runtime and
-    # converts to a broadcast join at bench scale — under a non-adaptive
-    # loop scope those joins fall back to statically-planned sort-merge
-    # (a checkpointed frame has no stats) and the rounds got ~40% slower.
-    # The loop keeps the session conf (AQE on) untouched.
+    # NOT @loop_scoped: the rounds were measured ~40% slower with AQE
+    # scoped off (each round joins ``und`` against the round's label
+    # frame, whose size AQE discovers at runtime and converts to a
+    # broadcast join; a checkpointed frame has no stats, so the static
+    # plan is sort-merge) — the first data point behind keeping AQE on
+    # in every loop (loopconf module docstring). No width pin either:
+    # the explicit per-round repartitions already carry the loop width.
     und = (
         base.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(base.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
@@ -1013,10 +1014,10 @@ def kcore(
         .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    # NOT @loop_scoped (r14, measured): the per-round semi-joins against
-    # the surviving-vertex list depend on AQE's runtime broadcast
-    # conversion (the keep list shrinks every round; statically planned
-    # they fall back to sort-merge and the loop got ~55% slower). The
+    # NOT @loop_scoped: measured ~55% slower with AQE scoped off — the
+    # per-round semi-joins against the surviving-vertex list depend on
+    # AQE's runtime broadcast conversion (the keep list shrinks every
+    # round; statically planned they fall back to sort-merge). The
     # initial count still rides the canonicalization job's Observation.
     session_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     prev_n = obs0.get["n"]

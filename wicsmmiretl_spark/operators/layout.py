@@ -24,8 +24,6 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from wicsmmiretl_spark.operators.loopconf import loop_scoped
-
 
 def zorder_value(
     df: DataFrame, cols: Sequence[str], bits: int = 8
@@ -90,7 +88,6 @@ def cluster_by_zorder(
     return zdf.repartitionByRange(num_partitions, z).sortWithinPartitions(z)
 
 
-@loop_scoped
 def zonemap_pruning_report(
     df: DataFrame,
     cols: Sequence[str],

@@ -6,46 +6,48 @@ Every iterative operator in this package (alternating-star CC, PageRank/
 PPR/HITS, k-core peeling, BFS/SSSP, LPA, the Lloyd loops) materializes a
 small loop-state frame once per round — an eager ``localCheckpoint`` when
 the round needs a driver-visible fixpoint probe, a lazy one otherwise.
-With AQE enabled, *each materialization* (including the ``df.rdd`` call a
-lazy checkpoint makes) executes the plan's shuffle stages as SEPARATE
-Spark jobs: ``AdaptiveSparkPlanExec`` synchronously materializes one
-QueryStage per Exchange before it will produce the RDD. A round whose
-plan holds E exchanges therefore pays E+1 sequential driver round-trips
-(job submit → schedule → replan) instead of 1.
+Two session confs interact with those materializations:
 
-Measured on this machine (tools/fixed_cost_probe.py, r14): one tiny
-eager checkpoint costs ~40-90 ms of pure fixed overhead per AQE stage
-job, and the graph queries run 50-70 such jobs at bench scale — their
-build time is almost entirely this fixed cost (plans/r14/
-opt_probe_before.jsonl: e.g. event_chain_components 9.0 s build /
-0.03 s exec / 53 jobs).
+* ``spark.sql.shuffle.partitions`` — without a pin, every loop-internal
+  partial-agg/distinct exchange plans at the session width (32 near-empty
+  reduce tasks per groupBy at bench scale, once per round). The graph
+  loops therefore pin the width to the bytes-derived ``loop_partitions``
+  for the loop's lifetime via :func:`set_loop_shuffle_partitions`; this
+  guard snapshots and restores the session value so operators don't pair
+  their own restore.
+* ``spark.sql.adaptive.enabled`` — with AQE on, each materialization runs
+  one Spark job per Exchange in its plan (AdaptiveSparkPlanExec
+  materializes a QueryStage per shuffle before producing the RDD), so a
+  loop pays O(rounds × exchanges) sequential stage-jobs. The r14 fixed-
+  cost probe measured ~40-90 ms of driver overhead per such job and the
+  graph queries ran 50-70 of them, which motivated scoping AQE OFF inside
+  loops.
 
-What AQE buys inside these loops is nothing: every loop shuffle is
-already pinned plan-locally (``repartition(loop_parts, key)`` with
-``loop_parts`` derived from the data size), loop-state frames are tiny
-relative to the corpus, AQE's skew-join splitting does not apply to the
-co-partitioned joins and partial aggs the loops use, and the only
-remaining effect — coalescing the session-width partial-agg exchanges —
-saves tasks worth far less than the per-stage driver barrier it costs.
-This is true at any scale: the barriers are sequential driver work, so
-on a 100 TB cluster they are O(rounds × exchanges) scheduler round trips
-on the critical path exactly as they are locally.
+**Measured outcome (r14, interleaved same-session A/B via the knob
+below): AQE-off-in-loops is a net LOSS and is therefore NOT the
+default.** The per-stage-job overhead is real but smaller than the
+plan-quality AQE buys back inside the rounds: checkpointed loop frames
+carry no statistics, so statically-planned round joins fall back to
+sort-merge where AQE's runtime size discovery converts them to
+broadcasts (Lloyd-loop ops lost 11-25%, connected_components ~20%,
+HITS/PageRank parity; label_propagation and kcore had already measured
+40-55% round slowdowns without AQE). What DID win — independently of the
+AQE toggle — is the rest of the r14 loop discipline: the bytes-derived
+pinned loop width, fixpoint counts riding materialization jobs as
+Observations instead of separate actions, lazy checkpoints wherever no
+driver probe needs the round eagerly, and static out-degree carried in
+the PageRank/PPR state (jobs per graph query dropped 57→42, 54→40,
+49→39, 72→67 with AQE still on; the AQE-off variant cuts them much
+further — 53→14, 72→11 — and is still slower, which is the point).
 
-So: iterative operators scope AQE OFF around their loop (build +
-materializations), restoring the caller's conf afterwards. The frames
-the loop RETURNS are plain (checkpointed-RDD-backed) DataFrames; the
-caller's downstream plan — and every non-loop query in the suite — still
-plans with whatever conf the session carries (AQE stays on; it is the
-100 TB default for one-shot query shapes).
-
-Knob: set ``SPARK_GRAFT_LOOP_AQE=1`` to keep AQE on inside loops (e.g.
-to A/B the barrier cost on a cluster); default is off-in-loops.
+Knob: set ``SPARK_GRAFT_LOOP_AQE=0`` to re-run the A/B (scope AQE off
+inside loops); default keeps the session's AQE setting untouched.
 
 Thread-safety: the guard mutates the session conf for the duration of
 the loop, exactly like the streaming harness's shuffle-partition guard
 (streaming/windows.py) — concurrent *other-thread* queries planned in
-the window would also plan non-adaptively. The engine's entry points run
-operators sequentially; document before introducing driver-side
+the window would also plan at the loop width. The engine's entry points
+run operators sequentially; document before introducing driver-side
 concurrency around these loops.
 """
 
@@ -85,22 +87,24 @@ def scoped_conf(spark: SparkSession, **confs: str) -> Iterator[None]:
                 spark.conf.set(key, value)
 
 
-def _loop_aqe_enabled() -> bool:
-    return os.environ.get("SPARK_GRAFT_LOOP_AQE", "0") == "1"
+def _loop_aqe_disabled() -> bool:
+    return os.environ.get("SPARK_GRAFT_LOOP_AQE", "1") == "0"
 
 
 @contextmanager
 def loop_materialization_conf(spark: SparkSession) -> Iterator[None]:
-    """Conf scope for an iterative operator's loop: AQE off (one job per
-    materialization instead of one per exchange — see module docstring),
-    unless ``SPARK_GRAFT_LOOP_AQE=1`` opts back in.
+    """Conf scope for an iterative operator's loop.
 
-    ``spark.sql.shuffle.partitions`` is additionally snapshotted and
-    restored on exit (in BOTH modes): loop bodies are allowed to call
-    :func:`set_loop_shuffle_partitions` once they know their data-derived
-    loop width, without pairing their own restore."""
+    ``spark.sql.shuffle.partitions`` is snapshotted and restored on exit:
+    loop bodies are allowed to call :func:`set_loop_shuffle_partitions`
+    once they know their data-derived loop width, without pairing their
+    own restore.
+
+    AQE is left at the session setting by default — the measured r14
+    outcome (module docstring); ``SPARK_GRAFT_LOOP_AQE=0`` scopes it off
+    for the loop's materializations to re-run that A/B."""
     keys = {"spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions")}
-    if not _loop_aqe_enabled():
+    if _loop_aqe_disabled():
         keys["spark.sql.adaptive.enabled"] = "false"
     with scoped_conf(spark, **keys):
         yield
@@ -110,10 +114,11 @@ def set_loop_shuffle_partitions(spark: SparkSession, parts: int) -> None:
     """Pin the partial-agg/distinct exchange width inside a loop to the
     loop's own data-derived partitioning (``loop_partitions``). Only valid
     inside :func:`loop_materialization_conf` (or ``@loop_scoped``), which
-    restores the session value on exit. Without AQE the session-default
-    width is a fixed cost per loop round — 32 near-empty reduce tasks per
-    groupBy at bench scale; with this, every loop exchange matches the
-    explicit ``repartition(loop_parts, key)`` width."""
+    restores the session value on exit. The session-default width is a
+    fixed cost per loop round — 32 near-empty reduce tasks per groupBy at
+    bench scale (AQE coalesces their read side but still schedules the
+    map side wide); with this, every loop exchange matches the explicit
+    ``repartition(loop_parts, key)`` width."""
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
 
@@ -152,11 +157,10 @@ def loop_scoped(fn: Callable[..., T]) -> Callable[..., T]:
 
     The session is taken from the first ``DataFrame`` argument. The scope
     covers the CALL only — i.e. the loop's internal materializations
-    (eager checkpoints, fixpoint probes, ``df.rdd`` of lazy checkpoints).
-    Whatever plan tail the operator RETURNS un-materialized is physically
-    planned later, at the consuming action, under the caller's own conf —
-    so a returned final join/aggregate still gets AQE if the session has
-    it on."""
+    (eager checkpoints, fixpoint probes, ``df.rdd`` of lazy checkpoints)
+    plan at the pinned loop width. Whatever plan tail the operator
+    RETURNS un-materialized is physically planned later, at the consuming
+    action, under the caller's own conf."""
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):

@@ -113,8 +113,6 @@ def rrf_fuse(
     """
     if not rankings:
         raise ValueError("rrf_fuse: need at least one ranking")
-    from wicsmmiretl_spark.operators.loopconf import loop_materialization_conf
-
     # Inputs are top-k lists (tiny) but their UPSTREAM pipelines (BM25,
     # ANN) are not: validate and fuse off ONE materialization. The union
     # is pinned with a lazy localCheckpoint; a single aggregate job
@@ -123,23 +121,22 @@ def rrf_fuse(
     # contributes nothing while still bumping n_lists) and materializes
     # the pin as a side effect, so each upstream executes exactly once
     # instead of once per probe plus once for the fuse (r14: the fused
-    # query paid 2N+1 upstream replays, ~38 jobs at bench).
+    # query paid 2N+1 upstream replays, ~38 jobs at bench; 3.6 → 2.5 s).
     probe = None
     for i, r in enumerate(rankings):
         t = r.select(F.lit(i).alias("_list"), F.col(id_col), F.col("rank"))
         probe = t if probe is None else probe.unionByName(t)
-    with loop_materialization_conf(probe.sparkSession):
-        probe = probe.localCheckpoint(eager=False)
-        stats = (
-            probe.groupBy("_list")
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                F.sum(F.col("rank").isNull().cast("long")).alias("_null_ranks"),
-                F.sum(F.col(id_col).isNull().cast("long")).alias("_null_ids"),
-                F.countDistinct(id_col).alias("_nd"),
-            )
-            .collect()
+    probe = probe.localCheckpoint(eager=False)
+    stats = (
+        probe.groupBy("_list")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("rank").isNull().cast("long")).alias("_null_ranks"),
+            F.sum(F.col(id_col).isNull().cast("long")).alias("_null_ids"),
+            F.countDistinct(id_col).alias("_nd"),
         )
+        .collect()
+    )
     by_list = {row["_list"]: row for row in stats}
     for i in range(len(rankings)):
         row = by_list.get(i)

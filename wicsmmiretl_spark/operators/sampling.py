@@ -19,8 +19,6 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from wicsmmiretl_spark.operators.loopconf import loop_scoped
-
 
 def deterministic_shuffle(df: DataFrame, key_cols: Sequence[str], seed: int = 1312) -> DataFrame:
     """R1: seeded full permutation (reference seed 1312,
@@ -410,7 +408,6 @@ def _pid_offsets_expr(offsets: dict[int, object], dtype="long"):
     )
 
 
-@loop_scoped
 def _ranged_order_index(
     df: DataFrame, order_cols: Sequence[str], out_col: str
 ) -> tuple[DataFrame, int]:

@@ -40,8 +40,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from wicsmmiretl_spark.operators.loopconf import loop_scoped
-
 
 def _cosine_expr(a, b):
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
@@ -140,7 +138,6 @@ def _cosine_topk_numpy(
     )
 
 
-@loop_scoped
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float,
@@ -190,7 +187,6 @@ def cosine_pairs(
     )
 
 
-@loop_scoped
 def hyperplane_signature(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -274,7 +270,6 @@ def derived_lsh_bits(n: int, target_bucket: int, max_bits: int = 30) -> int:
     return max_bits
 
 
-@loop_scoped
 def hyperplane_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -332,7 +327,6 @@ def hyperplane_pairs(
     )
 
 
-@loop_scoped
 def kmeans_train(
     embeddings: DataFrame,
     k: int = 8,
@@ -432,7 +426,6 @@ def kmeans_train(
     )
 
 
-@loop_scoped
 def kmeans_two_level(
     embeddings: DataFrame,
     k: int,
@@ -740,7 +733,6 @@ def kmeans_two_level(
     raise AssertionError("unreachable")  # pragma: no cover
 
 
-@loop_scoped
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -946,7 +938,6 @@ def knn_classify(
 # Product quantization (PQ): compressed-domain ANN
 # ---------------------------------------------------------------------------
 
-@loop_scoped
 def pq_train(
     embeddings: DataFrame,
     dim: int,
@@ -1316,7 +1307,6 @@ def random_projection(
     )
 
 
-@loop_scoped
 def kcenter_select(
     df: DataFrame,
     id_col: str,
@@ -1405,7 +1395,6 @@ def kcenter_select(
     )
 
 
-@loop_scoped
 def simplified_silhouette(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -1527,7 +1516,6 @@ def simplified_silhouette(
     )
 
 
-@loop_scoped
 def embedding_pair_profile(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -1616,7 +1604,6 @@ def embedding_pair_profile(
     )
 
 
-@loop_scoped
 def sq8_train(
     embeddings: DataFrame,
     dim: int = 64,
@@ -1799,7 +1786,6 @@ def sq8_topk(
     )
 
 
-@loop_scoped
 def mmr_topk(
     embeddings: DataFrame,
     k: int = 5,
