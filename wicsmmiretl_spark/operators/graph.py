@@ -862,13 +862,17 @@ def hits(
     normalization inside integer space; the ranking is identical because
     normalization is a positive scalar per side.
 
-    Scale shape per iteration: two partial-aggregated groupBys (one per
-    side) + two single-row norm broadcasts + two left joins back to the
-    node list, all pinned to an edge-count-sized plan-local partitioning;
-    lineage truncated per iteration with lazy ``localCheckpoint`` (no
-    per-iteration driver action, the pagerank r9 lesson). Degree skew
-    (a hub customer's basket, a hot part's buyers) is bounded by map-side
-    combine. Nothing is collected.
+    Scale shape per iteration (r14): two partial-aggregated groupBys (one
+    per side), each materialized eagerly ONCE with its L1 norm riding the
+    same job as an ``Observation`` — no per-side norm broadcast job, no
+    in-loop join back to the full node list. The node-list join is
+    deferred to the final output: a node absent from a side's groupBy
+    output has an exactly-0 score and contributes exactly 0 to every
+    downstream scaled-int sum, so the inner contribution joins are
+    bit-equal to the padded form (r13 shape: 72 jobs; this shape: ~31).
+    Degree skew (a hub customer's basket, a hot part's buyers) is bounded
+    by map-side combine. Nothing is collected; the norm crosses the
+    driver as one exact decimal scalar per half-iteration.
 
     Output: (id, hub double, auth double) for every node in ``edges``.
     Source-only nodes carry auth 0; sink-only nodes carry hub 0.
@@ -893,72 +897,66 @@ def hits(
     loop_parts = loop_partitions(n_edges, _EDGE_ROW_BYTES, session_parts)
     set_loop_shuffle_partitions(edges.sparkSession, loop_parts)
     e = e0.repartition(loop_parts, "src").localCheckpoint(eager=False)
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .repartition(loop_parts, "id")
-        .localCheckpoint(eager=False)
-    )
     dec = "decimal(38,0)"
-    hub = nodes.select("id", F.lit(1.0).alias("hub"))
+
+    def _scores(raw: DataFrame, key: str, raw_col: str, norm, out_col: str) -> DataFrame:
+        # ONE double division of two exact integers (the determinism
+        # contract above). ``norm`` arrives as the Observation's exact
+        # decimal; float() and Spark's decimal→double cast are both
+        # correctly-rounded, so the literal is bit-equal to the r13
+        # broadcast-join form.
+        if norm is not None and norm > 0:
+            score = F.col(raw_col).cast("double") / F.lit(float(norm))
+        else:
+            score = F.lit(0.0)
+        return raw.select(F.col(key).alias("id"), score.alias(out_col))
+
+    hub = None  # None = uniform initial hub 1.0 on every edge source
     auth = None
     for _ in range(iters):
-        # The raw per-side sum is lazily checkpointed: BOTH the norm
-        # aggregate (a broadcast build) and the score join consume it, so
-        # without the pin the e⨝state join + groupBy would execute twice
-        # per half-iteration (r14).
-        a_raw = (
-            e.join(hub.withColumnRenamed("id", "src"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.round(F.col("hub") * scale).cast("long")).alias("ar"))
-            .localCheckpoint(eager=False)
-        )
-        norm_a = a_raw.agg(
-            F.coalesce(F.sum(F.col("ar").cast(dec)), F.lit(0).cast(dec)).alias("na")
-        )
-        auth = (
-            nodes.join(a_raw, nodes["id"] == a_raw["dst"], "left")
-            .join(F.broadcast(norm_a))
-            .select(
-                nodes["id"],
-                F.when(
-                    F.col("na") > 0,
-                    F.coalesce(F.col("ar"), F.lit(0)).cast("double")
-                    / F.col("na").cast("double"),
-                )
-                .otherwise(F.lit(0.0))
-                .alias("auth"),
+        if hub is None:
+            contrib = e.select("dst", F.lit(1.0).alias("hub"))
+        else:
+            contrib = e.join(hub.withColumnRenamed("id", "src"), "src").select(
+                "dst", "hub"
             )
-            .repartition(loop_parts, "id")
-            .localCheckpoint(eager=False)
+        obs_a = Observation()
+        a_raw = (
+            contrib.groupBy("dst")
+            .agg(F.sum(F.round(F.col("hub") * scale).cast("long")).alias("ar"))
+            .observe(
+                obs_a,
+                F.coalesce(F.sum(F.col("ar").cast(dec)), F.lit(0).cast(dec)).alias("na"),
+            )
+            .localCheckpoint(eager=True)
         )
+        auth = _scores(a_raw, "dst", "ar", obs_a.get["na"], "auth")
+        obs_h = Observation()
         h_raw = (
             e.join(auth.withColumnRenamed("id", "dst"), "dst")
             .groupBy("src")
             .agg(F.sum(F.round(F.col("auth") * scale).cast("long")).alias("hr"))
-            .localCheckpoint(eager=False)
-        )
-        norm_h = h_raw.agg(
-            F.coalesce(F.sum(F.col("hr").cast(dec)), F.lit(0).cast(dec)).alias("nh")
-        )
-        hub = (
-            nodes.join(h_raw, nodes["id"] == h_raw["src"], "left")
-            .join(F.broadcast(norm_h))
-            .select(
-                nodes["id"],
-                F.when(
-                    F.col("nh") > 0,
-                    F.coalesce(F.col("hr"), F.lit(0)).cast("double")
-                    / F.col("nh").cast("double"),
-                )
-                .otherwise(F.lit(0.0))
-                .alias("hub"),
+            .observe(
+                obs_h,
+                F.coalesce(F.sum(F.col("hr").cast(dec)), F.lit(0).cast(dec)).alias("nh"),
             )
-            .repartition(loop_parts, "id")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
-    return hub.join(auth, "id").select("id", "hub", "auth")
+        hub = _scores(h_raw, "src", "hr", obs_h.get["nh"], "hub")
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return (
+        nodes.join(hub, "id", "left")
+        .join(auth, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
+        )
+    )
 
 
 def kcore(

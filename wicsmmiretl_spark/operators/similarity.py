@@ -349,10 +349,15 @@ def kmeans_train(
       ``round(val*scale)`` bigints are order-independent, so the new
       centroid is bit-identical regardless of partitioning.
 
-    Each Lloyd iteration is one Spark job: centroids (k × dim, tiny) are
-    collected to the driver and re-broadcast as a literal table, so the
-    big side is only ever scanned map-side against a broadcast — the
-    MLlib-style pattern. Cells that lose all members drop out (k shrinks).
+    Each Lloyd iteration is ONE job with ONE exchange (r14): the k
+    centroids travel as a single-row broadcast array-of-structs, the
+    argmax is a map-side ``array_min`` over that array (no n×k row
+    expansion, no per-id groupBy), and the update is one
+    partial-aggregated ``groupBy(cell)`` with a scaled-int sum per
+    dimension (dim ≤ 512; wider embeddings fall back to the posexplode
+    shape, one extra exchange). Centroids (k × dim, tiny) come back to
+    the driver once per iteration — the MLlib-style pattern. Cells that
+    lose all members drop out (k shrinks).
 
     Returns (cell int, cv array<double>, nc double) — ``nc`` is the L2 norm.
     """
@@ -383,41 +388,81 @@ def kmeans_train(
     )
     # orderBy + limit is a TakeOrdered: rows come back in md5 rank order.
     cents = [(i + 1, list(r["v"])) for i, r in enumerate(init.collect())]
+    dim = len(cents[0][1]) if cents else 0
+
+    def _l2(cv: list) -> float:
+        # Bit-exact replica of F.sqrt(F.aggregate(cv, 0.0, acc + x*x)):
+        # same left-fold order of IEEE double adds, same sqrt rounding.
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        return math.sqrt(acc)
 
     for _ in range(iters):
-        cent_df = spark.createDataFrame(cents, "cell int, cv array<double>").withColumn(
-            "nc", F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x))
+        cent_arr = spark.createDataFrame(
+            [([(c, cv, _l2(cv)) for c, cv in cents],)],
+            "cents array<struct<cell:int,cv:array<double>,nc:double>>",
         )
-        cdot = F.aggregate(
-            F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-        # argmax cosine as grouped min(struct) — partial-aggregated map-side,
-        # so the shuffle carries n rows, not the n×k expanded join a window
-        # would shuffle. (-ccos, cell) ascending == ccos desc, ties to the
-        # lowest cell; (id, cell) is unique so the comparison never reaches v.
-        pick = F.struct(
-            (-F.col("ccos")).alias("_negc"), F.col("cell").alias("cell"), F.col("v").alias("v")
+        # argmax cosine as a map-side array_min over the broadcast
+        # single-row centroid array: no n×k row expansion, no per-id
+        # shuffle. (-ccos, cell) ascending == ccos desc, ties to the
+        # lowest cell — the same struct ordering the r13 min(struct)
+        # aggregation used; ``cell`` is unique per candidate so the
+        # comparison never goes deeper.
+        cand = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (
+                    -F.round(
+                        F.aggregate(
+                            F.zip_with("v", c["cv"], lambda x, y: x * y),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        / (F.col("nv") * c["nc"]),
+                        6,
+                    )
+                ).alias("_negc"),
+                c["cell"].alias("cell"),
+            ),
         )
         assigned = (
-            v.crossJoin(F.broadcast(cent_df))
-            .withColumn("ccos", F.round(cdot / (F.col("nv") * F.col("nc")), 6))
-            .groupBy(id_col)
-            .agg(F.min(pick).alias("_s"))
-            .select(F.col("_s.cell").alias("cell"), F.col("_s.v").alias("v"))
+            v.crossJoin(F.broadcast(cent_arr))
+            .select(F.array_min(cand)["cell"].alias("cell"), "v")
         )
-        new_flat = assigned.select("cell", F.posexplode("v").alias("pos", "val")).groupBy(
-            "cell", "pos"
-        ).agg(
-            (
-                F.sum(F.round(F.col("val") * scale).cast("long")).cast("double")
-                / F.lit(float(scale))
-                / F.count("*")
-            ).alias("c")
-        )
-        new_cent = new_flat.groupBy("cell").agg(
-            F.array_sort(F.collect_list(F.struct("pos", "c")))["c"].alias("cv")
-        )
-        cents = sorted((r["cell"], list(r["cv"])) for r in new_cent.collect())
+        if dim <= 512:
+            # ONE partial-aggregated exchange: per-dimension scaled-int
+            # sums as k rows of dim columns.
+            sums = assigned.groupBy("cell").agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.round(F.col("v")[i] * scale).cast("long")).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            cents = sorted(
+                (
+                    r["cell"],
+                    [float(r[f"s{i}"]) / float(scale) / r["n"] for i in range(dim)],
+                )
+                for r in sums.collect()
+            )
+        else:
+            new_flat = assigned.select(
+                "cell", F.posexplode("v").alias("pos", "val")
+            ).groupBy("cell", "pos").agg(
+                (
+                    F.sum(F.round(F.col("val") * scale).cast("long")).cast("double")
+                    / F.lit(float(scale))
+                    / F.count("*")
+                ).alias("c")
+            )
+            by_cell: dict = {}
+            for r in new_flat.collect():
+                by_cell.setdefault(r["cell"], {})[r["pos"]] = r["c"]
+            cents = sorted(
+                (c, [d[p] for p in range(len(d))]) for c, d in by_cell.items()
+            )
 
     return spark.createDataFrame(cents, "cell int, cv array<double>").select(
         "cell",
