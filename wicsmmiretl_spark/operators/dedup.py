@@ -942,6 +942,8 @@ def semantic_dedup(
             embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed, n_rows=n
         ).localCheckpoint(eager=False)
     else:
+        from wicsmmiretl_spark.operators.similarity import _argmin_cands, _cent_array
+
         cent = kmeans_train(
             embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
         )
@@ -951,25 +953,17 @@ def semantic_dedup(
         ).withColumn(
             "nv", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
         )
-        cdot = F.aggregate(
-            F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-        pick = F.struct(
-            (-F.col("ccos")).alias("_negc"),
-            F.col("cell").alias("cell"),
-            F.col("v").alias("v"),
-            F.col("nv").alias("nv"),
-        )
+        # Map-side array_min argmax over the broadcast single-row centroid
+        # array (r14): no n×k row expansion, no per-id shuffle of payload
+        # rows — same (-ccos, cell)-ascending pick as the grouped
+        # min(struct) it replaces.
         assigned = (
-            v.crossJoin(F.broadcast(cent))
-            .withColumn("ccos", F.round(cdot / (F.col("nv") * F.col("nc")), 6))
-            .groupBy(id_col)
-            .agg(F.min(pick).alias("_s"))
+            v.crossJoin(F.broadcast(_cent_array(cent)))
             .select(
                 F.col(id_col),
-                F.col("_s.cell").alias("cell"),
-                F.col("_s.v").alias("v"),
-                F.col("_s.nv").alias("nv"),
+                F.array_min(_argmin_cands(F.col("v"), F.col("nv")))["cell"].alias("cell"),
+                "v",
+                "nv",
             )
             # Both the pair join's sides and the final keep join descend from
             # this one assignment — pin it so the broadcast-argmax runs once.

@@ -327,6 +327,51 @@ def hyperplane_pairs(
     )
 
 
+def _l2(cv: list) -> float:
+    """Bit-exact replica of ``F.sqrt(F.aggregate(cv, 0.0, acc + x*x))``:
+    same left-fold order of IEEE double adds, same sqrt rounding — used
+    when a Python-side centroid list needs the norm the SQL form would
+    compute."""
+    acc = 0.0
+    for x in cv:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def _cent_array(cent: DataFrame) -> DataFrame:
+    """Collapse a (cell, cv, nc) centroid table into ONE row holding the
+    array of centroid structs, for broadcast into a map-side argmax
+    (``array_min`` over per-row candidate structs — guide §2.4: the
+    grouped min(struct) argmax's shuffle of n payload rows is removed
+    outright). ``collect_list`` order is irrelevant: min is
+    order-invariant and (-cos, cell) is unique per candidate."""
+    return cent.agg(F.collect_list(F.struct("cell", "cv", "nc")).alias("cents"))
+
+
+def _argmin_cands(vc, nvc):
+    """Per-row candidate structs ``(-cos6dp, cell)`` over the broadcast
+    ``cents`` array — ``array_min`` of this is the repo-wide
+    (-ccos, cell)-ascending pick (cosine desc, ties to the lowest cell),
+    bit-equal to the grouped ``min(struct)`` form it replaces."""
+    return F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (
+                -F.round(
+                    F.aggregate(
+                        F.zip_with(vc, c["cv"], lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / (nvc * c["nc"]),
+                    6,
+                )
+            ).alias("_negc"),
+            c["cell"].alias("cell"),
+        ),
+    )
+
+
 def kmeans_train(
     embeddings: DataFrame,
     k: int = 8,
@@ -389,14 +434,6 @@ def kmeans_train(
     # orderBy + limit is a TakeOrdered: rows come back in md5 rank order.
     cents = [(i + 1, list(r["v"])) for i, r in enumerate(init.collect())]
     dim = len(cents[0][1]) if cents else 0
-
-    def _l2(cv: list) -> float:
-        # Bit-exact replica of F.sqrt(F.aggregate(cv, 0.0, acc + x*x)):
-        # same left-fold order of IEEE double adds, same sqrt rounding.
-        acc = 0.0
-        for x in cv:
-            acc += x * x
-        return math.sqrt(acc)
 
     for _ in range(iters):
         cent_arr = spark.createDataFrame(
@@ -624,28 +661,17 @@ def kmeans_two_level(
         )
         .localCheckpoint(eager=False)
     )
-    cdot = F.aggregate(
-        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    # Coarse routing: the same broadcast argmax as the flat path, but over
-    # k1 ≈ √k centroids. (-ccos, cell) ascending == cosine desc, ties to
-    # the lowest cell — the repo-wide convention.
-    pick = F.struct(
-        (-F.col("ccos")).alias("_negc"),
-        F.col("cell").alias("cc"),
-        F.col("v").alias("v"),
-        F.col("nv").alias("nv"),
-    )
+    # Coarse routing: map-side array_min over the broadcast single-row
+    # centroid array (r14) — no n×k1 row expansion and no per-id shuffle
+    # of the payload rows; (-ccos, cell) ascending == cosine desc, ties
+    # to the lowest cell, the repo-wide convention.
     va = (
-        v.crossJoin(F.broadcast(coarse))
-        .withColumn("ccos", F.round(cdot / (F.col("nv") * F.col("nc")), 6))
-        .groupBy(id_col)
-        .agg(F.min(pick).alias("_s"))
+        v.crossJoin(F.broadcast(_cent_array(coarse)))
         .select(
             F.col(id_col),
-            F.col("_s.cc").alias("cc"),
-            F.col("_s.v").alias("v"),
-            F.col("_s.nv").alias("nv"),
+            F.array_min(_argmin_cands(F.col("v"), F.col("nv")))["cell"].alias("cc"),
+            "v",
+            "nv",
         )
         .localCheckpoint(eager=False)
     )
@@ -733,20 +759,48 @@ def kmeans_two_level(
     bcast = k <= fine_broadcast_max_rows
     cent = cent.localCheckpoint(eager=False)
     for it in range(iters + 1):
-        cent_n = cent.withColumn(
-            "nc", F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x))
+        # The cc's fine centroids travel as ONE array row per coarse cell
+        # (r14): the join fans out 1:1 instead of 1:k2 and the argmax is
+        # a map-side array_min — the per-round groupBy(id, cc) shuffle of
+        # n payload rows is gone. (-ccos, j) ascending is the same pick
+        # as the grouped min(struct) it replaces (j unique per cc).
+        cent_cc = cent.groupBy("cc").agg(
+            F.collect_list(
+                F.struct(
+                    "j",
+                    "cv",
+                    F.sqrt(
+                        F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x)
+                    ).alias("nc"),
+                )
+            ).alias("_fc")
         )
-        fpick = F.struct(
-            (-F.col("ccos")).alias("_negc"),
-            F.col("j").alias("j"),
-            F.col("v").alias("v"),
-            F.col("nv").alias("nv"),
+        fcands = F.transform(
+            F.col("_fc"),
+            lambda c: F.struct(
+                (
+                    -F.round(
+                        F.aggregate(
+                            F.zip_with("v", c["cv"], lambda x, y: x * y),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        / (F.col("nv") * c["nc"]),
+                        6,
+                    )
+                ).alias("_negc"),
+                c["j"].alias("j"),
+            ),
         )
         assigned = (
-            va.join(F.broadcast(cent_n) if bcast else cent_n, "cc")
-            .withColumn("ccos", F.round(cdot / (F.col("nv") * F.col("nc")), 6))
-            .groupBy(id_col, "cc")
-            .agg(F.min(fpick).alias("_s"))
+            va.join(F.broadcast(cent_cc) if bcast else cent_cc, "cc")
+            .select(
+                F.col(id_col),
+                "cc",
+                "v",
+                "nv",
+                F.array_min(fcands)["j"].alias("_j"),
+            )
         )
         if it == iters:
             # Final routing with the post-update centroids — the same
@@ -756,12 +810,12 @@ def kmeans_two_level(
             # before packing so cell ids land in [0, k1·k2).
             return assigned.select(
                 F.col(id_col),
-                ((F.col("cc") - 1) * k2 + F.col("_s.j")).alias("cell"),
-                F.col("_s.v").alias("v"),
-                F.col("_s.nv").alias("nv"),
+                ((F.col("cc") - 1) * k2 + F.col("_j")).alias("cell"),
+                "v",
+                "nv",
             )
         new_flat = (
-            assigned.select("cc", F.col("_s.j").alias("j"), F.posexplode("_s.v").alias("pos", "val"))
+            assigned.select("cc", F.col("_j").alias("j"), F.posexplode("v").alias("pos", "val"))
             .groupBy("cc", "j", "pos")
             .agg(
                 (
@@ -850,40 +904,32 @@ def ivf_topk(
             .localCheckpoint(eager=False)
         )
 
-    cdot = F.aggregate(F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    scored_cells = v.crossJoin(F.broadcast(cent)).withColumn(
-        "ccos", F.round(cdot / (F.col("nv") * F.col("nc")), 6)
+    # Candidates live in exactly ONE cell: map-side array_min over the
+    # broadcast single-row centroid array (r14) — no n×#cells row
+    # expansion, no per-id shuffle of payload rows. (-ccos, cell)
+    # ascending == ccos desc with ties to the lowest cell — the same pick
+    # the grouped min(struct) and the rank-1 window made.
+    cands = _argmin_cands(F.col("v"), F.col("nv"))
+    vc = v.crossJoin(F.broadcast(_cent_array(cent)))
+    c = vc.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("cv2"),
+        F.col("nv").alias("nn"),
+        F.array_min(cands)["cell"].alias("cell"),
     )
-    # Candidates live in exactly ONE cell: argmax as grouped min(struct) —
-    # partial-aggregated map-side, so the shuffle carries n rows instead of
-    # the n×#cells expanded join a window would shuffle. (-ccos, cell)
-    # ascending == ccos desc with ties to the lowest cell — the same pick a
-    # rank-1 window makes; (id, cell) is unique so the comparison never
-    # reaches the payload fields.
-    pick = F.struct(
-        (-F.col("ccos")).alias("_negc"),
-        F.col("cell").alias("cell"),
-        F.col("v").alias("v"),
-        F.col("nv").alias("nv"),
-    )
-    c = (
-        scored_cells.groupBy(id_col)
-        .agg(F.min(pick).alias("_s"))
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col("_s.v").alias("cv2"),
-            F.col("_s.nv").alias("nn"),
-            F.col("_s.cell").alias("cell"),
-        )
-    )
-    # Queries fan out to nprobe cells — a top-n, so a window; but only over
-    # the broadcast-small query slice, never the full corpus.
-    w_assign = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell"))
+    # Queries fan out to nprobe cells: the first nprobe entries of the
+    # SORTED candidate array — array_sort's (-ccos, cell)-ascending struct
+    # order is exactly the (ccos desc, cell asc) the old top-n window
+    # ranked by; only the query slice ever expands.
     q = (
-        scored_cells.filter(F.col(id_col) < query_max_id)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") <= nprobe)
-        .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq"), "cell")
+        vc.filter(F.col(id_col) < query_max_id)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
+            F.explode(F.slice(F.array_sort(cands), 1, nprobe)).alias("_cand"),
+        )
+        .select("query_id", "qv", "nq", F.col("_cand.cell").alias("cell"))
     )
     dot = F.aggregate(F.zip_with("qv", "cv2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -1034,39 +1080,42 @@ def pq_train(
     ]
 
     for _ in range(iters):
+        # One row per subspace holding its k centroid structs (r14): the
+        # join stays 1:1, the argmax is a map-side array_min, and the
+        # update is one partial-aggregated groupBy of per-dimension
+        # scaled-int sums — the per-(id, subspace) payload shuffle and
+        # the two-level posexplode regroup are gone (the kmeans_train
+        # shape, per subspace).
+        by_sub: dict[int, list] = {}
+        for s, cell, cv in cents:
+            by_sub.setdefault(s, []).append((cell, cv, _l2(cv)))
         cent_df = spark.createDataFrame(
-            cents, "subspace int, cell int, cv array<double>"
-        ).withColumn(
-            "nc", F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x))
-        )
-        cdot = F.aggregate(
-            F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-        pick = F.struct(
-            (-F.col("ccos")).alias("_negc"), F.col("cell").alias("cell"), F.col("v").alias("v")
+            [(s, cs) for s, cs in sorted(by_sub.items())],
+            "subspace int, cents array<struct<cell:int,cv:array<double>,nc:double>>",
         )
         assigned = (
             v.join(F.broadcast(cent_df), "subspace")
-            .withColumn("ccos", F.round(cdot / (F.col("nv") * F.col("nc")), 6))
-            .groupBy(id_col, "subspace")
-            .agg(F.min(pick).alias("_s"))
-            .select("subspace", F.col("_s.cell").alias("cell"), F.col("_s.v").alias("v"))
-        )
-        new_flat = (
-            assigned.select("subspace", "cell", F.posexplode("v").alias("pos", "val"))
-            .groupBy("subspace", "cell", "pos")
-            .agg(
-                (
-                    F.sum(F.round(F.col("val") * scale).cast("long")).cast("double")
-                    / F.lit(float(scale))
-                    / F.count("*")
-                ).alias("c")
+            .select(
+                "subspace",
+                F.array_min(_argmin_cands(F.col("v"), F.col("nv")))["cell"].alias("cell"),
+                "v",
             )
         )
-        new_cent = new_flat.groupBy("subspace", "cell").agg(
-            F.array_sort(F.collect_list(F.struct("pos", "c")))["c"].alias("cv")
+        sums = assigned.groupBy("subspace", "cell").agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(F.round(F.col("v")[i] * scale).cast("long")).alias(f"s{i}")
+                for i in range(sub)
+            ],
         )
-        cents = sorted((r["subspace"], r["cell"], list(r["cv"])) for r in new_cent.collect())
+        cents = sorted(
+            (
+                r["subspace"],
+                r["cell"],
+                [float(r[f"s{i}"]) / float(scale) / r["n"] for i in range(sub)],
+            )
+            for r in sums.collect()
+        )
 
     return spark.createDataFrame(cents, "subspace int, cell int, cv array<double>").select(
         "subspace",
@@ -1114,20 +1163,25 @@ def pq_encode(
     Returns (id_col, codes array<int>) with codes[s] = cell of subspace s.
     """
     v = _pq_subspace_rows(embeddings, id_col, vec_col, dim, m)
-    cdot = F.aggregate(
-        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    # One row per subspace holding its codebook structs (r14): join 1:1,
+    # argmax map-side via array_min — the per-(id, subspace) shuffle of
+    # the old grouped min(struct) is gone; only the m-code assembly
+    # aggregates.
+    cb = codebook.groupBy("subspace").agg(
+        F.collect_list(F.struct("cell", "cv", "nc")).alias("cents")
     )
-    pick = F.struct((-F.col("ccos")).alias("_negc"), F.col("cell").alias("cell"))
     return (
-        v.join(F.broadcast(codebook), "subspace")
-        .withColumn("ccos", F.round(cdot / (F.col("nv") * F.col("nc")), 6))
-        .groupBy(id_col, "subspace")
-        .agg(F.min(pick).alias("_s"))
+        v.join(F.broadcast(cb), "subspace")
+        .select(
+            F.col(id_col),
+            "subspace",
+            F.array_min(_argmin_cands(F.col("v"), F.col("nv")))["cell"].alias("cell"),
+        )
         .groupBy(id_col)
         .agg(
-            F.array_sort(F.collect_list(F.struct("subspace", F.col("_s.cell").alias("cell"))))[
-                "cell"
-            ].alias("codes")
+            F.array_sort(F.collect_list(F.struct("subspace", "cell")))["cell"].alias(
+                "codes"
+            )
         )
     )
 
@@ -1511,30 +1565,17 @@ def simplified_silhouette(
     ).withColumn(
         "nv", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
     )
-    cdot = F.aggregate(
-        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    scored = v.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col("cell"),
-        F.round(cdot / (F.col("nv") * F.col("nc")), 6).alias("ccos"),
-    )
-    # Top-2 centroids per vector: cells are unique within the group, so
-    # element 2 is always the nearest OTHER centroid.
+    # Top-2 centroids per vector, fully MAP-side (r14): the k centroids
+    # travel as one broadcast array row and each vector sorts its own k
+    # candidate structs — no n×k row expansion and no per-id shuffle
+    # (the old groupBy(id) + collect_list/sort/slice form). Cells are
+    # unique within the array, so element 2 is always the nearest OTHER
+    # centroid.
     top2 = (
-        scored.groupBy(id_col)
-        .agg(
+        v.crossJoin(F.broadcast(_cent_array(centroids)))
+        .select(
             F.slice(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("ccos")).alias("_negc"),
-                            F.col("cell").alias("cell"),
-                        )
-                    )
-                ),
-                1,
-                2,
+                F.array_sort(_argmin_cands(F.col("v"), F.col("nv"))), 1, 2
             ).alias("_t")
         )
         .select(
