@@ -397,12 +397,13 @@ def kmeans_train(
     Each Lloyd iteration is ONE job with ONE exchange (r14): the k
     centroids travel as a single-row broadcast array-of-structs, the
     argmax is a map-side ``array_min`` over that array (no n×k row
-    expansion, no per-id groupBy), and the update is one
-    partial-aggregated ``groupBy(cell)`` with a scaled-int sum per
-    dimension (dim ≤ 512; wider embeddings fall back to the posexplode
-    shape, one extra exchange). Centroids (k × dim, tiny) come back to
-    the driver once per iteration — the MLlib-style pattern. Cells that
-    lose all members drop out (k shrinks).
+    expansion, no per-id groupBy of payload rows), and the update is one
+    partial-aggregated ``groupBy(cell, pos)`` over the posexploded
+    dimensions whose k·dim result rows are assembled into centroids
+    driver-side (a second regrouping exchange would only rebuild the
+    array the driver is about to collect anyway). Centroids (k × dim,
+    tiny) come back once per iteration — the MLlib-style pattern. Cells
+    that lose all members drop out (k shrinks).
 
     Returns (cell int, cv array<double>, nc double) — ``nc`` is the L2 norm.
     """
@@ -433,7 +434,6 @@ def kmeans_train(
     )
     # orderBy + limit is a TakeOrdered: rows come back in md5 rank order.
     cents = [(i + 1, list(r["v"])) for i, r in enumerate(init.collect())]
-    dim = len(cents[0][1]) if cents else 0
 
     for _ in range(iters):
         cent_arr = spark.createDataFrame(
@@ -467,39 +467,21 @@ def kmeans_train(
             v.crossJoin(F.broadcast(cent_arr))
             .select(F.array_min(cand)["cell"].alias("cell"), "v")
         )
-        if dim <= 512:
-            # ONE partial-aggregated exchange: per-dimension scaled-int
-            # sums as k rows of dim columns.
-            sums = assigned.groupBy("cell").agg(
-                F.count("*").alias("n"),
-                *[
-                    F.sum(F.round(F.col("v")[i] * scale).cast("long")).alias(f"s{i}")
-                    for i in range(dim)
-                ],
-            )
-            cents = sorted(
-                (
-                    r["cell"],
-                    [float(r[f"s{i}"]) / float(scale) / r["n"] for i in range(dim)],
-                )
-                for r in sums.collect()
-            )
-        else:
-            new_flat = assigned.select(
-                "cell", F.posexplode("v").alias("pos", "val")
-            ).groupBy("cell", "pos").agg(
-                (
-                    F.sum(F.round(F.col("val") * scale).cast("long")).cast("double")
-                    / F.lit(float(scale))
-                    / F.count("*")
-                ).alias("c")
-            )
-            by_cell: dict = {}
-            for r in new_flat.collect():
-                by_cell.setdefault(r["cell"], {})[r["pos"]] = r["c"]
-            cents = sorted(
-                (c, [d[p] for p in range(len(d))]) for c, d in by_cell.items()
-            )
+        new_flat = assigned.select(
+            "cell", F.posexplode("v").alias("pos", "val")
+        ).groupBy("cell", "pos").agg(
+            (
+                F.sum(F.round(F.col("val") * scale).cast("long")).cast("double")
+                / F.lit(float(scale))
+                / F.count("*")
+            ).alias("c")
+        )
+        by_cell: dict = {}
+        for r in new_flat.collect():
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["c"]
+        cents = sorted(
+            (c, [d[p] for p in range(len(d))]) for c, d in by_cell.items()
+        )
 
     return spark.createDataFrame(cents, "cell int, cv array<double>").select(
         "cell",
@@ -1082,10 +1064,9 @@ def pq_train(
     for _ in range(iters):
         # One row per subspace holding its k centroid structs (r14): the
         # join stays 1:1, the argmax is a map-side array_min, and the
-        # update is one partial-aggregated groupBy of per-dimension
-        # scaled-int sums — the per-(id, subspace) payload shuffle and
-        # the two-level posexplode regroup are gone (the kmeans_train
-        # shape, per subspace).
+        # update's k·m·dim/m result rows are assembled driver-side — the
+        # per-(id, subspace) payload shuffle and the regrouping exchange
+        # are gone (the kmeans_train shape, per subspace).
         by_sub: dict[int, list] = {}
         for s, cell, cv in cents:
             by_sub.setdefault(s, []).append((cell, cv, _l2(cv)))
@@ -1101,20 +1082,20 @@ def pq_train(
                 "v",
             )
         )
-        sums = assigned.groupBy("subspace", "cell").agg(
-            F.count("*").alias("n"),
-            *[
-                F.sum(F.round(F.col("v")[i] * scale).cast("long")).alias(f"s{i}")
-                for i in range(sub)
-            ],
-        )
-        cents = sorted(
+        new_flat = assigned.select(
+            "subspace", "cell", F.posexplode("v").alias("pos", "val")
+        ).groupBy("subspace", "cell", "pos").agg(
             (
-                r["subspace"],
-                r["cell"],
-                [float(r[f"s{i}"]) / float(scale) / r["n"] for i in range(sub)],
-            )
-            for r in sums.collect()
+                F.sum(F.round(F.col("val") * scale).cast("long")).cast("double")
+                / F.lit(float(scale))
+                / F.count("*")
+            ).alias("c")
+        )
+        by_sc: dict = {}
+        for r in new_flat.collect():
+            by_sc.setdefault((r["subspace"], r["cell"]), {})[r["pos"]] = r["c"]
+        cents = sorted(
+            (s, c, [d[p] for p in range(len(d))]) for (s, c), d in by_sc.items()
         )
 
     return spark.createDataFrame(cents, "subspace int, cell int, cv array<double>").select(
