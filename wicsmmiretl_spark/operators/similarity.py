@@ -880,9 +880,9 @@ def ivf_topk(
                 "cv",
                 F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x)).alias("nc"),
             )
-            # scored_cells feeds BOTH the candidate and the query branch —
-            # without a pin, this corpus-wide centroid agg runs once per
-            # branch. k rows materialize; the corpus itself stays lazy.
+            # The centroid array feeds BOTH the candidate and the query
+            # branch — without a pin, this corpus-wide centroid agg runs
+            # once per branch. k rows materialize; the corpus stays lazy.
             .localCheckpoint(eager=False)
         )
 
