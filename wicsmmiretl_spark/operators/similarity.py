@@ -338,6 +338,18 @@ def _l2(cv: list) -> float:
     return math.sqrt(acc)
 
 
+def _collect_cents(rows, key_cols: list):
+    """Assemble collected ``(..keys.., pos, c)`` centroid-dimension rows
+    into sorted ``(*keys, [c_0..c_dim-1])`` tuples. Positions are
+    contiguous per key group by construction (posexplode of a dense
+    array), which is what makes the ``range(len(d))`` indexing total."""
+    by_key: dict = {}
+    for r in rows:
+        key = tuple(r[k] for k in key_cols)
+        by_key.setdefault(key, {})[r["pos"]] = r["c"]
+    return sorted((*k, [d[p] for p in range(len(d))]) for k, d in by_key.items())
+
+
 def _cent_array(cent: DataFrame) -> DataFrame:
     """Collapse a (cell, cv, nc) centroid table into ONE row holding the
     array of centroid structs, for broadcast into a map-side argmax
@@ -405,6 +417,12 @@ def kmeans_train(
     tiny) come back once per iteration — the MLlib-style pattern. Cells
     that lose all members drop out (k shrinks).
 
+    Input precondition (r14, repo-wide on the map-side argmax path):
+    ``embeddings`` must carry one row per ``id_col`` — the map-side
+    argmax processes rows independently, so a duplicated id would
+    double-count in the centroid means where the r13 per-id groupBy
+    silently collapsed it. Deduplicate upstream.
+
     Returns (cell int, cv array<double>, nc double) — ``nc`` is the L2 norm.
     """
     spark = embeddings.sparkSession
@@ -442,30 +460,15 @@ def kmeans_train(
         )
         # argmax cosine as a map-side array_min over the broadcast
         # single-row centroid array: no n×k row expansion, no per-id
-        # shuffle. (-ccos, cell) ascending == ccos desc, ties to the
-        # lowest cell — the same struct ordering the r13 min(struct)
-        # aggregation used; ``cell`` is unique per candidate so the
-        # comparison never goes deeper.
-        cand = F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                (
-                    -F.round(
-                        F.aggregate(
-                            F.zip_with("v", c["cv"], lambda x, y: x * y),
-                            F.lit(0.0),
-                            lambda acc, x: acc + x,
-                        )
-                        / (F.col("nv") * c["nc"]),
-                        6,
-                    )
-                ).alias("_negc"),
-                c["cell"].alias("cell"),
-            ),
-        )
+        # shuffle (``_argmin_cands``' (-ccos, cell)-ascending pick).
         assigned = (
             v.crossJoin(F.broadcast(cent_arr))
-            .select(F.array_min(cand)["cell"].alias("cell"), "v")
+            .select(
+                F.array_min(_argmin_cands(F.col("v"), F.col("nv")))["cell"].alias(
+                    "cell"
+                ),
+                "v",
+            )
         )
         new_flat = assigned.select(
             "cell", F.posexplode("v").alias("pos", "val")
@@ -476,12 +479,7 @@ def kmeans_train(
                 / F.count("*")
             ).alias("c")
         )
-        by_cell: dict = {}
-        for r in new_flat.collect():
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["c"]
-        cents = sorted(
-            (c, [d[p] for p in range(len(d))]) for c, d in by_cell.items()
-        )
+        cents = _collect_cents(new_flat.collect(), ["cell"])
 
     return spark.createDataFrame(cents, "cell int, cv array<double>").select(
         "cell",
@@ -558,16 +556,18 @@ def kmeans_two_level(
     collect/rebuild. Empty fine cells drop out per iteration, mirroring
     :func:`kmeans_train`. ``n_rows`` lets callers that already counted
     the corpus (semantic_dedup's shared count job) skip the one count
-    the threshold sizing needs. Contract (ADVICE r13): ``n_rows`` must
-    be the DISTINCT-``id_col`` count — the sampled universe is the
-    routed table, one row per distinct id after the coarse argmax
-    groupBy. Passing a raw row count over duplicate ids overstates n,
-    undersizes the threshold, and routes more cells through the
-    full-row repair branch: correctness is preserved by the repair
-    (the output is threshold-invariant by construction), the cost is
-    performance only. Callers with duplicate ids should pass
-    ``None`` (one exact count of the routed table) or their own
-    distinct count.
+    the threshold sizing needs.
+
+    Input PRECONDITION (tightened r14, like every operator on the
+    map-side argmax path): ``embeddings`` must carry ONE ROW PER
+    ``id_col``. The r13 shape's per-id argmax groupBy silently collapsed
+    duplicate ids; the map-side ``array_min`` routing processes each row
+    independently, so duplicate ids would both survive into the routed
+    table AND tie nondeterministically in the md5-ranked fine-seed pick
+    (identical ``_r``). Deduplicate upstream. With that precondition,
+    ``n_rows`` (when passed) equals the routed-table count the sample
+    threshold is sized for (the ADVICE r13 distinct-id contract holds by
+    construction).
 
     ``fine_init="collect"`` keeps the r12 path — the ``seed_oversample·k``
     globally md5-smallest vectors via one TakeOrdered collect, trimmed
@@ -902,7 +902,12 @@ def ivf_topk(
     # Queries fan out to nprobe cells: the first nprobe entries of the
     # SORTED candidate array — array_sort's (-ccos, cell)-ascending struct
     # order is exactly the (ccos desc, cell asc) the old top-n window
-    # ranked by; only the query slice ever expands.
+    # ranked by for any real cosine. (Degenerate scores differ from the
+    # r13 window only out-of-contract: a NaN cosine — zero-norm query or
+    # centroid, double x/0.0 is IEEE Inf/NaN, never NULL — now probes
+    # LAST instead of the window's NaN-first, which is the saner rank; a
+    # NULL cosine needs NULL vector elements, excluded by the table
+    # schemas.)
     q = (
         vc.filter(F.col(id_col) < query_max_id)
         .select(
@@ -1091,12 +1096,7 @@ def pq_train(
                 / F.count("*")
             ).alias("c")
         )
-        by_sc: dict = {}
-        for r in new_flat.collect():
-            by_sc.setdefault((r["subspace"], r["cell"]), {})[r["pos"]] = r["c"]
-        cents = sorted(
-            (s, c, [d[p] for p in range(len(d))]) for (s, c), d in by_sc.items()
-        )
+        cents = _collect_cents(new_flat.collect(), ["subspace", "cell"])
 
     return spark.createDataFrame(cents, "subspace int, cell int, cv array<double>").select(
         "subspace",
