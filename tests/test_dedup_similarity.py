@@ -347,6 +347,35 @@ def test_salted_join_rejects_right_preserving_how(spark):
     assert salted_join(left, right, "k", how="left_semi").columns == ["k", "v"]
 
 
+def test_collect_cents_assembles_contiguous_positions():
+    """The driver-side centroid assembly behind kmeans_train/pq_train
+    (r14): rows of (keys, pos, c) regroup into sorted (*keys, [c...])
+    with the per-group dimension lists in position order regardless of
+    collect order — the invariant the range(len(d)) indexing rests on."""
+    from pyspark.sql import Row
+
+    from wicsmmiretl_spark.operators.similarity import _collect_cents
+
+    rows = [
+        Row(cell=2, pos=1, c=0.4),
+        Row(cell=1, pos=0, c=0.1),
+        Row(cell=2, pos=0, c=0.3),
+        Row(cell=1, pos=1, c=0.2),
+    ]
+    assert _collect_cents(rows, ["cell"]) == [(1, [0.1, 0.2]), (2, [0.3, 0.4])]
+    rows2 = [
+        Row(subspace=1, cell=1, pos=0, c=9.0),
+        Row(subspace=0, cell=2, pos=0, c=5.0),
+        Row(subspace=0, cell=1, pos=1, c=2.0),
+        Row(subspace=0, cell=1, pos=0, c=1.0),
+    ]
+    assert _collect_cents(rows2, ["subspace", "cell"]) == [
+        (0, 1, [1.0, 2.0]),
+        (0, 2, [5.0]),
+        (1, 1, [9.0]),
+    ]
+
+
 def test_kmeans_train_deterministic_and_labelfree(spark, sf_dir):
     """kmeans_train consults no label column, is deterministic across
     invocations (seeded init + exact integer means), and partitions the
