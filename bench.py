@@ -198,6 +198,9 @@ def main() -> None:
                     "sf": sf,
                     "total_seconds": total,
                     "n_queries": len(times),
+                    "cpus": int(os.environ["SPARK_GRAFT_CPUS"])
+                    if os.environ.get("SPARK_GRAFT_CPUS", "").isdigit()
+                    else os.cpu_count(),
                     "load1_arrival": round(load_arrival[0], 2),
                     "load1_start": round(load_start[0], 2),
                     "load1_end": round(load_end[0], 2),
@@ -303,7 +306,11 @@ def main() -> None:
     sys.stdout.flush()
 
 
-def _next_full_bench_path(root: Path | None = None, round_root: Path | None = None) -> Path:
+def _next_full_bench_path(
+    root: Path | None = None,
+    round_root: Path | None = None,
+    canonical: bool | None = None,
+) -> Path:
     """BENCH_FULL_r{N}.json for the round currently being benched: one past
     the highest-numbered driver artifact (BENCH_r{N}.json) on disk.
 
@@ -318,14 +325,26 @@ def _next_full_bench_path(root: Path | None = None, round_root: Path | None = No
     check, the driver's own bench) must not silently replace it. Further
     runs before the next driver artifact get a ``.k`` suffix
     (BENCH_FULL_r10.1.json, .2, ...); ``_latest_prior_bench`` understands
-    the suffix and prefers the newest."""
+    the suffix and prefers the newest.
+
+    ``canonical`` (VERDICT r14 item 5): the unsuffixed BENCH_FULL_r{N}
+    name is reserved for a full-machine-width take — the r14 driver's
+    8-core scaling re-bench ran after BENCH_r14.json existed and claimed
+    BENCH_FULL_r15.json, shadowing the NEXT round's canonical name. A run
+    whose $SPARK_GRAFT_CPUS differs from the host's full width is a
+    scaling/side take by construction and starts at ``.1``. ``None``
+    derives it from the env; pass explicitly in tests."""
     root = root or Path(__file__).resolve().parent
     latest = 0
     for p in (round_root or root).glob("BENCH_r*.json"):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
         if m:
             latest = max(latest, int(m.group(1)))
-    k = 0
+    if canonical is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+        host = os.cpu_count() or 0
+        canonical = not (cpus.isdigit() and host > 0 and int(cpus) != host)
+    k = 0 if canonical else 1
     while True:
         suffix = "" if k == 0 else f".{k}"
         cand = root / f"BENCH_FULL_r{latest + 1}{suffix}.json"

@@ -115,6 +115,44 @@ def test_bench_sidecar_numbering_never_clobbers(tmp_path):
     assert bench._next_full_bench_path(tmp_path).name == "BENCH_FULL_r4.2.json"
 
 
+def test_bench_sidecar_noncanonical_run_never_claims_base_name(tmp_path, monkeypatch):
+    """VERDICT r14 item 5: the r14 driver's 8-core scaling re-bench wrote
+    its sidecar as BENCH_FULL_r15.json, shadowing the NEXT round's
+    canonical name. A run at reduced core width (SPARK_GRAFT_CPUS below
+    the host's full width) is a side take and must start at .1, leaving
+    the unsuffixed name for the round's real full-width take."""
+    import os
+
+    import bench
+
+    (tmp_path / "BENCH_r14.json").write_text("{}")
+    # Explicit canonical flag: a side take skips the base name even when
+    # the base name is still free.
+    assert (
+        bench._next_full_bench_path(tmp_path, canonical=False).name
+        == "BENCH_FULL_r15.1.json"
+    )
+    assert (
+        bench._next_full_bench_path(tmp_path, canonical=True).name
+        == "BENCH_FULL_r15.json"
+    )
+    # Env derivation: CPUS != host width -> side take; CPUS == host width
+    # (or unset) -> canonical.
+    host = os.cpu_count()
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", str(max(1, (host or 2) - 1)))
+    assert bench._next_full_bench_path(tmp_path).name == "BENCH_FULL_r15.1.json"
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", str(host))
+    assert bench._next_full_bench_path(tmp_path).name == "BENCH_FULL_r15.json"
+    monkeypatch.delenv("SPARK_GRAFT_CPUS")
+    assert bench._next_full_bench_path(tmp_path).name == "BENCH_FULL_r15.json"
+    # The .k chain continues past an existing side take.
+    (tmp_path / "BENCH_FULL_r15.1.json").write_text("{}")
+    assert (
+        bench._next_full_bench_path(tmp_path, canonical=False).name
+        == "BENCH_FULL_r15.2.json"
+    )
+
+
 def test_bench_sidecar_round_from_round_root(tmp_path):
     """SPARK_GRAFT_FULL_OUT redirects the DESTINATION only: the round
     number still comes from the repo root's driver artifacts, so an
