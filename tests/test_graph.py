@@ -497,6 +497,28 @@ class TestKcore:
         with pytest.raises(ValueError, match="column"):
             kcore(df, k=2, a_col="nope")
 
+    def test_batched_probe_cascade_and_round_budget(self, spark):
+        """r15 batched peeling: a strict one-node-per-round cascade (each
+        dropped endpoint only exposes the next) still converges exactly,
+        the fixpoint detected across a probe batch is the single-round
+        fixpoint (monotonicity argument in the kcore docstring), and
+        max_rounds stays a PEEL budget — exhaustion before fixpoint
+        raises. Detection may spend up to one extra no-op batch past
+        convergence, so budgets need that slack (the suite's 60 has it)."""
+        from wicsmmiretl_spark.operators.graph import kcore
+
+        tri = [(100, 101), (101, 102), (100, 102)]
+        tail = [(102, 1), (1, 2), (2, 3)]
+        edges = tri + tail
+        got = self._run(spark, edges, k=2)
+        assert got == self._local_kcore(edges, k=2) == {100: 2, 101: 2, 102: 2}
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        # 3 cascade peels + a no-op confirmation batch fit in 6 peels...
+        assert {r.id for r in kcore(df, k=2, max_rounds=6).collect()} == {100, 101, 102}
+        # ...but a 2-peel budget exhausts mid-cascade and must raise.
+        with pytest.raises(RuntimeError, match="fixpoint"):
+            kcore(df, k=2, max_rounds=2).collect()
+
 
 class TestPersonalizedPagerank:
     def _local_ppr(self, edges, seeds, iters, d=0.85, scale=10**12):

@@ -53,6 +53,15 @@ from wicsmmiretl_spark.operators.loopconf import (
 # row overhead) — feeds the bytes-based loop width (loop_partitions).
 _EDGE_ROW_BYTES = 32
 
+# Peels per driver fixpoint probe in ``kcore`` (r15, guide §1.2): each probe
+# is an eager localCheckpoint barrier, and batching is sound because the
+# edge set only shrinks (see kcore docstring). 2 halves the barrier count
+# while bounding the re-execution window on task failure to two rounds;
+# measured at bench scale the win tracks the barrier count, and deeper
+# batches trade fixpoint-detection latency (up to batch-1 wasted no-op
+# peels) for no further barrier savings once probes stop dominating.
+_KCORE_PEELS_PER_PROBE = 2
+
 
 def _large_star(edges: DataFrame, parts: int) -> DataFrame:
     """(u,v) edges → for every node, point strictly-larger neighbors at the
@@ -167,6 +176,13 @@ def connected_components(
     session_parts = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     loop_parts = loop_partitions(prev[0], _EDGE_ROW_BYTES, session_parts)
     set_loop_shuffle_partitions(pairs.sparkSession, loop_parts)
+    # r15 NOTE (measured, do not re-try): batching 2 alternating-star
+    # rounds per probe — the kcore r15 win — LOSES here: under AQE every
+    # Exchange materializes as its own stage-job regardless of action
+    # boundaries, CC's rounds keep all 3 per-round exchanges either way
+    # (nothing to elide, unlike kcore's redundant per-round repartition),
+    # and batched detection runs up to 2 extra no-op rounds. Probed 3x:
+    # 50 -> 53 jobs, build 5.3 -> 6.7 s. Per-round probing stands.
     for _ in range(max_iter):
         # The fixpoint checksum rides the materialization job itself via
         # an Observation (r9): CollectMetrics fires when the eager
@@ -987,13 +1003,27 @@ def kcore(
     same round).
 
     Scale shape per round: one stub-side degree agg (partial-agged hash
-    groupBy) + two left-semi joins back onto the edge set, pinned to an
-    edge-count-sized plan-local partitioning; the fixpoint probe is a
-    row count riding the materialization job itself via ``Observation``
-    (the connected-components r9 pattern — one job per round, no second
-    action). Rounds are bounded by ``max_rounds`` and raise loudly on
-    exhaustion; the edge set only ever shrinks, so per-round cost is
-    non-increasing. Nothing is collected.
+    groupBy) + two left-semi joins back onto the edge set; the fixpoint
+    probe is a row count riding the materialization job itself via
+    ``Observation`` (the connected-components r9 pattern — one job per
+    probe, no second action). Rounds are bounded by ``max_rounds`` and
+    raise loudly on exhaustion; the edge set only ever shrinks, so
+    per-round cost is non-increasing. Nothing is collected.
+
+    r15 loop shape (guide §1.2 step 1, §2.4): peels run in BATCHES of
+    ``_KCORE_PEELS_PER_PROBE`` per driver probe — the per-round eager
+    checkpoint was the loop's dominant cost at any scale where rounds
+    are barrier-bound, and batching is sound because peeling is
+    monotone: e' ⊆ e every peel, so an unchanged count across a batch
+    means the batch's FIRST peel already removed nothing (subset + equal
+    count = equal sets) — the detected fixpoint is exactly the
+    single-round fixpoint, and any extra peels past it are no-ops. The
+    r14 per-round ``repartition(loop_parts, u)`` is also gone: the peel
+    output inherits its input's partitioning (AQE-converted broadcast
+    semi-joins don't move the probe side; an SMJ fallback at scale
+    re-partitions adaptively), so re-shuffling the same rows to the same
+    width every round was a pure extra exchange — one lazy width-pinning
+    repartition at loop entry replaces them all.
 
     Output: (id, deg bigint) for every vertex of the k-core, ``deg`` the
     within-core degree (≥ k by construction). Empty output = no k-core.
@@ -1005,7 +1035,7 @@ def kcore(
             raise ValueError(f"kcore: column {c!r} not in {edges.columns}")
     u, v = F.col(a_col), F.col(b_col)
     obs0 = Observation()
-    e = (
+    e0 = (
         edges.filter(u.isNotNull() & v.isNotNull() & (u != v))
         .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
         .distinct()
@@ -1020,34 +1050,40 @@ def kcore(
     session_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     prev_n = obs0.get["n"]
     loop_parts = loop_partitions(prev_n, _EDGE_ROW_BYTES, session_parts)
-    for _ in range(max_rounds):
-        if prev_n == 0:
-            break
-        deg = (
-            e.select(F.explode(F.array("u", "v")).alias("x"))
-            .groupBy("x")
-            .agg(F.count("*").alias("d"))
-        )
-        keep = deg.filter(F.col("d") >= k).select("x")
+    # Lazy: materializes inside the first batch's probe job; every later
+    # batch inherits the width through the semi-joins.
+    e = e0.repartition(loop_parts, "u").localCheckpoint(eager=False)
+    peels_done = 0
+    while prev_n > 0:
+        if peels_done >= max_rounds:
+            raise RuntimeError(
+                f"kcore: peeling did not reach a fixpoint within max_rounds="
+                f"{max_rounds}; raise max_rounds (each round deletes at least "
+                "one vertex, so rounds are bounded by the peel depth)."
+            )
+        batch = min(_KCORE_PEELS_PER_PROBE, max_rounds - peels_done)
+        nxt = e
+        for _ in range(batch):
+            deg = (
+                nxt.select(F.explode(F.array("u", "v")).alias("x"))
+                .groupBy("x")
+                .agg(F.count("*").alias("d"))
+            )
+            keep = deg.filter(F.col("d") >= k).select("x")
+            nxt = (
+                nxt.join(keep.withColumnRenamed("x", "u"), "u", "semi")
+                .join(keep.withColumnRenamed("x", "v"), "v", "semi")
+                .select("u", "v")
+            )
         obs = Observation()
-        e = (
-            e.join(keep.withColumnRenamed("x", "u"), "u", "semi")
-            .join(keep.withColumnRenamed("x", "v"), "v", "semi")
-            .select("u", "v")
-            .observe(obs, F.count(F.lit(1)).alias("n"))
-            .repartition(loop_parts, "u")
-            .localCheckpoint(eager=True)
+        e = nxt.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+            eager=True
         )
+        peels_done += batch
         cur_n = obs.get["n"]
         if cur_n == prev_n:
             break
         prev_n = cur_n
-    else:
-        raise RuntimeError(
-            f"kcore: peeling did not reach a fixpoint within max_rounds="
-            f"{max_rounds}; raise max_rounds (each round deletes at least "
-            "one vertex, so rounds are bounded by the peel depth)."
-        )
     return (
         e.select(F.explode(F.array("u", "v")).alias("id"))
         .groupBy("id")
