@@ -119,10 +119,19 @@ def zonemap_pruning_report(
     deliberately does not share). ``cols`` must be integral; NULL ranks 0.
 
     Cost honesty: one column-pruned bounds aggregate (2 scalars per
-    column), then ONE global-sort window per strategy (the inherent cost
-    of any total layout order — a real write amortizes it into the
-    write), pinned with a lazy localCheckpoint so the per-predicate
-    report rows reuse the n_files-row zone map instead of re-sorting.
+    column), then ONE global-sort range exchange per strategy (the
+    inherent cost of any total layout order — a real write amortizes it
+    into the write; the two strategies order by unrelated keys, so they
+    cannot share an exchange). The projected input is pinned ONCE with a
+    lazy localCheckpoint (r15, guide §5): five passes consume it — the
+    bounds aggregate plus, per strategy, the range boundary sample and
+    the shuffle map side — and the pinned frame is a handful of integral
+    columns per row, strictly narrower than re-decoding the source five
+    times (measured at 1x and a synthesized 10x slice; see
+    OPTIMIZATION_r15.md). The per-(strategy, predicate) report rows are
+    ONE aggregate over the two unioned zone maps, stacked with a
+    per-predicate struct array (r15) — previously 12 single-row
+    aggregates in a 12-way union.
     """
     if not cols:
         raise ValueError("zonemap_pruning_report: need at least one layout column")
@@ -138,6 +147,12 @@ def zonemap_pruning_report(
         for c in box:
             if c not in df.columns:
                 raise ValueError(f"zonemap_pruning_report: predicate column {c!r} missing")
+
+    keep_cols = sorted({*cols, *pred_cols, *tiebreak})
+    missing = [c for c in keep_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"zonemap_pruning_report: columns {missing} not in {df.columns}")
+    df = df.select(*keep_cols)
 
     bounds = df.agg(
         *[F.min(c).cast("long").alias(f"min_{c}") for c in cols],
@@ -168,7 +183,7 @@ def zonemap_pruning_report(
 
     from wicsmmiretl_spark.operators.sampling import distributed_ntile
 
-    out = []
+    zms = []
     for strategy, key in (("linear", F.col(cols[0]).cast("long")), ("zorder", zcol)):
         # File assignment is an exact global ntile over the layout key —
         # run through the two-level range-partitioned form (no
@@ -177,45 +192,77 @@ def zonemap_pruning_report(
         assigned = distributed_ntile(
             df.withColumn("_zk", key), ["_zk", *tiebreak], n_files, "_file"
         ).drop("_zk")
-        zonemap = (
+        zms.append(
             assigned.groupBy("_file")
             .agg(
                 F.count("*").alias("_n"),
                 *[F.min(c).cast("long").alias(f"_lo_{c}") for c in pred_cols],
                 *[F.max(c).cast("long").alias(f"_hi_{c}") for c in pred_cols],
             )
-            .localCheckpoint(eager=False)
+            .select(F.lit(strategy).alias("strategy"), "*")
         )
-        for pname, box in predicates:
-            read = F.lit(True)
-            for c, (lo, hi) in box.items():
-                read = (
-                    read
-                    & (F.col(f"_hi_{c}") >= F.lit(int(lo)))
-                    & (F.col(f"_lo_{c}") <= F.lit(int(hi)))
-                )
-            out.append(
-                zonemap.agg(
-                    F.count("*").alias("n_files"),
-                    F.sum(F.when(read, 1).otherwise(0)).cast("long").alias("files_read"),
-                    F.sum(F.when(read, F.col("_n")).otherwise(0))
-                    .cast("long")
-                    .alias("rows_read"),
-                    F.sum("_n").cast("long").alias("rows_total"),
-                ).select(
-                    F.lit(strategy).alias("strategy"),
-                    F.lit(pname).alias("predicate"),
-                    F.col("n_files"),
-                    "files_read",
-                    (F.col("n_files") - F.col("files_read")).alias("files_pruned"),
-                    "rows_total",
-                    "rows_read",
-                    F.round(
-                        F.lit(1.0) - F.col("files_read") / F.col("n_files"), 6
-                    ).alias("prune_fraction"),
-                )
+
+    def _read(box: dict[str, tuple[int, int]]) -> Column:
+        cond = F.lit(True)
+        for c, (lo, hi) in box.items():
+            cond = (
+                cond
+                & (F.col(f"_hi_{c}") >= F.lit(int(lo)))
+                & (F.col(f"_lo_{c}") <= F.lit(int(hi)))
             )
-    res = out[0]
-    for r in out[1:]:
-        res = res.unionByName(r)
-    return res.orderBy("strategy", "predicate")
+        return cond
+
+    # One aggregate over both strategies' zone maps computes every
+    # (strategy, predicate) cell; the per-predicate struct array then
+    # stacks them back to one row each. Same exact-integer sums and the
+    # same rounding as the per-pair aggregates this replaces.
+    per_strategy = (
+        zms[0]
+        .unionByName(zms[1])
+        .groupBy("strategy")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("_n").cast("long").alias("rows_total"),
+            *[
+                a
+                for i, (_, box) in enumerate(predicates)
+                for a in (
+                    F.sum(F.when(_read(box), 1).otherwise(0))
+                    .cast("long")
+                    .alias(f"_fr_{i}"),
+                    F.sum(F.when(_read(box), F.col("_n")).otherwise(0))
+                    .cast("long")
+                    .alias(f"_rr_{i}"),
+                )
+            ],
+        )
+    )
+    stacked = per_strategy.select(
+        "strategy",
+        "n_files",
+        "rows_total",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(pname).alias("predicate"),
+                        F.col(f"_fr_{i}").alias("files_read"),
+                        F.col(f"_rr_{i}").alias("rows_read"),
+                    )
+                    for i, (pname, _) in enumerate(predicates)
+                ]
+            )
+        ).alias("_p"),
+    )
+    return stacked.select(
+        "strategy",
+        F.col("_p.predicate").alias("predicate"),
+        "n_files",
+        F.col("_p.files_read").alias("files_read"),
+        (F.col("n_files") - F.col("_p.files_read")).alias("files_pruned"),
+        "rows_total",
+        F.col("_p.rows_read").alias("rows_read"),
+        F.round(
+            F.lit(1.0) - F.col("_p.files_read") / F.col("n_files"), 6
+        ).alias("prune_fraction"),
+    ).orderBy("strategy", "predicate")
