@@ -406,7 +406,13 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         edges.filter(u.isNotNull() & v.isNotNull() & (u != v))
         .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
+    # e0 feeds deg AND the orientation join — deg materializes first (its
+    # own lazy checkpoint), and without a pin the orientation join would
+    # RECOMPUTE the whole upstream canonicalization cascade (for the
+    # co-purchase queries, a lineitem⋈orders self-join) in its own job
+    # (r15; exchange reuse does not cross job boundaries).
     # deg feeds both the orientation joins and the totals row; oriented
     # feeds both wedge sides and the closing probe. Pin each once so the
     # canonicalize+join cascade doesn't run 3x (lazy checkpoint: costs
@@ -515,6 +521,13 @@ def bfs_levels(
         .localCheckpoint(eager=True)
     )
     frontier = visited
+    # r15 NOTE (measured, do not re-try): expanding levels in PAIRS per
+    # probe — the kcore r15 batching — cut jobs 39 -> 36 here but timed
+    # FLAT-to-worse in an interleaved A/B (min 3.18 vs 2.99 s): like CC,
+    # no exchange is elided (every level keeps its distinct + anti-join +
+    # repartition stages under AQE), so only the final-stage job per odd
+    # level disappears while the lazily-pinned odd frontier is consumed
+    # three times inside the even level's job. Per-level probing stands.
     for depth in range(1, max_depth + 1):
         nxt = (
             frontier.join(e, frontier["id"] == e["src"])
