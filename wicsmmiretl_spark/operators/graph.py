@@ -674,8 +674,20 @@ def label_propagation(
     # frame, whose size AQE discovers at runtime and converts to a
     # broadcast join; a checkpointed frame has no stats, so the static
     # plan is sort-merge) — the first data point behind keeping AQE on
-    # in every loop (loopconf module docstring). No width pin either:
-    # the explicit per-round repartitions already carry the loop width.
+    # in every loop (loopconf module docstring).
+    #
+    # r15 examination (measured, do not re-try): two restructures lost
+    # their A/Bs and were reverted. (1) Pre-partitioning ``und`` by u so
+    # the per-round groupBys elide exchanges: neutral (23 -> 23 jobs) —
+    # the checkpointed frames carry no stats, the static round plan is
+    # SMJ on v, and AQE's late broadcast conversion happens after the
+    # exchange already ran, so HashPartitioning(u) never survives to the
+    # aggregates. (2) Dropping the checkpoints entirely so static stats
+    # flow from the source: 23 -> 17 jobs but the static plan duplicates
+    # the whole ``und`` pipeline once per consumer (331 operators / 84
+    # Exchanges at rounds=3, growing with rounds) and timed flat
+    # (~4.0-4.3 s vs 3.96 s quiet) while relying on runtime stage dedup.
+    # The per-round checkpointed two-exchange shape stands.
     und = (
         base.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(base.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
