@@ -10051,29 +10051,28 @@ def q_part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEFERRED_QUERIES = (
-    # r14 rotation (the driver checks the FIRST 50 registry names; this
+    # r15 rotation (the driver checks the FIRST 50 registry names; this
     # tuple is everything pushed behind them). IN-window this round,
-    # strictly by staleness (VERDICT r13 item 1):
-    #   * the ENTIRE remaining r09-stale cohort — all 20 names whose most
-    #     recent driver-green row is CORRECTNESS_r09, the oldest standing
-    #     evidence in the registry (lineitem_flag_status_cube ...
-    #     window_rank_events).
-    #   * 29 names from the r10 cohort (next-stalest), taken in section
-    #     order with no cherry-picking: bm25_ndcg ... kmeans_silhouette.
-    #   * streaming_session_window_append — its graded path changed this
-    #     round (VERDICT r13 item 3 drain trim: 3-file finalized
-    #     drop-folder, plus the ADVICE-r13 tightened sentinel predicate
-    #     and build-time watermark plan guard), so the driver row must
-    #     land on the new path. It takes the slot the verdict's "30 from
-    #     the r10 cohort" would have given lineitem_price_benford —
-    #     path-changed queries outrank staleness fill, the same rule the
-    #     r13 window applied to semantic_dedup_keep.
-    #   20 + 29 + 1 = 50.
-    # r15 ROTATION GUIDANCE: rotate by staleness — the 21 remaining r10
-    # names below first (lineitem_price_benford ...
-    # view_purchase_span_overlaps), then fill from the r11 section in
-    # section order, plus any query whose graded path changes in r14's
-    # post-rotation sessions.
+    # strictly by staleness plus the path-changed rule (VERDICT r14
+    # item 6):
+    #   * the ENTIRE remaining r10-stale cohort — all 21 names whose
+    #     most recent driver-green row is CORRECTNESS_r10
+    #     (lineitem_price_benford ... view_purchase_span_overlaps).
+    #   * part_copurchase_kcore and part_copurchase_triangles — their
+    #     graded paths changed this round (kcore batched-peel loop and
+    #     the triangle_stats e0 pin), so the driver row must land on the
+    #     new paths; path-changed queries outrank staleness fill, the
+    #     rule every rotation since r13 has applied. (The third
+    #     path-changed query, lineitem_zonemap_pruning — report-tail
+    #     collapse — is already in the r10 cohort above.)
+    #   * 27 names from the r11 cohort (next-stalest), taken in section
+    #     order with no cherry-picking: bm25_rank ...
+    #     large_quantity_orders.
+    #   21 + 2 + 27 = 50.
+    # r16 ROTATION GUIDANCE: rotate by staleness — the 20 remaining r11
+    # names below first (lineitem_price_qty_spearman ...
+    # user_value_ewma), then fill from the r12 section in section order,
+    # plus any query whose graded path changes.
     #
     # Registry history note (r01-era retirements, for artifact
     # auditability): top_revenue_orders, supplier_nation_revenue and
@@ -10090,62 +10089,13 @@ _DEFERRED_QUERIES = (
     # tools/verify_local.py.
     #
     # -- last driver-green row: CORRECTNESS_r10 (rotate back by staleness) --
-    "lineitem_price_benford",  # Benford first-digit audit
-    "lineitem_zonemap_pruning",  # zone-map audit, both layouts on distributed_ntile
-    "order_feature_matrix",  # per-order ntile feature bins on the same exchange
-    "part_copurchase_assortativity",  # degree assortativity fingerprint
-    "part_copurchase_communities",  # label-propagation communities
-    "part_link_prediction",  # Adamic-Adar link prediction with anti-join exclusion
-    "part_size_price_skyline",  # per-x min_by/max_by partial-agg skyline
-    "purchase_calibration",  # calibration bins on distributed_ntile
-    "purchase_graph_hits",  # HITS hubs/authorities power iterations
-    "purchase_roc_points",  # ROC curve points from the shared rank machinery
-    "purchase_view_hll_intersect",  # HLL union/intersection estimate
-    "purchase_view_ks",  # two-sample KS via offsets ranks
-    "purchase_view_psi",  # PSI population drift
-    "streaming_user_distinct",  # running distinct on all-JVM dedup+agg state
-    "streaming_value_hist_quantiles",  # the same histogram folded as streaming state
-    "streaming_value_psi",  # PSI folded as streaming state
-    "temperature_corpus_mix",  # temperature-weighted mixing with the NULL/zero-total guard
-    "user_selfjoin_size_estimate",  # sketch join-size estimate
-    "user_value_time_corr",  # per-user time-value correlation
-    "user_value_twa",  # time-weighted average per user
-    "view_purchase_span_overlaps",  # banded interval-overlap join
     #
     # -- last driver-green row: CORRECTNESS_r11 (rotate back by staleness) --
-    "bm25_rank",  # BM25 ranking; bm25 family twins checked r10, index machinery via inverted_index_band
-    "bucketed_customer_revenue",  # distributed_ntile revenue bins (count-derived); exchange machinery in-window via documents_stable_index
-    "corpus_curation",  # capstone v1 composed plan; v2 stays deferred (r08), v3 checked r10
-    "corpus_heaps_fit",  # Heaps-law scaled-ln OLS fit over the vocab growth curve
-    "cosine_topk",  # brute-force cosine top-k baseline; ANN family in-window via pq_adc_topk
-    "customer_cdc_apply",  # CDC op-log apply; merge family in-window via customer_scd2_merge
-    "customer_golden_record",  # survivorship golden record; merge family in-window via customer_scd2_merge
-    "customer_kanonymity",  # k-anonymity audit; governance family checked r11
-    "customer_ldiversity",  # l-diversity audit; governance family checked r11
-    "customer_profile_drift",  # profile drift report; drift family checked r10-r11
-    "dedup_exact",  # exact md5 dedup; dedup family in-window via minhash_lsh_pairs + streaming_dedup
-    "doc_chunk_dedup_stats",  # chunk-level dedup stats; CDC-chunking checked r11
-    "doc_kfold_counts",  # deterministic k-fold assignment; sampling family checked r11
-    "doc_labeling_queue",  # priority labeling queue on distributed ranks; checked r11
-    "embedding_centroid_drift",  # centroid drift between corpus halves; checked r11
-    "embedding_hard_negatives",  # hard-negative mining bands; ANN family in-window via pq_adc_topk
-    "embedding_near_dup",  # declared O(n^2) exact near-dup baseline with max_rows guard; checked r11
-    "event_value_conformal",  # split-conformal interval; eval/stats family checked r11
-    "events_category_entropy",  # grouped entropy; scaled-int log sums checked r10-r11
-    "events_daily_interpolate",  # gap interpolation on the daily grid via prefix sums; checked r11
-    "events_json_extract",  # JSON scan + flatten (S3); checked r11
-    "events_null_bypass_enrich",  # null-bypass join routing; checked r11
-    "events_trimmed_stats",  # trimmed/winsorized moments via offsets ranks; checked r11
-    "events_value_ci_by_type",  # grouped t-CI; scaled-int moments checked r11
-    "hyperplane_lsh_pairs",  # hyperplane LSH with count-derived bits (target_bucket=32); checked r11 on the new derivation
-    "ivf_topk_trained",  # trained-centroid IVF ANN; ANN family in-window via pq_adc_topk
-    "large_quantity_orders",  # J1 join+agg (TPC-H Q18 shape); checked r11
     "lineitem_price_qty_spearman",  # Spearman rank corr on offsets ranks; checked r11
     "orders_bootstrap_ci",  # deterministic-hash bootstrap CI; checked r11
     "orders_fd_report",  # functional-dependency audit; governance family checked r11
     "orders_referential_subset",  # FK-closed subset extraction; checked r11
     "pack_assign",  # sequence packing via distributed_prefix_sum; checked r11
-    "part_copurchase_kcore",  # 14-core synchronous peeling; graph family in-window via order_graph_pagerank + event_chain_components
     "part_entity_resolution",  # blocking->Levenshtein->components capstone; checked r11
     "pricing_summary",  # TPC-H Q1 shape grouped aggregates; checked r11
     "purchase_auc",  # global rank-sum AUC; eval family checked r11
@@ -10207,7 +10157,6 @@ _DEFERRED_QUERIES = (
     "pq_adc_topk",  # PQ-ADC ANN with trained codebooks
     "bpe_merge_table",  # BPE merge training loop
     "lineitem_corr_matrix",  # scaled-int correlation matrix
-    "part_copurchase_triangles",  # degree-ordered triangle census
     "streaming_hll_distinct",  # HLL registers folded as stream state
     "documents_stable_index",  # R6 distributed stable index
     "streaming_cms_heavy_users",  # CMS folded as stream state
@@ -10264,6 +10213,58 @@ _DEFERRED_QUERIES = (
     "user_activity_spans",  # batch event-time activity spans
     "user_retention_weekly",  # weekly retention cohorts
     "weighted_sample_docs",  # priority weighted sampling
+    #
+    # -- last driver-green row: CORRECTNESS_r14 (rotate back by staleness) --
+    "vocab_top100",
+    "text_stats",
+    "pos_tag_stats",
+    "region_customer_rollup",
+    "stats_matrix_documents",
+    "window_rank_events",
+    "tumbling_daily",
+    "sessionize_events",
+    "streaming_tumbling",
+    "streaming_session_window_append",
+    "vocab_token_class",
+    "nation_trade_volume",
+    "simhash_near_pairs",
+    "sliding_hourly",
+    "video_frame_sample",
+    "lineitem_flag_status_cube",
+    "repetition_stats",
+    "events_value_deciles",
+    "orders_pit_attributes",
+    "part_name_neighborhood_pairs",
+    "user_survival_curve",
+    "daily_purchase_auc",
+    "bm25_ndcg",
+    "user_audio_features",
+    "events_value_hist_quantiles",
+    "incremental_dedup_probe",
+    "event_chain_shortest_paths",
+    "doc_overlap_pairs",
+    "event_frequent_paths",
+    "doc_dup_span_stats",
+    "doc_lang_source_chi2",
+    "doc_char_weighted_quantiles",
+    "embedding_projection",
+    "bm25_retrieval_metrics",
+    "doc_containment_pairs",
+    "embedding_kcenter",
+    "doc_lang_nb_confusion",
+    "events_daily_cusum",
+    "kmeans_silhouette",
+    "embedding_pair_profile",
+    "corpus_zipf_fit",
+    "corpus_curation_v3",
+    "doc_lang_source_infogain",
+    "doc_char_gini",
+    "event_type_ks_report",
+    "copurchase_butterflies",
+    "event_value_theilsen",
+    "customer_rfm_segments",
+    "corpus_curriculum_stages",
+    "embedding_mmr_topk",
 )
 
 
