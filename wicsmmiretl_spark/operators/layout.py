@@ -122,16 +122,16 @@ def zonemap_pruning_report(
     column), then ONE global-sort range exchange per strategy (the
     inherent cost of any total layout order — a real write amortizes it
     into the write; the two strategies order by unrelated keys, so they
-    cannot share an exchange). The projected input is pinned ONCE with a
-    lazy localCheckpoint (r15, guide §5): five passes consume it — the
-    bounds aggregate plus, per strategy, the range boundary sample and
-    the shuffle map side — and the pinned frame is a handful of integral
-    columns per row, strictly narrower than re-decoding the source five
-    times (measured at 1x and a synthesized 10x slice; see
-    OPTIMIZATION_r15.md). The per-(strategy, predicate) report rows are
-    ONE aggregate over the two unioned zone maps, stacked with a
-    per-predicate struct array (r15) — previously 12 single-row
-    aggregates in a 12-way union.
+    cannot share an exchange). Five passes re-scan the explicit narrow
+    projection — the bounds aggregate plus, per strategy, the range
+    boundary sample and the shuffle map side. A shared lazy
+    localCheckpoint of that projection was A/B'd (r15, guide §5) and
+    REJECTED: ~1 s faster at 1x but 8.1 s vs 4.7 s at the synthesized
+    10x slice — materializing the projection costs more than four
+    re-scans of a column-pruned source save; do not re-pin. The
+    per-(strategy, predicate) report rows are ONE aggregate over the two
+    unioned zone maps, stacked with a per-predicate struct array (r15) —
+    previously 12 single-row aggregates in a 12-way union.
     """
     if not cols:
         raise ValueError("zonemap_pruning_report: need at least one layout column")
