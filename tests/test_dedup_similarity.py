@@ -376,6 +376,38 @@ def test_collect_cents_assembles_contiguous_positions():
     ]
 
 
+def test_collect_cents_rejects_ragged_positions():
+    """ADVICE r14: a missing dimension position (ragged / NULL-element
+    embedding upstream) must raise a contract error naming the gap, not
+    a bare KeyError from the range indexing."""
+    from pyspark.sql import Row
+
+    from wicsmmiretl_spark.operators.similarity import _collect_cents
+
+    rows = [Row(cell=1, pos=0, c=0.1), Row(cell=1, pos=2, c=0.3)]
+    with pytest.raises(ValueError, match="missing dimension"):
+        _collect_cents(rows, ["cell"])
+
+
+def test_cent_array_empty_centroids_yield_empty_result(spark):
+    """ADVICE r14: an EMPTY centroid table must collapse to ZERO broadcast
+    rows (the agg's always-one-row output is filtered), so a crossJoin
+    consumer produces an empty result instead of NULL-cell rows — the r13
+    crossJoin-with-empty semantics."""
+    from wicsmmiretl_spark.operators.similarity import _cent_array
+
+    cent = spark.createDataFrame(
+        [], "cell int, cv array<double>, nc double"
+    )
+    assert _cent_array(cent).count() == 0
+    probe = spark.range(3)
+    assert probe.crossJoin(_cent_array(cent)).count() == 0
+    nonempty = spark.createDataFrame(
+        [(1, [1.0, 0.0], 1.0)], "cell int, cv array<double>, nc double"
+    )
+    assert probe.crossJoin(_cent_array(nonempty)).count() == 3
+
+
 def test_kmeans_train_deterministic_and_labelfree(spark, sf_dir):
     """kmeans_train consults no label column, is deterministic across
     invocations (seeded init + exact integer means), and partitions the

@@ -342,11 +342,23 @@ def _collect_cents(rows, key_cols: list):
     """Assemble collected ``(..keys.., pos, c)`` centroid-dimension rows
     into sorted ``(*keys, [c_0..c_dim-1])`` tuples. Positions are
     contiguous per key group by construction (posexplode of a dense
-    array), which is what makes the ``range(len(d))`` indexing total."""
+    fixed-dim array), which is what makes the ``range(len(d))`` indexing
+    total; a ragged or NULL-element embedding upstream would break that
+    invariant, so it is re-checked here with a contract error instead of
+    a bare KeyError (ADVICE r14) — the helper is load-bearing for
+    kmeans_train, kmeans_two_level and pq_train."""
     by_key: dict = {}
     for r in rows:
         key = tuple(r[k] for k in key_cols)
         by_key.setdefault(key, {})[r["pos"]] = r["c"]
+    for key, d in by_key.items():
+        if len(d) != max(d) + 1:
+            missing = [p for p in range(max(d) + 1) if p not in d]
+            raise ValueError(
+                f"_collect_cents: centroid key {key} is missing dimension "
+                f"positions {missing[:5]} — embeddings must be dense "
+                "fixed-dim arrays with no NULL elements"
+            )
     return sorted((*k, [d[p] for p in range(len(d))]) for k, d in by_key.items())
 
 
@@ -356,8 +368,18 @@ def _cent_array(cent: DataFrame) -> DataFrame:
     (``array_min`` over per-row candidate structs — guide §2.4: the
     grouped min(struct) argmax's shuffle of n payload rows is removed
     outright). ``collect_list`` order is irrelevant: min is
-    order-invariant and (-cos, cell) is unique per candidate."""
-    return cent.agg(F.collect_list(F.struct("cell", "cv", "nc")).alias("cents"))
+    order-invariant and (-cos, cell) is unique per candidate.
+
+    Degenerate case (ADVICE r14): a no-groupBy agg always returns one
+    row, so an EMPTY centroid table becomes one row with an empty array —
+    the crossJoin then assigns NULL cell/top-2 to every input vector
+    (where the r13 crossJoin-with-empty produced zero rows). Filtered
+    here so empty-centroids again yields an empty result; unreachable
+    from in-repo trainers (empty centroids imply an empty corpus), but
+    simplified_silhouette takes caller-supplied centroids."""
+    return cent.agg(F.collect_list(F.struct("cell", "cv", "nc")).alias("cents")).filter(
+        F.size("cents") > 0
+    )
 
 
 def _argmin_cands(vc, nvc):
@@ -844,6 +866,12 @@ def ivf_topk(
     candidates keep their exact scores) until nprobe = #cells reproduces the
     exact brute-force ranking.
 
+    Input precondition (r14, repo-wide on the map-side argmax path):
+    ``embeddings`` must carry one row per ``id_col`` — the candidate
+    branch emits one assignment row per INPUT row, so a duplicated id
+    would appear as duplicate candidates (the r13 per-id groupBy silently
+    collapsed it). Deduplicate upstream.
+
     Output: query_id, neighbor_id, cosine (rounded 6dp).
     """
     v = embeddings.select(
@@ -1140,6 +1168,12 @@ def pq_encode(
     the codebook cell with the highest rounded cosine (ties to the lowest
     cell — the same deterministic rule the trainer uses). Codebook is
     broadcast (m x k rows); the big side is scanned once, map-side.
+
+    Input precondition (r14, repo-wide on the map-side argmax path):
+    ``embeddings`` must carry one row per ``id_col`` — a duplicated id
+    now yields a 2m-length codes array (the r13 per-(id, subspace)
+    groupBy silently collapsed duplicates), which downstream pq_topk LUT
+    scoring would consume as a malformed code. Deduplicate upstream.
 
     Returns (id_col, codes array<int>) with codes[s] = cell of subspace s.
     """
