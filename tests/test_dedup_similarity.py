@@ -380,6 +380,7 @@ def test_collect_cents_rejects_ragged_positions():
     """ADVICE r14: a missing dimension position (ragged / NULL-element
     embedding upstream) must raise a contract error naming the gap, not
     a bare KeyError from the range indexing."""
+    import pytest
     from pyspark.sql import Row
 
     from wicsmmiretl_spark.operators.similarity import _collect_cents
